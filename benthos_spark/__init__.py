@@ -1,0 +1,21 @@
+"""benthos_spark — a PySpark-native streaming/analytics engine.
+
+A from-scratch re-expression of the pipeline semantics of
+usedatabrew/benthos (input → processor chain → output, windowing,
+per-message mapping, transactional delivery) as idiomatic PySpark:
+DataFrame lineage + Structured Streaming + vectorized pandas/Arrow UDFs.
+
+Architecture (vs the reference's goroutine/channel engine,
+/root/reference/internal/stream/type.go:22-34):
+
+- A *message* is a typed Row; a *batch* is a micro-batch partition.
+- Processors are ``DataFrame -> DataFrame`` functions; Catalyst replaces
+  the reference's per-message interpreter with whole-stage codegen.
+- Acks/transactions become the Structured Streaming offset+commit log;
+  exactly-once delivery is an idempotent ``foreachBatch`` sink keyed by
+  ``batchId`` (see :mod:`benthos_spark.sinks.exactly_once`).
+"""
+
+__version__ = "0.1.0"
+
+from benthos_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,236 @@
+"""The `clips` table — audio clip + transcript pairs (FIXTURES.md F1).
+
+Schema (BASELINE.json ``input_hint``)::
+
+    clip_id:string, bytes:binary, sr_hz:int32, dur_ms:int32,
+    codec:string, transcript:string, event_ts:timestamp
+
+Deterministic per clip index: parameters come from a splitmix64 hash of
+the index (scale-independent), the PCM signal is seeded multi-sine+noise
+(counter-based Philox keyed by [seed, i]), transcripts are seeded word
+sequences with mixed case/whitespace/punctuation for the normalization
+tests. `dur_ms` is long-tailed and `codec` zipf-skewed (hot key
+``pcm_s16le``) to exercise salting/AQE-skew handling.
+
+Generation is distributed: ``mapInPandas`` over ``spark.range(n)``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from benthos_spark.functions import audio
+
+SEED = 42
+BASE_TS = dt.datetime(2024, 3, 1, 0, 0, 0)
+STEP_MS = 250  # one clip arrives every 250ms of event time
+WINDOW_S = 60  # the canonical window size late rows jitter against
+
+SR_CHOICES = np.array([8000, 16000, 22050, 44100], dtype=np.int64)
+CODEC_CHOICES = ("pcm_s16le", "wav", "ulaw", "alaw")
+
+VOCAB = (
+    "the quick brown fox jumps over lazy dog alpha bravo charlie delta "
+    "echo foxtrot golf hotel india juliet kilo lima mike november oscar "
+    "papa quebec romeo sierra tango uniform victor whiskey xray yankee "
+    "zulu zero one two three four five six seven eight nine audio clip "
+    "stream window state join codec sample signal noise filter spark "
+    "engine batch shuffle skew salt"
+).split()
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+CLIPS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+
+
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        v = v.astype(np.uint64)
+        v = (v + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+        v = ((v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+        v = ((v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+        return v ^ (v >> np.uint64(31))
+
+
+def _hash_u01(ids: np.ndarray, stream: int, seed: int = SEED) -> np.ndarray:
+    """Uniform [0,1) per id, independent per `stream`."""
+    offset = np.uint64((stream * 0x9E3779B97F4A7C15 + seed) & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        h = _splitmix64(ids.astype(np.uint64) * np.uint64(0x2545F4914F6CDD1D) + offset)
+    return h.astype(np.float64) / 18446744073709551616.0
+
+
+def clip_params(ids: np.ndarray, seed: int = SEED) -> dict[str, np.ndarray]:
+    """Scale-independent per-clip parameters from the clip index."""
+    u_sr = _hash_u01(ids, 1, seed)
+    u_dur = _hash_u01(ids, 2, seed)
+    u_codec = _hash_u01(ids, 3, seed)
+    u_late = _hash_u01(ids, 4, seed)
+    u_lmag = _hash_u01(ids, 5, seed)
+
+    sr = SR_CHOICES[(u_sr * len(SR_CHOICES)).astype(np.int64)]
+
+    # 90% short (200-2000ms), 10% quadratic long tail up to 30s — the
+    # duration skew axis.
+    short = 200 + (u_dur / 0.9 * 1800.0)
+    tail = 2000 + ((u_dur - 0.9) / 0.1) ** 2 * 28000.0
+    dur = np.where(u_dur < 0.9, short, tail).astype(np.int64)
+
+    # zipf-ish codec skew: pcm_s16le is the hot key (55%).
+    codec_ix = np.select(
+        [u_codec < 0.55, u_codec < 0.75, u_codec < 0.90],
+        [0, 1, 2],
+        default=3,
+    )
+
+    # event time: ordered by index, ~5% jittered late by 1-3 windows.
+    ts_ms = ids.astype(np.int64) * STEP_MS
+    late = u_late < 0.05
+    lateness_ms = (1 + (u_lmag * 3).astype(np.int64)) * WINDOW_S * 1000
+    ts_ms = np.where(late, np.maximum(ts_ms - lateness_ms, 0), ts_ms)
+
+    return {"sr_hz": sr, "dur_ms": dur, "codec_ix": codec_ix, "ts_ms": ts_ms, "is_late": late}
+
+
+def reference_signal(i: int, sr_hz: int, dur_ms: int, seed: int = SEED) -> np.ndarray:
+    """The ground-truth float PCM for clip `i` — the per-row invariant
+    baseline (decoded payload must reach SNR ≥ 30 dB against this)."""
+    n = int(round(sr_hz * dur_ms / 1000.0))
+    ids = np.array([i], dtype=np.uint64)
+    f1 = 100.0 + _hash_u01(ids, 10, seed)[0] * 2900.0
+    f2 = 100.0 + _hash_u01(ids, 11, seed)[0] * 2900.0
+    f3 = 100.0 + _hash_u01(ids, 12, seed)[0] * 2900.0
+    p1 = _hash_u01(ids, 13, seed)[0] * 2 * np.pi
+    p2 = _hash_u01(ids, 14, seed)[0] * 2 * np.pi
+    p3 = _hash_u01(ids, 15, seed)[0] * 2 * np.pi
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    x = (
+        0.45 * np.sin(2 * np.pi * f1 * t + p1)
+        + 0.25 * np.sin(2 * np.pi * f2 * t + p2)
+        + 0.15 * np.sin(2 * np.pi * f3 * t + p3)
+    )
+    rng = np.random.Generator(np.random.Philox(key=[seed, int(i)]))
+    x += 0.002 * rng.standard_normal(n)
+    return np.clip(x, -0.999, 0.999).astype(np.float64)
+
+
+def make_transcript(i: int, dur_ms: int, seed: int = SEED) -> str:
+    """Seeded word sequence, length ∝ duration; mixed case/whitespace/punct
+    so normalization (lowercase/trim/collapse/strip-punct) is exercised."""
+    n_words = 2 + dur_ms // 400
+    base = np.uint64((int(i) * 1000003 + seed * 7919) & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        ids = np.arange(n_words, dtype=np.uint64) + base
+    picks = _splitmix64(ids)
+    deco = _hash_u01(ids, 21, seed)
+    words = []
+    for j in range(n_words):
+        w = VOCAB[int(picks[j] % np.uint64(len(VOCAB)))]
+        d = deco[j]
+        if d < 0.08:
+            w = w.upper()
+        elif d < 0.20:
+            w = w.capitalize()
+        if 0.20 <= d < 0.26:
+            w = w + ","
+        sep = "  " if 0.26 <= d < 0.30 else " "
+        words.append(w + (sep if j < n_words - 1 else ""))
+    body = "".join(words)
+    head = "  " if _hash_u01(np.array([i], dtype=np.uint64), 22, seed)[0] < 0.1 else ""
+    return head + body + "."
+
+
+def clips_pdf(ids: np.ndarray, seed: int = SEED) -> pd.DataFrame:
+    """Materialize clip rows for a chunk of indices (runs inside a task)."""
+    params = clip_params(ids, seed)
+    rows_bytes, transcripts = [], []
+    for k, i in enumerate(ids):
+        sr = int(params["sr_hz"][k])
+        dur = int(params["dur_ms"][k])
+        codec = CODEC_CHOICES[int(params["codec_ix"][k])]
+        x = reference_signal(int(i), sr, dur, seed)
+        rows_bytes.append(audio.encode(x, codec, sr))
+        transcripts.append(make_transcript(int(i), dur, seed))
+    return pd.DataFrame(
+        {
+            "clip_id": [f"clip-{int(i):012d}" for i in ids],
+            "bytes": rows_bytes,
+            "sr_hz": params["sr_hz"].astype(np.int32),
+            "dur_ms": params["dur_ms"].astype(np.int32),
+            "codec": [CODEC_CHOICES[int(c)] for c in params["codec_ix"]],
+            "transcript": transcripts,
+            "event_ts": [BASE_TS + dt.timedelta(milliseconds=int(m)) for m in params["ts_ms"]],
+        }
+    )
+
+
+def generate_clips(
+    spark: SparkSession, n: int, seed: int = SEED, partitions: int | None = None
+) -> DataFrame:
+    """Distributed clip generation: ``spark.range(n)`` → ``mapInPandas``."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield clips_pdf(pdf["id"].to_numpy(), seed)
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=CLIPS_SCHEMA)
+
+
+def write_clips(
+    spark: SparkSession, out_dir: str, n: int, seed: int = SEED, files: int | None = None
+) -> None:
+    """Write the clips table as `files` parquet files (a file-per-trigger
+    streaming source replays them in order)."""
+    df = generate_clips(spark, n, seed, partitions=files)
+    df.write.mode("overwrite").parquet(out_dir)
+
+
+SENTINEL_CODEC = "_sentinel"
+
+
+def write_sentinel(spark: SparkSession, out_dir: str, event_ts: dt.datetime | None = None) -> None:
+    """Append one far-future sentinel row: on bounded input it pushes the
+    watermark past every real window so append-mode aggregations flush
+    (the reference nacks partial windows on shutdown for redelivery,
+    buffer_system_window.go:403-448; a bounded Spark run instead closes
+    them via the sentinel). Filter ``codec = '_sentinel'`` downstream."""
+    ts = event_ts or (BASE_TS + dt.timedelta(days=365))
+    row = pd.DataFrame(
+        {
+            "clip_id": ["clip-sentinel"],
+            "bytes": [b""],
+            "sr_hz": np.array([0], dtype=np.int32),
+            "dur_ms": np.array([0], dtype=np.int32),
+            "codec": [SENTINEL_CODEC],
+            "transcript": [""],
+            "event_ts": [ts],
+        }
+    )
+    spark.createDataFrame(row, schema=CLIPS_SCHEMA).coalesce(1).write.mode("append").parquet(out_dir)
+
+
+def split_clip_stream(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """FIXTURES F2: split into clip-side and transcript-side sub-streams
+    for the stateful stream-stream join (≙ reference `sequence.sharded_join`,
+    /root/reference/internal/impl/pure/input_sequence.go:144-157)."""
+    clip_side = df.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "event_ts")
+    transcript_side = df.select("clip_id", "transcript", "event_ts")
+    return clip_side, transcript_side

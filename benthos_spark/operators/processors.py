@@ -1,0 +1,373 @@
+"""Processors — batch→batch message transforms as DataFrame functions.
+
+Each class mirrors one reference processor (cited per class from
+/root/reference/). A processor is a callable ``DataFrame -> DataFrame``;
+pipelines compose them left-to-right into ONE DataFrame lineage, so
+Catalyst fuses the whole chain into as few stages as possible (the
+reference interprets each processor per message — we compile instead).
+
+Error-routing model: the reference attaches an error slot to each message
+(internal/message/part.go:69-78); here it is a nullable ``_error`` string
+column. ``Try``/``Catch`` gate work on it exactly like
+internal/impl/pure/processor_try.go:22 / processor_catch.go:22.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ERROR_COL = "_error"
+
+ColumnLike = "Column | str"
+
+
+def _to_col(e) -> Column:
+    return F.expr(e) if isinstance(e, str) else e
+
+
+def ensure_error_col(df: DataFrame) -> DataFrame:
+    if ERROR_COL not in df.columns:
+        df = df.withColumn(ERROR_COL, F.lit(None).cast("string"))
+    return df
+
+
+class Processor:
+    """Base: callable DataFrame transform."""
+
+    def __call__(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass
+class Mapping(Processor):
+    """Construct a brand-new document per message (Bloblang ``root = {...}``,
+    internal/impl/pure/processor_mapping.go:15). ``exprs`` maps output
+    column name → Column/SQL string; the output contains ONLY these."""
+
+    exprs: dict[str, object]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.select(*[_to_col(e).alias(name) for name, e in self.exprs.items()])
+
+
+@dataclass
+class Mutation(Processor):
+    """Assign onto the existing document (internal/impl/pure/
+    processor_mutation.go:15) — add/overwrite columns, keep the rest."""
+
+    exprs: dict[str, object]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.withColumns({k: _to_col(v) for k, v in self.exprs.items()})
+
+
+@dataclass
+class Filter(Processor):
+    """``root = deleted()`` gating (internal/bloblang/query/functions.go:315):
+    keep rows where ``keep_if`` holds."""
+
+    keep_if: object
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.filter(_to_col(self.keep_if))
+
+
+@dataclass
+class Switch(Processor):
+    """Per-message case routing (internal/impl/pure/processor_switch.go:25).
+
+    Each case is ``(check, processors)``; a message runs the FIRST matching
+    case's processors. DataFrame form: split-filter-union — each branch
+    filter excludes all earlier checks. Outputs must be union-compatible
+    (the reference re-sorts to input order, internal/message/sort_group.go;
+    row order is meaningless in the DataFrame model so we skip that)."""
+
+    cases: Sequence[tuple[object, Sequence[Processor]]]
+    keep_unmatched: bool = False
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        out = None
+        prior = F.lit(False)
+        for check, procs in self.cases:
+            cond = _to_col(check) if check is not None else F.lit(True)
+            branch = df.filter(cond & ~prior)
+            for p in procs:
+                branch = p(branch)
+            out = branch if out is None else out.unionByName(branch, allowMissingColumns=True)
+            prior = prior | cond
+        if self.keep_unmatched:
+            rest = df.filter(~prior)
+            out = rest if out is None else out.unionByName(rest, allowMissingColumns=True)
+        return out if out is not None else df
+
+
+@dataclass
+class Branch(Processor):
+    """request_map → child processors → result_map merged back
+    (internal/impl/pure/processor_branch.go:24-57). Spark is columnar, so
+    the branch runs as a derived-column pipeline joined back by a row id
+    only when the child chain repartitions; otherwise it's a fused
+    select."""
+
+    request_cols: Sequence[str]
+    processors: Sequence[Processor]
+    result_exprs: dict[str, object]
+    row_id_col: str = "_branch_rid"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        tagged = df.withColumn(self.row_id_col, F.monotonically_increasing_id())
+        child = tagged.select(self.row_id_col, *self.request_cols)
+        for p in self.processors:
+            child = p(child)
+        child = child.select(
+            self.row_id_col, *[_to_col(e).alias(n) for n, e in self.result_exprs.items()]
+        )
+        return tagged.join(child, on=self.row_id_col, how="left").drop(self.row_id_col)
+
+
+@dataclass
+class GroupByValue(Processor):
+    """Tag each message with its group key (internal/impl/pure/
+    processor_group_by_value.go:23). Downstream aggregation/partitioning
+    uses the tag; physical grouping is Spark's shuffle."""
+
+    value: object
+    out_col: str = "_group"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.out_col, _to_col(self.value))
+
+
+@dataclass
+class Dedupe(Processor):
+    """Drop messages whose key was already seen (internal/impl/pure/
+    processor_dedupe.go:26). Batch: ``dropDuplicates``; streams should use
+    :func:`benthos_spark.operators.state.dedupe_within_watermark`."""
+
+    key_cols: Sequence[str]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.dropDuplicates(list(self.key_cols))
+
+
+@dataclass
+class Split(Processor):
+    """Re-batch into chunks (internal/impl/pure/processor_split.go:21).
+    Batch boundaries are physical in Spark → repartition."""
+
+    partitions: int
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.repartition(self.partitions)
+
+
+@dataclass
+class Archive(Processor):
+    """Batch → single message (internal/impl/pure/processor_archive.go:59).
+
+    ``lines``/``concatenate`` → sorted ``collect_list`` + ``array_join``;
+    ``json_array`` → ``to_json(collect_list(struct(...)))``. Sorting makes
+    the result deterministic (the reference preserves arrival order; a
+    distributed engine must impose an explicit order instead)."""
+
+    group_cols: Sequence[str]
+    payload: object
+    fmt: str = "lines"
+    out_col: str = "archived"
+    order_by: object | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        payload = _to_col(self.payload)
+        if self.fmt in ("lines", "concatenate"):
+            sep = "\n" if self.fmt == "lines" else ""
+            agg = F.array_join(F.array_sort(F.collect_list(payload)), sep)
+        elif self.fmt == "json_array":
+            agg = F.to_json(F.array_sort(F.collect_list(payload)))
+        else:
+            raise ValueError(f"unsupported archive format {self.fmt}")
+        return df.groupBy(*self.group_cols).agg(agg.alias(self.out_col))
+
+
+@dataclass
+class Unarchive(Processor):
+    """Single message → batch (internal/impl/pure/processor_unarchive.go:45):
+    ``lines`` splits + explodes; ``json_array`` parses + explodes."""
+
+    col: str
+    fmt: str = "lines"
+    out_col: str = "part"
+    element_type: str = "string"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if self.fmt == "lines":
+            parts = F.split(F.col(self.col), "\n")
+        elif self.fmt == "json_array":
+            parts = F.from_json(F.col(self.col), f"array<{self.element_type}>")
+        elif self.fmt == "words":
+            parts = F.split(F.trim(F.col(self.col)), r"\s+")
+        else:
+            raise ValueError(f"unsupported unarchive format {self.fmt}")
+        return df.withColumn(self.out_col, F.explode(parts)).drop(self.col)
+
+
+@dataclass
+class BoundsCheck(Processor):
+    """Drop messages violating size bounds (internal/impl/pure/
+    processor_bounds_check.go:22)."""
+
+    col: str
+    min_len: int = 0
+    max_len: int = 1 << 62
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        ln = F.length(F.col(self.col))
+        return df.filter((ln >= self.min_len) & (ln <= self.max_len))
+
+
+@dataclass
+class Tag(Processor):
+    """Set the error slot where ``cond`` holds (≙ ``throw()``/failed parts,
+    internal/batch/error.go:13-45)."""
+
+    cond: object
+    message: object
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        df = ensure_error_col(df)
+        return df.withColumn(
+            ERROR_COL,
+            F.when(F.col(ERROR_COL).isNotNull(), F.col(ERROR_COL))
+            .when(_to_col(self.cond), _to_col(self.message))
+            .otherwise(F.lit(None).cast("string")),
+        )
+
+
+@dataclass
+class Try(Processor):
+    """Apply children only to not-yet-errored messages
+    (internal/impl/pure/processor_try.go:22; execute.go:38)."""
+
+    processors: Sequence[Processor]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        df = ensure_error_col(df)
+        ok, bad = df.filter(F.col(ERROR_COL).isNull()), df.filter(F.col(ERROR_COL).isNotNull())
+        for p in self.processors:
+            ok = p(ok)
+        return ok.unionByName(bad, allowMissingColumns=True)
+
+
+@dataclass
+class Catch(Processor):
+    """Apply children only to errored messages, then clear the error
+    (internal/impl/pure/processor_catch.go:22; execute.go:72)."""
+
+    processors: Sequence[Processor]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        df = ensure_error_col(df)
+        ok, bad = df.filter(F.col(ERROR_COL).isNull()), df.filter(F.col(ERROR_COL).isNotNull())
+        for p in self.processors:
+            bad = p(bad)
+        bad = bad.withColumn(ERROR_COL, F.lit(None).cast("string"))
+        return ok.unionByName(bad, allowMissingColumns=True)
+
+
+@dataclass
+class SelectParts(Processor):
+    """Keep only given indices within each group, by explicit order
+    (internal/impl/pure/processor_select_parts.go:20). Distributed batches
+    have no arrival order, so ordering is an explicit column."""
+
+    order_by: object
+    indices: Sequence[int]
+    group_cols: Sequence[str] = field(default_factory=list)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        part = Window.partitionBy(*self.group_cols) if self.group_cols else Window.partitionBy()
+        w = part.orderBy(_to_col(self.order_by))
+        return (
+            df.withColumn("_ix", F.row_number().over(w) - 1)
+            .filter(F.col("_ix").isin(list(self.indices)))
+            .drop("_ix")
+        )
+
+
+@dataclass
+class InsertPart(Processor):
+    """Insert a literal message (internal/impl/pure/processor_insert_part.go:23):
+    union with a one-row literal DataFrame."""
+
+    values: dict[str, object]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        row = spark.range(1).select(
+            *[F.lit(v).cast(df.schema[k].dataType).alias(k) for k, v in self.values.items()]
+        )
+        return df.unionByName(row, allowMissingColumns=True)
+
+
+@dataclass
+class Noop(Processor):
+    """internal/impl/pure/processor_noop.go:16."""
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df
+
+
+@dataclass
+class Observe(Processor):
+    """`log`/`metric` processors (internal/impl/pure/processor_log.go:26,
+    processor_metric.go:24) → ``df.observe`` named metrics, readable from a
+    StreamingQueryListener or ``Observation``."""
+
+    name: str
+    metrics: dict[str, Column]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.observe(self.name, *[m.alias(k) for k, m in self.metrics.items()])
+
+
+def _zlib_codec(compress: bool, level: int = 6) -> Callable[[pd.Series], pd.Series]:
+    if compress:
+        return lambda s: s.map(lambda b: zlib.compress(bytes(b), level) if b is not None else None)
+    return lambda s: s.map(lambda b: zlib.decompress(bytes(b)) if b is not None else None)
+
+
+@dataclass
+class Compress(Processor):
+    """internal/impl/pure/processor_compress.go:21 — zlib over a binary
+    column via an Arrow-batched pandas UDF."""
+
+    col: str
+    level: int = 6
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        udf = F.pandas_udf(_zlib_codec(True, self.level), "binary")
+        return df.withColumn(self.col, udf(F.col(self.col)))
+
+
+@dataclass
+class Decompress(Processor):
+    """internal/impl/pure/processor_decompress.go:21."""
+
+    col: str
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        udf = F.pandas_udf(_zlib_codec(False), "binary")
+        return df.withColumn(self.col, udf(F.col(self.col)))
+
+
+def compose(df: DataFrame, processors: Iterable[Processor]) -> DataFrame:
+    for p in processors:
+        df = p(df)
+    return df

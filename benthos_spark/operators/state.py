@@ -1,0 +1,209 @@
+"""Keyed streaming state: dedupe, stream-stream join, custom stateful ops.
+
+Reference analogues:
+
+- `dedupe` processor + cache resource (/root/reference/internal/impl/pure/
+  processor_dedupe.go:26,107-145) → ``dropDuplicatesWithinWatermark``.
+- `sequence.sharded_join` (internal/impl/pure/input_sequence.go:144-157,
+  joiner :173-230) and the joining-streams cookbook
+  (website/cookbooks/joining_streams.md) → watermarked stream-stream join
+  keyed by ``clip_id``, plus an ``applyInPandasWithState`` variant that
+  mirrors the cache-based buffer-until-both-sides pattern with a state
+  timeout (≙ cache TTL).
+- cache get/set (internal/impl/pure/processor_cache.go:26) → the RocksDB/
+  HDFS state store underneath ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def dedupe_within_watermark(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
+    """Streaming dedupe: drop re-deliveries of the same key arriving within
+    the watermark delay; state is evicted afterwards (the reference's cache
+    TTL, processor_dedupe.go at-least-once caveat becomes exactly-once-
+    within-watermark)."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def clip_transcript_join(
+    clip_side: DataFrame,
+    transcript_side: DataFrame,
+    watermark: str = "2 minutes",
+    join_window: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join on ``clip_id`` with an event-time
+    range bound so both sides' state is evictable.
+
+    The range condition bounds how long a clip waits for its transcript —
+    the Spark-native form of the sharded-join's buffering window. Use
+    ``how="leftOuter"`` for outer semantics (unmatched clips emit with a
+    null transcript after the watermark passes, ≙ sharded_join "outer").
+    """
+    c = clip_side.withWatermark("event_ts", watermark).alias("c")
+    t = (
+        transcript_side.withColumnRenamed("event_ts", "t_event_ts")
+        .withWatermark("t_event_ts", watermark)
+        .alias("t")
+    )
+    cond = (
+        (F.col("c.clip_id") == F.col("t.clip_id"))
+        & (F.col("t.t_event_ts") >= F.col("c.event_ts") - F.expr(f"INTERVAL {join_window}"))
+        & (F.col("t.t_event_ts") <= F.col("c.event_ts") + F.expr(f"INTERVAL {join_window}"))
+    )
+    joined = c.join(t, cond, how)
+    return joined.select(
+        F.col("c.clip_id").alias("clip_id"),
+        "c.bytes",
+        "c.sr_hz",
+        "c.dur_ms",
+        "c.codec",
+        "c.event_ts",
+        "t.transcript",
+    )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState custom operators
+# ---------------------------------------------------------------------------
+
+JOIN_STATE_SCHEMA = "bytes binary, sr_hz int, dur_ms int, codec string, " "transcript string, ts_ms long"
+
+JOIN_OUT_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string, event_ts timestamp"
+)
+
+
+def _stateful_join_fn(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Buffer-until-both-sides join, keyed by clip_id.
+
+    State = the half seen so far. When the other half arrives, emit the
+    joined row and clear. A ProcessingTimeTimeout expires abandoned halves
+    (≙ the joining-streams cookbook's cache TTL)."""
+    import datetime as dt
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+
+    (clip_bytes, sr, dur, codec, transcript, ts_ms) = (
+        state.get if state.exists else (None, None, None, None, None, None)
+    )
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            side_bytes = getattr(r, "bytes", None)
+            side_tr = getattr(r, "transcript", None)
+            if side_bytes is not None:
+                clip_bytes, sr, dur, codec = bytes(side_bytes), int(r.sr_hz), int(r.dur_ms), r.codec
+                ts_ms = int(r.event_ts.timestamp() * 1000)
+            if isinstance(side_tr, str):
+                transcript = side_tr
+                if ts_ms is None:
+                    ts_ms = int(r.event_ts.timestamp() * 1000)
+
+    if clip_bytes is not None and transcript is not None:
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "clip_id": [key[0]],
+                "bytes": [clip_bytes],
+                "sr_hz": [sr],
+                "dur_ms": [dur],
+                "codec": [codec],
+                "transcript": [transcript],
+                "event_ts": [dt.datetime.utcfromtimestamp(ts_ms / 1000.0)],
+            }
+        )
+    else:
+        state.update((clip_bytes, sr, dur, codec, transcript, ts_ms))
+        state.setTimeoutDuration(120_000)
+
+
+def stateful_clip_join(union_stream: DataFrame) -> DataFrame:
+    """`applyInPandasWithState` clip↔transcript join over a tagged union
+    stream (columns: clip_id, bytes?, sr_hz?, dur_ms?, codec?, transcript?,
+    event_ts). The RocksDB-backed alternative to the built-in stream-stream
+    join — use when join semantics need custom collision handling
+    (sharded_join collision strategies, input_sequence.go:151-157)."""
+    return union_stream.groupBy("clip_id").applyInPandasWithState(
+        _stateful_join_fn,
+        outputStructType=JOIN_OUT_SCHEMA,
+        stateStructType=JOIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+SESSION_OUT_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int"
+SESSION_STATE_SCHEMA = "start_ms long, end_ms long, n int"
+
+
+def _sessionize_fn(
+    key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom session builder with a processing-time flush — demonstrates
+    stateful-operator parity beyond built-in session_window (emits sessions
+    on gap timeout rather than watermark)."""
+    import datetime as dt
+
+    gap_ms = 30 * 60 * 1000
+    if state.hasTimedOut:
+        start_ms, end_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [dt.datetime.utcfromtimestamp(start_ms / 1000.0)],
+                "session_end": [dt.datetime.utcfromtimestamp(end_ms / 1000.0)],
+                "n_events": [n],
+            }
+        )
+        return
+
+    start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
+    closed: list[tuple[int, int, int]] = []
+    for pdf in pdfs:
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+        ts_ms.sort()
+        for t in ts_ms:
+            t = int(t)
+            if start_ms is None:
+                start_ms, end_ms, n = t, t, 1
+            elif t - end_ms <= gap_ms:
+                end_ms, n = max(end_ms, t), n + 1
+            else:
+                closed.append((start_ms, end_ms, n))
+                start_ms, end_ms, n = t, t, 1
+    state.update((start_ms, end_ms, n))
+    state.setTimeoutDuration(60_000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [dt.datetime.utcfromtimestamp(s / 1000.0) for s, _, _ in closed],
+                "session_end": [dt.datetime.utcfromtimestamp(e / 1000.0) for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+
+def sessionize_with_state(events: DataFrame) -> DataFrame:
+    """Stateful sessionization of an (user_id, ts, ...) stream."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

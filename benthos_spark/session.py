@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for this engine.
+
+Replaces the reference's pipeline-parallelism knobs (``threads`` worker
+pipelines, /root/reference/internal/pipeline/pool.go:31-48, and output
+``max_in_flight``, internal/component/output/async_writer.go:42-56) with
+Spark-native equivalents: task parallelism = cores × partitions, AQE for
+runtime re-planning and skew-join handling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "benthos-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions default to ``max(cores, 32)`` — sized so an sf0.1 local
+    run has partitions that fit in memory; on a real cluster this would
+    be set from the data volume (AQE coalesces the excess).
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env) if env else None
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or max(cores or os.cpu_count() or 8, 32)
+
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        # UTC everywhere: parquet timestamps must round-trip identically
+        # between Spark and the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime coalescing, join re-planning, skew-join splitting —
+        # the scale path for codec/duration skew (SURVEY.md §4 item 2).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # Arrow is the bytes↔structured boundary (the reference's lazy
+        # JSON dual-representation, internal/message/data.go:30-65, maps
+        # to columnar Arrow batches).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Binary audio payloads are large; keep broadcast joins for dims.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_all() -> None:
+    """Tear down the active session (used between scaling-bench runs)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,108 @@
+"""Exactly-once table sink: idempotent ``foreachBatch`` commits.
+
+The reference is at-least-once — acks flow back through the transaction
+graph and a redelivered batch is simply written again
+(/root/reference/README.md:34-36; internal/component/output/
+async_writer.go:85-130). The north rule demands exactly-once, which in
+Spark is: the Structured Streaming offset log replays a failed micro-batch
+with the SAME ``batch_id``, so a sink that commits each ``batch_id`` at
+most once — atomically — yields end-to-end exactly-once.
+
+Design (Iceberg-shaped, portable to ``wap.id`` snapshot commits; this
+sandbox has no Iceberg runtime jar so the transaction log is a minimal
+file ledger with the same semantics):
+
+- data files land under ``data/_batch_id=<id>/`` (overwrite ⇒ replays of
+  the same batch are self-cleaning, like an Iceberg WAP re-stage),
+- the commit point is an atomic rename of ``ledger/<id>.json.tmp`` →
+  ``ledger/<id>.json`` recording the batch's lineage: per-partition row
+  counts + min/max event time (the "per-partition lineage" the north rule
+  asks to persist alongside the checkpoint),
+- readers see ONLY ledgered batches (``read_committed``).
+
+A batch that was written but not ledgered (crash between the two) is
+rewritten by the replay — overwrite makes that idempotent, and the ledger
+rename is the single atomic commit point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ExactlyOnceParquetSink:
+    def __init__(self, out_dir: str, lineage_cols: tuple[str, ...] = ()):
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "data")
+        self.ledger_dir = os.path.join(out_dir, "ledger")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        self.lineage_cols = lineage_cols
+
+    # -- foreachBatch hook ------------------------------------------------
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        ledger_path = os.path.join(self.ledger_dir, f"{batch_id}.json")
+        if os.path.exists(ledger_path):
+            return  # replayed batch already committed — exactly-once skip
+        batch_dir = os.path.join(self.data_dir, f"_batch_id={batch_id}")
+        stats_exprs = [F.count(F.lit(1)).alias("rows")]
+        for c in self.lineage_cols:
+            stats_exprs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        df = df.persist()
+        try:
+            df.write.mode("overwrite").parquet(batch_dir)
+            lineage = [
+                {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in r.asDict().items()}
+                for r in df.groupBy(F.spark_partition_id().alias("partition")).agg(*stats_exprs).collect()
+            ]
+        finally:
+            df.unpersist()
+        tmp = ledger_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "committed_at": time.time(),
+                    "rows": int(sum(p["rows"] for p in lineage)),
+                    "partitions": lineage,
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, ledger_path)  # the atomic commit point
+
+    # -- read side ---------------------------------------------------------
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(name[: -len(".json")])
+            for name in os.listdir(self.ledger_dir)
+            if name.endswith(".json")
+        )
+
+    def committed_rows(self) -> int:
+        total = 0
+        for b in self.committed_batches():
+            with open(os.path.join(self.ledger_dir, f"{b}.json")) as f:
+                total += json.load(f)["rows"]
+        return total
+
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        batches = self.committed_batches()
+        if not batches:
+            raise ValueError("no committed batches")
+        dirs = [os.path.join(self.data_dir, f"_batch_id={b}") for b in batches]
+        return spark.read.option("basePath", self.data_dir).parquet(*dirs)
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for b in self.committed_batches():
+            with open(os.path.join(self.ledger_dir, f"{b}.json")) as f:
+                out.append(json.load(f))
+        return out
