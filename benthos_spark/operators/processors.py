@@ -367,6 +367,35 @@ class Decompress(Processor):
         return df.withColumn(self.col, udf(F.col(self.col)))
 
 
+@dataclass
+class Apply(Processor):
+    """Arbitrary ``DataFrame -> DataFrame`` plug-in (≙ the reference's Go
+    plugin processors, /root/reference/public/service/; our single escape
+    hatch for joins/custom logic inside a processor chain)."""
+
+    fn: Callable[[DataFrame], DataFrame]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.fn(df)
+
+
+@dataclass
+class DedupeDeterministic(Processor):
+    """Deterministic dedupe: one survivor per key, chosen by ``min(pick)``
+    — unlike `dropDuplicates` (arbitrary survivor), this is reproducible
+    across engines/runs, which the reference gets for free from ordered
+    delivery (processor_dedupe.go keeps the FIRST arrival)."""
+
+    key: object
+    pick: str
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(_to_col(self.key)).orderBy(F.col(self.pick))
+        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
 def compose(df: DataFrame, processors: Iterable[Processor]) -> DataFrame:
     for p in processors:
         df = p(df)

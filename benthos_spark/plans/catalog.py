@@ -1,0 +1,980 @@
+"""The query catalog: every operator exposed through ``__spark_entry__``.
+
+Each entry pairs a PySpark implementation (built from the engine's
+operators where natural) with an ANSI-SQL oracle DuckDB can run on the
+same parquet tables. Column names and value rounding are aligned on both
+sides because the driver hash-compares values after sorting columns by
+name.
+
+Cross-engine determinism rules used throughout:
+
+- 60-bit hash: Spark ``conv(substr(md5(x),1,15),16,10)::bigint`` ==
+  DuckDB ``('0x'||substr(md5(x),1,15))::bigint`` (verified identical).
+- doubles are ``round(x, 2..6)`` on BOTH sides after aggregation.
+- every top-k uses an explicit deterministic tie-break key.
+- no transcendentals (exp/sin) in oracle-checked paths — engines may
+  differ in the last ulp; +,*,/ and sqrt are IEEE-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benthos_spark.operators.processors import (
+    Apply,
+    Archive,
+    BoundsCheck,
+    Catch,
+    DedupeDeterministic,
+    Filter,
+    GroupByValue,
+    Mutation,
+    Switch,
+    Tag,
+    Try,
+    Unarchive,
+    compose,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# 1. Relational / processor-chain queries (SURVEY.md §2.4)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Scan → filter → group agg (the `mapping` + `group_by_value` chain,
+    processor_mapping.go:15 + processor_group_by_value.go:23)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    WITH rev AS (
+      SELECT l.l_orderkey AS orderkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             min(o.o_orderpriority) AS priority
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY l.l_orderkey
+    )
+    SELECT orderkey, revenue, priority FROM rev
+    ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """Multi-join + agg + deterministic top-k. The dimension side
+    (filtered customers) is broadcast — no shuffle of lineitem beyond the
+    group-by."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy(li.l_orderkey.alias("orderkey"))
+        .agg(
+            F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"),
+            F.min(o.o_orderpriority).alias("priority"),
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("orderkey")).limit(10)
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey  = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """Star join: all dims broadcast; only lineitem (the fact) shuffles,
+    and only for the final group-by."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .select(o.o_orderkey, n.n_nationkey, n.n_name)
+    )
+    joined = (
+        li.join(F.broadcast(dims), li.l_orderkey == dims.o_orderkey)
+        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == dims.n_nationkey))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue")
+    )
+
+
+@register(
+    "switch_route_orders",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'fulfilled'
+                WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'urgent'
+                ELSE 'normal' END AS tier,
+           CASE WHEN o_orderstatus = 'F' THEN floor(o_totalprice)::BIGINT * 2
+                WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN floor(o_totalprice)::BIGINT + 1000
+                ELSE floor(o_totalprice)::BIGINT END AS score
+    FROM orders
+    """,
+)
+def switch_route_orders(spark, sf_dir):
+    """`switch` processor: first-match case routing
+    (processor_switch.go:25) via split-filter-union."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    # scores are floor-based integers: double→decimal rounding differs
+    # across engines at .xx5 boundaries, floor of the same double never does
+    base = F.floor(F.col("o_totalprice")).cast("long")
+    proc = Switch(
+        cases=[
+            (
+                F.col("o_orderstatus") == "F",
+                [Mutation({"tier": F.lit("fulfilled"), "score": base * 2})],
+            ),
+            (
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                [Mutation({"tier": F.lit("urgent"), "score": base + 1000})],
+            ),
+            (None, [Mutation({"tier": F.lit("normal"), "score": base})]),
+        ]
+    )
+    return proc(o).select("o_orderkey", "tier", "score")
+
+
+@register(
+    "branch_enrich_parts",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+           round(l.l_extendedprice - p.p_retailprice * l.l_quantity, 2) AS margin
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+)
+def branch_enrich_parts(spark, sf_dir):
+    """`branch` processor (processor_branch.go:24-57): request_map → child
+    enrichment (broadcast dim join) → result_map merged back."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    enrich = Apply(lambda df: df.join(F.broadcast(part), df.l_partkey == part.p_partkey))
+    df = compose(li, [enrich, Mutation({
+        "margin": F.round(F.col("l_extendedprice") - F.col("p_retailprice") * F.col("l_quantity"), 2)
+    })])
+    return df.select("l_orderkey", "l_linenumber", "p_brand", "margin")
+
+
+@register(
+    "group_by_value_events",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+           round(avg(value), 4) AS mean
+    FROM events GROUP BY event_type
+    """,
+)
+def group_by_value_events(spark, sf_dir):
+    """`group_by_value` (processor_group_by_value.go:23) + per-group agg."""
+    ev = _t(spark, sf_dir, "events")
+    grouped = GroupByValue(F.col("event_type"), out_col="_group")(ev)
+    return grouped.groupBy(F.col("_group").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 4).alias("mean"),
+    )
+
+
+@register(
+    "dedupe_documents",
+    """
+    SELECT md5(substr(text, 1, 100)) AS prefix_hash, min(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedupe_documents(spark, sf_dir):
+    """`dedupe` (processor_dedupe.go:26) with a deterministic survivor
+    (min doc_id) — keyed on a 100-char prefix hash, where the synthetic
+    corpus has true collisions."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "prefix_hash", F.md5(F.substring("text", 1, 100))
+    )
+    return DedupeDeterministic(key="prefix_hash", pick="doc_id")(docs).select(
+        "prefix_hash", "doc_id"
+    )
+
+
+@register(
+    "archive_docs_by_lang",
+    """
+    SELECT lang,
+           string_agg(substr(text, 1, 30), chr(10) ORDER BY substr(text, 1, 30)) AS archived,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def archive_docs_by_lang(spark, sf_dir):
+    """`archive` lines format (processor_archive.go:59): batch → one
+    message per group, deterministically ordered."""
+    docs = _t(spark, sf_dir, "documents")
+    out = Archive(
+        group_cols=["lang"], payload=F.substring("text", 1, 30), fmt="lines", out_col="archived"
+    )(docs)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return out.join(counts, "lang")
+
+
+@register(
+    "unarchive_word_counts",
+    r"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+    )
+    SELECT word, count(*) AS cnt FROM w GROUP BY word HAVING count(*) >= 20
+    """,
+)
+def unarchive_word_counts(spark, sf_dir):
+    """`unarchive` (processor_unarchive.go:45): message → parts via
+    explode, then count per token."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    words = Unarchive(col="text", fmt="words", out_col="word")(docs)
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 20)
+
+
+@register(
+    "bounds_check_docs",
+    """
+    SELECT doc_id, length(text) AS n FROM documents
+    WHERE length(text) BETWEEN 150 AND 400
+    """,
+)
+def bounds_check_docs(spark, sf_dir):
+    """`bounds_check` (processor_bounds_check.go:22)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = BoundsCheck(col="text", min_len=150, max_len=400)(docs)
+    return kept.select("doc_id", F.length("text").cast("long").alias("n"))
+
+
+@register(
+    "try_catch_props",
+    """
+    SELECT event_id, (props->>'$.k')::int AS k,
+           CASE WHEN (props->>'$.k')::int > 90 THEN 0.0
+                ELSE round(value * (props->>'$.k')::int / 100.0, 4) END AS adj
+    FROM events
+    """,
+)
+def try_catch_props(spark, sf_dir):
+    """Error routing (`try`/`catch`, processor_try.go:22 +
+    processor_catch.go:22): tag out-of-range rows, compute on the clean
+    path, recover the errored path with a default."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value", "props")
+    chain = [
+        Mutation({"k": F.get_json_object("props", "$.k").cast("int")}),
+        Tag(cond=F.col("k") > 90, message=F.lit("k out of range")),
+        Try([Mutation({"adj": F.round(F.col("value") * F.col("k") / 100.0, 4)})]),
+        Catch([Mutation({"adj": F.lit(0.0)})]),
+    ]
+    return compose(ev, chain).select("event_id", "k", "adj")
+
+
+# =====================================================================
+# 2. Windowing (SURVEY.md §2.3 — system_window semantics, batch analog
+#    of the streaming pipeline; same window math as the stream path)
+# =====================================================================
+
+
+@register(
+    "window_tumbling_events",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling_events(spark, sf_dir):
+    """Tumbling 1h window × event_type (buffer_system_window.go:94-118
+    canonical example: window → group → sum)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+@register(
+    "window_sliding_events",
+    """
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR AS window_start, value
+      FROM events, unnest([0, 1]) AS t(k)
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS total
+    FROM slid GROUP BY 1
+    """,
+)
+def window_sliding_events(spark, sf_dir):
+    """Sliding window size=2h slide=1h: each event lands in exactly two
+    windows — duplicate delivery is the SPEC (buffer_system_window.go:45),
+    not something to dedupe."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+
+
+@register(
+    "window_session_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    """,
+)
+def window_session_events(spark, sf_dir):
+    """Session windows, 30-minute gap, keyed by user (north-rule addition;
+    session_window.end = last event + gap, matching the islands oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# =====================================================================
+# 3. Text analysis (training-data pipeline ops over `documents`)
+# =====================================================================
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+# deterministic marker sets per language (implementation-parity heuristic;
+# the synthetic corpus shares one vocabulary so real langid is impossible —
+# the gate verifies both engines compute the identical classifier)
+_LANG_MARKERS = {
+    "de": ("hash", "join", "key"),
+    "en": ("the", "a", "table"),
+    "es": ("slow", "agg", "merge"),
+    "fr": ("scan", "data", "query"),
+    "zh": ("small", "row", "column"),
+}
+
+
+@register(
+    "text_quality_docs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words,
+             length(text) AS n_chars_real
+      FROM documents
+    )
+    SELECT doc_id,
+           len(words)::BIGINT AS n_words,
+           round(n_chars_real::DOUBLE / len(words), 4) AS avg_word_len,
+           round(len(list_filter(words, w -> w IN {_SW_SQL}))::DOUBLE / len(words), 4)
+             AS stopword_ratio,
+           round(least(1.0, len(words) / 200.0)
+                 * (1.0 - len(list_filter(words, w -> w IN {_SW_SQL}))::DOUBLE / len(words)), 4)
+             AS quality
+    FROM toks
+    """,
+)
+def text_quality_docs(spark, sf_dir):
+    """Quality scoring: length/stopword-ratio features + a composite
+    score (pure arithmetic — no transcendentals, for oracle parity)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_words = F.size(words)
+    sw_hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    sw_ratio = sw_hits.cast("double") / n_words
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(F.length("text").cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(F.least(F.lit(1.0), n_words / 200.0) * (1.0 - sw_ratio), 4).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    hits = ",\n           ".join(
+        f"len(list_filter(words, w -> w IN ({', '.join(repr(m) for m in ms)})))::BIGINT AS h_{lang}"
+        for lang, ms in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    case = "CASE "
+    for lang in langs:
+        others = [f"h_{lang} >= h_{o}" for o in langs if o != lang]
+        case += f"WHEN {' AND '.join(others)} THEN '{lang}' "
+    case += "END"
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+    ), scored AS (
+      SELECT doc_id, {hits} FROM toks
+    )
+    SELECT doc_id, {case} AS pred_lang FROM scored
+    """
+
+
+@register("lang_id_docs", _langid_sql())
+def lang_id_docs(spark, sf_dir):
+    """Marker-token language-ID heuristic; argmax with fixed precedence
+    (de<en<es<fr<zh) so ties are deterministic on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    df = docs.select("doc_id", words.alias("words"))
+    for lang, ms in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in ms])
+        df = df.withColumn(
+            f"h_{lang}", F.size(F.filter("words", lambda w: F.array_contains(marker_arr, w)))
+        )
+    langs = list(_LANG_MARKERS)
+    pred = F
+    expr = None
+    for lang in langs:
+        cond = None
+        for o in langs:
+            if o == lang:
+                continue
+            c = F.col(f"h_{lang}") >= F.col(f"h_{o}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return df.select("doc_id", expr.alias("pred_lang"))
+
+
+@register(
+    "token_count_docs",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_alpha,
+           len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws
+    FROM documents
+    """,
+)
+def token_count_docs(spark, sf_dir):
+    """Token counting: BPE-ish alphanumeric regex + whitespace split."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).cast("long").alias("n_alpha"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws"),
+    )
+
+
+@register(
+    "fingerprint_docs",
+    r"""
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark, sf_dir):
+    """Document fingerprint: md5 of the whitespace-normalized lowercased
+    text (the `hash` Bloblang method, methods_strings.go:716)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fp"),
+    )
+
+
+# =====================================================================
+# 4. Deduplication & similarity (training-data pipeline ops)
+#
+# Cross-engine 60-bit hash h(x) = int(md5(x)[0:15], 16); shingles are
+# distinct word 3-grams. The LSH pipelines are replicated 1:1 in the
+# oracle (implementation parity — LSH recall is probabilistic, so the
+# oracle must run the SAME candidate generation).
+# =====================================================================
+
+_MINHASH_K = 8  # hash functions
+_MINHASH_BANDS = 4  # → rows-per-band = 2
+_MINHASH_JACC = 0.4
+_JACC_THRESHOLD = 0.5
+
+_SHINGLES_SQL = r"""
+    words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS sh
+      FROM words, unnest(range(1, greatest(len(w) - 1, 1))) AS t(j)
+    ),
+    doc_sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+
+def _shingles_df(spark, sf_dir) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda j: F.concat_ws(" ", words[j - 1], words[j], words[j + 1]),
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
+
+
+def _h60(col, salt: str | None = None):
+    x = F.concat(F.lit(salt), F.lit(":"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+def _h60_sql(expr: str, salt: str | None = None) -> str:
+    inner = f"'{salt}:' || {expr}" if salt is not None else expr
+    return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
+
+
+def _pair_jaccard_sql(threshold: float, candidates_cte: str | None) -> str:
+    """Shared verify stage: exact jaccard over shingle sets for pairs."""
+    cand_join = "JOIN candidates c ON c.a = sa.doc_id AND c.b = sb.doc_id" if candidates_cte else ""
+    return f"""
+    inter AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_inter
+      FROM shingles sa JOIN shingles sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+      {cand_join}
+      GROUP BY sa.doc_id, sb.doc_id
+    )
+    SELECT i.a, i.b,
+           round(n_inter::DOUBLE / (da.n_sh + db.n_sh - n_inter), 4) AS jacc
+    FROM inter i JOIN doc_sizes da ON da.doc_id = i.a
+                 JOIN doc_sizes db ON db.doc_id = i.b
+    WHERE n_inter::DOUBLE / (da.n_sh + db.n_sh - n_inter) >= {threshold}
+    """
+
+
+def _pair_jaccard_spark(sh: DataFrame, threshold: float, candidates: DataFrame | None) -> DataFrame:
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("sa"), sh.alias("sb")
+    inter = a.join(b, (F.col("sa.sh") == F.col("sb.sh")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+    inter = inter.select(F.col("sa.doc_id").alias("a"), F.col("sb.doc_id").alias("b"))
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"])
+    inter = inter.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_inter"))
+    da, db = sizes.alias("da"), sizes.alias("db")
+    j = (
+        inter.join(F.broadcast(da), F.col("a") == F.col("da.doc_id"))
+        .join(F.broadcast(db), F.col("b") == F.col("db.doc_id"))
+        .withColumn(
+            "jacc_raw",
+            F.col("n_inter").cast("double")
+            / (F.col("da.n_sh") + F.col("db.n_sh") - F.col("n_inter")),
+        )
+        .filter(F.col("jacc_raw") >= threshold)
+    )
+    return j.select("a", "b", F.round("jacc_raw", 4).alias("jacc"))
+
+
+def _minhash_oracle() -> str:
+    k, bands = _MINHASH_K, _MINHASH_BANDS
+    return f"""
+    WITH {_SHINGLES_SQL},
+    hashes AS (
+      SELECT doc_id, t.k AS k,
+             min(('0x' || substr(md5(t.k || ':' || sh), 1, 15))::BIGINT) AS mh
+      FROM shingles, unnest(range({k})) AS t(k)
+      GROUP BY doc_id, t.k
+    ),
+    bands AS (
+      SELECT doc_id, k // 2 AS band,
+             string_agg(mh::VARCHAR, '_' ORDER BY k) AS band_val
+      FROM hashes GROUP BY doc_id, k // 2
+    ),
+    candidates AS (
+      SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+      FROM bands ba JOIN bands bb
+        ON ba.band = bb.band AND ba.band_val = bb.band_val AND ba.doc_id < bb.doc_id
+    ),
+    {_pair_jaccard_sql(_MINHASH_JACC, "candidates")}
+    """
+
+
+@register("minhash_lsh_neardup", _minhash_oracle())
+def minhash_lsh_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup detection: distinct word-3-gram shingles →
+    {_MINHASH_K} minhashes → {_MINHASH_BANDS} bands → bucket self-join for
+    candidates → exact-jaccard verify ≥ {_MINHASH_JACC}.
+
+    Scale path: the band self-join shuffles only (doc_id, band_val) pairs
+    — never shingle sets — and the verify join touches candidate docs only.
+    """
+    sh = _shingles_df(spark, sf_dir).persist()
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(_h60(F.col("sh"), str(k))).alias(f"mh{k}") for k in range(_MINHASH_K)]
+    )
+    band_cols = [
+        F.concat_ws("_", F.col(f"mh{2*b}").cast("string"), F.col(f"mh{2*b+1}").cast("string")).alias(
+            f"band{b}"
+        )
+        for b in range(_MINHASH_BANDS)
+    ]
+    banded = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b].alias("val")) for b in range(_MINHASH_BANDS)])
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.val") == F.col("bb.val"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("a"), F.col("bb.doc_id").alias("b"))
+        .distinct()
+    )
+    out = _pair_jaccard_spark(sh, _MINHASH_JACC, candidates)
+    return out
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"WITH {_SHINGLES_SQL}, {_pair_jaccard_sql(_JACC_THRESHOLD, None)}",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup (the LSH-free baseline): all pairs
+    sharing ≥1 shingle, kept at jaccard ≥ {_JACC_THRESHOLD}."""
+    sh = _shingles_df(spark, sf_dir)
+    return _pair_jaccard_spark(sh, _JACC_THRESHOLD, None)
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    h = _h60_sql("tok")
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    combine = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS))
+    return rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    bitsums AS (
+      SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, ({combine})::BIGINT AS simhash FROM bitsums
+    """
+
+
+@register("simhash_docs", _simhash_oracle())
+def simhash_docs(spark, sf_dir):
+    """SimHash ({_SIMHASH_BITS}-bit) per document over distinct tokens:
+    bit i set iff Σ±1 of token-hash bit i is positive."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))).alias("tok")
+    )
+    hashed = toks.select("doc_id", _h60(F.col("tok")).alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"s{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------
+# Embedding similarity: dot products as left-fold sums so both engines
+# accumulate in the same order (bitwise-identical doubles).
+# ---------------------------------------------------------------------
+
+_EMB_DIM = 64
+_NEARDUP_COS = 0.4
+_TOPK = 5
+_N_QUERY = 10
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, _EMB_DIM + 1))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"(({_dot_sql(a, b)}) / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+def _cos_spark(a, b):
+    da = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    naa = F.aggregate(F.zip_with(a, a, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nbb = F.aggregate(F.zip_with(b, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    return da / (F.sqrt(naa) * F.sqrt(nbb))
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             round({_cos_sql('q.embedding', 'c.embedding')}, 4) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id < {_N_QUERY} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, cand_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, cand_id, cos, rank FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: first {_N_QUERY} vectors as
+    queries, deterministic (rounded-score, id) ranking. The query side is
+    broadcast; candidates stream — no shuffle of the big side."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select("q_id", "cand_id", F.round(_cos_spark(F.col("q_emb"), F.col("c_emb")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("q_id", "cand_id", "cos", "rank")
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_NEARDUP_COS}
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs at cos ≥ {_NEARDUP_COS}. At scale
+    this is the verify stage behind an LSH/IVF candidate filter (see
+    embedding_ann_lsh_topk); exact all-pairs here is the sf-small oracle
+    path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    cos = _cos_spark(F.col("ea"), F.col("eb"))
+    return pairs.withColumn("cos_raw", cos).filter(F.col("cos_raw") >= _NEARDUP_COS).select(
+        "a", "b", F.round("cos_raw", 4).alias("cos")
+    )
+
+
+_LSH_PLANES = 12  # sign bits → 4096 buckets at scale; few collisions at sf
+
+
+@register("embedding_ann_lsh_topk")  # no oracle: probabilistic recall — rows-only check
+def embedding_ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane sign-LSH bucketing, then exact
+    cosine top-k WITHIN each bucket. Planes are deterministic ±1 patterns
+    derived from splitmix64 so every executor materializes the same
+    constants — no driver-side collect/broadcast of model state."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    from benthos_spark.datagen.clips import _splitmix64
+
+    idx = np.arange(_LSH_PLANES * _EMB_DIM, dtype=np.uint64)
+    signs = np.where(_splitmix64(idx) & np.uint64(1), 1.0, -1.0).reshape(_LSH_PLANES, _EMB_DIM)
+    planes = [F.array(*[F.lit(float(v)) for v in row]) for row in signs]
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    hashed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = hashed.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket")
+    b = hashed.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
+    # co-partitioned self-join on bucket: candidates never leave their bucket
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", F.round(_cos_spark(F.col("q_emb"), F.col("c_emb")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOPK)
+
+
+# =====================================================================
+# 5. Audio pipeline entries (the north-rule workload; input synthesized
+#    deterministically — sf_dir has no clips table, so these are
+#    rows-only checks; the hard invariants live in tests/)
+# =====================================================================
+
+_AUDIO_N = {"sf0.001": 300, "sf0.01": 1200}
+
+
+def _clips_for(spark, sf_dir):
+    from benthos_spark.datagen.clips import generate_clips
+
+    n = _AUDIO_N.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1200)
+    return generate_clips(spark, n)
+
+
+@register("audio_decode_features")  # no oracle: binary payloads live outside DuckDB
+def audio_decode_features(spark, sf_dir):
+    """Vectorized decode (pcm/wav/ulaw/alaw) → per-codec feature rollup.
+    The pandas-UDF mapping stage of the flagship streaming pipeline, in
+    batch form (≙ Bloblang mapping on binary payloads)."""
+    from benthos_spark.functions.audio import AUDIO_FEATURE_FIELDS, audio_features_map_in_pandas
+
+    clips = _clips_for(spark, sf_dir)
+    cols = ["clip_id", "sr_hz", "dur_ms", "codec", "event_ts"]
+    feats = clips.mapInPandas(
+        audio_features_map_in_pandas(cols),
+        schema="clip_id string, sr_hz int, dur_ms int, codec string, event_ts timestamp, "
+        + AUDIO_FEATURE_FIELDS,
+    )
+    return feats.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_samples").alias("total_samples"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.sum(F.col("clip_ok").cast("long")).alias("ok_clips"),
+    )
+
+
+@register("audio_transcript_normalize")  # no oracle: synthesized input
+def audio_transcript_normalize(spark, sf_dir):
+    """Transcript normalization — lowercase/trim/collapse-whitespace/strip
+    punctuation, all JVM-side Column exprs (Bloblang string-method chain,
+    methods_strings.go)."""
+    clips = _clips_for(spark, sf_dir)
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("transcript"))), r"[.,!?;:]", ""), r"\s+", " "
+    )
+    return clips.select(
+        "clip_id",
+        norm.alias("transcript_norm"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_words"),
+    )
+
+
+@register("clip_transcript_rejoin")  # no oracle: synthesized input
+def clip_transcript_rejoin(spark, sf_dir):
+    """Batch analog of the stateful clip↔transcript stream join
+    (sequence.sharded_join, input_sequence.go:144-157): split the table
+    into the two sides, join back on clip_id, verify transcript equality."""
+    from benthos_spark.datagen.clips import split_clip_stream
+
+    clips = _clips_for(spark, sf_dir)
+    clip_side, transcript_side = split_clip_stream(clips)
+    joined = clip_side.join(transcript_side.withColumnRenamed("event_ts", "t_ts"), "clip_id")
+    return joined.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum((F.col("event_ts") == F.col("t_ts")).cast("long")).alias("ts_match"),
+    )

@@ -1,0 +1,120 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each ``queries()`` entry against its ``oracle_sql()`` via DuckDB at
+sf=0.01 (or a given dir) and compares row count, column names, and an
+order-insensitive multiset of values with columns sorted by name —
+mirroring CORRECTNESS_r{N}.json.
+
+Usage: python tools/check_oracles.py [--sf-dir DIR] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_val(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style tolerance: stringify to 9 significant digits
+        return f"{v:.9g}"
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_val(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return Counter(tuple(norm_val(r[i]) for i in order) for r in rows)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from benthos_spark.session import get_spark
+
+    spark = get_spark(cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    n_pass = n_fail = n_weak = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "WEAK" if len(srows) >= 0 else "FAIL"
+            print(f"{status} {name}: rows={len(srows)} (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            ores = con.sql(oracles[name])
+            orows = ores.fetchall()
+            ocols = ores.columns
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            ms, mo = rows_multiset([tuple(r) for r in srows], scols), rows_multiset(orows, ocols)
+            if ms != mo:
+                diff_s = list((ms - mo).items())[:3]
+                diff_o = list((mo - ms).items())[:3]
+                problems.append(f"values: spark-only={diff_s} oracle-only={diff_o}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
