@@ -1,0 +1,115 @@
+"""Round benchmark: headline queries + the flagship exactly-once streaming
+pipeline at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Prints ONE JSON line:
+    {"metric": "total_bench_seconds", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "clips_per_sec": <flagship exactly-once throughput>, ...}
+
+Batch queries execute via the `noop` writer so every column is computed
+(a bare ``count()`` would let Catalyst prune the projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "4000"))
+
+# The headline batch set: one per operator family (agg, broadcast-join
+# chain, star join, windowing, routing, text analysis, near-dup LSH,
+# similarity search, exact dedupe).
+BATCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_tumbling_events",
+    "window_session_events",
+    "switch_route_orders",
+    "text_quality_docs",
+    "token_count_docs",
+    "minhash_lsh_neardup",
+    "simhash_docs",
+    "embedding_cosine_topk",
+    "embedding_ann_lsh_topk",
+    "dedupe_documents",
+]
+
+
+def run_flagship_streaming(spark, workdir: str) -> tuple[float, float, int]:
+    """Clips parquet → vectorized decode → windowed agg → exactly-once sink.
+    Returns (datagen_sec, stream_sec, n_clips)."""
+    from benthos_spark.datagen.clips import write_clips, write_sentinel
+    from benthos_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from benthos_spark.streaming.pipeline import run_to_completion
+    from tests.test_flagship_streaming import _flagship_pipeline
+
+    src = os.path.join(workdir, "clips_src")
+    t0 = time.time()
+    write_clips(spark, src, N_CLIPS, files=max(8, spark.sparkContext.defaultParallelism))
+    write_sentinel(spark, src)
+    datagen_sec = time.time() - t0
+
+    sink = ExactlyOnceParquetSink(os.path.join(workdir, "out"), lineage_cols=("window_start",))
+    t0 = time.time()
+    q = _flagship_pipeline(src).start(
+        spark, sink, checkpoint=os.path.join(workdir, "ckpt"), trigger_once=True
+    )
+    run_to_completion(q, timeout_s=1800)
+    stream_sec = time.time() - t0
+    assert sink.committed_rows() > 0
+    return datagen_sec, stream_sec, N_CLIPS
+
+
+def main() -> None:
+    from benthos_spark.plans import catalog
+    from benthos_spark.session import get_spark
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app="benthos-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total0 = time.time()
+    for name in BATCH_QUERIES:
+        t0 = time.time()
+        catalog.QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    workdir = tempfile.mkdtemp(prefix="benthos_bench_")
+    try:
+        datagen_sec, stream_sec, n_clips = run_flagship_streaming(spark, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    timings["flagship_streaming_e2e"] = round(stream_sec, 3)
+
+    total = time.time() - total0
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "clips_per_sec": round(n_clips / stream_sec, 2),
+                "n_clips": n_clips,
+                "clips_datagen_sec": round(datagen_sec, 3),
+                "cores": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
