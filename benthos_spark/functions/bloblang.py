@@ -1,0 +1,521 @@
+"""The Bloblang expression layer as PySpark Column helpers.
+
+Bloblang (/root/reference/internal/bloblang/) is the reference's
+per-message expression language: functions + methods evaluated by an AST
+interpreter per message (internal/bloblang/mapping/executor.go:64-147).
+Here every function/method is a thin, named wrapper over a JVM-side
+Catalyst expression so whole-stage codegen executes the mapping — no
+interpreter, no Python in the hot path.
+
+Each helper cites its reference analogue (file:line into /root/reference)
+so coverage can be checked against SURVEY.md §2.5. Helpers take/return
+``pyspark.sql.Column`` (strings are parsed with ``F.expr``).
+
+Also implements **field interpolation** ``${! expr }``
+(internal/bloblang/field/expression.go:19-60): :func:`interpolate` turns
+an interpolated config string into one ``concat`` Column.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(e) -> Column:
+    return F.expr(e) if isinstance(e, str) else e
+
+
+# ---------------------------------------------------------------------------
+# functions (internal/bloblang/query/functions.go)
+# ---------------------------------------------------------------------------
+
+
+def now() -> Column:
+    """functions.go:755 ``now()``."""
+    return F.current_timestamp()
+
+
+def timestamp_unix() -> Column:
+    """functions.go:773 ``timestamp_unix()``."""
+    return F.unix_timestamp(F.current_timestamp())
+
+
+def uuid_v4() -> Column:
+    """functions.go:857 ``uuid_v4()`` — non-deterministic, test-only."""
+    return F.expr("uuid()")
+
+
+def random_int(max_val: int = 1 << 31) -> Column:
+    """functions.go:675 ``random_int()``."""
+    return (F.rand() * max_val).cast("long")
+
+
+def counter() -> Column:
+    """pure/bloblang_general.go:16 ``counter()`` — per-partition monotone
+    ids (global dense numbering would serialize; the reference's counter
+    is process-global which a distributed engine cannot share)."""
+    return F.monotonically_increasing_id()
+
+
+def throw(msg) -> Column:
+    """functions.go:827 ``throw()``."""
+    return F.raise_error(_c(msg))
+
+
+def range_(start, stop, step=1) -> Column:
+    """functions.go:371 ``range()``."""
+    return F.sequence(F.lit(start), F.lit(stop - 1) if isinstance(stop, int) else _c(stop), F.lit(step))
+
+
+def json_path(col, path: str) -> Column:
+    """functions.go:421 ``json("a.b")`` / jsonpath/bloblang_jsonpath.go:19."""
+    return F.get_json_object(_c(col), path if path.startswith("$") else f"$.{path}")
+
+
+# ---------------------------------------------------------------------------
+# string methods (internal/bloblang/query/methods_strings.go)
+# ---------------------------------------------------------------------------
+
+
+def capitalize(col) -> Column:
+    """methods_strings.go:60 ``capitalize()``."""
+    return F.initcap(_c(col))
+
+
+def uppercase(col) -> Column:
+    """methods_strings.go:905."""
+    return F.upper(_c(col))
+
+
+def lowercase(col) -> Column:
+    """methods_strings.go:933."""
+    return F.lower(_c(col))
+
+
+def trim(col, cutset: str | None = None) -> Column:
+    """methods_strings.go:1926."""
+    return F.trim(_c(col)) if cutset is None else F.expr(f"trim(BOTH '{cutset}' FROM ({_sql(col)}))")
+
+
+def trim_prefix(col, prefix: str) -> Column:
+    """methods_strings.go:1962."""
+    c = _c(col)
+    return F.when(c.startswith(prefix), F.substring(c, len(prefix) + 1, 1 << 30)).otherwise(c)
+
+
+def trim_suffix(col, suffix: str) -> Column:
+    """methods_strings.go:1994."""
+    c = _c(col)
+    return F.when(c.endswith(suffix), F.substring(c, 1, F.length(c) - len(suffix))).otherwise(c)
+
+
+def has_prefix(col, prefix) -> Column:
+    """methods_strings.go:650."""
+    return _c(col).startswith(prefix)
+
+
+def has_suffix(col, suffix) -> Column:
+    """methods_strings.go:683."""
+    return _c(col).endswith(suffix)
+
+
+def index_of(col, sub) -> Column:
+    """methods_strings.go:475 — 0-based like the reference (instr is 1-based;
+    -1 = absent on both)."""
+    return (F.instr(_c(col), sub) - 1).cast("int")
+
+
+def encode_b64(col) -> Column:
+    """methods_strings.go:87 ``encode("base64")``."""
+    return F.base64(_c(col).cast("binary"))
+
+
+def decode_b64(col) -> Column:
+    """methods_strings.go:193 ``decode("base64")``."""
+    return F.unbase64(_c(col))
+
+
+def encode_hex(col) -> Column:
+    """methods_strings.go:87 ``encode("hex")`` (lowercase, like Go)."""
+    return F.lower(F.hex(_c(col).cast("binary")))
+
+
+def decode_hex(col) -> Column:
+    """methods_strings.go:193 ``decode("hex")``."""
+    return F.unhex(_c(col))
+
+
+def hash_(col, algorithm: str = "sha256") -> Column:
+    """methods_strings.go:716 ``hash("sha256"|"md5"|"xxhash64"|...)``."""
+    c = _c(col)
+    if algorithm == "md5":
+        return F.md5(c)
+    if algorithm == "sha1":
+        return F.sha1(c)
+    if algorithm in ("sha256", "sha512"):
+        return F.sha2(c, int(algorithm[3:]))
+    if algorithm == "xxhash64":
+        return F.xxhash64(c)
+    if algorithm == "crc32":
+        return F.crc32(c.cast("binary"))
+    raise ValueError(f"unsupported hash {algorithm}")
+
+
+def join(col, sep: str = "") -> Column:
+    """methods_strings.go:856 ``join()`` over an array column."""
+    return F.array_join(_c(col), sep)
+
+
+def split(col, sep: str) -> Column:
+    """methods_strings.go:1811 — literal separator (Bloblang splits on a
+    literal; Spark's split takes a regex, so we escape)."""
+    return F.split(_c(col), re.escape(sep))
+
+
+def replace_all(col, old: str, new: str) -> Column:
+    """methods_strings.go:1383 — literal replacement."""
+    return F.replace(_c(col), F.lit(old), F.lit(new))
+
+
+def re_replace_all(col, pattern: str, replacement: str) -> Column:
+    """methods_strings.go:1764."""
+    return F.regexp_replace(_c(col), pattern, replacement)
+
+
+def re_match(col, pattern: str) -> Column:
+    """methods_strings.go:1717 ``re_match`` — unanchored like Go's
+    ``MatchString`` (rlike is unanchored too)."""
+    return _c(col).rlike(pattern)
+
+
+def re_find_all(col, pattern: str) -> Column:
+    """methods_strings.go:1493."""
+    return F.regexp_extract_all(_c(col), F.lit(pattern), 0)
+
+
+def format_(fmt: str, *cols) -> Column:
+    """methods_strings.go:629 ``format()`` (printf-style)."""
+    return F.format_string(fmt, *[_c(c) for c in cols])
+
+
+def quote(col) -> Column:
+    """methods_strings.go:1334 — JSON-style double-quoting."""
+    return F.to_json(F.struct(_c(col).alias("v")))["$"]  # pragma: no cover
+
+
+def reverse(col) -> Column:
+    """methods_strings.go:1293."""
+    return F.reverse(_c(col))
+
+
+def length(col) -> Column:
+    """methods_structured.go:869 ``length()`` — chars for strings."""
+    return F.length(_c(col))
+
+
+def slice_(col, start: int, stop: int) -> Column:
+    """methods_structured.go:1393 ``slice()`` on strings (0-based
+    [start, stop))."""
+    return F.substring(_c(col), start + 1, stop - start)
+
+
+def strip_html(col) -> Column:
+    """methods_strings.go:1879 — tag-removal approximation."""
+    return F.regexp_replace(_c(col), r"<[^>]*>", "")
+
+
+def escape_url_query(col) -> Column:
+    """methods_strings.go:532."""
+    return F.url_encode(_c(col))
+
+
+def unescape_url_query(col) -> Column:
+    """methods_strings.go:553."""
+    return F.url_decode(_c(col))
+
+
+def parse_json(col, schema: str) -> Column:
+    """methods_strings.go:1075 — schema-on-read (the reference is dynamic;
+    Spark wants the shape declared)."""
+    return F.from_json(_c(col), schema)
+
+
+def format_json(col) -> Column:
+    """methods_strings.go:1179."""
+    return F.to_json(_c(col))
+
+
+def parse_csv(col, schema: str) -> Column:
+    """methods_strings.go:961."""
+    return F.from_csv(_c(col), F.lit(schema))
+
+
+def parse_url(col, part: str = "HOST") -> Column:
+    """methods_strings.go:1243."""
+    return F.parse_url(_c(col), F.lit(part))
+
+
+# ---------------------------------------------------------------------------
+# number methods (methods_numbers.go; pure/bloblang_numbers.go)
+# ---------------------------------------------------------------------------
+
+
+def floor(col) -> Column:
+    """methods_numbers.go:39."""
+    return F.floor(_c(col))
+
+
+def ceil(col) -> Column:
+    """methods_numbers.go (ceil)."""
+    return F.ceil(_c(col))
+
+
+def round_(col, scale: int = 0) -> Column:
+    """methods_numbers.go:206."""
+    return F.round(_c(col), scale)
+
+
+def abs_(col) -> Column:
+    """pure/bloblang_numbers.go:145."""
+    return F.abs(_c(col))
+
+
+def max_(*cols) -> Column:
+    """methods_numbers.go:120 (pairwise max → greatest)."""
+    return F.greatest(*[_c(c) for c in cols])
+
+
+def min_(*cols) -> Column:
+    """methods_numbers.go:163."""
+    return F.least(*[_c(c) for c in cols])
+
+
+def number(col) -> Column:
+    """methods.go:405 ``number()`` — lenient cast, null on failure."""
+    return F.try_cast(_c(col), "double")
+
+
+# ---------------------------------------------------------------------------
+# timestamp methods (internal/impl/pure/bloblang_time.go)
+# ---------------------------------------------------------------------------
+
+
+def ts_round(col, unit: str) -> Column:
+    """bloblang_time.go:50 ``ts_round`` — truncate to hour/day/..."""
+    return F.date_trunc(unit, _c(col))
+
+
+def ts_tz(col, tz: str) -> Column:
+    """bloblang_time.go:82."""
+    return F.from_utc_timestamp(_c(col), tz)
+
+
+def ts_parse(col, fmt: str) -> Column:
+    """bloblang_time.go:252 ``ts_parse`` (Java pattern, not Go layout)."""
+    return F.to_timestamp(_c(col), fmt)
+
+
+def ts_format(col, fmt: str) -> Column:
+    """bloblang_time.go:388."""
+    return F.date_format(_c(col), fmt)
+
+
+def ts_unix(col) -> Column:
+    """bloblang_time.go:492."""
+    return F.unix_timestamp(_c(col))
+
+
+def ts_unix_milli(col) -> Column:
+    """bloblang_time.go:518."""
+    return F.unix_millis(_c(col))
+
+
+def ts_sub(a, b) -> Column:
+    """bloblang_time.go:617 — difference in seconds."""
+    return F.unix_timestamp(_c(a)) - F.unix_timestamp(_c(b))
+
+
+def ts_add_seconds(col, seconds) -> Column:
+    """bloblang_time.go:116 ``ts_add_iso8601`` (seconds form)."""
+    return F.timestamp_add("SECOND", F.lit(seconds) if isinstance(seconds, int) else _c(seconds), _c(col))
+
+
+# ---------------------------------------------------------------------------
+# array / object methods (methods_structured.go; pure/bloblang_objects.go)
+# ---------------------------------------------------------------------------
+
+
+def all_(col, pred: Callable[[Column], Column]) -> Column:
+    """methods_structured.go:17."""
+    return F.forall(_c(col), pred)
+
+
+def any_(col, pred: Callable[[Column], Column]) -> Column:
+    """methods_structured.go:63."""
+    return F.exists(_c(col), pred)
+
+
+def append(col, *values) -> Column:
+    """methods_structured.go:114."""
+    return F.concat(_c(col), F.array(*[F.lit(v) for v in values]))
+
+
+def contains(col, value) -> Column:
+    """methods_structured.go:178."""
+    return F.array_contains(_c(col), value)
+
+
+def filter_(col, pred: Callable[[Column], Column]) -> Column:
+    """methods_structured.go:366."""
+    return F.filter(_c(col), pred)
+
+
+def map_each(col, fn: Callable[[Column], Column]) -> Column:
+    """methods_structured.go:911."""
+    return F.transform(_c(col), fn)
+
+
+def map_each_key(col, fn: Callable[[Column], Column]) -> Column:
+    """methods_structured.go:993 (map columns)."""
+    return F.transform_keys(_c(col), lambda k, v: fn(k))
+
+
+def fold(col, zero, fn: Callable[[Column, Column], Column]) -> Column:
+    """methods_structured.go:639."""
+    return F.aggregate(_c(col), F.lit(zero), fn)
+
+
+def sum_(col) -> Column:
+    """methods_structured.go:1499 — left-fold sum (deterministic order)."""
+    return F.aggregate(_c(col), F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+
+
+def flatten(col) -> Column:
+    """methods_structured.go:605."""
+    return F.flatten(_c(col))
+
+
+def index(col, i: int) -> Column:
+    """methods_structured.go:696 — negative indices from the end, like
+    the reference."""
+    return F.element_at(_c(col), i + 1 if i >= 0 else i)
+
+
+def keys(col) -> Column:
+    """methods_structured.go:808."""
+    return F.map_keys(_c(col))
+
+
+def values(col) -> Column:
+    """methods_structured.go:1646."""
+    return F.map_values(_c(col))
+
+
+def key_values(col) -> Column:
+    """methods_structured.go:837."""
+    return F.map_entries(_c(col))
+
+
+def merge(a, b) -> Column:
+    """methods_structured.go:1046 (map merge; right wins like assign)."""
+    return F.map_concat(_c(a), _c(b))
+
+
+def sort(col) -> Column:
+    """methods_structured.go:1202."""
+    return F.array_sort(_c(col))
+
+
+def sort_by(col, key_fn: Callable[[Column], Column]) -> Column:
+    """methods_structured.go:1308 — comparator form of array_sort."""
+    return F.array_sort(
+        _c(col),
+        lambda a, b: F.when(key_fn(a) < key_fn(b), -1).when(key_fn(a) > key_fn(b), 1).otherwise(0),
+    )
+
+
+def unique(col) -> Column:
+    """methods_structured.go:1544."""
+    return F.array_distinct(_c(col))
+
+
+def enumerated(col) -> Column:
+    """methods_structured.go:244 — array of (index, value) structs."""
+    c = _c(col)
+    return F.transform(c, lambda v, i: F.struct(i.alias("index"), v.alias("value")))
+
+
+def zip_(a, b) -> Column:
+    """pure/bloblang_objects.go:101."""
+    return F.arrays_zip(_c(a), _c(b))
+
+
+def concat_arrays(*cols) -> Column:
+    """pure/bloblang_objects.go:66."""
+    return F.concat(*[_c(c) for c in cols])
+
+
+def without(col, *fields: str) -> Column:
+    """methods_structured.go:1674 — struct minus fields."""
+    return _c(col).dropFields(*fields)
+
+
+def with_only(col, *fields: str) -> Column:
+    """pure/bloblang_objects.go:37 ``with()``."""
+    c = _c(col)
+    return F.struct(*[c.getField(f).alias(f) for f in fields])
+
+
+def get(col, path: str) -> Column:
+    """methods.go:229 — dotted path into a struct."""
+    c = _c(col)
+    for part in path.split("."):
+        c = c.getField(part)
+    return c
+
+
+def or_(col, default) -> Column:
+    """methods.go:445 ``or()`` / catch-with-default."""
+    return F.coalesce(_c(col), F.lit(default) if not isinstance(default, Column) else default)
+
+
+def type_of(col) -> Column:
+    """methods.go:469 ``type()``."""
+    return F.typeof(_c(col))
+
+
+# ---------------------------------------------------------------------------
+# field interpolation `${! expr }` (internal/bloblang/field/expression.go)
+# ---------------------------------------------------------------------------
+
+_INTERP_RE = re.compile(r"\$\{!\s*(.*?)\s*\}")
+
+
+def interpolate(template: str) -> Column:
+    """Compile an interpolated config string into ONE concat Column:
+    ``interpolate("c-${! upper(codec) }.wav")`` ≙ the reference's field
+    expressions (field/expression.go:19-60) used in every config string.
+    Static segments stay literals; dynamic segments are parsed with
+    ``F.expr`` so they run JVM-side."""
+    parts: list[Column] = []
+    pos = 0
+    for m in _INTERP_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        parts.append(F.expr(m.group(1)).cast("string"))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def _sql(col) -> str:
+    if isinstance(col, str):
+        return col
+    raise TypeError("cutset trim requires a SQL-string column reference")

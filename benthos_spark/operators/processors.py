@@ -367,6 +367,134 @@ class Decompress(Processor):
         return df.withColumn(self.col, udf(F.col(self.col)))
 
 
+# Minimal grok pattern library (the reference vendors the full grok set;
+# these cover its common log cases, internal/impl/pure/processor_grok.go:30).
+GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "LOGLEVEL": r"DEBUG|INFO|WARN|ERROR|FATAL",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    "GREEDYDATA": r".*",
+    "DATA": r".*?",
+}
+
+_GROK_TOKEN = r"%\{(\w+):(\w+)\}"
+
+
+def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """Compile ``%{TYPE:name}`` grok templates into one regex + the capture
+    names, escaping literal segments."""
+    import re as _re
+
+    regex, names, pos = [], [], 0
+    for m in _re.finditer(_GROK_TOKEN, pattern):
+        regex.append(_re.escape(pattern[pos : m.start()]))
+        ptype, name = m.group(1), m.group(2)
+        if ptype not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{ptype}}}")
+        regex.append(f"({GROK_PATTERNS[ptype]})")
+        names.append(name)
+        pos = m.end()
+    regex.append(_re.escape(pattern[pos:]))
+    return "".join(regex), names
+
+
+@dataclass
+class Grok(Processor):
+    """`grok` processor (internal/impl/pure/processor_grok.go:30): parse a
+    string column into named fields with ``regexp_extract`` — one JVM-side
+    regex per captured field, no UDF."""
+
+    col: str
+    pattern: str
+    types: dict[str, str] = field(default_factory=dict)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        regex, names = grok_to_regex(self.pattern)
+        out = {}
+        for ix, name in enumerate(names, start=1):
+            c = F.regexp_extract(F.col(self.col), regex, ix)
+            t = self.types.get(name)
+            out[name] = c.cast(t) if t else c
+        return df.withColumns(out)
+
+
+@dataclass
+class ParseLog(Processor):
+    """`parse_log` (internal/impl/pure/processor_parse_log.go:28) — common
+    formats as canned grok templates."""
+
+    col: str
+    format: str = "syslog_bsd"
+
+    _FORMATS = {
+        # e.g. "2024-03-01T00:00:05 INFO svc-7 order 42 total 18.5"
+        "app_log": "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{NOTSPACE:service} %{GREEDYDATA:message}",
+    }
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return Grok(self.col, self._FORMATS[self.format], types={"ts": "timestamp"})(df)
+
+
+@dataclass
+class JsonSchema(Processor):
+    """`json_schema` (internal/impl/pure/processor_jsonschema.go:26):
+    validate a JSON-string column against required keys + primitive types;
+    failures set the ``_error`` slot (the reference errors the message)."""
+
+    col: str
+    required: dict[str, str]  # field name -> "int" | "double" | "string"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        df = ensure_error_col(df)
+        err = F.lit(None).cast("string")
+        for name, typ in reversed(self.required.items()):
+            raw = F.get_json_object(F.col(self.col), f"$.{name}")
+            missing = raw.isNull()
+            bad_type = (
+                F.try_cast(raw, typ).isNull() & raw.isNotNull() if typ != "string" else F.lit(False)
+            )
+            err = (
+                F.when(missing, F.lit(f"missing required field {name}"))
+                .when(bad_type, F.lit(f"field {name} is not {typ}"))
+                .otherwise(err)
+            )
+        return df.withColumn(
+            ERROR_COL, F.when(F.col(ERROR_COL).isNotNull(), F.col(ERROR_COL)).otherwise(err)
+        )
+
+
+@dataclass
+class Workflow(Processor):
+    """`workflow` (internal/impl/pure/processor_workflow.go:27): a DAG of
+    named stages auto-ordered from dependencies
+    (processor_workflow_branch_map.go:58-71). Stages are DataFrame
+    transforms; Catalyst fuses independent column subtrees into one pass,
+    so "parallel tiers" is plan-level, not thread-level."""
+
+    stages: dict[str, tuple[Sequence[str], Callable[[DataFrame], DataFrame]]]
+
+    def order(self) -> list[str]:
+        done: list[str] = []
+        pending = dict(self.stages)
+        while pending:
+            ready = [n for n, (deps, _) in pending.items() if all(d in done for d in deps)]
+            if not ready:
+                raise ValueError(f"workflow cycle among {sorted(pending)}")
+            for n in sorted(ready):  # deterministic tie-break
+                done.append(n)
+                del pending[n]
+        return done
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        for name in self.order():
+            df = self.stages[name][1](df)
+        return df
+
+
 @dataclass
 class Apply(Processor):
     """Arbitrary ``DataFrame -> DataFrame`` plug-in (≙ the reference's Go

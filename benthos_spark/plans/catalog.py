@@ -23,6 +23,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from benthos_spark.functions import bloblang as bl
 from benthos_spark.operators.processors import (
     Apply,
     Archive,
@@ -30,12 +31,16 @@ from benthos_spark.operators.processors import (
     Catch,
     DedupeDeterministic,
     Filter,
+    Grok,
     GroupByValue,
+    JsonSchema,
     Mutation,
+    SelectParts,
     Switch,
     Tag,
     Try,
     Unarchive,
+    Workflow,
     compose,
 )
 
@@ -977,4 +982,318 @@ def clip_transcript_rejoin(spark, sf_dir):
     return joined.groupBy("codec").agg(
         F.count(F.lit(1)).alias("n_joined"),
         F.sum((F.col("event_ts") == F.col("t_ts")).cast("long")).alias("ts_match"),
+    )
+
+
+# =====================================================================
+# 6. Bloblang expression-layer parity (SURVEY.md §2.5) — every helper
+#    is a JVM-side Column; the oracle recomputes the identical chain.
+# =====================================================================
+
+
+@register(
+    "bloblang_string_ops",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 20)) AS up,
+           base64(substr(text, 1, 24)::BLOB) AS b64,
+           lower(hex(substr(text, 1, 8)::BLOB)) AS hx,
+           (strpos(text, 'the') - 1)::INT AS ix,
+           starts_with(trim(text), 'the') AS sw,
+           ends_with(trim(text), '.') AS ew,
+           replace(substr(text, 1, 30), ' ', '_') AS rp,
+           reverse(substr(text, 1, 10)) AS rv,
+           sha256(substr(text, 1, 16)) AS sha
+    FROM documents
+    """,
+)
+def bloblang_string_ops(spark, sf_dir):
+    """String-method chain parity (methods_strings.go): upper/encode/
+    index_of/has_prefix/has_suffix/replace_all/reverse/hash."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        bl.uppercase(F.substring(t, 1, 20)).alias("up"),
+        bl.encode_b64(F.substring(t, 1, 24)).alias("b64"),
+        bl.encode_hex(F.substring(t, 1, 8)).alias("hx"),
+        bl.index_of(t, "the").alias("ix"),
+        bl.has_prefix(F.trim(t), "the").alias("sw"),
+        bl.has_suffix(F.trim(t), ".").alias("ew"),
+        bl.replace_all(F.substring(t, 1, 30), " ", "_").alias("rp"),
+        bl.reverse(F.substring(t, 1, 10)).alias("rv"),
+        bl.hash_(F.substring(t, 1, 16), "sha256").alias("sha"),
+    )
+
+
+@register(
+    "bloblang_time_ops",
+    """
+    SELECT event_id,
+           date_trunc('hour', ts) AS ts_hour,
+           epoch(date_trunc('second', ts))::BIGINT AS ep,
+           strftime(ts, '%Y-%m-%d %H') AS fmt,
+           date_trunc('second', ts) + INTERVAL 90 SECOND AS ts_plus
+    FROM events
+    """,
+)
+def bloblang_time_ops(spark, sf_dir):
+    """Time-method parity (pure/bloblang_time.go): ts_round/ts_unix/
+    ts_format/ts_add (sub-second parts truncated where the engines'
+    epoch conventions differ)."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts")
+    sec = F.date_trunc("second", ts)
+    return ev.select(
+        "event_id",
+        bl.ts_round(ts, "hour").alias("ts_hour"),
+        bl.ts_unix(sec).alias("ep"),
+        bl.ts_format(ts, "yyyy-MM-dd HH").alias("fmt"),
+        bl.ts_add_seconds(sec, 90).alias("ts_plus"),
+    )
+
+
+@register(
+    "bloblang_array_ops",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           len(words)::BIGINT AS n,
+           len(list_distinct(words))::BIGINT AS n_uniq,
+           list_sum(list_transform(words, w -> length(w)))::BIGINT AS chars,
+           list_sort(words)[1] AS first_sorted,
+           len(list_filter(words, w -> length(w) > 5))::BIGINT AS n_long,
+           list_sort(list_distinct(words))[1] AS first_uniq
+    FROM w
+    """,
+)
+def bloblang_array_ops(spark, sf_dir):
+    """Array-method parity (methods_structured.go): length/unique/
+    map_each+fold(sum)/sort/filter — all higher-order Catalyst exprs."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return docs.select("doc_id", words.alias("words")).select(
+        "doc_id",
+        F.size("words").cast("long").alias("n"),
+        F.size(bl.unique("words")).cast("long").alias("n_uniq"),
+        bl.fold(
+            bl.map_each("words", lambda w: F.length(w)), 0, lambda acc, v: acc + v.cast("int")
+        ).cast("long").alias("chars"),
+        bl.index(bl.sort("words"), 0).alias("first_sorted"),
+        F.size(bl.filter_("words", lambda w: F.length(w) > 5)).cast("long").alias("n_long"),
+        bl.index(bl.sort(bl.unique("words")), 0).alias("first_uniq"),
+    )
+
+
+@register(
+    "interpolate_orders",
+    """
+    SELECT o_orderkey,
+           printf('ord-%08d-%s', o_orderkey, lower(o_orderstatus)) AS tag
+    FROM orders
+    """,
+)
+def interpolate_orders(spark, sf_dir):
+    """Field interpolation `${! expr }` (field/expression.go:19-60) — the
+    config-string mechanism every connector path/key uses, compiled to one
+    concat Column."""
+    o = _t(spark, sf_dir, "orders")
+    tag = bl.interpolate("ord-${! format_string('%08d', o_orderkey) }-${! lower(o_orderstatus) }")
+    return o.select("o_orderkey", tag.alias("tag"))
+
+
+# =====================================================================
+# 7. Log parsing / schema validation / batch-index processors
+# =====================================================================
+
+
+@register(
+    "grok_parse_events",
+    r"""
+    WITH logs AS (
+      SELECT printf('%s INFO svc-%s event %d score %d',
+                    strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S'),
+                    event_type, event_id, floor(value * 100)::BIGINT) AS line
+      FROM events
+    )
+    SELECT regexp_extract(line, '(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}) (DEBUG|INFO|WARN|ERROR|FATAL) (\S+) event ([+-]?\d+) score ([+-]?\d+)', 1) AS ts_str,
+           regexp_extract(line, '(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}) (DEBUG|INFO|WARN|ERROR|FATAL) (\S+) event ([+-]?\d+) score ([+-]?\d+)', 3) AS service,
+           regexp_extract(line, '(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}) (DEBUG|INFO|WARN|ERROR|FATAL) (\S+) event ([+-]?\d+) score ([+-]?\d+)', 4)::BIGINT AS event_id,
+           regexp_extract(line, '(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}) (DEBUG|INFO|WARN|ERROR|FATAL) (\S+) event ([+-]?\d+) score ([+-]?\d+)', 5)::BIGINT AS score
+    FROM logs
+    """,
+)
+def grok_parse_events(spark, sf_dir):
+    """`grok` (processor_grok.go:30): render a log line, then parse it back
+    with %{TYPE:name} templates compiled to JVM regexp_extract."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "%s INFO svc-%s event %d score %d",
+        F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.col("event_type"),
+        F.col("event_id"),
+        F.floor(F.col("value") * 100).cast("long"),
+    )
+    logs = ev.select(line.alias("line"))
+    parsed = Grok(
+        "line",
+        "%{TIMESTAMP_ISO8601:ts_str} %{LOGLEVEL:level} %{NOTSPACE:service} event %{INT:event_id} score %{INT:score}",
+        types={"event_id": "long", "score": "long"},
+    )(logs)
+    return parsed.select("ts_str", "service", "event_id", "score")
+
+
+@register(
+    "json_schema_events",
+    """
+    SELECT event_id,
+           CASE WHEN json_extract_string(props, '$.k') IS NULL
+                  THEN 'missing required field k'
+                WHEN try_cast(json_extract_string(props, '$.k') AS INT) IS NULL
+                  THEN 'field k is not int'
+                WHEN try_cast(json_extract_string(props, '$.k') AS INT) > 95
+                  THEN 'k out of bounds'
+                END AS err
+    FROM events
+    """,
+)
+def json_schema_events(spark, sf_dir):
+    """`json_schema` (processor_jsonschema.go:26) + bounds tagging: failures
+    land in the `_error` slot (≙ errored messages ready for DLQ routing)."""
+    ev = _t(spark, sf_dir, "events")
+    chain = [
+        JsonSchema("props", required={"k": "int"}),
+        Tag(
+            cond=F.get_json_object("props", "$.k").cast("int") > 95,
+            message=F.lit("k out of bounds"),
+        ),
+    ]
+    out = compose(ev, chain)
+    return out.select("event_id", F.col("_error").alias("err"))
+
+
+@register(
+    "select_parts_orders",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_orderdate FROM ranked WHERE rn <= 2
+    """,
+)
+def select_parts_orders(spark, sf_dir):
+    """`select_parts` (processor_select_parts.go:20): keep batch indices
+    [0,1] per group under an explicit deterministic order."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    return SelectParts(
+        order_by=F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+        indices=[0, 1],
+        group_cols=["o_custkey"],
+    )(o)
+
+
+@register(
+    "workflow_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS disc_price,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           CASE WHEN l_quantity > 40 THEN 'bulk' ELSE 'retail' END AS class
+    FROM lineitem
+    """,
+)
+def workflow_lineitem(spark, sf_dir):
+    """`workflow` (processor_workflow.go:27): DAG of named stages with
+    dependency auto-ordering — `charge` depends on `disc_price`; `class`
+    is independent (Catalyst fuses all three into one projection)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wf = Workflow(
+        stages={
+            "disc_price": (
+                [],
+                Mutation({"disc_price": F.col("l_extendedprice") * (1 - F.col("l_discount"))}),
+            ),
+            "charge": (
+                ["disc_price"],
+                Mutation({"charge": F.round(F.col("disc_price") * (1 + F.col("l_tax")), 2)}),
+            ),
+            "class": (
+                [],
+                Mutation({"class": F.when(F.col("l_quantity") > 40, "bulk").otherwise("retail")}),
+            ),
+        }
+    )
+    return wf(li).select(
+        "l_orderkey", "l_linenumber", F.round("disc_price", 2).alias("disc_price"), "charge", "class"
+    )
+
+
+@register(
+    "window_offset_events",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts, INTERVAL 15 MINUTE) AS window_start,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def window_offset_events(spark, sf_dir):
+    """Tumbling window with a wall-clock `offset`
+    (buffer_system_window.go:234-266 window math) = window(..., startTime)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+
+
+# =====================================================================
+# 8. Multimodal pipeline entries (image/video as binary + typed
+#    metadata; deterministic synthetic inputs — rows-only checks, the
+#    numeric invariants live in tests/test_multimodal.py)
+# =====================================================================
+
+_IMG_N = {"sf0.001": 200, "sf0.01": 800}
+
+
+@register("image_features_rollup")  # no oracle: binary payloads live outside DuckDB
+def image_features_rollup(spark, sf_dir):
+    """Vectorized image decode → luminance features → rollup (the image
+    analog of audio_decode_features; raw_rgb8 decode is real, container
+    codecs are stubbed at the kernel boundary)."""
+    from benthos_spark.functions import multimodal as mm
+
+    n = _IMG_N.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 800)
+    imgs = mm.generate_images(spark, n)
+    feats = imgs.mapInPandas(
+        mm.image_features_map_in_pandas(["image_id", "codec"]),
+        schema="image_id string, codec string, " + mm.IMAGE_FEATURE_FIELDS,
+    )
+    return feats.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("mean_lum"), 4).alias("avg_lum"),
+        F.sum(F.col("img_ok").cast("long")).alias("ok_images"),
+    )
+
+
+@register("video_frame_sample")  # no oracle: binary payloads live outside DuckDB
+def video_frame_sample(spark, sf_dir):
+    """Video → every-4th-frame UDTF (mapInPandas as table function) →
+    per-video frame counts; the frame-sampling stage of a multimodal
+    training pipeline."""
+    from benthos_spark.functions import multimodal as mm
+
+    n = max(_IMG_N.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 800) // 4, 50)
+    vids = mm.generate_videos(spark, n)
+    frames = vids.mapInPandas(mm.frame_sample_map_in_pandas(every_n=4), schema=mm.IMAGE_SCHEMA)
+    return (
+        frames.withColumn("video_id", F.split(F.col("image_id"), "#")[0])
+        .groupBy("video_id")
+        .agg(F.count(F.lit(1)).alias("n_frames_sampled"))
     )

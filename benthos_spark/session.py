@@ -49,6 +49,11 @@ def get_spark(
         # JSON dual-representation, internal/message/data.go:30-65, maps
         # to columnar Arrow batches).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # A/B-measured on this host (tools/bench_scaling.py probes): 2048
+        # beats 512 for ~100KB binary rows; forcing extra scan splits
+        # (files.minPartitionNum) anti-scales once concurrent Arrow+numpy
+        # decoders exceed the host's memory-bandwidth ceiling (~8-12
+        # streams), so scan splits are left to Spark's bin-packing.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # Binary audio payloads are large; keep broadcast joins for dims.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

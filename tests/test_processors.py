@@ -1,0 +1,177 @@
+"""Per-processor unit tests, modeled on the reference's colocated
+`_test.go` pattern (SURVEY.md §5 layer 1): build the processor, feed a
+small batch, assert outputs/errors."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.operators.processors import (
+    Archive,
+    Branch,
+    Catch,
+    Compress,
+    Decompress,
+    Filter,
+    Grok,
+    InsertPart,
+    JsonSchema,
+    Mapping,
+    Mutation,
+    ParseLog,
+    SelectParts,
+    Split,
+    Switch,
+    Tag,
+    Try,
+    Unarchive,
+    Workflow,
+    compose,
+    grok_to_regex,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "alpha", 10.0), (2, "beta", 20.0), (3, "gamma", 30.0), (4, "delta", 40.0)],
+        "id int, name string, score double",
+    )
+
+
+def test_mapping_replaces_document(df):
+    out = Mapping({"key": F.col("id") * 100, "upper": F.upper("name")})(df)
+    assert out.columns == ["key", "upper"]
+    assert out.filter("key = 200").collect()[0]["upper"] == "BETA"
+
+
+def test_mutation_keeps_document(df):
+    out = Mutation({"double_score": F.col("score") * 2})(df)
+    assert set(out.columns) == {"id", "name", "score", "double_score"}
+
+
+def test_switch_first_match_wins(df):
+    out = Switch(
+        cases=[
+            (F.col("id") <= 2, [Mutation({"route": F.lit("low")})]),
+            (F.col("id") <= 3, [Mutation({"route": F.lit("mid")})]),
+            (None, [Mutation({"route": F.lit("high")})]),
+        ]
+    )(df)
+    got = {r["id"]: r["route"] for r in out.collect()}
+    assert got == {1: "low", 2: "low", 3: "mid", 4: "high"}
+
+
+def test_branch_request_result_map(df):
+    out = Branch(
+        request_cols=["id"],
+        processors=[Mutation({"sq": F.col("id") * F.col("id")})],
+        result_exprs={"squared": F.col("sq")},
+    )(df)
+    got = {r["id"]: r["squared"] for r in out.collect()}
+    assert got == {1: 1, 2: 4, 3: 9, 4: 16}
+    assert "sq" not in out.columns  # request/result isolation
+
+
+def test_try_catch_error_routing(df):
+    chain = [
+        Tag(cond=F.col("id") % 2 == 0, message=F.lit("even id")),
+        Try([Mutation({"val": F.col("score") * 10})]),
+        Catch([Mutation({"val": F.lit(-1.0)})]),
+    ]
+    out = compose(df, chain)
+    got = {r["id"]: (r["val"], r["_error"]) for r in out.collect()}
+    assert got[1] == (100.0, None)
+    assert got[2] == (-1.0, None)  # recovered + error cleared
+
+
+def test_archive_unarchive_roundtrip(df):
+    arch = Archive(group_cols=[], payload=F.col("name"), fmt="lines", out_col="blob")(df)
+    restored = Unarchive(col="blob", fmt="lines", out_col="name")(arch)
+    assert sorted(r["name"] for r in restored.collect()) == ["alpha", "beta", "delta", "gamma"]
+
+
+def test_insert_part(df):
+    out = InsertPart({"id": 99, "name": "sentinel", "score": 0.0})(df)
+    assert out.count() == 5
+    assert out.filter("id = 99").count() == 1
+
+
+def test_select_parts(df):
+    out = SelectParts(order_by=F.col("id").desc(), indices=[0])(df)
+    assert [r["id"] for r in out.collect()] == [4]
+
+
+def test_split_repartitions(df):
+    assert Split(2)(df).rdd.getNumPartitions() == 2
+
+
+def test_compress_decompress_roundtrip(spark):
+    df = spark.createDataFrame([(b"hello world " * 50,)], "payload binary")
+    out = compose(df, [Compress("payload"), Decompress("payload")])
+    assert bytes(out.collect()[0]["payload"]) == b"hello world " * 50
+    compressed = Compress("payload")(df).collect()[0]["payload"]
+    assert len(compressed) < 600
+    assert zlib.decompress(bytes(compressed)) == b"hello world " * 50
+
+
+def test_grok_to_regex():
+    regex, names = grok_to_regex("%{INT:a} then %{WORD:b}")
+    assert names == ["a", "b"]
+    import re
+
+    m = re.match(regex, "-42 then xyz")
+    assert m.group(1) == "-42" and m.group(2) == "xyz"
+
+
+def test_grok_processor(spark):
+    df = spark.createDataFrame([("2024-03-01T01:02:03 ERROR svc-a boom",)], "line string")
+    out = Grok(
+        "line",
+        "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{NOTSPACE:svc} %{GREEDYDATA:msg}",
+    )(df).collect()[0]
+    assert out["level"] == "ERROR" and out["svc"] == "svc-a" and out["msg"] == "boom"
+
+
+def test_parse_log(spark):
+    df = spark.createDataFrame([("2024-03-01T01:02:03 WARN svc-b disk low",)], "line string")
+    out = ParseLog("line", "app_log")(df).collect()[0]
+    assert out["level"] == "WARN" and out["message"] == "disk low"
+    assert out["ts"].year == 2024
+
+
+def test_json_schema_validation(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, '{"k": "bad"}'), (3, '{"other": 1}')], "id int, props string"
+    )
+    out = JsonSchema("props", required={"k": "int"})(df)
+    got = {r["id"]: r["_error"] for r in out.collect()}
+    assert got[1] is None
+    assert got[2] == "field k is not int"
+    assert got[3] == "missing required field k"
+
+
+def test_workflow_dag_ordering(df):
+    wf = Workflow(
+        stages={
+            "c": (["b"], Mutation({"v3": F.col("v2") + 1})),
+            "a": ([], Mutation({"v1": F.col("id") * 2})),
+            "b": (["a"], Mutation({"v2": F.col("v1") * 10})),
+        }
+    )
+    assert wf.order() == ["a", "b", "c"]
+    out = wf(df).filter("id = 2").collect()[0]
+    assert (out["v1"], out["v2"], out["v3"]) == (4, 40, 41)
+
+
+def test_workflow_cycle_detection():
+    wf = Workflow(stages={"a": (["b"], lambda d: d), "b": (["a"], lambda d: d)})
+    with pytest.raises(ValueError, match="cycle"):
+        wf.order()
+
+
+def test_filter(df):
+    assert Filter(F.col("score") > 25)(df).count() == 2

@@ -1,0 +1,151 @@
+"""Keyed streaming state (SURVEY.md §2.7): clip↔transcript stream-stream
+join (≙ sequence.sharded_join, input_sequence.go:144-157), the
+applyInPandasWithState variant, dedupe-within-watermark
+(processor_dedupe.go:26), and the end-to-end per-row invariant from
+BASELINE.json: decoded-PCM SNR ≥ 30 dB + transcript equality, exactly-once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.datagen import clips as clipgen
+from benthos_spark.functions import audio
+from benthos_spark.operators.state import (
+    clip_transcript_join,
+    dedupe_within_watermark,
+    stateful_clip_join,
+)
+from benthos_spark.sinks.exactly_once import ExactlyOnceParquetSink
+from benthos_spark.streaming.pipeline import run_to_completion
+
+N = 200
+
+CLIP_SIDE_SCHEMA = "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, event_ts timestamp"
+TRANSCRIPT_SIDE_SCHEMA = "clip_id string, transcript string, event_ts timestamp"
+
+
+@pytest.fixture(scope="module")
+def side_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("split_stream")
+    full = clipgen.generate_clips(spark, N, partitions=4)
+    clip_side, transcript_side = clipgen.split_clip_stream(full)
+    cdir, tdir = str(base / "clips"), str(base / "transcripts")
+    clip_side.write.mode("overwrite").parquet(cdir)
+    transcript_side.write.mode("overwrite").parquet(tdir)
+    return cdir, tdir
+
+
+def _read_stream(spark, path, schema):
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_to_sink(spark, df, tmp_path, name):
+    sink = ExactlyOnceParquetSink(str(tmp_path / f"{name}_out"))
+    q = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, timeout_s=300)
+    return sink
+
+
+def test_stream_stream_join(spark, side_dirs, tmp_path):
+    """Watermarked equi-join of the two sub-streams recovers every pair
+    with the transcript intact (≙ sharded_join inner semantics)."""
+    cdir, tdir = side_dirs
+    joined = clip_transcript_join(
+        _read_stream(spark, cdir, CLIP_SIDE_SCHEMA),
+        _read_stream(spark, tdir, TRANSCRIPT_SIDE_SCHEMA),
+    )
+    sink = _run_to_sink(spark, joined, tmp_path, "ssj")
+    out = sink.read_committed(spark)
+    assert out.count() == N
+    assert out.select("clip_id").distinct().count() == N
+
+    expected = clipgen.generate_clips(spark, N, partitions=4).select(
+        "clip_id", F.col("transcript").alias("expected_transcript")
+    )
+    mismatches = (
+        out.join(expected, "clip_id")
+        .filter(F.col("transcript") != F.col("expected_transcript"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_stateful_clip_join(spark, side_dirs, tmp_path):
+    """applyInPandasWithState buffer-until-both-sides join over the tagged
+    union stream — the custom-collision-strategy path."""
+    cdir, tdir = side_dirs
+    c = _read_stream(spark, cdir, CLIP_SIDE_SCHEMA).withColumn("transcript", F.lit(None).cast("string"))
+    t = (
+        _read_stream(spark, tdir, TRANSCRIPT_SIDE_SCHEMA)
+        .withColumn("bytes", F.lit(None).cast("binary"))
+        .withColumn("sr_hz", F.lit(None).cast("int"))
+        .withColumn("dur_ms", F.lit(None).cast("int"))
+        .withColumn("codec", F.lit(None).cast("string"))
+    )
+    union = c.unionByName(t.select(c.columns))
+    joined = stateful_clip_join(union)
+    sink = _run_to_sink(spark, joined, tmp_path, "apws")
+    out = sink.read_committed(spark)
+    assert out.count() == N
+    assert out.filter(F.col("transcript").isNull() | F.col("bytes").isNull()).count() == 0
+
+
+def test_dedupe_within_watermark(spark, side_dirs, tmp_path):
+    """Re-delivered rows (the F2 duplication case) collapse to one
+    survivor per clip_id."""
+    cdir, _ = side_dirs
+    s1 = _read_stream(spark, cdir, CLIP_SIDE_SCHEMA)
+    s2 = _read_stream(spark, cdir, CLIP_SIDE_SCHEMA)  # same data again
+    doubled = s1.unionByName(s2)
+    deduped = dedupe_within_watermark(doubled, ["clip_id"], "event_ts", "10 minutes")
+    sink = _run_to_sink(spark, deduped, tmp_path, "dedupe")
+    assert sink.read_committed(spark).count() == N
+
+
+def test_end_to_end_row_invariant(spark, side_dirs, tmp_path):
+    """The BASELINE.json gate: stream-join the two sides, commit
+    exactly-once, then verify EVERY row's decoded PCM reaches SNR ≥ 30 dB
+    against the reference signal and the transcript matches exactly."""
+    cdir, tdir = side_dirs
+    joined = clip_transcript_join(
+        _read_stream(spark, cdir, CLIP_SIDE_SCHEMA),
+        _read_stream(spark, tdir, TRANSCRIPT_SIDE_SCHEMA),
+    )
+    sink = _run_to_sink(spark, joined, tmp_path, "inv")
+    rows = sink.read_committed(spark).collect()
+    assert len(rows) == N
+    for r in rows:
+        i = int(r["clip_id"].split("-")[1])
+        ref = clipgen.reference_signal(i, r["sr_hz"], r["dur_ms"])
+        decoded = audio.decode(bytes(r["bytes"]), r["codec"])
+        assert audio.snr_db(ref, decoded) >= 30.0, r["clip_id"]
+        assert r["transcript"] == clipgen.make_transcript(i, r["dur_ms"]), r["clip_id"]
+
+
+def test_transcode_stage_roundtrip(spark):
+    """Decode → resample → re-encode mapInPandas stage: output is uniform
+    pcm_s16le@16k and still correlates with the reference signal."""
+    from benthos_spark.functions.audio import transcode_map_in_pandas
+
+    df = clipgen.generate_clips(spark, 40, partitions=2)
+    out = df.mapInPandas(
+        transcode_map_in_pandas("pcm_s16le", 16000), schema=clipgen.CLIPS_SCHEMA
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["codec"] == "pcm_s16le" and r["sr_hz"] == 16000
+        i = int(r["clip_id"].split("-")[1])
+        # resampled: compare against the reference resampled the same way
+        p = clipgen.clip_params(np.array([i], dtype=np.uint64))
+        ref = clipgen.reference_signal(i, int(p["sr_hz"][0]), int(p["dur_ms"][0]))
+        ref_rs = audio.resample_linear(ref, int(p["sr_hz"][0]), 16000)
+        assert audio.snr_db(ref_rs, audio.decode(bytes(r["bytes"]), "pcm_s16le")) >= 25.0
