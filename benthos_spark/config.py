@@ -1,0 +1,206 @@
+"""YAML pipeline configs — the `benthos -c config.yaml` surface
+(/root/reference/internal/cli/run.go:282; config read + lint
+internal/config/reader.go:173-314) and the embedded StreamBuilder
+(public/service/stream_builder.go: SetYAML :472, AddInputYAML :252,
+AddProcessorYAML :274, AddOutputYAML :371).
+
+A config compiles to a :class:`~benthos_spark.streaming.pipeline.Pipeline`
+plus a sink — one DataFrame lineage, no interpreter. Expressions inside
+configs are Spark SQL strings (``F.expr``), the declarative analogue of
+inline Bloblang; `${! expr }` interpolation is supported in string
+fields via :func:`benthos_spark.functions.bloblang.interpolate`.
+
+Example::
+
+    input:
+      parquet: {path: /data/clips, streaming: true}
+    pipeline:
+      processors:
+        - mutation: {n_words: "size(split(transcript, ' '))"}
+        - filter: "dur_ms < 10000"
+        - window_agg:
+            ts_col: event_ts
+            size: 1 minute
+            lateness: 30 seconds
+            group_by: [codec]
+            aggs: {n_clips: "count(1)", total_ms: "sum(dur_ms)"}
+    output:
+      exactly_once: {dir: /data/out}
+
+Unknown component names fail at compile time with the known set listed —
+the analogue of the reference's config lint (reader.go:314).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import yaml
+from pyspark.sql import functions as F
+
+from benthos_spark.operators import processors as P
+from benthos_spark.operators.windows import SessionWindowAgg, WindowAgg
+from benthos_spark.sinks.exactly_once import ExactlyOnceParquetSink
+from benthos_spark.sinks import routing as R
+from benthos_spark.sources import readers as S
+from benthos_spark.streaming.pipeline import Pipeline
+
+
+class ConfigError(ValueError):
+    pass
+
+
+# -- inputs -----------------------------------------------------------------
+
+
+def _input(spec: dict) -> S.Source:
+    (name, conf), = spec.items()
+    conf = conf or {}
+    if name == "parquet":
+        return S.ParquetSource(
+            conf["path"],
+            streaming=conf.get("streaming", False),
+            max_files_per_trigger=conf.get("max_files_per_trigger"),
+        )
+    if name == "csv":
+        return S.CsvSource(conf["path"], header=conf.get("header", True),
+                           streaming=conf.get("streaming", False))
+    if name == "file":
+        return S.FileSource(conf["path"], codec=conf.get("codec", "lines"),
+                            streaming=conf.get("streaming", False))
+    if name == "generate":
+        return S.GenerateSource(
+            mapping=conf.get("mapping", {}),
+            rows_per_second=conf.get("rows_per_second", 1000),
+            count=conf.get("count"),
+            streaming=conf.get("streaming", True),
+        )
+    raise ConfigError(f"unknown input {name!r}; known: parquet, csv, file, generate")
+
+
+# -- processors -------------------------------------------------------------
+
+
+def _exprs(d: dict) -> dict:
+    return {k: F.expr(v) if isinstance(v, str) else F.lit(v) for k, v in d.items()}
+
+
+def _proc(spec: dict | str) -> P.Processor:
+    if isinstance(spec, str):  # bare string = filter predicate shorthand
+        return P.Filter(F.expr(spec))
+    (name, conf), = spec.items()
+    if name == "mapping":
+        return P.Mapping(_exprs(conf))
+    if name == "mutation":
+        return P.Mutation(_exprs(conf))
+    if name == "filter":
+        return P.Filter(F.expr(conf if isinstance(conf, str) else conf["check"]))
+    if name == "switch":
+        cases = []
+        for case in conf:
+            check = case.get("check")
+            cases.append(
+                (F.expr(check) if check else None, [_proc(p) for p in case.get("processors", [])])
+            )
+        return P.Switch(cases=cases)
+    if name == "dedupe":
+        return P.Dedupe(key_cols=conf["keys"])
+    if name == "bounds_check":
+        return P.BoundsCheck(col=conf["col"], min_len=conf.get("min_len", 0),
+                             max_len=conf.get("max_len", 1 << 62))
+    if name == "grok":
+        return P.Grok(col=conf["col"], pattern=conf["pattern"], types=conf.get("types", {}))
+    if name == "parse_log":
+        return P.ParseLog(col=conf["col"], format=conf.get("format", "app_log"))
+    if name == "json_schema":
+        return P.JsonSchema(col=conf["col"], required=conf["required"])
+    if name == "archive":
+        return P.Archive(group_cols=conf.get("group_by", []), payload=F.expr(conf["payload"]),
+                         fmt=conf.get("format", "lines"), out_col=conf.get("out", "archived"))
+    if name == "unarchive":
+        return P.Unarchive(col=conf["col"], fmt=conf.get("format", "lines"),
+                           out_col=conf.get("out", "part"))
+    if name == "split":
+        return P.Split(conf["partitions"] if isinstance(conf, dict) else int(conf))
+    if name == "try":
+        return P.Try([_proc(p) for p in conf])
+    if name == "catch":
+        return P.Catch([_proc(p) for p in conf])
+    if name == "compress":
+        return P.Compress(col=conf["col"], level=conf.get("level", 6))
+    if name == "decompress":
+        return P.Decompress(col=conf["col"])
+    if name == "window_agg":
+        return WindowAgg(
+            ts_col=conf["ts_col"], size=conf["size"], slide=conf.get("slide"),
+            offset=conf.get("offset"), lateness=conf.get("lateness"),
+            group_cols=conf.get("group_by", []), aggs=_exprs(conf["aggs"]),
+        )
+    if name == "session_window_agg":
+        return SessionWindowAgg(
+            ts_col=conf["ts_col"], gap=conf["gap"], lateness=conf.get("lateness"),
+            group_cols=conf.get("group_by", []), aggs=_exprs(conf["aggs"]),
+        )
+    raise ConfigError(
+        f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
+        "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
+        "compress, decompress, window_agg, session_window_agg"
+    )
+
+
+# -- outputs ----------------------------------------------------------------
+
+
+def _output(spec: dict) -> Callable:
+    (name, conf), = spec.items()
+    conf = conf or {}
+    if name == "exactly_once":
+        return ExactlyOnceParquetSink(conf["dir"], lineage_cols=tuple(conf.get("lineage", [])))
+    if name == "drop":
+        return R.DropSink()
+    if name == "fan_out":
+        return R.FanOut(*[_output(c) for c in conf])
+    if name == "switch":
+        cases = [(F.expr(c["check"]), _output(c["output"])) for c in conf.get("cases", [])]
+        default = _output(conf["default"]) if "default" in conf else None
+        return R.SwitchSink(cases=cases, default=default)
+    if name == "fallback":
+        return R.Fallback(*[_output(c) for c in conf])
+    if name == "round_robin":
+        return R.RoundRobinSink([_output(c) for c in conf["outputs"]], key=conf.get("key"))
+    if name == "dlq_split":
+        return R.DlqSplit(_output(conf["main"]), _output(conf["dlq"]))
+    raise ConfigError(
+        f"unknown output {name!r}; known: exactly_once, drop, fan_out, switch, fallback, "
+        "round_robin, dlq_split"
+    )
+
+
+# -- top level --------------------------------------------------------------
+
+
+def compile_config(conf: str | dict) -> tuple[Pipeline, Callable]:
+    """YAML/dict config -> (Pipeline, sink). Raises ConfigError on unknown
+    components (compile-time lint ≙ reader.go:314)."""
+    if isinstance(conf, str):
+        conf = yaml.safe_load(conf)
+    if "input" not in conf or "output" not in conf:
+        raise ConfigError("config needs `input` and `output` sections")
+    source = _input(conf["input"])
+    procs = [_proc(p) for p in (conf.get("pipeline") or {}).get("processors", [])]
+    sink = _output(conf["output"])
+    return Pipeline(source=source, processors=procs), sink
+
+
+def run_config(
+    spark, conf: str | dict, checkpoint: str, trigger_once: bool = True, **start_kwargs
+):
+    """Compile + start (streaming) or materialize (batch). The CLI
+    entrypoint equivalent of `benthos -c config.yaml`."""
+    pipe, sink = compile_config(conf)
+    if pipe.source.streaming:
+        return pipe.start(spark, sink, checkpoint=checkpoint, trigger_once=trigger_once,
+                          **start_kwargs)
+    df = pipe.run_batch(spark)
+    sink(df, 0)
+    return None

@@ -296,7 +296,7 @@ def min_(*cols) -> Column:
 
 def number(col) -> Column:
     """methods.go:405 ``number()`` — lenient cast, null on failure."""
-    return F.try_cast(_c(col), "double")
+    return _c(col).try_cast("double")
 
 
 # ---------------------------------------------------------------------------

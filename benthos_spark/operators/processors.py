@@ -317,6 +317,65 @@ class InsertPart(Processor):
 
 
 @dataclass
+class While(Processor):
+    """`while` processor (internal/impl/pure/processor_while.go:27) —
+    per-message loop semantics: each iteration applies the child chain to
+    the rows still matching ``cond`` and leaves the rest untouched; stops
+    when no row matches or ``max_loops`` is reached. Driver-side
+    iteration (one count job per pass — the reference documents `while`
+    as an escape hatch, and so do we); ``persist_every`` checkpoints the
+    growing plan so deep loops don't blow up Catalyst analysis time."""
+
+    cond: object  # Column predicate (or SQL string) per row
+    processors: Sequence[Processor]
+    max_loops: int = 10
+    persist_every: int = 4
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        cond = _to_col(self.cond)
+        for i in range(self.max_loops):
+            matching = df.filter(cond)
+            if matching.isEmpty():
+                break
+            stepped = matching
+            for p in self.processors:
+                stepped = p(stepped)
+            df = df.filter(~cond).unionByName(stepped, allowMissingColumns=True)
+            if self.persist_every and (i + 1) % self.persist_every == 0:
+                df = df.persist()
+        return df
+
+
+@dataclass
+class Cached(Processor):
+    """`cached` processor (internal/impl/pure/processor_cached.go:90):
+    memoise the child chain's result. Spark-first: the memo is a
+    persisted DataFrame keyed in a registry — repeated pipeline runs
+    reuse the materialized result instead of recomputing."""
+
+    processors: Sequence[Processor]
+    key: str
+    _registry: dict = field(default_factory=dict)  # class-level override below
+
+    REGISTRY: dict = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if Cached.REGISTRY is None:
+            Cached.REGISTRY = {}
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        hit = Cached.REGISTRY.get(self.key)
+        if hit is not None:
+            return hit
+        out = df
+        for p in self.processors:
+            out = p(out)
+        out = out.persist()
+        Cached.REGISTRY[self.key] = out
+        return out
+
+
+@dataclass
 class Noop(Processor):
     """internal/impl/pure/processor_noop.go:16."""
 
@@ -455,7 +514,7 @@ class JsonSchema(Processor):
             raw = F.get_json_object(F.col(self.col), f"$.{name}")
             missing = raw.isNull()
             bad_type = (
-                F.try_cast(raw, typ).isNull() & raw.isNotNull() if typ != "string" else F.lit(False)
+                raw.try_cast(typ).isNull() & raw.isNotNull() if typ != "string" else F.lit(False)
             )
             err = (
                 F.when(missing, F.lit(f"missing required field {name}"))

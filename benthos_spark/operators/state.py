@@ -83,65 +83,81 @@ JOIN_OUT_SCHEMA = (
 )
 
 
-def _stateful_join_fn(
-    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Buffer-until-both-sides join, keyed by clip_id.
+def _make_stateful_join_fn(timeout_ms: int | None):
+    def _stateful_join_fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Buffer-until-both-sides join, keyed by clip_id.
 
-    State = the half seen so far. When the other half arrives, emit the
-    joined row and clear. A ProcessingTimeTimeout expires abandoned halves
-    (≙ the joining-streams cookbook's cache TTL)."""
-    import datetime as dt
+        State = the half seen so far. When the other half arrives, emit the
+        joined row and clear. A ProcessingTimeTimeout expires abandoned
+        halves (≙ the joining-streams cookbook's cache TTL)."""
+        import datetime as dt
 
-    if state.hasTimedOut:
-        state.remove()
-        return
+        if state.hasTimedOut:
+            state.remove()
+            return
 
-    (clip_bytes, sr, dur, codec, transcript, ts_ms) = (
-        state.get if state.exists else (None, None, None, None, None, None)
-    )
-    for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            side_bytes = getattr(r, "bytes", None)
-            side_tr = getattr(r, "transcript", None)
-            if side_bytes is not None:
-                clip_bytes, sr, dur, codec = bytes(side_bytes), int(r.sr_hz), int(r.dur_ms), r.codec
-                ts_ms = int(r.event_ts.timestamp() * 1000)
-            if isinstance(side_tr, str):
-                transcript = side_tr
-                if ts_ms is None:
-                    ts_ms = int(r.event_ts.timestamp() * 1000)
-
-    if clip_bytes is not None and transcript is not None:
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "clip_id": [key[0]],
-                "bytes": [clip_bytes],
-                "sr_hz": [sr],
-                "dur_ms": [dur],
-                "codec": [codec],
-                "transcript": [transcript],
-                "event_ts": [dt.datetime.utcfromtimestamp(ts_ms / 1000.0)],
-            }
+        (clip_bytes, sr, dur, codec, transcript, ts_ms) = (
+            state.get if state.exists else (None, None, None, None, None, None)
         )
-    else:
-        state.update((clip_bytes, sr, dur, codec, transcript, ts_ms))
-        state.setTimeoutDuration(120_000)
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                side_bytes = getattr(r, "bytes", None)
+                side_tr = getattr(r, "transcript", None)
+                if side_bytes is not None:
+                    clip_bytes, sr, dur, codec = (
+                        bytes(side_bytes), int(r.sr_hz), int(r.dur_ms), r.codec,
+                    )
+                    ts_ms = int(r.event_ts.timestamp() * 1000)
+                if isinstance(side_tr, str):
+                    transcript = side_tr
+                    if ts_ms is None:
+                        ts_ms = int(r.event_ts.timestamp() * 1000)
+
+        if clip_bytes is not None and transcript is not None:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "clip_id": [key[0]],
+                    "bytes": [clip_bytes],
+                    "sr_hz": [sr],
+                    "dur_ms": [dur],
+                    "codec": [codec],
+                    "transcript": [transcript],
+                    "event_ts": [dt.datetime.utcfromtimestamp(ts_ms / 1000.0)],
+                }
+            )
+        else:
+            state.update((clip_bytes, sr, dur, codec, transcript, ts_ms))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+
+    return _stateful_join_fn
 
 
-def stateful_clip_join(union_stream: DataFrame) -> DataFrame:
+def stateful_clip_join(union_stream: DataFrame, timeout_ms: int | None = 120_000) -> DataFrame:
     """`applyInPandasWithState` clip↔transcript join over a tagged union
     stream (columns: clip_id, bytes?, sr_hz?, dur_ms?, codec?, transcript?,
     event_ts). The RocksDB-backed alternative to the built-in stream-stream
     join — use when join semantics need custom collision handling
-    (sharded_join collision strategies, input_sequence.go:151-157)."""
+    (sharded_join collision strategies, input_sequence.go:151-157).
+
+    ``timeout_ms`` expires abandoned halves (cache-TTL parity) on
+    long-running queries. Pass ``None`` for bounded ``availableNow`` runs:
+    processing-time timeouts keep scheduling wall-clock batches after the
+    data is drained, which availableNow never terminates."""
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return union_stream.groupBy("clip_id").applyInPandasWithState(
-        _stateful_join_fn,
+        _make_stateful_join_fn(timeout_ms),
         outputStructType=JOIN_OUT_SCHEMA,
         stateStructType=JOIN_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )
 
 
@@ -154,7 +170,10 @@ def _sessionize_fn(
 ) -> Iterator[pd.DataFrame]:
     """Custom session builder with a processing-time flush — demonstrates
     stateful-operator parity beyond built-in session_window (emits sessions
-    on gap timeout rather than watermark)."""
+    on gap timeout rather than watermark). Used with
+    ProcessingTimeTimeout on continuous queries; on bounded availableNow
+    runs use ``sessionize_with_state(..., timeout_ms=None)`` and only
+    burst-closed sessions emit."""
     import datetime as dt
 
     gap_ms = 30 * 60 * 1000
@@ -186,7 +205,10 @@ def _sessionize_fn(
                 closed.append((start_ms, end_ms, n))
                 start_ms, end_ms, n = t, t, 1
     state.update((start_ms, end_ms, n))
-    state.setTimeoutDuration(60_000)
+    try:
+        state.setTimeoutDuration(60_000)
+    except Exception:  # NoTimeout conf on bounded runs — flush-by-burst only
+        pass
     if closed:
         yield pd.DataFrame(
             {
@@ -198,12 +220,17 @@ def _sessionize_fn(
         )
 
 
-def sessionize_with_state(events: DataFrame) -> DataFrame:
+def sessionize_with_state(events: DataFrame, timeout_ms: int | None = 60_000) -> DataFrame:
     """Stateful sessionization of an (user_id, ts, ...) stream."""
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         _sessionize_fn,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )

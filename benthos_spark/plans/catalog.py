@@ -1202,8 +1202,8 @@ def select_parts_orders(spark, sf_dir):
     "workflow_lineitem",
     """
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS disc_price,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS disc_cents,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)::BIGINT AS charge_cents,
            CASE WHEN l_quantity > 40 THEN 'bulk' ELSE 'retail' END AS class
     FROM lineitem
     """,
@@ -1211,7 +1211,9 @@ def select_parts_orders(spark, sf_dir):
 def workflow_lineitem(spark, sf_dir):
     """`workflow` (processor_workflow.go:27): DAG of named stages with
     dependency auto-ordering — `charge` depends on `disc_price`; `class`
-    is independent (Catalyst fuses all three into one projection)."""
+    is independent (Catalyst fuses all three into one projection).
+    Money lands as floor-cents: same-double floor is engine-exact where
+    round(x, 2) differs between engines at .xx5 boundaries."""
     li = _t(spark, sf_dir, "lineitem")
     wf = Workflow(
         stages={
@@ -1221,7 +1223,9 @@ def workflow_lineitem(spark, sf_dir):
             ),
             "charge": (
                 ["disc_price"],
-                Mutation({"charge": F.round(F.col("disc_price") * (1 + F.col("l_tax")), 2)}),
+                Mutation(
+                    {"charge_cents": F.floor(F.col("disc_price") * (1 + F.col("l_tax")) * 100).cast("long")}
+                ),
             ),
             "class": (
                 [],
@@ -1230,7 +1234,11 @@ def workflow_lineitem(spark, sf_dir):
         }
     )
     return wf(li).select(
-        "l_orderkey", "l_linenumber", F.round("disc_price", 2).alias("disc_price"), "charge", "class"
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("disc_price") * 100).cast("long").alias("disc_cents"),
+        "charge_cents",
+        "class",
     )
 
 

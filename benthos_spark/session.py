@@ -55,6 +55,12 @@ def get_spark(
         # decoders exceed the host's memory-bandwidth ceiling (~8-12
         # streams), so scan splits are left to Spark's bin-packing.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Vectorized parquet reader: the default 4096-row columnar batch
+        # is sized for narrow rows; at ~100KB/row (audio payloads) it
+        # reserves ~400MB ON-HEAP PER TASK, and 32 concurrent tasks OOM
+        # any reasonable heap. 512 rows ≈ 50MB/task peak — the knob that
+        # matters most for binary-column tables at high parallelism.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         # Binary audio payloads are large; keep broadcast joins for dims.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -1,0 +1,154 @@
+"""Output brokers: fan-out, sequential fan-out, switch, round-robin —
+composed INSIDE one ``foreachBatch`` call so the micro-batch has a single
+commit point.
+
+Reference semantics (/root/reference/internal/impl/pure/):
+
+- ``broker: fan_out`` — copy to all outputs, parent ack only when every
+  child acked (output_broker_fan_out.go:95-115). Here: all child sinks
+  run inside one foreachBatch; the batch "acks" (offset commit) only if
+  none raised — Spark then replays the whole batch, and each idempotent
+  child skips what it already committed, preserving exactly-once per
+  child.
+- ``broker: fan_out_sequential`` (output_broker_fan_out_sequential.go) —
+  same, strictly ordered.
+- ``switch`` (output_switch.go:42-115) — route rows to the first
+  matching case's sink.
+- ``broker: round_robin``/``greedy`` (output_broker_round_robin.go:1-101)
+  — partition rows across outputs; distributed form: hash-mod split
+  (row-level round-robin would need a global counter = a serialization
+  point).
+- ``drop_on``/``fallback`` (output_drop_on.go:30, output_fallback.go:19)
+  — try children in order, first success wins.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Sink = Callable[[DataFrame, int], None]
+
+
+class FanOut:
+    """Write each micro-batch to ALL child sinks (parallel semantics; the
+    persisted batch is computed once, children read the cached plan)."""
+
+    def __init__(self, *sinks: Sink):
+        self.sinks = sinks
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        df = df.persist()
+        try:
+            for sink in self.sinks:
+                sink(df, batch_id)
+        finally:
+            df.unpersist()
+
+
+class FanOutSequential(FanOut):
+    """Alias of FanOut in the DataFrame model — children already run in
+    declaration order inside the single foreachBatch."""
+
+
+class SwitchSink:
+    """Route rows to the first matching case's sink; optional default.
+    ``cases`` = [(condition Column, sink), ...]."""
+
+    def __init__(self, cases: Sequence[tuple[object, Sink]], default: Sink | None = None):
+        self.cases = cases
+        self.default = default
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        df = df.persist()
+        try:
+            prior = F.lit(False)
+            for cond, sink in self.cases:
+                c = F.expr(cond) if isinstance(cond, str) else cond
+                sink(df.filter(c & ~prior), batch_id)
+                prior = prior | c
+            if self.default is not None:
+                self.default(df.filter(~prior), batch_id)
+        finally:
+            df.unpersist()
+
+
+class RoundRobinSink:
+    """Partition each batch across N sinks by a deterministic hash-mod of
+    ``key`` (or all columns). Row-level round-robin needs a global counter
+    — a serialization point a distributed engine refuses on purpose."""
+
+    def __init__(self, sinks: Sequence[Sink], key: str | None = None):
+        self.sinks = list(sinks)
+        self.key = key
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        n = len(self.sinks)
+        key = F.col(self.key) if self.key else F.struct(*df.columns)
+        tagged = df.withColumn("_rr", F.pmod(F.hash(key), F.lit(n))).persist()
+        try:
+            for i, sink in enumerate(self.sinks):
+                sink(tagged.filter(F.col("_rr") == i).drop("_rr"), batch_id)
+        finally:
+            tagged.unpersist()
+
+
+class Fallback:
+    """`fallback`/`try` output (output_fallback.go:19): attempt sinks in
+    order until one succeeds; raise only if all fail (→ batch retry)."""
+
+    def __init__(self, *sinks: Sink):
+        self.sinks = sinks
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        errors: list[Exception] = []
+        for sink in self.sinks:
+            try:
+                sink(df, batch_id)
+                return
+            except Exception as e:  # noqa: BLE001 — fallback must catch everything
+                errors.append(e)
+        raise RuntimeError(f"all fallback sinks failed: {errors}")
+
+
+class DropSink:
+    """`drop` (output_drop.go:18): materialize and discard (still forces
+    the plan so upstream `observe`/metrics fire)."""
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+
+class DropOn:
+    """`drop_on` (output_drop_on.go:30): forward to the child; on error,
+    drop the batch instead of failing the query."""
+
+    def __init__(self, child: Sink):
+        self.child = child
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        try:
+            self.child(df, batch_id)
+        except Exception:  # noqa: BLE001 — drop-on-error is the contract
+            pass
+
+
+class DlqSplit:
+    """Error-routing sink: rows with a null ``_error`` go to ``main``,
+    errored rows to the ``dlq`` (≙ the reference's error-routing cookbook:
+    try/catch + switch output on errored())."""
+
+    def __init__(self, main: Sink, dlq: Sink, error_col: str = "_error"):
+        self.main = main
+        self.dlq = dlq
+        self.error_col = error_col
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        df = df.persist()
+        try:
+            self.main(df.filter(F.col(self.error_col).isNull()).drop(self.error_col), batch_id)
+            self.dlq(df.filter(F.col(self.error_col).isNotNull()), batch_id)
+        finally:
+            df.unpersist()

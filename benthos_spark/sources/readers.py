@@ -144,6 +144,80 @@ def _unpack_container(container: str, inner: str):
     return fn
 
 
+@dataclass
+class GenerateSource(Source):
+    """`generate` input (internal/impl/pure/input_generate.go:29): rows
+    synthesized from a mapping at an interval. Spark-first: the rate
+    source provides (timestamp, value); ``mapping`` columns derive the
+    payload (≙ the Bloblang mapping), all JVM-side. ``count`` bounds the
+    stream for tests (enforced by a filter; the query is stopped by the
+    caller or `availableNow`)."""
+
+    mapping: dict = field(default_factory=dict)  # name -> Column/SQL str
+    rows_per_second: int = 1000
+    count: int | None = None
+    streaming: bool = True
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if self.streaming:
+            df = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", self.rows_per_second)
+                .load()
+            )
+        else:
+            n = self.count or 1000
+            df = spark.range(n).select(
+                F.current_timestamp().alias("timestamp"), F.col("id").alias("value")
+            )
+        if self.count is not None:
+            df = df.filter(F.col("value") < self.count)
+        cols = [(F.expr(e) if isinstance(e, str) else e).alias(k) for k, e in self.mapping.items()]
+        return df.select("timestamp", "value", *cols) if cols else df
+
+
+@dataclass
+class SequenceSource(Source):
+    """`sequence` input (internal/impl/pure/input_sequence.go:27): consume
+    child sources one after another. Batch: ordered union (a `_seq` column
+    records provenance). The sharded-join variant lives in
+    operators/state.py (clip_transcript_join)."""
+
+    children: tuple = ()
+    streaming: bool = False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        dfs = []
+        for i, child in enumerate(self.children):
+            dfs.append(child.read(spark).withColumn("_seq", F.lit(i)))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+
+def read_until(query, predicate, poll_s: float = 0.5, timeout_s: float = 600.0) -> None:
+    """`read_until` input (internal/impl/pure/input_read_until.go:27):
+    consume until a check is true — in Spark, stop the StreamingQuery when
+    ``predicate(progress) -> bool`` holds (e.g. inspect observed metrics
+    or sink state). Blocks until stopped or timed out."""
+    import time as _t
+
+    deadline = _t.time() + timeout_s
+    while _t.time() < deadline and query.isActive:
+        if predicate(query.lastProgress):
+            query.stop()
+            return
+        _t.sleep(poll_s)
+    if query.isActive:
+        query.stop()
+        raise TimeoutError("read_until predicate never satisfied")
+
+
 def fan_in(*dfs: DataFrame) -> DataFrame:
     """`broker` fan-in (internal/impl/pure/input_broker_fan_in.go:1-136):
     merge N sources into one stream."""

@@ -44,10 +44,17 @@ class Pipeline:
         trigger_once: bool = False,
         processing_time: str | None = None,
         query_name: str = "benthos_spark_pipeline",
+        metrics_path: str | None = None,
     ) -> StreamingQuery:
         """Start the stream into a ``foreachBatch`` sink (our exactly-once
         commit point). ``trigger_once`` runs all available data then stops
-        (used by the kill/resume tests and the bench)."""
+        (used by the kill/resume tests and the bench). ``metrics_path``
+        attaches a MetricsListener appending per-batch metrics JSONL there
+        (≙ the reference metric names, see streaming/metrics.py)."""
+        if metrics_path:
+            from benthos_spark.streaming.metrics import attach
+
+            attach(spark, metrics_path)
         df = self.dataframe(spark)
         writer = (
             df.writeStream.outputMode(output_mode)

@@ -91,11 +91,12 @@ def test_array_methods(df):
     assert one(df, bl.sort("arr")) == [1, 2, 3]
     assert one(df, bl.sort_by("arr", lambda x: -x)) == [3, 2, 1]
     assert one(df, bl.unique(F.lit([1, 1, 2]))) == [1, 2]
-    assert one(df, bl.enumerated(F.lit(["a", "b"]))) == [
+    assert [r.asDict() for r in one(df, bl.enumerated(F.lit(["a", "b"])))] == [
         {"index": 0, "value": "a"},
         {"index": 1, "value": "b"},
     ]
-    assert one(df, bl.zip_(F.lit([1, 2]), F.lit([3, 4]))) == [{"0": 1, "1": 3}, {"0": 2, "1": 4}]
+    zipped = [tuple(r) for r in one(df, bl.zip_(F.lit([1, 2]), F.lit([3, 4])))]
+    assert zipped == [(1, 3), (2, 4)]
     assert one(df, bl.concat_arrays(F.lit([1]), F.lit([2]))) == [1, 2]
 
 
@@ -107,8 +108,8 @@ def test_object_methods(df):
     merged = one(df, bl.merge("m", F.create_map(F.lit("c"), F.lit(3))))
     assert merged == {"a": 1, "b": 2, "c": 3}
     st = F.struct(F.lit(1).alias("x"), F.lit(2).alias("y"), F.lit(3).alias("z"))
-    assert one(df, bl.without(st, "y")) == {"x": 1, "z": 3}
-    assert one(df, bl.with_only(st, "y")) == {"y": 2}
+    assert one(df, bl.without(st, "y")).asDict() == {"x": 1, "z": 3}
+    assert one(df, bl.with_only(st, "y")).asDict() == {"y": 2}
     assert one(df, bl.get(F.struct(st.alias("inner")), "inner.z")) == 3
     assert one(df, bl.or_(F.lit(None).cast("int"), 7)) == 7
     assert one(df, bl.type_of(F.lit(1.5))) == "double"

@@ -1,0 +1,94 @@
+"""Cache & rate-limit resources (SURVEY.md §2.6)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from benthos_spark.operators.cache import (
+    CacheGet,
+    CacheWriteSink,
+    FileCache,
+    LRUCache,
+    MemoryCache,
+    MultilevelCache,
+    TokenBucket,
+    TTLCache,
+    admission_options,
+)
+
+
+def test_memory_cache_add_semantics():
+    c = MemoryCache()
+    assert c.add("k", 1)
+    assert not c.add("k", 2)  # dedupe primitive: second add fails
+    assert c.get("k") == 1
+    c.delete("k")
+    assert c.get("k") is None
+
+
+def test_lru_eviction():
+    c = LRUCache(capacity=2)
+    c.set("a", 1)
+    c.set("b", 2)
+    c.get("a")  # refresh a
+    c.set("c", 3)  # evicts b
+    assert c.get("b") is None
+    assert c.get("a") == 1 and c.get("c") == 3
+
+
+def test_ttl_expiry():
+    c = TTLCache(ttl_s=0.2)
+    c.set("k", 42)
+    assert c.get("k") == 42
+    time.sleep(0.3)
+    assert c.get("k") is None
+
+
+def test_file_cache_roundtrip(tmp_path):
+    c = FileCache(str(tmp_path / "fc"))
+    c.set("weird/key name", {"x": 1})
+    assert c.get("weird/key name") == {"x": 1}
+    assert dict(c.items())  # listable
+    c.delete("weird/key name")
+    assert c.get("weird/key name") is None
+
+
+def test_multilevel_write_back():
+    l1, l2 = MemoryCache(), MemoryCache()
+    ml = MultilevelCache(l1, l2)
+    l2.set("k", 7)
+    assert ml.get("k") == 7
+    assert l1.get("k") == 7  # promoted to the upper level
+
+
+def test_cache_get_enrichment(spark):
+    cache = MemoryCache()
+    cache.set("alpha", "A")
+    cache.set("beta", "B")
+    df = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "key string")
+    out = CacheGet(cache, key_col="key", value_col="val")(df)
+    got = {r["key"]: r["val"] for r in out.collect()}
+    assert got == {"alpha": "A", "beta": "B", "gamma": None}
+
+
+def test_cache_write_sink(spark):
+    cache = MemoryCache()
+    df = spark.createDataFrame([("k1", 10), ("k2", 20)], "k string, v int")
+    CacheWriteSink(cache, "k", "v")(df, batch_id=0)
+    assert cache.get("k1") == 10 and cache.get("k2") == 20
+
+
+def test_token_bucket():
+    tb = TokenBucket(count=5, interval_s=0.5)
+    assert all(tb.try_acquire() for _ in range(5))
+    assert not tb.try_acquire()  # drained
+    time.sleep(0.6)
+    assert tb.try_acquire()  # refilled
+
+
+def test_admission_options():
+    opts = admission_options(rows_per_sec=1000, trigger_interval_s=2.0, avg_rows_per_file=100)
+    assert opts["maxOffsetsPerTrigger"] == "2000"
+    assert opts["maxFilesPerTrigger"] == "20"

@@ -1,0 +1,107 @@
+"""YAML config compiler (the `benthos -c config.yaml` surface,
+internal/cli/run.go:282 + stream_builder.go): config -> Pipeline + sink,
+compile-time lint on unknown components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.config import ConfigError, compile_config, run_config
+from benthos_spark.datagen.clips import generate_clips
+
+
+@pytest.fixture(scope="module")
+def clips_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cfg_src"))
+    generate_clips(spark, 100, partitions=2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_batch_config_end_to_end(spark, clips_parquet, tmp_path):
+    out_dir = str(tmp_path / "out")
+    cfg = f"""
+input:
+  parquet: {{path: {clips_parquet}}}
+pipeline:
+  processors:
+    - mutation: {{n_words: "size(split(transcript, ' '))"}}
+    - filter: "dur_ms < 10000"
+output:
+  exactly_once: {{dir: {out_dir}}}
+"""
+    run_config(spark, cfg, checkpoint=str(tmp_path / "ckpt"))
+    from benthos_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(out_dir)
+    got = sink.read_committed(spark)
+    assert "n_words" in got.columns
+    assert got.filter(F.col("dur_ms") >= 10000).count() == 0
+    assert got.count() > 0
+
+
+def test_streaming_config_with_window(spark, clips_parquet, tmp_path):
+    from benthos_spark.datagen.clips import write_sentinel
+
+    write_sentinel(spark, clips_parquet)
+    out_dir = str(tmp_path / "out")
+    cfg = f"""
+input:
+  parquet: {{path: {clips_parquet}, streaming: true}}
+pipeline:
+  processors:
+    - window_agg:
+        ts_col: event_ts
+        size: 1 minute
+        lateness: 30 seconds
+        group_by: [codec]
+        aggs: {{n_clips: "count(1)"}}
+output:
+  exactly_once: {{dir: {out_dir}}}
+"""
+    from benthos_spark.streaming.pipeline import run_to_completion
+
+    q = run_config(spark, cfg, checkpoint=str(tmp_path / "ckpt"))
+    run_to_completion(q, timeout_s=300)
+    from benthos_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+    got = ExactlyOnceParquetSink(out_dir).read_committed(spark)
+    n = (
+        got.filter(F.col("codec") != "_sentinel")
+        .agg(F.sum("n_clips"))
+        .collect()[0][0]
+    )
+    assert n == 100
+
+
+def test_switch_output_config(spark, clips_parquet, tmp_path):
+    cfg = {
+        "input": {"parquet": {"path": clips_parquet}},
+        "output": {
+            "switch": {
+                "cases": [
+                    {"check": "codec = 'pcm_s16le'",
+                     "output": {"exactly_once": {"dir": str(tmp_path / "hot")}}},
+                ],
+                "default": {"exactly_once": {"dir": str(tmp_path / "rest")}},
+            }
+        },
+    }
+    run_config(spark, cfg, checkpoint=str(tmp_path / "ckpt"))
+    from benthos_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+    hot = ExactlyOnceParquetSink(str(tmp_path / "hot")).read_committed(spark)
+    assert hot.filter(F.col("codec") != "pcm_s16le").count() == 0
+
+
+def test_unknown_component_lint():
+    with pytest.raises(ConfigError, match="unknown processor 'frobnicate'"):
+        compile_config(
+            {"input": {"parquet": {"path": "/x"}},
+             "pipeline": {"processors": [{"frobnicate": {}}]},
+             "output": {"drop": {}}}
+        )
+    with pytest.raises(ConfigError, match="unknown input"):
+        compile_config({"input": {"kafka": {}}, "output": {"drop": {}}})
+    with pytest.raises(ConfigError, match="needs"):
+        compile_config({"input": {"parquet": {"path": "/x"}}})

@@ -175,3 +175,56 @@ def test_workflow_cycle_detection():
 
 def test_filter(df):
     assert Filter(F.col("score") > 25)(df).count() == 2
+
+
+def test_while_loop(spark):
+    from benthos_spark.operators.processors import While
+
+    df = spark.createDataFrame([(1,), (40,)], "v int")
+    # per-row loop: double v while THAT row is below 100
+    w = While(
+        cond=F.col("v") < 100,
+        processors=[Mutation({"v": F.col("v") * 2})],
+        max_loops=20,
+    )
+    got = sorted(r["v"] for r in w(df).collect())
+    assert got == [128, 160]  # 1 doubles 7x -> 128; 40 doubles 2x -> 160
+
+
+def test_cached_memoizes(spark):
+    from benthos_spark.operators.processors import Cached
+
+    calls = []
+
+    class Counting(Mutation):
+        def __call__(self, df):
+            calls.append(1)
+            return super().__call__(df)
+
+    df = spark.createDataFrame([(1,)], "v int")
+    proc = Cached([Counting({"w": F.col("v") + 1})], key="test-cached-1")
+    a = proc(df)
+    b = proc(df)
+    assert len(calls) == 1  # second call served from the registry
+    assert a is b
+    Cached.REGISTRY.pop("test-cached-1").unpersist()
+
+
+def test_generate_source_batch(spark):
+    from benthos_spark.sources.readers import GenerateSource
+
+    src = GenerateSource(
+        mapping={"clip_no": "value", "codec": F.lit("pcm_s16le")}, count=5, streaming=False
+    )
+    rows = src.read(spark).collect()
+    assert len(rows) == 5
+    assert rows[0]["codec"] == "pcm_s16le"
+
+
+def test_sequence_source(spark):
+    from benthos_spark.sources.readers import MemorySource, SequenceSource
+
+    a = MemorySource(spark.createDataFrame([(1,)], "v int"))
+    b = MemorySource(spark.createDataFrame([(2,)], "v int"))
+    out = SequenceSource(children=(a, b)).read(spark)
+    assert {(r["v"], r["_seq"]) for r in out.collect()} == {(1, 0), (2, 1)}

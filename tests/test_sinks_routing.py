@@ -1,0 +1,106 @@
+"""Output-broker sinks (SURVEY.md §2.2): fan-out, switch, round-robin,
+fallback, DLQ split — all inside one foreachBatch commit point, each
+child independently idempotent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.datagen.clips import CLIPS_SCHEMA, generate_clips
+from benthos_spark.sinks.exactly_once import ExactlyOnceParquetSink
+from benthos_spark.sinks.routing import (
+    DlqSplit,
+    DropOn,
+    Fallback,
+    FanOut,
+    RoundRobinSink,
+    SwitchSink,
+)
+from benthos_spark.sources.readers import ParquetSource
+from benthos_spark.streaming.pipeline import Pipeline, run_to_completion
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("routing_src"))
+    generate_clips(spark, N, partitions=3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run(spark, src_dir, sink, tmp_path, name):
+    pipe = Pipeline(source=ParquetSource(src_dir, streaming=True, schema=CLIPS_SCHEMA))
+    q = pipe.start(spark, sink, checkpoint=str(tmp_path / f"{name}_ckpt"), trigger_once=True)
+    run_to_completion(q, timeout_s=300)
+
+
+def test_fan_out_copies_to_all(spark, src_dir, tmp_path):
+    a = ExactlyOnceParquetSink(str(tmp_path / "a"))
+    b = ExactlyOnceParquetSink(str(tmp_path / "b"))
+    _run(spark, src_dir, FanOut(a, b), tmp_path, "fanout")
+    assert a.read_committed(spark).count() == N
+    assert b.read_committed(spark).count() == N
+
+
+def test_switch_routes_first_match(spark, src_dir, tmp_path):
+    hot = ExactlyOnceParquetSink(str(tmp_path / "hot"))
+    rest = ExactlyOnceParquetSink(str(tmp_path / "rest"))
+    sink = SwitchSink(cases=[(F.col("codec") == "pcm_s16le", hot)], default=rest)
+    _run(spark, src_dir, sink, tmp_path, "switch")
+    n_hot = hot.read_committed(spark).count()
+    n_rest = rest.read_committed(spark).count()
+    assert n_hot + n_rest == N
+    assert hot.read_committed(spark).filter(F.col("codec") != "pcm_s16le").count() == 0
+    assert rest.read_committed(spark).filter(F.col("codec") == "pcm_s16le").count() == 0
+
+
+def test_round_robin_partitions_all_rows(spark, src_dir, tmp_path):
+    sinks = [ExactlyOnceParquetSink(str(tmp_path / f"rr{i}")) for i in range(3)]
+    _run(spark, src_dir, RoundRobinSink(sinks, key="clip_id"), tmp_path, "rr")
+    counts = [s.read_committed(spark).count() for s in sinks]
+    assert sum(counts) == N
+    assert all(c > 0 for c in counts)  # hash-mod spreads the keys
+    ids = set()
+    for s in sinks:
+        ids |= {r["clip_id"] for r in s.read_committed(spark).select("clip_id").collect()}
+    assert len(ids) == N  # disjoint, complete
+
+
+def test_fallback_uses_second_on_failure(spark, src_dir, tmp_path):
+    calls = []
+
+    def failing(df, batch_id):
+        calls.append("fail")
+        raise RuntimeError("boom")
+
+    ok = ExactlyOnceParquetSink(str(tmp_path / "fb_ok"))
+    _run(spark, src_dir, Fallback(failing, ok), tmp_path, "fb")
+    assert "fail" in calls
+    assert ok.read_committed(spark).count() == N
+
+
+def test_drop_on_swallows_errors(spark, src_dir, tmp_path):
+    def failing(df, batch_id):
+        raise RuntimeError("boom")
+
+    # must not raise — the query completes with the batch dropped
+    _run(spark, src_dir, DropOn(failing), tmp_path, "dropon")
+
+
+def test_dlq_split(spark, src_dir, tmp_path):
+    from benthos_spark.operators.processors import Tag
+
+    main = ExactlyOnceParquetSink(str(tmp_path / "main"))
+    dlq = ExactlyOnceParquetSink(str(tmp_path / "dlq"))
+    pipe = Pipeline(
+        source=ParquetSource(src_dir, streaming=True, schema=CLIPS_SCHEMA),
+        processors=[Tag(cond=F.col("dur_ms") > 2000, message=F.lit("too long"))],
+    )
+    q = pipe.start(spark, DlqSplit(main, dlq), checkpoint=str(tmp_path / "dlq_ckpt"), trigger_once=True)
+    run_to_completion(q, timeout_s=300)
+    n_main, n_dlq = main.read_committed(spark).count(), dlq.read_committed(spark).count()
+    assert n_main + n_dlq == N and n_dlq > 0
+    assert "_error" not in main.read_committed(spark).columns
+    assert dlq.read_committed(spark).filter(F.col("_error").isNull()).count() == 0

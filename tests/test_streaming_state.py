@@ -92,7 +92,7 @@ def test_stateful_clip_join(spark, side_dirs, tmp_path):
         .withColumn("codec", F.lit(None).cast("string"))
     )
     union = c.unionByName(t.select(c.columns))
-    joined = stateful_clip_join(union)
+    joined = stateful_clip_join(union, timeout_ms=None)
     sink = _run_to_sink(spark, joined, tmp_path, "apws")
     out = sink.read_committed(spark)
     assert out.count() == N
