@@ -92,6 +92,9 @@ class Switch(Processor):
     keep_unmatched: bool = False
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        fused = self._fuse_mutation_only(df)
+        if fused is not None:
+            return fused
         out = None
         prior = F.lit(False)
         for check, procs in self.cases:
@@ -105,6 +108,42 @@ class Switch(Processor):
             rest = df.filter(~prior)
             out = rest if out is None else out.unionByName(rest, allowMissingColumns=True)
         return out if out is not None else df
+
+    def _fuse_mutation_only(self, df: DataFrame) -> DataFrame | None:
+        """Single-pass plan for the common case: every branch is exactly
+        one pure column assignment (one Mutation). Split-filter-union
+        re-reads the input once PER CASE — a full extra pass over the
+        fact table each at 100 TB — whereas first-match routing over
+        columns is one scan of when/otherwise chains (what Catalyst
+        codegens best). Returns None (general path) otherwise."""
+        chains: list[tuple[Column, dict[str, Column]]] = []
+        for check, procs in self.cases:
+            if len(procs) != 1 or not isinstance(procs[0], Mutation):
+                return None
+            cond = _to_col(check) if check is not None else F.lit(True)
+            chains.append((cond, {k: _to_col(v) for k, v in procs[0].exprs.items()}))
+
+        all_keys: list[str] = []
+        for _, exprs in chains:
+            for k in exprs:
+                if k not in all_keys:
+                    all_keys.append(k)
+
+        out_cols: dict[str, Column] = {}
+        for k in all_keys:
+            keep = F.col(k) if k in df.columns else F.lit(None)
+            expr = None
+            for cond, exprs in chains:
+                expr_val = exprs.get(k, keep)
+                expr = F.when(cond, expr_val) if expr is None else expr.when(cond, expr_val)
+            out_cols[k] = expr.otherwise(keep) if k in df.columns else expr
+        out = df.withColumns(out_cols)
+        if not self.keep_unmatched:
+            matched = None
+            for cond, _ in chains:
+                matched = cond if matched is None else (matched | cond)
+            out = out.filter(matched)
+        return out
 
 
 @dataclass
