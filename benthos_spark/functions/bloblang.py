@@ -259,6 +259,16 @@ def parse_url(col, part: str = "HOST") -> Column:
     return F.parse_url(_c(col), F.lit(part))
 
 
+def parse_xml(col, schema: str) -> Column:
+    """xml/bloblang.go:14 ``parse_xml`` — schema-on-read like parse_json."""
+    return F.from_xml(_c(col), F.lit(schema))
+
+
+def format_xml(col) -> Column:
+    """xml/bloblang.go:61 ``format_xml`` over a struct column."""
+    return F.to_xml(_c(col))
+
+
 # ---------------------------------------------------------------------------
 # number methods (methods_numbers.go; pure/bloblang_numbers.go)
 # ---------------------------------------------------------------------------

@@ -641,7 +641,19 @@ def _pair_jaccard_sql(threshold: float, candidates_cte: str | None) -> str:
 
 def _pair_jaccard_spark(sh: DataFrame, threshold: float, candidates: DataFrame | None) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("sa"), sh.alias("sb")
+    verify_sh = sh
+    if candidates is not None:
+        # Verify only candidate docs: semi-join the shingle table down
+        # BEFORE the self-join — at scale the candidate set is orders of
+        # magnitude smaller than the corpus, so the O(shared-shingle²)
+        # join runs on a sliver of the data.
+        cand_ids = (
+            candidates.select(F.col("a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        verify_sh = sh.join(F.broadcast(cand_ids), "doc_id")
+    a, b = verify_sh.alias("sa"), verify_sh.alias("sb")
     inter = a.join(b, (F.col("sa.sh") == F.col("sb.sh")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
     inter = inter.select(F.col("sa.doc_id").alias("a"), F.col("sb.doc_id").alias("b"))
     if candidates is not None:

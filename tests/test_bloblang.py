@@ -139,3 +139,11 @@ def test_functions(df):
     v = one(df, bl.random_int(100))
     assert 0 <= v < 100
     assert one(df, bl.timestamp_unix()) > 1_700_000_000
+
+
+def test_xml_functions(df):
+    x = F.lit("<item><id>7</id><name>disk</name></item>")
+    parsed = one(df, bl.parse_xml(x, "id int, name string"))
+    assert parsed["id"] == 7 and parsed["name"] == "disk"
+    rendered = one(df, bl.format_xml(F.struct(F.lit(3).alias("n"))))
+    assert "<n>3</n>" in rendered
