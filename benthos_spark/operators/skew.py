@@ -24,17 +24,21 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
-def salted_repartition(df: DataFrame, keys: Sequence[str], buckets: int) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, keys: Sequence[str], buckets: int, num_partitions: int | None = None
+) -> DataFrame:
     """Spread each hot key over ``buckets`` partitions: repartition by
     (keys..., salt). The salt is a deterministic hash of the full row
     spread into ``buckets`` — not rand(), so retried tasks land rows in
-    the same partition (replay-stable, required under exactly-once)."""
+    the same partition (replay-stable, required under exactly-once).
+    Pass ``num_partitions`` to pin the physical partition count (an
+    explicit count also stops AQE from coalescing the spread away on
+    small inputs)."""
     salt = F.pmod(F.hash(F.struct(*df.columns)), F.lit(buckets))
-    return (
-        df.withColumn(SALT_COL, salt)
-        .repartition(*[F.col(k) for k in keys], F.col(SALT_COL))
-        .drop(SALT_COL)
-    )
+    cols = [F.col(k) for k in keys] + [F.col(SALT_COL)]
+    salted = df.withColumn(SALT_COL, salt)
+    out = salted.repartition(num_partitions, *cols) if num_partitions else salted.repartition(*cols)
+    return out.drop(SALT_COL)
 
 
 def salted_agg(

@@ -1317,3 +1317,28 @@ def video_frame_sample(spark, sf_dir):
         .groupBy("video_id")
         .agg(F.count(F.lit(1)).alias("n_frames_sampled"))
     )
+
+
+@register(
+    "salted_agg_events",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_agg_events(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py): partials over
+    (key, salt) then merge per key — same answer as the plain group-by
+    (the oracle), but the hot key's rows fan over `buckets` reducers.
+    round() is applied after BOTH phases so the fold order inside
+    partials cannot leak into the compared values."""
+    from benthos_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={"n": (F.count(F.lit(1)), F.sum("n")), "total": (F.sum("value"), F.sum("total"))},
+        buckets=16,
+    )
+    return out.select("event_type", "n", F.round("total", 2).alias("total"))

@@ -104,3 +104,18 @@ def test_dlq_split(spark, src_dir, tmp_path):
     assert n_main + n_dlq == N and n_dlq > 0
     assert "_error" not in main.read_committed(spark).columns
     assert dlq.read_committed(spark).filter(F.col("_error").isNull()).count() == 0
+
+
+def test_iceberg_sink_gates_cleanly(spark):
+    """No Iceberg runtime in this sandbox: the sink must fail loudly with
+    guidance (the parquet ledger sink is the drop-in same-protocol
+    fallback), not silently mis-commit."""
+    import pytest as _pytest
+
+    from benthos_spark.sinks.iceberg import ExactlyOnceIcebergSink, iceberg_available
+
+    assert not iceberg_available(spark)
+    sink = ExactlyOnceIcebergSink("cat.db.clips")
+    df = spark.range(1)
+    with _pytest.raises(NotImplementedError, match="Iceberg runtime"):
+        sink(df, 0)

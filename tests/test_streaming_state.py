@@ -149,3 +149,26 @@ def test_transcode_stage_roundtrip(spark):
         ref = clipgen.reference_signal(i, int(p["sr_hz"][0]), int(p["dur_ms"][0]))
         ref_rs = audio.resample_linear(ref, int(p["sr_hz"][0]), 16000)
         assert audio.snr_db(ref_rs, audio.decode(bytes(r["bytes"]), "pcm_s16le")) >= 25.0
+
+
+def test_rocksdb_state_store_backend(spark, side_dirs, tmp_path):
+    """The north-star state backend: the same watermarked dedupe runs on
+    the RocksDB state store provider (changelog-checkpointed, the
+    at-scale choice over the default HDFS-backed in-memory map)."""
+    cdir, _ = side_dirs
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = _read_stream(spark, cdir, CLIP_SIDE_SCHEMA)
+        doubled = s.unionByName(s)
+        deduped = dedupe_within_watermark(doubled, ["clip_id"], "event_ts", "10 minutes")
+        sink = _run_to_sink(spark, deduped, tmp_path, "rocksdb")
+        assert sink.read_committed(spark).count() == N
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
