@@ -673,15 +673,32 @@ def _pair_jaccard_spark(sh: DataFrame, threshold: float, candidates: DataFrame |
     return j.select("a", "b", F.round("jacc_raw", 4).alias("jacc"))
 
 
+# 2-universal hash family over the 60-bit shingle hash, computed from ONE
+# md5 per shingle: h -> (a_k*hi30 + b_k*lo30 + c_k), products < 2^61 so
+# signed-64 arithmetic is overflow-free and identical on both engines.
+_MH_A = [1053183929, 1572204557, 1377461911, 1141592653, 1899999979, 1683627179, 1216371019, 1472887433]
+_MH_B = [1779033703, 1013904243, 1359479999, 1586611099, 1894007591, 1100160641, 1259212777, 1968044101]
+_MH_C = [97531, 86421, 75319, 64207, 53191, 42077, 31063, 20051]
+
+
 def _minhash_oracle() -> str:
     k, bands = _MINHASH_K, _MINHASH_BANDS
+    terms = ",\n             ".join(
+        f"min({_MH_A[i]} * (h >> 30) + {_MH_B[i]} * (h & 1073741823) + {_MH_C[i]}) AS mh{i}"
+        for i in range(k)
+    )
+    unpivot = ", ".join(f"(doc_id, {i}, mh{i})" for i in range(k))
     return f"""
     WITH {_SHINGLES_SQL},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM shingles
+    ),
+    mins AS (
+      SELECT doc_id, {terms}
+      FROM hashed GROUP BY doc_id
+    ),
     hashes AS (
-      SELECT doc_id, t.k AS k,
-             min(('0x' || substr(md5(t.k || ':' || sh), 1, 15))::BIGINT) AS mh
-      FROM shingles, unnest(range({k})) AS t(k)
-      GROUP BY doc_id, t.k
+      {" UNION ALL ".join(f"SELECT doc_id, {i} AS k, mh{i} AS mh FROM mins" for i in range(k))}
     ),
     bands AS (
       SELECT doc_id, k // 2 AS band,
@@ -707,8 +724,13 @@ def minhash_lsh_neardup(spark, sf_dir):
     — never shingle sets — and the verify join touches candidate docs only.
     """
     sh = _shingles_df(spark, sf_dir).persist()
+    h = _h60(F.col("sh"))
+    hi, lo = F.shiftright(h, 30), h.bitwiseAND(F.lit((1 << 30) - 1))
     mins = sh.groupBy("doc_id").agg(
-        *[F.min(_h60(F.col("sh"), str(k))).alias(f"mh{k}") for k in range(_MINHASH_K)]
+        *[
+            F.min(F.lit(_MH_A[k]) * hi + F.lit(_MH_B[k]) * lo + F.lit(_MH_C[k])).alias(f"mh{k}")
+            for k in range(_MINHASH_K)
+        ]
     )
     band_cols = [
         F.concat_ws("_", F.col(f"mh{2*b}").cast("string"), F.col(f"mh{2*b+1}").cast("string")).alias(
