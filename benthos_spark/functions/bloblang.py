@@ -498,6 +498,61 @@ def type_of(col) -> Column:
     return F.typeof(_c(col))
 
 
+def not_empty(col) -> Column:
+    """methods_structured.go:1150 — null out empty strings/arrays so
+    downstream `or()`/`catch` defaults fire."""
+    c = _c(col)
+    return F.when(F.length(F.concat_ws("", F.array(c.cast("string")))) > 0, c)
+
+
+def catch_(col, fallback) -> Column:
+    """methods.go:119 ``catch()`` — the expression-level error recovery:
+    null (the Column-world failure value, e.g. from try_cast/try_divide)
+    falls back."""
+    return F.coalesce(_c(col), fallback if isinstance(fallback, Column) else F.lit(fallback))
+
+
+def parse_form_url_encoded(col) -> Column:
+    """pure/bloblang_string.go:14 — query string → map with url-decoded
+    values (str_to_map + transform_values, all JVM-side)."""
+    m = F.str_to_map(_c(col), F.lit("&"), F.lit("="))
+    return F.transform_values(m, lambda k, v: F.url_decode(v))
+
+
+def squash(cols: list[Column]) -> Column:
+    """pure/bloblang_objects.go:13 ``squash()`` — merge an array of maps,
+    later keys win."""
+    out = None
+    for c in cols:
+        out = c if out is None else F.map_concat(F.map_filter(out, lambda k, v: ~F.map_contains_key(c, k)), c)
+    return out
+
+
+def collapse(df, col: str, sep: str = ".") -> Column:
+    """methods_structured.go:143 ``collapse()`` — flatten a struct column
+    to a {dot.path: value} map. Schema-driven (leaf paths come from the
+    DataFrame schema), values stringified like the reference's dynamic
+    model."""
+    from pyspark.sql import types as T
+
+    def leaves(dt, prefix):
+        if isinstance(dt, T.StructType):
+            out = []
+            for f in dt.fields:
+                out += leaves(f.dataType, prefix + [f.name])
+            return out
+        return [prefix]
+
+    schema = df.schema[col].dataType
+    pairs = []
+    for path in leaves(schema, []):
+        c = F.col(col)
+        for part in path:
+            c = c.getField(part)
+        pairs += [F.lit(sep.join(path)), c.cast("string")]
+    return F.create_map(*pairs)
+
+
 # ---------------------------------------------------------------------------
 # field interpolation `${! expr }` (internal/bloblang/field/expression.go)
 # ---------------------------------------------------------------------------

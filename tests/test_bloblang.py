@@ -147,3 +147,28 @@ def test_xml_functions(df):
     assert parsed["id"] == 7 and parsed["name"] == "disk"
     rendered = one(df, bl.format_xml(F.struct(F.lit(3).alias("n"))))
     assert "<n>3</n>" in rendered
+
+
+def test_object_extras(spark, df):
+    assert one(df, bl.catch_(F.lit(None).cast("int"), 9)) == 9
+    assert one(df, bl.catch_(F.try_divide(F.lit(1), F.lit(0)), -1.0)) == -1.0
+    assert one(df, bl.not_empty(F.lit(""))) is None
+    assert one(df, bl.not_empty(F.lit("x"))) == "x"
+    form = one(df, bl.parse_form_url_encoded(F.lit("a=1&b=hello%20world")))
+    assert form == {"a": "1", "b": "hello world"}
+    sq = one(
+        df,
+        bl.squash([
+            F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)),
+            F.create_map(F.lit("b"), F.lit(9), F.lit("c"), F.lit(3)),
+        ]),
+    )
+    assert sq == {"a": 1, "b": 9, "c": 3}
+
+
+def test_collapse(spark):
+    d = spark.createDataFrame(
+        [((1, ("x", 2.5)),)], "s struct<a:int, inner:struct<name:string, v:double>>"
+    )
+    got = d.select(bl.collapse(d, "s").alias("m")).collect()[0]["m"]
+    assert got == {"a": "1", "inner.name": "x", "inner.v": "2.5"}
