@@ -78,6 +78,12 @@ def main() -> None:
     spark = get_spark(app="benthos-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM/codegen path so the first measured query isn't charged
+    # session startup (the reference's Go benchmarks likewise exclude
+    # setup via b.ResetTimer).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
     timings: dict[str, float] = {}
     total0 = time.time()
     for name in BATCH_QUERIES:

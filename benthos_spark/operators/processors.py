@@ -622,6 +622,65 @@ class DedupeDeterministic(Processor):
         return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+META_COL = "_meta"
+
+
+def ensure_meta_col(df: DataFrame) -> DataFrame:
+    if META_COL not in df.columns:
+        df = df.withColumn(META_COL, F.create_map().cast("map<string,string>"))
+    return df
+
+
+@dataclass
+class WithMeta(Processor):
+    """Metadata assignment (`meta foo = ...`,
+    internal/bloblang/parser/mapping_parser.go:363; accessors
+    internal/message/part.go:121-164): the untyped per-message metadata
+    side-channel is a ``_meta map<string,string>`` column; assignments
+    merge in (later keys win, like repeated `meta` statements)."""
+
+    entries: dict[str, object]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        df = ensure_meta_col(df)
+        pairs = []
+        for k, v in self.entries.items():
+            pairs += [F.lit(k), _to_col(v).cast("string")]
+        update = F.create_map(*pairs)
+        merged = F.map_concat(
+            F.map_filter(F.col(META_COL), lambda k, v: ~F.map_contains_key(update, k)), update
+        )
+        return df.withColumn(META_COL, merged)
+
+
+@dataclass
+class MetaFilter(Processor):
+    """Output metadata include-filter
+    (internal/metadata/include_filter.go:33-34): keep only meta keys with
+    one of the ``include_prefixes`` or matching ``include_patterns``."""
+
+    include_prefixes: Sequence[str] = field(default_factory=list)
+    include_patterns: Sequence[str] = field(default_factory=list)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        df = ensure_meta_col(df)
+
+        def keep(k, v):
+            cond = F.lit(False)
+            for p in self.include_prefixes:
+                cond = cond | k.startswith(p)
+            for pat in self.include_patterns:
+                cond = cond | k.rlike(pat)
+            return cond
+
+        return df.withColumn(META_COL, F.map_filter(F.col(META_COL), keep))
+
+
+def meta_get(key: str):
+    """`metadata("key")` (internal/bloblang/query/functions.go:509)."""
+    return F.col(META_COL).getItem(key)
+
+
 def compose(df: DataFrame, processors: Iterable[Processor]) -> DataFrame:
     for p in processors:
         df = p(df)

@@ -1364,3 +1364,37 @@ def salted_agg_events(spark, sf_dir):
         buckets=16,
     )
     return out.select("event_type", "n", F.round("total", 2).alias("total"))
+
+
+@register(
+    "window_canonical_traffic",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end_timestamp,
+           event_type,
+           count(DISTINCT user_id) AS unique_users,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def window_canonical_traffic(spark, sf_dir):
+    """The reference's canonical windowed-aggregation example
+    (buffer_system_window.go:94-118: tumbling window → group_by_value →
+    unique() count + sum), keyed on event_type with user_id as the
+    colliding 'registration plate'; stamps window_end_timestamp like the
+    buffer stamps its flush metadata (:374)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count_distinct("user_id").alias("unique_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end_timestamp"),
+            "event_type",
+            "unique_users",
+            "total_value",
+        )
+    )

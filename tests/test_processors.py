@@ -228,3 +228,18 @@ def test_sequence_source(spark):
     b = MemorySource(spark.createDataFrame([(2,)], "v int"))
     out = SequenceSource(children=(a, b)).read(spark)
     assert {(r["v"], r["_seq"]) for r in out.collect()} == {(1, 0), (2, 1)}
+
+
+def test_metadata_model(spark):
+    from benthos_spark.operators.processors import MetaFilter, WithMeta, meta_get
+
+    df = spark.createDataFrame([(1, "pcm_s16le")], "id int, codec string")
+    chain = [
+        WithMeta({"kafka_topic": F.lit("clips"), "kafka_key": F.col("codec"), "tmp_debug": F.lit("x")}),
+        WithMeta({"kafka_key": F.upper("codec")}),  # overwrite wins
+        MetaFilter(include_prefixes=["kafka_"]),
+    ]
+    out = compose(df, chain)
+    row = out.select(meta_get("kafka_topic").alias("t"), meta_get("kafka_key").alias("k"),
+                     meta_get("tmp_debug").alias("d")).collect()[0]
+    assert (row["t"], row["k"], row["d"]) == ("clips", "PCM_S16LE", None)
