@@ -48,12 +48,15 @@ class Processor:
 class Mapping(Processor):
     """Construct a brand-new document per message (Bloblang ``root = {...}``,
     internal/impl/pure/processor_mapping.go:15). ``exprs`` maps output
-    column name → Column/SQL string; the output contains ONLY these."""
+    column name → Column/SQL string; the output payload contains ONLY
+    these — but the metadata and error side-channels survive (they live
+    on the Part, not in the payload: internal/message/part.go:8-11)."""
 
     exprs: dict[str, object]
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        return df.select(*[_to_col(e).alias(name) for name, e in self.exprs.items()])
+        side = [c for c in (META_COL, ERROR_COL) if c in df.columns]
+        return df.select(*[_to_col(e).alias(name) for name, e in self.exprs.items()], *side)
 
 
 @dataclass

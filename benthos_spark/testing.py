@@ -1,0 +1,123 @@
+"""Declarative pipeline unit tests — the `benthos test` harness
+(/root/reference/internal/cli/test/case.go:16-90; output conditions
+internal/cli/test/condition.go:42-96) on DataFrames.
+
+A case YAML looks like the reference's::
+
+    tests:
+      - name: routes urgent orders
+        target_processors:
+          - mutation: {tier: "CASE WHEN priority <= 2 THEN 'urgent' ELSE 'normal' END"}
+        input_batch:
+          - json: {id: 1, priority: 1}
+            metadata: {topic: orders}
+          - json: {id: 2, priority: 5}
+        output_batch:
+          - json_equals: {id: 1, priority: 1, tier: urgent}
+            metadata_equals: {topic: orders}
+          - json_contains: {tier: normal}
+
+Processors come from the same registry as pipeline configs
+(benthos_spark.config), so a case exercises exactly what production
+wiring runs. Rows are matched by ORDER of the output batch after a
+deterministic sort on the input's column order (the reference preserves
+arrival order; a distributed engine imposes one).
+
+Matcher parity (condition.go): ``json_equals``, ``json_contains``,
+``content_equals`` (string payload column `content`),
+``content_matches`` (regex), ``metadata_equals``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+import yaml
+from pyspark.sql import Row, SparkSession
+
+from benthos_spark.config import _proc
+from benthos_spark.operators.processors import META_COL, WithMeta, compose
+
+
+class CaseFailure(AssertionError):
+    pass
+
+
+def _rows_from_input(spark: SparkSession, batch: list[dict]):
+    payloads = []
+    metas = []
+    for msg in batch:
+        if "json" in msg:
+            payloads.append(dict(msg["json"]))
+        elif "content" in msg:
+            payloads.append({"content": msg["content"]})
+        else:
+            raise ValueError("input message needs `json` or `content`")
+        metas.append({str(k): str(v) for k, v in (msg.get("metadata") or {}).items()})
+    keys = list(payloads[0].keys())
+    for p in payloads:
+        if list(p.keys()) != keys:
+            raise ValueError("all input messages in a case must share the same fields")
+    # the case index rides in the metadata side-channel, which (like the
+    # reference's Part metadata) survives document-replacing mappings
+    for i, m in enumerate(metas):
+        m["__case_ix"] = str(i)
+    df = spark.createDataFrame([Row(**p, _case_ix=i) for i, p in enumerate(payloads)])
+    meta_df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(metas)], f"_case_ix bigint, {META_COL} map<string,string>"
+    )
+    return df.join(meta_df, "_case_ix", "left").drop("_case_ix")
+
+
+def _check_row(expected: dict, got: Row, ix: int) -> None:
+    d = got.asDict(recursive=True)
+    meta = d.pop(META_COL, None) or {}
+    d.pop("_case_ix", None)
+    for cond, arg in expected.items():
+        if cond == "json_equals":
+            if d != arg:
+                raise CaseFailure(f"row {ix}: json_equals: got {d!r}, want {arg!r}")
+        elif cond == "json_contains":
+            for k, v in arg.items():
+                if d.get(k) != v:
+                    raise CaseFailure(f"row {ix}: json_contains[{k}]: got {d.get(k)!r}, want {v!r}")
+        elif cond == "content_equals":
+            if d.get("content") != arg:
+                raise CaseFailure(f"row {ix}: content_equals: got {d.get('content')!r}")
+        elif cond == "content_matches":
+            if not re.search(arg, str(d.get("content"))):
+                raise CaseFailure(f"row {ix}: content_matches {arg!r}: got {d.get('content')!r}")
+        elif cond == "metadata_equals":
+            for k, v in arg.items():
+                if meta.get(k) != str(v):
+                    raise CaseFailure(f"row {ix}: metadata[{k}]: got {meta.get(k)!r}, want {v!r}")
+        else:
+            raise ValueError(f"unknown condition {cond!r}")
+
+
+def run_case(spark: SparkSession, case: dict) -> None:
+    """Run one declarative case; raises CaseFailure on mismatch."""
+    procs = [_proc(p) for p in case.get("target_processors", [])]
+    df = _rows_from_input(spark, case["input_batch"])
+    out = compose(df, procs)
+    rows = sorted(out.collect(), key=lambda r: int((r[META_COL] or {}).get("__case_ix", 0)))
+    expected = case.get("output_batch", [])
+    if len(rows) != len(expected):
+        raise CaseFailure(
+            f"{case.get('name', '?')}: expected {len(expected)} output rows, got {len(rows)}"
+        )
+    for ix, (exp, got) in enumerate(zip(expected, rows)):
+        _check_row(exp, got, ix)
+
+
+def run_cases(spark: SparkSession, yaml_text: str) -> list[str]:
+    """Run a `tests:` document; returns the passing case names (raises on
+    the first failure, pytest-style)."""
+    doc = yaml.safe_load(yaml_text)
+    passed = []
+    for case in doc["tests"]:
+        run_case(spark, case)
+        passed.append(case.get("name", "?"))
+    return passed

@@ -1,0 +1,79 @@
+"""Declarative YAML case harness (`benthos test` parity, SURVEY.md §5
+layer 2) — cases re-expressed from the reference's config/test corpus
+shapes on our column model."""
+
+from __future__ import annotations
+
+import pytest
+
+from benthos_spark.testing import CaseFailure, run_case, run_cases
+
+CASES = """
+tests:
+  - name: mutation routes tiers
+    target_processors:
+      - mutation: {tier: "CASE WHEN priority <= 2 THEN 'urgent' ELSE 'normal' END"}
+    input_batch:
+      - json: {id: 1, priority: 1}
+        metadata: {topic: orders}
+      - json: {id: 2, priority: 5}
+    output_batch:
+      - json_equals: {id: 1, priority: 1, tier: urgent}
+        metadata_equals: {topic: orders}
+      - json_contains: {tier: normal}
+
+  - name: filter drops short content (deduplicate.yaml shape)
+    target_processors:
+      - filter: "length(content) > 3"
+    input_batch:
+      - json: {content: tiny}
+      - json: {content: ab}
+    output_batch:
+      - content_equals: tiny
+
+  - name: grok parses content
+    target_processors:
+      - grok: {col: content, pattern: "%{LOGLEVEL:level} %{GREEDYDATA:message}"}
+    input_batch:
+      - json: {content: "ERROR disk on fire"}
+    output_batch:
+      - json_contains: {level: ERROR, message: "disk on fire"}
+        content_matches: "disk"
+
+  - name: mapping builds new document
+    target_processors:
+      - mapping: {doubled: "v * 2", label: "'x'"}
+    input_batch:
+      - json: {v: 21}
+    output_batch:
+      - json_equals: {doubled: 42, label: x}
+"""
+
+
+def test_case_corpus(spark):
+    assert run_cases(spark, CASES) == [
+        "mutation routes tiers",
+        "filter drops short content (deduplicate.yaml shape)",
+        "grok parses content",
+        "mapping builds new document",
+    ]
+
+
+def test_failure_reports_condition(spark):
+    case = {
+        "target_processors": [{"mutation": {"x": "1"}}],
+        "input_batch": [{"json": {"a": 1}}],
+        "output_batch": [{"json_contains": {"x": 999}}],
+    }
+    with pytest.raises(CaseFailure, match="json_contains"):
+        run_case(spark, case)
+
+
+def test_row_count_mismatch(spark):
+    case = {
+        "target_processors": [{"filter": "a > 10"}],
+        "input_batch": [{"json": {"a": 1}}],
+        "output_batch": [{"json_contains": {"a": 1}}],
+    }
+    with pytest.raises(CaseFailure, match="expected 1 output rows, got 0"):
+        run_case(spark, case)
