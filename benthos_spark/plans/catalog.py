@@ -1398,3 +1398,51 @@ def window_canonical_traffic(spark, sf_dir):
             "total_value",
         )
     )
+
+
+_IVF_LISTS = 16
+_IVF_NPROBE = 2
+
+
+@register("embedding_ann_ivf_topk")  # no oracle: probabilistic recall — rows-only check
+def embedding_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse quantizer = the first {_IVF_LISTS} vectors as
+    deterministic centroids (no training pass — reproducible without
+    randomness); every vector is assigned to its nearest centroid's
+    inverted list; each query probes its {_IVF_NPROBE} nearest lists and
+    runs exact cosine top-k inside them.
+
+    Scale path: centroids broadcast (tiny); the big side is hashed once
+    to its list id; the probe join touches only the probed lists."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    # assign: argmax cosine over the broadcast centroid set
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "cent_id",
+            _cos_spark(F.col("embedding"), F.col("cent_emb")).alias("cs"),
+        )
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cent_id"))
+        )
+    )
+    lists = assigned.filter(F.col("rk") == 1).select("vec_id", "embedding", F.col("cent_id").alias("list_id"))
+    probes = assigned.filter(F.col("rk") <= _IVF_NPROBE).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("cent_id").alias("list_id")
+    ).filter(F.col("q_id") < _N_QUERY)
+    scored = (
+        lists.join(probes, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(_cos_spark(F.col("q_emb"), F.col("embedding")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOPK)
