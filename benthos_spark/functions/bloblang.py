@@ -498,6 +498,100 @@ def type_of(col) -> Column:
     return F.typeof(_c(col))
 
 
+def encrypt_aes(col, key, mode: str = "CBC") -> Column:
+    """methods_strings.go:279 ``encrypt_aes`` — JVM-side ``aes_encrypt``
+    (the IV is generated and embedded in the ciphertext, so decrypt needs
+    only the key — the reference carries the IV alongside instead)."""
+    return F.aes_encrypt(_c(col), _c(key), F.lit(mode), F.lit("PKCS"))
+
+
+def decrypt_aes(col, key, mode: str = "CBC") -> Column:
+    """methods_strings.go:367 ``decrypt_aes``."""
+    return F.aes_decrypt(_c(col), _c(key), F.lit(mode), F.lit("PKCS"))
+
+
+_HTML_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&#34;"), ("'", "&#39;")]
+
+
+def escape_html(col) -> Column:
+    """methods_strings.go:454 (Go html.EscapeString table)."""
+    c = _c(col)
+    for raw, esc in _HTML_ESCAPES:
+        c = F.replace(c, F.lit(raw), F.lit(esc))
+    return c
+
+
+def unescape_html(col) -> Column:
+    """methods_strings.go:511."""
+    c = _c(col)
+    for raw, esc in reversed(_HTML_ESCAPES):
+        c = F.replace(c, F.lit(esc), F.lit(raw))
+    return c
+
+
+def filepath_join(*cols) -> Column:
+    """methods_strings.go:574 — join path segments with '/'."""
+    return F.concat_ws("/", *[_c(c) for c in cols])
+
+
+def filepath_split(col) -> Column:
+    """methods_strings.go:605 — (dir, file) pair as a struct."""
+    c = _c(col)
+    ix = F.length(c) - F.length(F.substring_index(c, "/", -1)) - 1
+    return F.struct(
+        F.when(ix > 0, F.substring(c, 1, ix)).otherwise(F.lit("")).alias("dir"),
+        F.substring_index(c, "/", -1).alias("file"),
+    )
+
+
+def snowflake_id(machine_id: int = 0) -> Column:
+    """lang/bloblang.go:101 ``snowflake_id`` — 41-bit millis since epoch
+    | 10-bit machine | 12-bit sequence (sequence from the per-partition
+    monotonic counter; uniqueness holds per partition like the
+    reference's per-process generator)."""
+    millis = F.unix_millis(F.current_timestamp())
+    seq = F.monotonically_increasing_id().bitwiseAND(F.lit(0xFFF))
+    return (
+        F.shiftleft(millis, 22)
+        + F.lit((machine_id & 0x3FF) << 12)
+        + seq
+    )
+
+
+_CROCKFORD = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+
+def ulid() -> Column:
+    """pure extended ``ulid()`` (internal/impl/pure/extended) — 48-bit
+    timestamp + 80 random bits in Crockford base32. Built from JVM-side
+    primitives (no UDF): time prefix sorts, randomness from rand()."""
+    millis = F.unix_millis(F.current_timestamp())
+    # 10 time chars: millis in base32, left-padded
+    time_part = F.lpad(F.conv(millis.cast("string"), 10, 32), 10, "0")
+    rand_parts = [
+        F.substring(F.conv((F.rand() * (1 << 30)).cast("long").cast("string"), 10, 32), 1, 4)
+        for _ in range(4)
+    ]
+    raw = F.upper(F.concat(time_part, F.lpad(F.concat(*rand_parts), 16, "0")))
+    # conv() uses 0-9A-V digits; translate into the Crockford alphabet
+    return F.translate(raw, "0123456789ABCDEFGHIJKLMNOPQRSTUV", _CROCKFORD)
+
+
+def nanoid(size: int = 21) -> Column:
+    """functions.go:874 ``nanoid()`` — url-safe random id, built from
+    uuid entropy (JVM-side, no UDF)."""
+    ent = F.concat(F.regexp_replace(F.expr("uuid()"), "-", ""), F.regexp_replace(F.expr("uuid()"), "-", ""))
+    return F.substring(ent, 1, size)
+
+
+def ksuid() -> Column:
+    """functions.go:912 ``ksuid()`` — 32-bit seconds since the KSUID
+    epoch (2014-05-13) + 128 random bits, base62-ish rendering."""
+    secs = F.unix_timestamp(F.current_timestamp()) - F.lit(1400000000)
+    ent = F.regexp_replace(F.expr("uuid()"), "-", "")
+    return F.concat(F.lpad(F.conv(secs.cast("string"), 10, 36), 6, "0"), F.substring(ent, 1, 21))
+
+
 def not_empty(col) -> Column:
     """methods_structured.go:1150 — null out empty strings/arrays so
     downstream `or()`/`catch` defaults fire."""

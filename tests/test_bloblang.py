@@ -172,3 +172,27 @@ def test_collapse(spark):
     )
     got = d.select(bl.collapse(d, "s").alias("m")).collect()[0]["m"]
     assert got == {"a": "1", "inner.name": "x", "inner.v": "2.5"}
+
+
+def test_crypto_and_ids(spark, df):
+    key = F.lit("0123456789abcdef")  # 16-byte AES key
+    enc = bl.encrypt_aes(F.lit("secret payload"), key)
+    dec = one(df, bl.decrypt_aes(enc, key).cast("string"))
+    assert dec == "secret payload"
+
+    assert one(df, bl.escape_html(F.lit('<a href="x">&'))) == "&lt;a href=&#34;x&#34;&gt;&amp;"
+    assert one(df, bl.unescape_html(bl.escape_html(F.lit("<b>'hi'</b>")))) == "<b>'hi'</b>"
+
+    assert one(df, bl.filepath_join(F.lit("a"), F.lit("b"), F.lit("c.wav"))) == "a/b/c.wav"
+    fp = one(df, bl.filepath_split(F.lit("x/y/z.txt")))
+    assert (fp["dir"], fp["file"]) == ("x/y", "z.txt")
+    fp2 = one(df, bl.filepath_split(F.lit("plain.txt")))
+    assert (fp2["dir"], fp2["file"]) == ("", "plain.txt")
+
+    sid = one(df, bl.snowflake_id(machine_id=3))
+    assert sid > (1 << 50)  # 41-bit millis shifted left 22
+    u = one(df, bl.ulid())
+    assert len(u) == 26 and all(ch in bl._CROCKFORD for ch in u)
+    assert len(one(df, bl.nanoid())) == 21
+    k = one(df, bl.ksuid())
+    assert len(k) == 27
