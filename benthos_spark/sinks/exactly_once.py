@@ -37,13 +37,25 @@ from pyspark.sql import functions as F
 
 
 class ExactlyOnceParquetSink:
-    def __init__(self, out_dir: str, lineage_cols: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        out_dir: str,
+        lineage_cols: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
+        max_records_per_file: int | None = None,
+    ):
+        """``partition_by`` adds hive-style table partitioning inside each
+        batch dir (at 100 TB the output table is partitioned — readers
+        prune on the partition columns); ``max_records_per_file`` bounds
+        file sizes for wide binary rows."""
         self.out_dir = out_dir
         self.data_dir = os.path.join(out_dir, "data")
         self.ledger_dir = os.path.join(out_dir, "ledger")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.ledger_dir, exist_ok=True)
         self.lineage_cols = lineage_cols
+        self.partition_by = partition_by
+        self.max_records_per_file = max_records_per_file
 
     # -- foreachBatch hook ------------------------------------------------
     def __call__(self, df: DataFrame, batch_id: int) -> None:
@@ -56,7 +68,12 @@ class ExactlyOnceParquetSink:
             stats_exprs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
         df = df.persist()
         try:
-            df.write.mode("overwrite").parquet(batch_dir)
+            writer = df.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            if self.max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+            writer.parquet(batch_dir)
             lineage = [
                 {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in r.asDict().items()}
                 for r in df.groupBy(F.spark_partition_id().alias("partition")).agg(*stats_exprs).collect()
@@ -98,7 +115,8 @@ class ExactlyOnceParquetSink:
         if not batches:
             raise ValueError("no committed batches")
         dirs = [os.path.join(self.data_dir, f"_batch_id={b}") for b in batches]
-        return spark.read.option("basePath", self.data_dir).parquet(*dirs)
+        # `_batch_id` is commit-protocol bookkeeping, not table schema
+        return spark.read.option("basePath", self.data_dir).parquet(*dirs).drop("_batch_id")
 
     def lineage(self) -> list[dict]:
         out = []
