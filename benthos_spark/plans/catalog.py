@@ -1446,3 +1446,112 @@ def embedding_ann_ivf_topk(spark, sf_dir):
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOPK)
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """Pure filter + aggregate — the pushdown showcase: every predicate
+    reaches the parquet scan (PushedFilters) and a single partial+final
+    agg runs, no shuffle of data rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """Semi-join (EXISTS): returned lineitems qualify their order once —
+    `leftsemi` keeps orders unduplicated without a distinct."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """Left-outer join + two-level aggregation (customers with zero
+    orders stay in the distribution — the outer-join null-count shape)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "levenshtein_neardup_prefix",
+    """
+    WITH keys AS (
+      SELECT doc_id,
+             substr(trim(lower(text)), 1, 40) AS k,
+             split_part(trim(lower(text)), ' ', 1) AS bucket
+      FROM documents
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           levenshtein(a.k, b.k) AS dist
+    FROM keys a JOIN keys b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.k, b.k) <= 12
+    """,
+)
+def levenshtein_neardup_prefix(spark, sf_dir):
+    """Edit-distance near-dup on 40-char prefixes, bucketed by first word
+    so the pair space stays linear-ish (the blocking pattern every
+    at-scale fuzzy-dedup uses); levenshtein is native in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.lower(F.col("text")))
+    keys = docs.select(
+        "doc_id",
+        F.substring(norm, 1, 40).alias("k"),
+        F.split_part(norm, F.lit(" "), F.lit(1)).alias("bucket"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    dist = F.levenshtein(F.col("a.k"), F.col("b.k"))
+    return pairs.select(
+        F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), dist.alias("dist")
+    ).filter(F.col("dist") <= 12)
