@@ -142,6 +142,51 @@ def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return np.interp(t_out, np.arange(len(x), dtype=np.float64), x).astype(np.float32)
 
 
+def frame_energies(x: np.ndarray, frame: int = 512, hop: int = 256) -> np.ndarray:
+    """Per-frame RMS energies (the VAD primitive) — strided, no copy."""
+    if len(x) < frame:
+        return np.array([float(np.sqrt(np.mean(np.square(x, dtype=np.float64))))] if len(x) else [], dtype=np.float64)
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx].astype(np.float64)
+    return np.sqrt(np.mean(frames * frames, axis=1))
+
+
+def trim_silence(x: np.ndarray, threshold_db: float = -40.0, frame: int = 512, hop: int = 256) -> np.ndarray:
+    """Energy-gated silence trim at head/tail (the `trim` mapping of an
+    audio ETL): frames quieter than threshold relative to peak RMS are
+    cut from both ends."""
+    e = frame_energies(x, frame, hop)
+    if len(e) == 0:
+        return x
+    peak = float(e.max())
+    if peak <= 0:
+        return x[:0]
+    keep = e >= peak * (10.0 ** (threshold_db / 20.0))
+    nz = np.flatnonzero(keep)
+    if len(nz) == 0:
+        return x[:0]
+    start = int(nz[0]) * hop
+    end = min(int(nz[-1]) * hop + frame, len(x))
+    return x[start:end]
+
+
+def spectral_features(x: np.ndarray, sr_hz: int) -> tuple[float, float]:
+    """(spectral centroid Hz, rolloff-85 Hz) from one rFFT of the whole
+    clip — numpy-vectorized, deterministic."""
+    if len(x) < 8:
+        return 0.0, 0.0
+    mag = np.abs(np.fft.rfft(x.astype(np.float64)))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr_hz)
+    total = float(mag.sum())
+    if total <= 0:
+        return 0.0, 0.0
+    centroid = float((freqs * mag).sum() / total)
+    csum = np.cumsum(mag)
+    rolloff = float(freqs[int(np.searchsorted(csum, 0.85 * total))])
+    return centroid, rolloff
+
+
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     """Signal-to-noise ratio of `test` against reference signal, in dB."""
     n = min(len(ref), len(test))
@@ -207,6 +252,43 @@ def audio_features_map_in_pandas(schema_passthrough_cols: list[str]):
                 n_samples * 1000.0, srs, out=np.zeros(n, dtype=np.float64), where=srs > 0
             )
             out["clip_ok"] = ok
+            yield out
+
+    return fn
+
+
+AUDIO_ANALYSIS_FIELDS = (
+    "trimmed_ms double, voiced_ratio double, spectral_centroid double, rolloff85 double"
+)
+
+
+def audio_analysis_map_in_pandas(passthrough_cols: list[str]):
+    """``mapInPandas`` stage: decode → silence-trim → spectral features
+    (centroid + 85% rolloff via one rFFT) — the analysis pass of an audio
+    training-data pipeline; everything numpy inside one Arrow batch."""
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            trimmed_ms = np.zeros(n)
+            voiced = np.zeros(n)
+            centroid = np.zeros(n)
+            rolloff = np.zeros(n)
+            for i in range(n):
+                try:
+                    x = decode(pdf["bytes"].iat[i], pdf["codec"].iat[i])
+                except Exception:
+                    continue
+                sr = int(pdf["sr_hz"].iat[i])
+                t = trim_silence(x)
+                trimmed_ms[i] = len(t) * 1000.0 / sr if sr else 0.0
+                voiced[i] = len(t) / len(x) if len(x) else 0.0
+                centroid[i], rolloff[i] = spectral_features(t if len(t) else x, sr)
+            out = pdf[passthrough_cols].copy()
+            out["trimmed_ms"] = trimmed_ms
+            out["voiced_ratio"] = voiced
+            out["spectral_centroid"] = centroid
+            out["rolloff85"] = rolloff
             yield out
 
     return fn

@@ -1555,3 +1555,23 @@ def levenshtein_neardup_prefix(spark, sf_dir):
     return pairs.select(
         F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), dist.alias("dist")
     ).filter(F.col("dist") <= 12)
+
+
+@register("audio_analysis_rollup")  # no oracle: binary payloads live outside DuckDB
+def audio_analysis_rollup(spark, sf_dir):
+    """Decode → silence-trim → spectral features (one rFFT per clip) →
+    per-codec rollup; the analysis pass of the audio training pipeline
+    (functions/audio.py: trim_silence + spectral_features)."""
+    from benthos_spark.functions.audio import AUDIO_ANALYSIS_FIELDS, audio_analysis_map_in_pandas
+
+    clips = _clips_for(spark, sf_dir)
+    feats = clips.mapInPandas(
+        audio_analysis_map_in_pandas(["clip_id", "codec", "sr_hz", "dur_ms"]),
+        schema="clip_id string, codec string, sr_hz int, dur_ms int, " + AUDIO_ANALYSIS_FIELDS,
+    )
+    return feats.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("voiced_ratio"), 4).alias("avg_voiced"),
+        F.round(F.avg("spectral_centroid"), 2).alias("avg_centroid"),
+        F.round(F.avg("rolloff85"), 2).alias("avg_rolloff"),
+    )

@@ -51,3 +51,40 @@ def test_duration_and_codec_skew():
     codec_hot = np.mean(p["codec_ix"] == 0)
     assert 0.5 < codec_hot < 0.6  # zipf-skewed hot key
     assert 0.03 < p["is_late"].mean() < 0.07
+
+
+def test_frame_energies_and_trim():
+    sr = 16000
+    # 0.2s silence + 0.5s tone + 0.2s silence
+    tone = clips.reference_signal(3, sr, 500)
+    sil = np.zeros(int(0.2 * sr))
+    x = np.concatenate([sil, tone, sil]).astype(np.float64)
+    e = audio.frame_energies(x)
+    assert len(e) > 10 and e.max() > 0.1
+    t = audio.trim_silence(x)
+    # trimmed to roughly the tone (within one frame of slack each side)
+    assert abs(len(t) - len(tone)) < 1600
+    assert audio.trim_silence(np.zeros(4000)).size == 0
+
+
+def test_spectral_features_locate_tone():
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    x = np.sin(2 * np.pi * 1000.0 * t)
+    centroid, rolloff = audio.spectral_features(x, sr)
+    assert 900 < centroid < 1100  # pure 1kHz tone
+    assert 900 < rolloff < 1200
+
+
+def test_audio_analysis_stage(spark):
+    df = clips.generate_clips(spark, 30, partitions=2)
+    out = df.mapInPandas(
+        audio.audio_analysis_map_in_pandas(["clip_id", "codec", "sr_hz", "dur_ms"]),
+        schema="clip_id string, codec string, sr_hz int, dur_ms int, " + audio.AUDIO_ANALYSIS_FIELDS,
+    ).collect()
+    assert len(out) == 30
+    for r in out:
+        # synthetic clips are tonal throughout: nearly nothing trims
+        assert r["voiced_ratio"] > 0.8
+        assert 50 < r["spectral_centroid"] < 6000
+        assert r["trimmed_ms"] <= r["dur_ms"] + 40
