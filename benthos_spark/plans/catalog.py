@@ -1575,3 +1575,30 @@ def audio_analysis_rollup(spark, sf_dir):
         F.round(F.avg("spectral_centroid"), 2).alias("avg_centroid"),
         F.round(F.avg("rolloff85"), 2).alias("avg_rolloff"),
     )
+
+
+@register(
+    "jq_variant_events",
+    """
+    SELECT event_id,
+           try_cast(json_extract_string(props, '$.k') AS INT) AS k,
+           CASE WHEN try_cast(json_extract_string(props, '$.k') AS INT) >= 50
+                THEN 'high' ELSE 'low' END AS bucket
+    FROM events
+    """,
+)
+def jq_variant_events(spark, sf_dir):
+    """`jq` extraction on the VARIANT document model (functions/dynamic):
+    props parses ONCE into a variant, then paths evaluate without
+    re-parsing — the reference's lazy bytes↔structured duality
+    (internal/message/data.go:30-65), columnar."""
+    from benthos_spark.functions import dynamic as dyn
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_id", dyn.parse_dynamic("props").alias("v"))
+    k = dyn.jq(F.col("v"), ".k", "int")
+    return v.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k >= 50, "high").otherwise("low").alias("bucket"),
+    )
