@@ -172,3 +172,48 @@ def test_rocksdb_state_store_backend(spark, side_dirs, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_outer_join_emits_unmatched(spark, tmp_path):
+    """sharded_join `outer` semantics (input_sequence.go:144-157): clips
+    whose transcript never arrives emit with a NULL transcript once the
+    watermark passes the join window."""
+    import datetime as dt
+
+    import pandas as pd
+
+    full = clipgen.generate_clips(spark, 60, partitions=2)
+    clip_side, transcript_side = clipgen.split_clip_stream(full)
+    # drop a deterministic 25% of transcripts
+    orphaned = transcript_side.filter(F.crc32(F.col("clip_id")) % 4 == 0)
+    kept = transcript_side.filter(F.crc32(F.col("clip_id")) % 4 != 0)
+    n_orphans = orphaned.count()
+    assert n_orphans > 0
+
+    cdir, tdir = str(tmp_path / "c"), str(tmp_path / "t")
+    clip_side.write.parquet(cdir)
+    kept.write.parquet(tdir)
+    # far-future watermark pushers on BOTH sides (outer emission waits for
+    # the watermark to pass the buffered rows' join window)
+    future = clipgen.BASE_TS + dt.timedelta(days=365)
+    spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["s"], "bytes": [b""], "sr_hz": [0], "dur_ms": [0],
+                      "codec": ["_sentinel"], "event_ts": [future]}),
+        schema=CLIP_SIDE_SCHEMA,
+    ).write.mode("append").parquet(cdir)
+    spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["s"], "transcript": [""], "event_ts": [future]}),
+        schema=TRANSCRIPT_SIDE_SCHEMA,
+    ).write.mode("append").parquet(tdir)
+
+    joined = clip_transcript_join(
+        _read_stream(spark, cdir, CLIP_SIDE_SCHEMA),
+        _read_stream(spark, tdir, TRANSCRIPT_SIDE_SCHEMA),
+        how="leftOuter",
+    )
+    sink = _run_to_sink(spark, joined, tmp_path, "outer")
+    out = sink.read_committed(spark).filter(F.col("codec") != "_sentinel")
+    assert out.count() == 60
+    nulls = out.filter(F.col("transcript").isNull())
+    assert nulls.count() == n_orphans
+    assert out.filter(F.col("transcript").isNotNull()).count() == 60 - n_orphans
