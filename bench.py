@@ -42,6 +42,16 @@ BATCH_QUERIES = [
     "embedding_cosine_topk",
     "embedding_ann_lsh_topk",
     "dedupe_documents",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "window_canonical_traffic",
+    "jq_variant_events",
+    "levenshtein_neardup_prefix",
+    "salted_agg_events",
+    "grok_parse_events",
+    "bloblang_string_ops",
+    "interpolate_orders",
 ]
 
 

@@ -1527,7 +1527,8 @@ def q13_customer_distribution(spark, sf_dir):
     WITH keys AS (
       SELECT doc_id,
              substr(trim(lower(text)), 1, 40) AS k,
-             split_part(trim(lower(text)), ' ', 1) AS bucket
+             split_part(trim(lower(text)), ' ', 1) || '|' ||
+             split_part(trim(lower(text)), ' ', 2) AS bucket
       FROM documents
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
@@ -1537,15 +1538,19 @@ def q13_customer_distribution(spark, sf_dir):
     """,
 )
 def levenshtein_neardup_prefix(spark, sf_dir):
-    """Edit-distance near-dup on 40-char prefixes, bucketed by first word
-    so the pair space stays linear-ish (the blocking pattern every
-    at-scale fuzzy-dedup uses); levenshtein is native in both engines."""
+    """Edit-distance near-dup on 40-char prefixes, blocked by the first
+    two words so the pair space stays near-linear (the blocking pattern
+    every at-scale fuzzy-dedup uses — levenshtein cost is quadratic in
+    string length AND pair count, so the block key does the heavy
+    lifting); levenshtein is native in both engines."""
     docs = _t(spark, sf_dir, "documents")
     norm = F.trim(F.lower(F.col("text")))
     keys = docs.select(
         "doc_id",
         F.substring(norm, 1, 40).alias("k"),
-        F.split_part(norm, F.lit(" "), F.lit(1)).alias("bucket"),
+        F.concat_ws(
+            "|", F.split_part(norm, F.lit(" "), F.lit(1)), F.split_part(norm, F.lit(" "), F.lit(2))
+        ).alias("bucket"),
     )
     a, b = keys.alias("a"), keys.alias("b")
     pairs = a.join(
