@@ -1607,3 +1607,22 @@ def jq_variant_events(spark, sf_dir):
         k.alias("k"),
         F.when(k >= 50, "high").otherwise("low").alias("bucket"),
     )
+
+
+@register("audio_transcode_rollup")  # no oracle: binary payloads live outside DuckDB
+def audio_transcode_rollup(spark, sf_dir):
+    """Decode → linear-resample to 16 kHz → re-encode pcm_s16le — the
+    heaviest realistic audio mapping (transcode_map_in_pandas); rollup
+    verifies byte accounting (2 bytes/sample at the target rate)."""
+    from benthos_spark.datagen.clips import CLIPS_SCHEMA
+    from benthos_spark.functions.audio import transcode_map_in_pandas
+
+    clips = _clips_for(spark, sf_dir)
+    out = clips.mapInPandas(transcode_map_in_pandas("pcm_s16le", 16000), schema=CLIPS_SCHEMA)
+    return out.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.length("bytes")).alias("total_bytes"),
+        F.sum((F.length("bytes") == (F.col("dur_ms") * 32).cast("long")).cast("long")).alias(
+            "size_ok"
+        ),
+    )

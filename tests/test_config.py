@@ -105,3 +105,17 @@ def test_unknown_component_lint():
         compile_config({"input": {"kafka": {}}, "output": {"drop": {}}})
     with pytest.raises(ConfigError, match="needs"):
         compile_config({"input": {"parquet": {"path": "/x"}}})
+
+
+def test_examples_compile(spark):
+    """Every shipped example YAML must pass the compile-time lint."""
+    import glob
+
+    from benthos_spark.config import compile_config
+
+    paths = sorted(glob.glob("/root/repo/examples/*.yaml"))
+    assert len(paths) >= 4
+    for p in paths:
+        with open(p) as f:
+            pipe, sink = compile_config(f.read())
+        assert pipe is not None and sink is not None
