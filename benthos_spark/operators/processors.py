@@ -163,7 +163,28 @@ class Branch(Processor):
     row_id_col: str = "_branch_rid"
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        tagged = df.withColumn(self.row_id_col, F.monotonically_increasing_id())
+        # Mutation-only child chains fuse without a join: run them on the
+        # frame directly — request/result isolation holds because only
+        # result_exprs project back, provided no child assignment shadows
+        # an original column.
+        assigned = {
+            k for p in self.processors if isinstance(p, Mutation) for k in p.exprs
+        }
+        if all(isinstance(p, Mutation) for p in self.processors) and not (
+            assigned & set(df.columns)
+        ):
+            child = df
+            for p in self.processors:
+                child = p(child)
+            return child.select(
+                *df.columns, *[_to_col(e).alias(n) for n, e in self.result_exprs.items()]
+            )
+        # General path: the child chain may repartition/aggregate, so the
+        # result joins back by a row id. monotonically_increasing_id is
+        # NOT stable across task retries — persist pins one materialized
+        # assignment both sides reuse (≙ the reference buffering the
+        # originating batch while the branch runs, processor_branch.go).
+        tagged = df.withColumn(self.row_id_col, F.monotonically_increasing_id()).persist()
         child = tagged.select(self.row_id_col, *self.request_cols)
         for p in self.processors:
             child = p(child)

@@ -217,3 +217,35 @@ def test_stream_stream_outer_join_emits_unmatched(spark, tmp_path):
     nulls = out.filter(F.col("transcript").isNull())
     assert nulls.count() == n_orphans
     assert out.filter(F.col("transcript").isNotNull()).count() == 60 - n_orphans
+
+
+def test_sessionize_with_state_burst_closure(spark, tmp_path):
+    """Custom stateful sessionizer: a later burst for the same key closes
+    the earlier session (emitted mid-stream, no timeout needed)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from benthos_spark.operators.state import sessionize_with_state
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for u in (1, 2):
+        for i in range(5):  # burst A
+            rows.append((u, base + dt.timedelta(minutes=i)))
+        for i in range(3):  # burst B, 2h later -> closes burst A
+            rows.append((u, base + dt.timedelta(hours=2, minutes=i)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf, "user_id long, ts timestamp").write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    sessions = sessionize_with_state(stream, timeout_ms=None)
+    sink = _run_to_sink(spark, sessions, tmp_path, "sessb")
+    got = sink.read_committed(spark).collect()
+    # burst A closed for each user; burst B stays open in state
+    assert len(got) == 2
+    for r in got:
+        assert r["n_events"] == 5
+        assert r["session_start"] == base
+        assert r["session_end"] == base + dt.timedelta(minutes=4)
