@@ -98,7 +98,7 @@ def lowercase(col) -> Column:
 
 def trim(col, cutset: str | None = None) -> Column:
     """methods_strings.go:1926."""
-    return F.trim(_c(col)) if cutset is None else F.expr(f"trim(BOTH '{cutset}' FROM ({_sql(col)}))")
+    return F.trim(_c(col)) if cutset is None else F.btrim(_c(col), F.lit(cutset))
 
 
 def trim_prefix(col, prefix: str) -> Column:
@@ -674,7 +674,3 @@ def interpolate(template: str) -> Column:
     return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
-def _sql(col) -> str:
-    if isinstance(col, str):
-        return col
-    raise TypeError("cutset trim requires a SQL-string column reference")

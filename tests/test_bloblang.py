@@ -196,3 +196,17 @@ def test_crypto_and_ids(spark, df):
     assert len(one(df, bl.nanoid())) == 21
     k = one(df, bl.ksuid())
     assert len(k) == 27
+
+
+def test_remaining_helpers(spark, df):
+    assert one(df, bl.decode_hex(F.lit("6869"))) == bytearray(b"hi")
+    assert one(df, bl.escape_url_query(F.lit("a b&c"))) == "a+b%26c"
+    assert one(df, bl.unescape_url_query(F.lit("a+b%26c"))) == "a b&c"
+    assert one(df, bl.parse_url(F.lit("https://h.io/p?q=1"), "HOST")) == "h.io"
+    assert one(df, bl.parse_url(F.lit("https://h.io/p?q=1"), "PATH")) == "/p"
+    assert one(df, bl.map_each_key("m", lambda k: F.upper(k))) in ({"A": 1, "B": 2},)
+    assert one(df, bl.hash_(F.lit("x"), "xxhash64")) is not None
+    assert one(df, bl.hash_(F.lit("x"), "crc32")) is not None
+    assert one(df, bl.trim(F.lit("xxabcxx"), "x")) == "abc"
+    v = one(df, bl.counter())
+    assert isinstance(v, int)

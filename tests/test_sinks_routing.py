@@ -119,3 +119,23 @@ def test_iceberg_sink_gates_cleanly(spark):
     df = spark.range(1)
     with _pytest.raises(NotImplementedError, match="Iceberg runtime"):
         sink(df, 0)
+
+
+def test_sink_crash_between_write_and_ledger(spark, tmp_path):
+    """F5 crash window: data written but ledger missing (crash before the
+    atomic rename) — the replay overwrites the stage dir and commits
+    exactly once; a half-written .tmp ledger is never visible."""
+    import os
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    df = spark.range(50).selectExpr("id", "id * 2 AS v")
+    # simulate: the data write succeeded but the process died pre-commit
+    df.write.parquet(os.path.join(sink.data_dir, "_batch_id=7"))
+    open(os.path.join(sink.ledger_dir, "7.json.tmp.deadbeef"), "w").write("{partial")
+    assert sink.committed_batches() == []  # neither stage nor tmp visible
+
+    sink(df, batch_id=7)  # the replay
+    assert sink.committed_batches() == [7]
+    assert sink.read_committed(spark).count() == 50
+    sink(df, batch_id=7)  # second replay: no-op
+    assert sink.committed_rows() == 50
