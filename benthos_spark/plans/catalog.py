@@ -1430,6 +1430,7 @@ def embedding_ann_ivf_topk(spark, sf_dir):
         .withColumn(
             "rk", F.row_number().over(Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cent_id"))
         )
+        .persist()  # fed to both the inverted lists and the probe sets
     )
     lists = assigned.filter(F.col("rk") == 1).select("vec_id", "embedding", F.col("cent_id").alias("list_id"))
     probes = assigned.filter(F.col("rk") <= _IVF_NPROBE).select(

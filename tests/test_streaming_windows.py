@@ -144,3 +144,62 @@ def test_stateful_join_kill_resume(spark, tmp_path):
     out = sink.read_committed(spark)
     assert out.count() == N
     assert out.groupBy("clip_id").count().filter("count > 1").count() == 0
+
+
+def test_sliding_window_kill_resume(spark, clips_dir, tmp_path):
+    """F5 under a SLIDING window: kill mid-run, resume — committed counts
+    must stay within [watermark-strict, no-drop] bounds per (window) and
+    no (window) key may commit twice (exactly-once per (row, window),
+    SURVEY §7 hard part (b))."""
+    ckpt = str(tmp_path / "ckpt")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+
+    def pipeline(trigger_once: bool):
+        pipe = Pipeline(
+            source=ParquetSource(
+                clips_dir, streaming=True, schema=CLIPS_SCHEMA, max_files_per_trigger=1
+            ),
+            processors=[
+                WindowAgg(
+                    ts_col="event_ts", size="2 minutes", slide="1 minute",
+                    lateness="30 seconds", group_cols=[],
+                    aggs={"n": F.count(F.lit(1))},
+                )
+            ],
+        )
+        return pipe.start(
+            spark, sink, checkpoint=ckpt,
+            trigger_once=trigger_once,
+            processing_time=None if trigger_once else "200 milliseconds",
+        )
+
+    q = pipeline(trigger_once=False)
+    deadline = time.time() + 120
+    while not sink.committed_batches() and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    assert sink.committed_batches(), "no batch committed before the kill"
+
+    q2 = pipeline(trigger_once=True)
+    run_to_completion(q2, timeout_s=300)
+
+    batch = spark.read.parquet(clips_dir).filter(F.col("codec") != SENTINEL_CODEC)
+    upper = {
+        r["ws"]: r["n"]
+        for r in batch.groupBy(F.window("event_ts", "2 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    got = sink.read_committed(spark).filter(F.col("n") > 0).collect()
+    counts = {}
+    for r in got:
+        if r["window_start"] in upper:
+            counts[r["window_start"]] = counts.get(r["window_start"], 0) + 1
+            assert r["n"] <= upper[r["window_start"]]
+    assert all(c == 1 for c in counts.values())  # each window exactly once
+    # nothing can exceed the no-drop bound; most rows survive (late-row
+    # drops are bounded by the 5% late fraction x <=3 windows)
+    total_got = sum(r["n"] for r in got if r["window_start"] in upper)
+    assert total_got <= 2 * N
+    assert total_got >= int(2 * N * 0.80)
