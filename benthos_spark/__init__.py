@@ -19,3 +19,22 @@ Architecture (vs the reference's goroutine/channel engine,
 __version__ = "0.1.0"
 
 from benthos_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API: keep `import benthos_spark` light (no Spark
+    touch) while exposing the common surface at the package root."""
+    surface = {
+        "Pipeline": ("benthos_spark.streaming.pipeline", "Pipeline"),
+        "run_to_completion": ("benthos_spark.streaming.pipeline", "run_to_completion"),
+        "ExactlyOnceParquetSink": ("benthos_spark.sinks.exactly_once", "ExactlyOnceParquetSink"),
+        "ParquetSource": ("benthos_spark.sources.readers", "ParquetSource"),
+        "compile_config": ("benthos_spark.config", "compile_config"),
+        "run_config": ("benthos_spark.config", "run_config"),
+    }
+    if name in surface:
+        import importlib
+
+        mod, attr = surface[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'benthos_spark' has no attribute {name!r}")
