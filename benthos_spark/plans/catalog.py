@@ -119,14 +119,15 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """Multi-join + agg + deterministic top-k. The dimension side
-    (filtered customers) is broadcast — no shuffle of lineitem beyond the
-    group-by."""
+    """Multi-join + agg + deterministic top-k. Only the *filtered customer
+    dimension* is broadcast; orders⨝lineitem is a shuffle join (AQE upgrades
+    it to broadcast at small SF, but at 100 TB the BUILDING-segment orders
+    are fact-cardinality and must not be forced driver-side)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy(li.l_orderkey.alias("orderkey"))
         .agg(
@@ -153,8 +154,10 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """Star join: all dims broadcast; only lineitem (the fact) shuffles,
-    and only for the final group-by."""
+    """Star join: only true dims (region/nation/supplier, bounded
+    cardinality) are broadcast. customer⨝orders⨝lineitem go through
+    shuffle joins — the per-ASIA-order intermediate is fact-cardinality
+    and would OOM executors at 100 TB if forced broadcast."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -162,13 +165,13 @@ def q5_local_supplier_volume(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
     dims = (
-        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(c, c.c_nationkey == n.n_nationkey)
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
         .join(o, o.o_custkey == c.c_custkey)
         .select(o.o_orderkey, n.n_nationkey, n.n_name)
     )
     joined = (
-        li.join(F.broadcast(dims), li.l_orderkey == dims.o_orderkey)
+        li.join(dims, li.l_orderkey == dims.o_orderkey)
         .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == dims.n_nationkey))
     )
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
@@ -640,7 +643,6 @@ def _pair_jaccard_sql(threshold: float, candidates_cte: str | None) -> str:
 
 
 def _pair_jaccard_spark(sh: DataFrame, threshold: float, candidates: DataFrame | None) -> DataFrame:
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     verify_sh = sh
     if candidates is not None:
         # Verify only candidate docs: semi-join the shingle table down
@@ -653,6 +655,10 @@ def _pair_jaccard_spark(sh: DataFrame, threshold: float, candidates: DataFrame |
             .distinct()
         )
         verify_sh = sh.join(F.broadcast(cand_ids), "doc_id")
+    # Sizes from the (candidate-restricted) shingle set only — never the
+    # full corpus. No forced broadcast: corpus-cardinality at 100 TB; AQE
+    # upgrades the join to broadcast when the candidate set is small.
+    sizes = verify_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = verify_sh.alias("sa"), verify_sh.alias("sb")
     inter = a.join(b, (F.col("sa.sh") == F.col("sb.sh")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
     inter = inter.select(F.col("sa.doc_id").alias("a"), F.col("sb.doc_id").alias("b"))
@@ -661,8 +667,8 @@ def _pair_jaccard_spark(sh: DataFrame, threshold: float, candidates: DataFrame |
     inter = inter.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_inter"))
     da, db = sizes.alias("da"), sizes.alias("db")
     j = (
-        inter.join(F.broadcast(da), F.col("a") == F.col("da.doc_id"))
-        .join(F.broadcast(db), F.col("b") == F.col("db.doc_id"))
+        inter.join(da, F.col("a") == F.col("da.doc_id"))
+        .join(db, F.col("b") == F.col("db.doc_id"))
         .withColumn(
             "jacc_raw",
             F.col("n_inter").cast("double")
@@ -901,7 +907,10 @@ def embedding_neardup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
-    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    # Plain (cartesian) join — partition×partition, no driver-sized
+    # broadcast. Still O(n²) work by definition; the registered scale path
+    # is embedding_neardup_lsh_pairs below.
+    pairs = a.join(b, F.col("a") < F.col("b"))
     cos = _cos_spark(F.col("ea"), F.col("eb"))
     return pairs.withColumn("cos_raw", cos).filter(F.col("cos_raw") >= _NEARDUP_COS).select(
         "a", "b", F.round("cos_raw", 4).alias("cos")
@@ -909,44 +918,169 @@ def embedding_neardup_pairs(spark, sf_dir):
 
 
 _LSH_PLANES = 12  # sign bits → 4096 buckets at scale; few collisions at sf
+# Banded OR-construction for near-dup recall (à la minhash bands): 8
+# independent tables of 3 planes each. P(candidate | cos=0.4) ≈ 0.90.
+_LSH_ND_TABLES = 8
+_LSH_ND_BITS = 3
 
 
-@register("embedding_ann_lsh_topk")  # no oracle: probabilistic recall — rows-only check
-def embedding_ann_lsh_topk(spark, sf_dir):
-    """Scale-path ANN: random-hyperplane sign-LSH bucketing, then exact
-    cosine top-k WITHIN each bucket. Planes are deterministic ±1 patterns
-    derived from splitmix64 so every executor materializes the same
-    constants — no driver-side collect/broadcast of model state."""
+def _lsh_signs(n_planes: int):
+    """Deterministic ±1 hyperplane matrix (n_planes × _EMB_DIM) from
+    splitmix64 — identical constants on every executor AND inlined into
+    the DuckDB oracle, so LSH bucketing is cross-engine exact."""
     import numpy as np
-    from pyspark.sql.window import Window
 
     from benthos_spark.datagen.clips import _splitmix64
 
-    idx = np.arange(_LSH_PLANES * _EMB_DIM, dtype=np.uint64)
-    signs = np.where(_splitmix64(idx) & np.uint64(1), 1.0, -1.0).reshape(_LSH_PLANES, _EMB_DIM)
-    planes = [F.array(*[F.lit(float(v)) for v in row]) for row in signs]
+    idx = np.arange(n_planes * _EMB_DIM, dtype=np.uint64)
+    return np.where(_splitmix64(idx) & np.uint64(1), 1.0, -1.0).reshape(n_planes, _EMB_DIM)
 
-    emb = _t(spark, sf_dir, "embeddings")
+
+def _lsh_bucket_sql(tbl: str, signs, plane_ids) -> str:
+    """SQL expression for the sign-LSH bucket int over `plane_ids`,
+    replicating the Spark fold order term-for-term (±1.0 products then a
+    left-assoc sum — bitwise-identical doubles on both engines)."""
+    bits = []
+    for j, i in enumerate(plane_ids):
+        dot = " + ".join(
+            f"{tbl}.embedding[{d + 1}]::DOUBLE * {signs[i][d]:.1f}" for d in range(_EMB_DIM)
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_bucket_spark(signs, plane_ids):
+    """Column: sign-LSH bucket int over `plane_ids` for `embedding`."""
     bucket = None
-    for i, p in enumerate(planes):
+    for j, i in enumerate(plane_ids):
+        p = F.array(*[F.lit(float(v)) for v in signs[i]])
         dot = F.aggregate(
             F.zip_with(F.col("embedding"), p, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    hashed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    return bucket
+
+
+def _ann_lsh_oracle() -> str:
+    signs = _lsh_signs(_LSH_PLANES)
+    bucket = _lsh_bucket_sql("e", signs, range(_LSH_PLANES))
+    return f"""
+    WITH hashed AS (
+      SELECT e.vec_id, e.embedding, {bucket} AS bucket FROM embeddings e
+    ),
+    scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+             round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos
+      FROM hashed a JOIN hashed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, cand_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, cand_id, cos, rank FROM ranked WHERE rank <= {_TOPK}
+    """
+
+
+@register("embedding_ann_lsh_topk", _ann_lsh_oracle())
+def embedding_ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane sign-LSH bucketing, then exact
+    cosine top-k WITHIN each bucket. Planes are deterministic ±1 patterns
+    derived from splitmix64, so every executor materializes the same
+    constants (no driver-side model state) and the DuckDB oracle replicates
+    candidate generation exactly. The bucket self-join is forced
+    shuffle-hash: co-partitioned on `bucket`, never a table-sized
+    broadcast."""
+    from pyspark.sql.window import Window
+
+    signs = _lsh_signs(_LSH_PLANES)
+    emb = _t(spark, sf_dir, "embeddings")
+    hashed = emb.select(
+        "vec_id", "embedding", _lsh_bucket_spark(signs, range(_LSH_PLANES)).alias("bucket")
+    )
     a = hashed.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket")
     b = hashed.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
     # co-partitioned self-join on bucket: candidates never leave their bucket
     scored = (
-        a.join(b, "bucket")
+        a.hint("shuffle_hash")
+        .join(b, "bucket")
         .filter(F.col("q_id") != F.col("cand_id"))
         .select("q_id", "cand_id", F.round(_cos_spark(F.col("q_emb"), F.col("c_emb")), 4).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOPK)
+
+
+def _neardup_lsh_oracle() -> str:
+    signs = _lsh_signs(_LSH_ND_TABLES * _LSH_ND_BITS)
+    per_table = []
+    for t in range(_LSH_ND_TABLES):
+        planes = range(t * _LSH_ND_BITS, (t + 1) * _LSH_ND_BITS)
+        per_table.append(
+            f"SELECT vec_id, {t} AS t, {_lsh_bucket_sql('e', signs, planes)} AS bucket "
+            "FROM embeddings e"
+        )
+    return f"""
+    WITH buckets AS ({" UNION ALL ".join(per_table)}),
+    candidates AS (
+      SELECT DISTINCT ba.vec_id AS a, bb.vec_id AS b
+      FROM buckets ba JOIN buckets bb
+        ON ba.t = bb.t AND ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+    )
+    SELECT c.a, c.b, round({_cos_sql('ea.embedding', 'eb.embedding')}, 4) AS cos
+    FROM candidates c
+      JOIN embeddings ea ON ea.vec_id = c.a
+      JOIN embeddings eb ON eb.vec_id = c.b
+    WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= {_NEARDUP_COS}
+    """
+
+
+@register("embedding_neardup_lsh_pairs", _neardup_lsh_oracle())
+def embedding_neardup_lsh_pairs(spark, sf_dir):
+    """Scale-path embedding near-dup: banded sign-LSH candidate generation
+    ({_LSH_ND_TABLES} tables × {_LSH_ND_BITS} planes, P(candidate|cos=0.4)
+    ≈ 0.90) → exact-cosine verify ≥ {_NEARDUP_COS}. All joins are
+    key-shuffle joins on (table, bucket) / vec_id — near-linear in corpus
+    size, no cartesian stage, no forced broadcast. Candidate generation is
+    deterministic, so the DuckDB oracle replicates it 1:1."""
+    signs = _lsh_signs(_LSH_ND_TABLES * _LSH_ND_BITS)
+    emb = _t(spark, sf_dir, "embeddings")
+    table_buckets = [
+        F.struct(
+            F.lit(t).alias("t"),
+            _lsh_bucket_spark(signs, range(t * _LSH_ND_BITS, (t + 1) * _LSH_ND_BITS)).alias(
+                "bucket"
+            ),
+        )
+        for t in range(_LSH_ND_TABLES)
+    ]
+    buckets = emb.select(
+        "vec_id", F.explode(F.array(*table_buckets)).alias("tb")
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    ba, bb = buckets.alias("ba"), buckets.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.t") == F.col("bb.t"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(F.col("ba.vec_id").alias("a"), F.col("bb.vec_id").alias("b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    verified = (
+        candidates.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("cos_raw", _cos_spark(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_raw") >= _NEARDUP_COS)
+    )
+    return verified.select("a", "b", F.round("cos_raw", 4).alias("cos"))
 
 
 # =====================================================================
