@@ -203,8 +203,12 @@ def format_(fmt: str, *cols) -> Column:
 
 
 def quote(col) -> Column:
-    """methods_strings.go:1334 — JSON-style double-quoting."""
-    return F.to_json(F.struct(_c(col).alias("v")))["$"]  # pragma: no cover
+    """methods_strings.go:1334 — JSON-style double-quoting (escapes
+    embedded quotes/backslashes/control chars like Go strconv.Quote,
+    returning the value WITH surrounding double quotes). to_json of a
+    1-element array yields ``["<escaped>"]``; strip the brackets."""
+    j = F.to_json(F.array(_c(col)))
+    return F.substring(j, F.lit(2), F.length(j) - F.lit(2))
 
 
 def reverse(col) -> Column:

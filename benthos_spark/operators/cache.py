@@ -217,8 +217,10 @@ class CacheGet(Processor):
     def __call__(self, df: DataFrame) -> DataFrame:
         items = self.cache.items()  # type: ignore[attr-defined]
         spark = df.sparkSession
+        # Empty cache → truly empty frame (an ("","") sentinel row would
+        # phantom-match stream rows whose key is the empty string).
         snap = spark.createDataFrame(
-            [(k, json.dumps(v) if not isinstance(v, str) else v) for k, v in items] or [("", "")],
+            [(k, json.dumps(v) if not isinstance(v, str) else v) for k, v in items],
             f"{self.key_col} string, {self.value_col} string",
         )
         return df.join(F.broadcast(snap), on=self.key_col, how="left")

@@ -89,10 +89,14 @@ class Switch(Processor):
     case's processors. DataFrame form: split-filter-union — each branch
     filter excludes all earlier checks. Outputs must be union-compatible
     (the reference re-sorts to input order, internal/message/sort_group.go;
-    row order is meaningless in the DataFrame model so we skip that)."""
+    row order is meaningless in the DataFrame model so we skip that).
+
+    ``keep_unmatched`` defaults to True for reference parity: the
+    processor switch passes non-matching messages through unchanged
+    (processor_switch.go — messages failing every check continue)."""
 
     cases: Sequence[tuple[object, Sequence[Processor]]]
-    keep_unmatched: bool = False
+    keep_unmatched: bool = True
 
     def __call__(self, df: DataFrame) -> DataFrame:
         fused = self._fuse_mutation_only(df)
@@ -181,10 +185,15 @@ class Branch(Processor):
             )
         # General path: the child chain may repartition/aggregate, so the
         # result joins back by a row id. monotonically_increasing_id is
-        # NOT stable across task retries — persist pins one materialized
-        # assignment both sides reuse (≙ the reference buffering the
-        # originating batch while the branch runs, processor_branch.go).
-        tagged = df.withColumn(self.row_id_col, F.monotonically_increasing_id()).persist()
+        # NOT stable across task retries — localCheckpoint(eager=True)
+        # materializes one id assignment that both consumers reuse and
+        # survives lineage recomputation (plain persist is best-effort:
+        # eviction would re-run the id generator and silently mis-join);
+        # ≙ the reference buffering the originating batch while the
+        # branch runs, processor_branch.go.
+        tagged = df.withColumn(self.row_id_col, F.monotonically_increasing_id()).localCheckpoint(
+            eager=True
+        )
         child = tagged.select(self.row_id_col, *self.request_cols)
         for p in self.processors:
             child = p(child)
@@ -395,7 +404,10 @@ class While(Processor):
     persist_every: int = 4
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        cond = _to_col(self.cond)
+        # NULL-condition rows must count as non-matching, not vanish:
+        # df.filter(c) AND df.filter(~c) both exclude NULL rows (SQL
+        # three-valued logic), so coalesce the predicate once.
+        cond = F.coalesce(_to_col(self.cond), F.lit(False))
         for i in range(self.max_loops):
             matching = df.filter(cond)
             if matching.isEmpty():

@@ -96,13 +96,28 @@ class MetricsListener(StreamingQueryListener):
             return [json.loads(line) for line in f if line.strip()]
 
 
+# One listener per (session, path): repeated Pipeline.start calls in one
+# session (the kill/resume pattern) must not stack listeners, or every
+# prior listener would append duplicate per-batch records to its file.
+_ATTACHED: dict[tuple[int, str], MetricsListener] = {}
+
+
 def attach(spark: SparkSession, metrics_path: str) -> MetricsListener:
-    """Attach a MetricsListener to the session; returns it for reading.
-    Call ``detach`` (or ``spark.streams.removeListener``) when done."""
+    """Attach a MetricsListener to the session (idempotent per
+    (session, path)); returns it for reading. Call ``detach`` (or
+    ``spark.streams.removeListener``) when done."""
+    key = (id(spark), metrics_path)
+    existing = _ATTACHED.get(key)
+    if existing is not None:
+        return existing
     listener = MetricsListener(metrics_path)
     spark.streams.addListener(listener)
+    _ATTACHED[key] = listener
     return listener
 
 
 def detach(spark: SparkSession, listener: MetricsListener) -> None:
     spark.streams.removeListener(listener)
+    for k, v in list(_ATTACHED.items()):
+        if v is listener:
+            del _ATTACHED[k]

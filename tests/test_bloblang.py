@@ -210,3 +210,12 @@ def test_remaining_helpers(spark, df):
     assert one(df, bl.trim(F.lit("xxabcxx"), "x")) == "abc"
     v = one(df, bl.counter())
     assert isinstance(v, int)
+
+
+def test_quote(spark):
+    from benthos_spark.functions import bloblang as B
+
+    df = spark.createDataFrame([('he said "hi"\tok',), ("plain",)], "s string")
+    got = {r["s"]: r["q"] for r in df.select("s", B.quote("s").alias("q")).collect()}
+    assert got["plain"] == '"plain"'
+    assert got['he said "hi"\tok'] == '"he said \\"hi\\"\\tok"'

@@ -92,3 +92,13 @@ def test_admission_options():
     opts = admission_options(rows_per_sec=1000, trigger_interval_s=2.0, avg_rows_per_file=100)
     assert opts["maxOffsetsPerTrigger"] == "2000"
     assert opts["maxFilesPerTrigger"] == "20"
+
+
+def test_cache_get_empty_cache_no_phantom(spark):
+    """An empty cache snapshot must not invent a ('','') row that
+    phantom-matches stream rows keyed by the empty string."""
+    cache = MemoryCache()
+    df = spark.createDataFrame([("",), ("alpha",)], "key string")
+    out = CacheGet(cache, key_col="key", value_col="val")(df)
+    got = {r["key"]: r["val"] for r in out.collect()}
+    assert got == {"": None, "alpha": None}

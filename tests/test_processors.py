@@ -243,3 +243,38 @@ def test_metadata_model(spark):
     row = out.select(meta_get("kafka_topic").alias("t"), meta_get("kafka_key").alias("k"),
                      meta_get("tmp_debug").alias("d")).collect()[0]
     assert (row["t"], row["k"], row["d"]) == ("clips", "PCM_S16LE", None)
+
+
+def test_switch_unmatched_passthrough(spark):
+    """Reference parity: the processor switch passes non-matching
+    messages through unchanged (processor_switch.go)."""
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v int")
+    out = Switch(cases=[(F.col("v") == 1, [Mutation({"tag": F.lit("one")})])])(df)
+    got = {r["v"]: r["tag"] for r in out.collect()}
+    assert got == {1: "one", 2: None, 3: None}
+
+
+def test_while_null_condition_rows_survive(spark):
+    """NULL loop conditions count as non-matching — the row is kept,
+    not silently dropped (SQL three-valued logic trap)."""
+    from benthos_spark.operators.processors import While
+
+    df = spark.createDataFrame([(1,), (None,), (200,)], "v int")
+    w = While(cond=F.col("v") < 100, processors=[Mutation({"v": F.col("v") * 2})], max_loops=20)
+    got = sorted((r["v"] for r in w(df).collect()), key=lambda x: (x is None, x))
+    assert got == [128, 200, None]
+
+
+def test_branch_survives_cache_eviction(spark):
+    """The general-path row id must stay aligned even when cached blocks
+    are dropped mid-pipeline (localCheckpoint, not best-effort persist)."""
+    df = spark.createDataFrame([(i, i * 10.0) for i in range(1, 101)], "id int, x double")
+    out = Branch(
+        request_cols=["id", "x"],
+        # repartition forces the non-fused join-back path
+        processors=[Split(partitions=4), Mutation({"sq": F.col("x") * F.col("x")})],
+        result_exprs={"squared": F.col("sq")},
+    )(df)
+    spark.catalog.clearCache()
+    got = {r["id"]: r["squared"] for r in out.collect()}
+    assert got == {i: (i * 10.0) ** 2 for i in range(1, 101)}
