@@ -1,0 +1,1114 @@
+"""Dynamic-document Bloblang evaluator.
+
+Evaluates a parsed mapping over plain JSON values (dict/list/str/num/
+bool/None/bytes), reproducing the reference executor's semantics
+(internal/bloblang/mapping/executor.go:147 mapPart):
+
+- the new document starts as Nothing; a ``root`` assignment of Nothing
+  is skipped; assigning ``deleted()`` to root deletes the message
+  (executor.go:167,204,225)
+- statements run in order; ``let`` fills the variable scope, ``meta``
+  the metadata map
+- arithmetic follows the number-degradation rules (query/arithmetic.go:
+  101-132): int op int stays int except ``/`` (always float) and ``%``
+  (int only); ``+`` concatenates strings; ``|`` coalesces on error/null
+- method/function behavior follows the public Bloblang spec
+  (website/docs/guides/bloblang/methods.md + functions.md in the
+  reference; each entry cites its Go impl)
+
+Used by the golden-test harness (``benthos test`` analogue) and by the
+Arrow-batched ``mapInPandas`` fallback in processor.py for mappings the
+Column compiler can't express.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import hashlib
+import json
+import math
+import re as _re
+from typing import Any, Optional
+
+from benthos_spark.bloblang import ast as A
+from benthos_spark.bloblang.parser import parse_mapping
+
+
+class BloblangError(Exception):
+    pass
+
+
+class _NothingType:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "Nothing"
+
+
+class _DeletedType(_NothingType):
+    _inst = None
+
+    def __repr__(self):
+        return "Deleted"
+
+
+NOTHING = _NothingType()
+DELETED = _DeletedType()
+
+
+class Scope:
+    __slots__ = ("doc", "named", "vars", "meta", "root_ref", "maps", "error")
+
+    def __init__(self, doc, named=None, vars=None, meta=None, root_ref=None, maps=None):
+        self.doc = doc
+        self.named = named or {}
+        self.vars = vars if vars is not None else {}
+        self.meta = meta if meta is not None else {}
+        self.root_ref = root_ref  # 1-element list holding the new doc
+        self.maps = maps or {}
+
+    def child_context(self, doc, name: Optional[str] = None):
+        named = self.named
+        if name is not None:
+            named = dict(named)
+            named[name] = doc
+        s = Scope(doc, named, self.vars, self.meta, self.root_ref, self.maps)
+        return s
+
+
+def _type_name(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "number"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, bytes):
+        return "bytes"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    if isinstance(v, _dt.datetime):
+        return "timestamp"
+    return type(v).__name__
+
+
+def _as_string(v) -> str:
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, (int,)):
+        return str(v)
+    if isinstance(v, float):
+        # Go json encoding: integral floats print without exponent/decimal
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, (dict, list)):
+        return _format_json(v)
+    return str(v)
+
+
+def _as_number(v) -> float:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        if isinstance(v, str):
+            try:
+                return int(v)
+            except ValueError:
+                try:
+                    return float(v)
+                except ValueError:
+                    pass
+        raise BloblangError(f"expected number value, got {_type_name(v)}")
+    return v
+
+
+def _as_int(v) -> int:
+    n = _as_number(v)
+    if isinstance(n, float):
+        if n != int(n):
+            raise BloblangError(f"expected integer value, got {n}")
+        return int(n)
+    return n
+
+
+def _as_bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    raise BloblangError(f"expected bool value, got {_type_name(v)}")
+
+
+def _json_default(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    raise TypeError(str(type(v)))
+
+
+def _format_json(v) -> str:
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False, default=_json_default)
+
+
+def _get_path(v, path):
+    for seg in path:
+        if v is NOTHING or v is DELETED:
+            return NOTHING
+        if isinstance(seg, int) or (isinstance(seg, str) and seg.lstrip("-").isdigit()):
+            i = int(seg)
+            if isinstance(v, list):
+                if -len(v) <= i < len(v):
+                    v = v[i]
+                else:
+                    return None
+            elif isinstance(v, dict):
+                v = v.get(str(seg))
+            else:
+                return None
+        elif isinstance(v, dict):
+            v = v.get(seg)
+        else:
+            return None
+    return v
+
+
+def _set_path(container, path, value):
+    """Create nested objects along the way (gabs-style assignment,
+    mapping/assignment.go)."""
+    if not path:
+        return value
+    if not isinstance(container, dict):
+        container = {}
+    cur = container
+    for seg in path[:-1]:
+        nxt = cur.get(seg)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[seg] = nxt
+        cur = nxt
+    last = path[-1]
+    if value is DELETED:
+        cur.pop(last, None)
+    else:
+        cur[last] = value
+    return container
+
+
+def _icompare(a, b) -> bool:
+    """query.ICompare: numbers compare numerically across int/float."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    return a == b
+
+
+def _sort_key(v):
+    """Total order for sort(): numbers < strings, like the reference's
+    ICompare-based sort which errors on mixed types; we order by type
+    name then value to stay deterministic."""
+    if isinstance(v, bool):
+        return (0, v)
+    if isinstance(v, (int, float)):
+        return (1, float(v), "")
+    if isinstance(v, str):
+        return (2, 0.0, v)
+    return (3, 0.0, _format_json(v))
+
+
+class Executor:
+    """Parsed mapping + maps, executable per message
+    (≙ mapping.Executor, internal/bloblang/mapping/executor.go)."""
+
+    def __init__(self, src_or_ast):
+        if isinstance(src_or_ast, A.MappingAST):
+            self.ast = src_or_ast
+        else:
+            self.ast = parse_mapping(src_or_ast)
+
+    # -- public -------------------------------------------------------------
+    def map_part(self, doc, meta: Optional[dict] = None, mutate: bool = False):
+        """Run the mapping over one document. Returns (new_doc, new_meta);
+        new_doc is DELETED when the message is deleted (root = deleted()).
+        ``mutate=True`` starts root as a copy of the input (the `mutation`
+        processor's MapOnto path, executor.go:143)."""
+        meta = dict(meta or {})
+        import copy
+
+        root_ref = [copy.deepcopy(doc) if mutate else NOTHING]
+        scope = Scope(doc, vars={}, meta=meta, root_ref=root_ref, maps=self.ast.maps)
+        for stmt in self.ast.statements:
+            res = self.eval(stmt.expr, scope)
+            if res is NOTHING:
+                continue  # skip assignment entirely (executor.go:204)
+            if stmt.kind == "var":
+                scope.vars[stmt.path[0]] = res
+            elif stmt.kind == "meta":
+                if res is DELETED:
+                    if stmt.path:
+                        meta.pop(stmt.path[0], None)
+                    else:
+                        meta.clear()
+                elif stmt.path:
+                    meta[stmt.path[0]] = res
+                elif isinstance(res, dict):
+                    meta.clear()
+                    meta.update(res)
+                else:
+                    raise BloblangError("setting root meta requires object value")
+            else:  # root
+                if not stmt.path:
+                    root_ref[0] = res
+                else:
+                    if root_ref[0] is NOTHING or root_ref[0] is DELETED:
+                        root_ref[0] = {}
+                    if not isinstance(root_ref[0], dict):
+                        raise BloblangError(
+                            f"failed to assign mapping results: unable to navigate "
+                            f"path on {_type_name(root_ref[0])} value"
+                        )
+                    root_ref[0] = _set_path(root_ref[0], list(stmt.path), res)
+        out = root_ref[0]
+        if out is NOTHING:
+            out = None
+        return out, meta
+
+    def query(self, doc, meta: Optional[dict] = None):
+        """Evaluate as a boolean check (QueryPart, executor.go:111)."""
+        out, _ = self.map_part(doc, meta)
+        return out
+
+    # -- evaluation ---------------------------------------------------------
+    def eval(self, node, scope: Scope):
+        m = getattr(self, "_eval_" + type(node).__name__, None)
+        if m is None:
+            raise BloblangError(f"unsupported node {type(node).__name__}")
+        return m(node, scope)
+
+    def _eval_Lit(self, node, scope):
+        return node.value
+
+    def _eval_ArrayLit(self, node, scope):
+        out = []
+        for it in node.items:
+            v = self.eval(it, scope)
+            if v is NOTHING or v is DELETED:
+                continue
+            out.append(v)
+        return out
+
+    def _eval_ObjectLit(self, node, scope):
+        out = {}
+        for k, v in node.pairs:
+            key = _as_string(self.eval(k, scope))
+            val = self.eval(v, scope)
+            if val is DELETED or val is NOTHING:
+                continue
+            out[key] = val
+        return out
+
+    def _eval_ContextRef(self, node, scope):
+        base = scope.named[node.name] if node.name is not None else scope.doc
+        return _get_path(base, node.path)
+
+    def _eval_RootRef(self, node, scope):
+        if scope.root_ref is None:
+            raise BloblangError("root is not accessible in this context")
+        base = scope.root_ref[0]
+        if base is NOTHING:
+            return None
+        return _get_path(base, node.path)
+
+    def _eval_VarRef(self, node, scope):
+        if node.name not in scope.vars:
+            raise BloblangError(f"variable {node.name} undefined")
+        return scope.vars[node.name]
+
+    def _eval_MetaRef(self, node, scope):
+        if node.key is None:
+            return dict(scope.meta)
+        return scope.meta.get(node.key)
+
+    def _eval_GetField(self, node, scope):
+        v = self.eval(node.target, scope)
+        return _get_path(v, (node.seg,))
+
+    def _eval_ExprTail(self, node, scope):
+        v = self.eval(node.target, scope)
+        return self.eval(node.sub, scope.child_context(v))
+
+    def _eval_Not(self, node, scope):
+        return not _as_bool(self.eval(node.expr, scope))
+
+    def _eval_Neg(self, node, scope):
+        v = _as_number(self.eval(node.expr, scope))
+        return -v
+
+    def _eval_Lambda(self, node, scope):
+        raise BloblangError("lambda used outside a method argument")
+
+    def _eval_IfExpr(self, node, scope):
+        if _as_bool(self.eval(node.cond, scope)):
+            return self.eval(node.then, scope)
+        for c, e in node.elifs:
+            if _as_bool(self.eval(c, scope)):
+                return self.eval(e, scope)
+        if node.orelse is not None:
+            return self.eval(node.orelse, scope)
+        return NOTHING
+
+    def _eval_MatchExpr(self, node, scope):
+        ctx_scope = scope
+        if node.target is not None:
+            ctx_scope = scope.child_context(self.eval(node.target, scope))
+        for case, result in node.cases:
+            if case is None:
+                return self.eval(result, ctx_scope)
+            if isinstance(case, A.Lit):
+                if ctx_scope.doc is not None and _icompare(ctx_scope.doc, case.value):
+                    return self.eval(result, ctx_scope)
+            else:
+                if _as_bool(self.eval(case, ctx_scope)):
+                    return self.eval(result, ctx_scope)
+        return NOTHING
+
+    def _eval_BinOp(self, node, scope):
+        op = node.op
+        if op == "|":
+            try:
+                left = self.eval(node.left, scope)
+            except BloblangError:
+                return self.eval(node.right, scope)
+            if left is None or left is NOTHING:
+                return self.eval(node.right, scope)
+            return left
+        if op == "&&":
+            return _as_bool(self.eval(node.left, scope)) and _as_bool(self.eval(node.right, scope))
+        if op == "||":
+            return _as_bool(self.eval(node.left, scope)) or _as_bool(self.eval(node.right, scope))
+        left = self.eval(node.left, scope)
+        right = self.eval(node.right, scope)
+        return _arith(op, left, right)
+
+    def _eval_FuncCall(self, node, scope):
+        args = [self.eval(a, scope) for a in node.args]
+        named = {k: self.eval(v, scope) for k, v in node.named}
+        return _call_function(node.name, args, named, scope)
+
+    def _eval_MethodCall(self, node, scope):
+        name = node.name
+        if name == "catch":
+            # lazy: fallback evaluated only on error (methods.go `catch`)
+            try:
+                target = self.eval(node.target, scope)
+            except BloblangError:
+                fb = node.args[0]
+                if isinstance(fb, A.Lambda):
+                    raise
+                return self.eval(fb, scope)
+            return target
+        target = self.eval(node.target, scope)
+        if name == "apply":
+            map_name = _as_string(self.eval(node.args[0], scope))
+            return self._apply_map(map_name, target, scope)
+        if name == "from_all" or name == "from":
+            raise BloblangError(f"method {name} requires batch context (unsupported)")
+        args = []
+        for a in node.args:
+            if isinstance(a, A.Lambda):
+                args.append(_LambdaFn(self, a, scope))
+            else:
+                args.append(self.eval(a, scope))
+        named = {k: self.eval(v, scope) for k, v in node.named}
+        fn = _METHODS.get(name)
+        if fn is None:
+            raise BloblangError(f"unrecognised method {name!r}")
+        return fn(target, *args, **named)
+
+    def _apply_map(self, name: str, value, scope: Scope):
+        stmts = scope.maps.get(name)
+        if stmts is None:
+            raise BloblangError(f"map {name!r} not found")
+        sub_root = [NOTHING]
+        sub = Scope(value, {}, {}, scope.meta, sub_root, scope.maps)
+        for stmt in stmts:
+            res = self.eval(stmt.expr, sub)
+            if res is NOTHING:
+                continue
+            if stmt.kind == "var":
+                sub.vars[stmt.path[0]] = res
+            elif not stmt.path:
+                sub_root[0] = res
+            else:
+                if sub_root[0] is NOTHING:
+                    sub_root[0] = {}
+                sub_root[0] = _set_path(sub_root[0], list(stmt.path), res)
+        return None if sub_root[0] is NOTHING else sub_root[0]
+
+
+class _LambdaFn:
+    """A lambda argument bound to its defining scope."""
+
+    __slots__ = ("ex", "node", "scope")
+
+    def __init__(self, ex: Executor, node: A.Lambda, scope: Scope):
+        self.ex = ex
+        self.node = node
+        self.scope = scope
+
+    def __call__(self, value):
+        name = None if self.node.param == "_" else self.node.param
+        return self.ex.eval(self.node.body, self.scope.child_context(value, name))
+
+
+def _arith(op, left, right):
+    if op == "+":
+        if isinstance(left, (str, bytes)):
+            return _as_string(left) + _as_string(right)
+        a, b = _as_number(left), _as_number(right)
+        return a + b
+    if op == "-":
+        return _as_number(left) - _as_number(right)
+    if op == "*":
+        return _as_number(left) * _as_number(right)
+    if op == "/":
+        b = _as_number(right)
+        if b == 0:
+            raise BloblangError("attempted to divide by zero")
+        return float(_as_number(left)) / float(b)
+    if op == "%":
+        b = _as_int(right)
+        if b == 0:
+            raise BloblangError("attempted to divide by zero")
+        a = _as_int(left)
+        # Go's % truncates toward zero
+        r = math.fmod(a, b)
+        return int(r)
+    if op == "==":
+        return _icompare(left, right)
+    if op == "!=":
+        return not _icompare(left, right)
+    if op in (">", ">=", "<", "<="):
+        if isinstance(left, str) and isinstance(right, str):
+            a, b = left, right
+        else:
+            a, b = _as_number(left), _as_number(right)
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+        if op == "<":
+            return a < b
+        return a <= b
+    raise BloblangError(f"unknown operator {op}")
+
+
+# -- functions (internal/impl/pure/functions.go + query docs) ----------------
+
+
+def _call_function(name, args, named, scope: Scope):
+    if name == "deleted":
+        return DELETED
+    if name == "this":
+        return scope.doc
+    if name == "content":
+        doc = scope.doc
+        if isinstance(doc, (bytes, str)):
+            return doc if isinstance(doc, bytes) else doc.encode()
+        return _format_json(doc).encode()
+    if name == "json":
+        path = args[0] if args else ""
+        if not path:
+            return scope.doc
+        return _get_path(scope.doc, tuple(path.split(".")))
+    if name == "meta" or name == "metadata":
+        if not args:
+            return dict(scope.meta)
+        return scope.meta.get(_as_string(args[0]))
+    if name == "var":
+        return scope.vars.get(_as_string(args[0]))
+    if name == "error":
+        return scope.error if hasattr(scope, "error") else None
+    if name == "errored":
+        return getattr(scope, "error", None) is not None
+    if name == "range":
+        start = _as_int(named.get("start", args[0] if args else 0))
+        stop = _as_int(named.get("stop", args[1] if len(args) > 1 else 0))
+        step = _as_int(named.get("step", args[2] if len(args) > 2 else 1))
+        return list(range(start, stop, step))
+    if name == "now":
+        return _dt.datetime.now(_dt.timezone.utc).isoformat()
+    if name == "timestamp_unix":
+        return int(_dt.datetime.now(_dt.timezone.utc).timestamp())
+    if name == "timestamp_unix_milli":
+        return int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1000)
+    if name == "timestamp_unix_nano":
+        return int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1e9)
+    if name == "uuid_v4":
+        import uuid
+
+        return str(uuid.uuid4())
+    if name == "nanoid":
+        import secrets
+        import string as _string
+
+        alphabet = _string.ascii_letters + _string.digits + "_-"
+        n = _as_int(args[0]) if args else 21
+        return "".join(secrets.choice(alphabet) for _ in range(n))
+    if name == "ksuid":
+        import secrets
+
+        return secrets.token_hex(14)
+    if name == "random_int":
+        import random
+
+        seed = named.get("seed")
+        mx = _as_int(named.get("max", (1 << 31) - 1))
+        mn = _as_int(named.get("min", 0))
+        rng = random.Random(seed) if seed is not None else random
+        return rng.randint(mn, mx)
+    if name == "throw":
+        raise BloblangError(_as_string(args[0]) if args else "thrown")
+    if name == "batch_index":
+        return scope.vars.get("_batch_index", 0)
+    if name == "batch_size":
+        return scope.vars.get("_batch_size", 1)
+    if name == "count":
+        key = _as_string(args[0]) if args else ""
+        counts = _COUNTERS.setdefault(key, [0])
+        counts[0] += 1
+        return counts[0]
+    if name == "env":
+        import os
+
+        return os.environ.get(_as_string(args[0]))
+    if name == "hostname":
+        import socket
+
+        return socket.gethostname()
+    if name == "file":
+        with open(_as_string(args[0]), "rb") as f:
+            return f.read()
+    raise BloblangError(f"unrecognised function {name!r}")
+
+
+_COUNTERS: dict = {}
+
+
+# -- methods (internal/bloblang/query/methods*.go) ---------------------------
+
+
+def _m_map_each(v, fn):
+    if isinstance(v, dict):
+        out = {}
+        for k, val in v.items():
+            r = fn({"key": k, "value": val})
+            if r is DELETED or r is NOTHING:
+                continue
+            out[k] = r
+        return out
+    out = []
+    for item in _as_array(v):
+        r = fn(item)
+        if r is DELETED or r is NOTHING:
+            continue
+        out.append(r)
+    return out
+
+
+def _as_array(v):
+    if not isinstance(v, list):
+        raise BloblangError(f"expected array value, got {_type_name(v)}")
+    return v
+
+
+def _as_object(v):
+    if not isinstance(v, dict):
+        raise BloblangError(f"expected object value, got {_type_name(v)}")
+    return v
+
+
+def _m_sort(v, fn=None):
+    arr = list(_as_array(v))
+    if fn is not None:
+        import functools
+
+        def cmp(a, b):
+            return -1 if _as_bool(fn({"left": a, "right": b})) else 1
+
+        return sorted(arr, key=functools.cmp_to_key(cmp))
+    return sorted(arr, key=_sort_key)
+
+
+def _m_sort_by(v, fn):
+    return sorted(_as_array(v), key=lambda item: _sort_key(fn(item)))
+
+
+def _m_join(v, sep=""):
+    parts = []
+    for item in _as_array(v):
+        if not isinstance(item, (str, bytes)):
+            raise BloblangError(f"expected string value, got {_type_name(item)}")
+        parts.append(_as_string(item))
+    return _as_string(sep).join(parts)
+
+
+def _m_slice(v, low, high=None):
+    low = _as_int(low)
+    if high is not None:
+        high = _as_int(high)
+    if isinstance(v, str) or isinstance(v, bytes):
+        return v[low:high]
+    return _as_array(v)[low:high]
+
+
+def _m_index(v, i):
+    i = _as_int(i)
+    arr = _as_array(v)
+    if -len(arr) <= i < len(arr):
+        return arr[i]
+    raise BloblangError(f"index {i} out of bounds for size {len(arr)}")
+
+
+def _m_contains(v, needle):
+    if isinstance(v, str):
+        return _as_string(needle) in v
+    if isinstance(v, bytes):
+        return _as_string(needle).encode() in v
+    if isinstance(v, list):
+        return any(_icompare(x, needle) for x in v)
+    if isinstance(v, dict):
+        return any(_icompare(x, needle) for x in v.values())
+    raise BloblangError(f"expected string/array/object, got {_type_name(v)}")
+
+
+def _m_get(v, path):
+    return _get_path(_as_object(v), tuple(_as_string(path).split(".")))
+
+
+def _m_number(v):
+    n = _as_number(v)
+    return n
+
+
+def _m_merge(v, other):
+    """methods.go merge: deep merge; colliding scalars become arrays."""
+    if isinstance(v, dict) and isinstance(other, dict):
+        out = dict(v)
+        for k, val in other.items():
+            if k in out:
+                a = out[k]
+                if isinstance(a, dict) and isinstance(val, dict):
+                    out[k] = _m_merge(a, val)
+                else:
+                    a_list = a if isinstance(a, list) else [a]
+                    v_list = val if isinstance(val, list) else [val]
+                    out[k] = a_list + v_list
+            else:
+                out[k] = val
+        return out
+    raise BloblangError("expected object values for merge")
+
+
+def _m_format_timestamp(v, fmt="2006-01-02T15:04:05.999999999Z07:00", tz=None):
+    ts = _to_datetime(v)
+    if tz:
+        import zoneinfo
+
+        ts = ts.astimezone(zoneinfo.ZoneInfo(tz))
+    return _go_strftime(ts, fmt)
+
+
+_GO_TO_PY = [
+    ("2006", "%Y"),
+    ("01", "%m"),
+    ("02", "%d"),
+    ("15", "%H"),
+    ("04", "%M"),
+    ("05", "%S"),
+    (".999999999", ""),
+    (".999999", ""),
+    (".999", ""),
+    ("Z07:00", "%:z"),
+    ("-07:00", "%:z"),
+    ("Jan", "%b"),
+    ("Mon", "%a"),
+    ("MST", "%Z"),
+    ("03", "%I"),
+    ("PM", "%p"),
+]
+
+
+def _go_strftime(ts: _dt.datetime, fmt: str) -> str:
+    py = fmt
+    for go, p in _GO_TO_PY:
+        py = py.replace(go, p)
+    if "%:z" in py:
+        off = ts.strftime("%z") or "+0000"
+        off = off[:3] + ":" + off[3:]
+        if ts.utcoffset() == _dt.timedelta(0):
+            off = "Z"
+        py = py.replace("%:z", off.replace("%", "%%"))
+    return ts.strftime(py)
+
+
+def _to_datetime(v) -> _dt.datetime:
+    if isinstance(v, _dt.datetime):
+        return v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return _dt.datetime.fromtimestamp(float(v), _dt.timezone.utc)
+    if isinstance(v, str):
+        s = v.replace("Z", "+00:00")
+        try:
+            ts = _dt.datetime.fromisoformat(s)
+        except ValueError:
+            raise BloblangError(f"unable to parse timestamp {v!r}")
+        return ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
+    raise BloblangError(f"expected timestamp, got {_type_name(v)}")
+
+
+def _m_parse_timestamp(v, fmt=None):
+    return _to_datetime(v).isoformat()
+
+
+def _m_hash(v, algorithm="sha256", key=None):
+    data = v.encode() if isinstance(v, str) else v
+    alg = algorithm.replace("-", "").lower()
+    if alg == "xxhash64":
+        raise BloblangError("xxhash64 unavailable")
+    if key is not None:
+        import hmac as _hmac
+
+        kb = key.encode() if isinstance(key, str) else key
+        name = alg.removeprefix("hmac").lstrip("_-") or "sha1"
+        return _hmac.new(kb, data, getattr(hashlib, name)).digest()
+    if alg.startswith("hmac"):
+        raise BloblangError("hmac hash requires key argument")
+    return getattr(hashlib, alg)(data).digest()
+
+
+def _m_encode(v, scheme):
+    data = v.encode() if isinstance(v, str) else v
+    scheme = scheme.lower()
+    if scheme == "base64":
+        return base64.b64encode(data).decode()
+    if scheme == "base64url":
+        return base64.urlsafe_b64encode(data).decode()
+    if scheme == "hex":
+        return data.hex()
+    if scheme == "ascii85":
+        return base64.a85encode(data).decode()
+    raise BloblangError(f"unrecognised encoding {scheme!r}")
+
+
+def _m_decode(v, scheme):
+    s = v if isinstance(v, (str, bytes)) else _as_string(v)
+    data = s.encode() if isinstance(s, str) else s
+    scheme = scheme.lower()
+    if scheme == "base64":
+        return base64.b64decode(data)
+    if scheme == "base64url":
+        return base64.urlsafe_b64decode(data)
+    if scheme == "hex":
+        return bytes.fromhex(data.decode())
+    if scheme == "ascii85":
+        return base64.a85decode(data)
+    raise BloblangError(f"unrecognised encoding {scheme!r}")
+
+
+def _m_fold(v, init, fn):
+    acc = init
+    for item in _as_array(v):
+        acc = fn({"tally": acc, "value": item})
+    return acc
+
+
+def _m_enumerated(v):
+    return [{"index": i, "value": x} for i, x in enumerate(_as_array(v))]
+
+
+def _m_zip(v, *others):
+    arrs = [_as_array(v)] + [_as_array(o) for o in others]
+    return [list(t) for t in zip(*arrs)]
+
+
+def _m_unique(v):
+    seen = set()
+    out = []
+    for x in _as_array(v):
+        k = _format_json(x) if isinstance(x, (dict, list)) else (type(x).__name__, x)
+        if k in seen:
+            continue
+        seen.add(k)
+        out.append(x)
+    return out
+
+
+def _m_without(v, *fields):
+    obj = _as_object(v)
+    drop = set()
+    nested: dict[str, list] = {}
+    for f in fields:
+        f = _as_string(f)
+        if "." in f:
+            head, rest = f.split(".", 1)
+            nested.setdefault(head, []).append(rest)
+        else:
+            drop.add(f)
+    out = {}
+    for k, val in obj.items():
+        if k in drop:
+            continue
+        if k in nested and isinstance(val, dict):
+            out[k] = _m_without(val, *nested[k])
+        else:
+            out[k] = val
+    return out
+
+
+def _m_replace_all_many(v, pairs):
+    s = _as_string(v)
+    arr = _as_array(pairs)
+    for i in range(0, len(arr) - 1, 2):
+        s = s.replace(_as_string(arr[i]), _as_string(arr[i + 1]))
+    return s
+
+
+def _m_re_replace_all(v, pattern, replacement):
+    # Go regexp uses $1/$name for group refs; Python uses \1/\g<name>
+    py_repl = _re.sub(r"\$(\d+)", r"\\\1", _as_string(replacement))
+    py_repl = _re.sub(r"\$\{(\w+)\}", r"\\g<\1>", py_repl)
+    return _re.sub(pattern, py_repl, _as_string(v))
+
+
+def _m_parse_csv(v, parse_header_row=True, delimiter=",", lazy_quotes=False):
+    import csv
+    import io
+
+    rows = list(csv.reader(io.StringIO(_as_string(v)), delimiter=delimiter))
+    if not parse_header_row:
+        return [list(r) for r in rows]
+    if not rows:
+        return []
+    header = rows[0]
+    return [dict(zip(header, r)) for r in rows[1:]]
+
+
+def _m_re_find_object(v, pattern):
+    m = _re.search(pattern, _as_string(v))
+    if not m:
+        return {}
+    out = {str(i): g for i, g in enumerate([m.group(0), *m.groups()]) if g is not None}
+    for name, g in (m.groupdict() or {}).items():
+        if g is not None:
+            out[name] = g
+    return out
+
+
+_METHODS = {
+    # strings (query/methods_strings.go)
+    "uppercase": lambda v: _as_string(v).upper(),
+    "lowercase": lambda v: _as_string(v).lower(),
+    "capitalize": lambda v: _as_string(v).title(),
+    "trim": lambda v, cutset=None: _as_string(v).strip(cutset),
+    "trim_prefix": lambda v, p: _as_string(v).removeprefix(_as_string(p)),
+    "trim_suffix": lambda v, s: _as_string(v).removesuffix(_as_string(s)),
+    "has_prefix": lambda v, p: _as_string(v).startswith(_as_string(p)),
+    "has_suffix": lambda v, s: _as_string(v).endswith(_as_string(s)),
+    "index_of": lambda v, s: _as_string(v).find(_as_string(s)),
+    "split": lambda v, sep: _as_string(v).split(_as_string(sep)),
+    "replace_all": lambda v, old, new: _as_string(v).replace(_as_string(old), _as_string(new)),
+    "replace_all_many": _m_replace_all_many,
+    "re_replace_all": _m_re_replace_all,
+    "re_match": lambda v, p: _re.search(p, _as_string(v)) is not None,
+    "re_find_all": lambda v, p: [m.group(0) for m in _re.finditer(p, _as_string(v))],
+    "re_find_all_submatch": lambda v, p: [
+        [m.group(0), *[g if g is not None else "" for g in m.groups()]]
+        for m in _re.finditer(p, _as_string(v))
+    ],
+    "re_find_object": _m_re_find_object,
+    "quote": lambda v: json.dumps(_as_string(v), ensure_ascii=False),
+    "unquote": lambda v: json.loads(_as_string(v)),
+    "reverse": lambda v: v[::-1] if isinstance(v, (str, bytes)) else _as_array(v)[::-1],
+    "length": lambda v: len(v) if isinstance(v, (str, bytes, list, dict)) else (_ for _ in ()).throw(BloblangError(f"expected string/array/object, got {_type_name(v)}")),
+    "slice": _m_slice,
+    "strip_html": lambda v: _re.sub(r"<[^>]*>", "", _as_string(v)),
+    "escape_url_query": lambda v: __import__("urllib.parse", fromlist=["quote"]).quote(_as_string(v), safe=""),
+    "unescape_url_query": lambda v: __import__("urllib.parse", fromlist=["unquote"]).unquote(_as_string(v)),
+    "escape_html": lambda v: __import__("html").escape(_as_string(v)),
+    "unescape_html": lambda v: __import__("html").unescape(_as_string(v)),
+    "format": lambda v, *a: _go_format(_as_string(v), a),
+    "contains": _m_contains,
+    "lines": lambda v: _as_string(v).split("\n"),
+    "parse_json": lambda v: json.loads(_as_string(v)),
+    "format_json": lambda v, indent=None, no_indent=False: (
+        json.dumps(v, ensure_ascii=False, default=_json_default)
+        if no_indent or indent is None
+        else json.dumps(v, ensure_ascii=False, indent=indent, default=_json_default)
+    ),
+    "parse_yaml": lambda v: __import__("yaml").safe_load(_as_string(v)),
+    "parse_csv": _m_parse_csv,
+    "encode": _m_encode,
+    "decode": _m_decode,
+    "hash": _m_hash,
+    # numbers (query/methods.go + math)
+    "floor": lambda v: math.floor(_as_number(v)),
+    "ceil": lambda v: math.ceil(_as_number(v)),
+    "round": lambda v: int(math.floor(_as_number(v) + 0.5)) if _as_number(v) >= 0 else int(math.ceil(_as_number(v) - 0.5)),
+    "abs": lambda v: abs(_as_number(v)),
+    "int64": lambda v: _as_int(v),
+    "int32": lambda v: _as_int(v),
+    "uint64": lambda v: _as_int(v),
+    "float64": lambda v: float(_as_number(v)),
+    "float32": lambda v: float(_as_number(v)),
+    "max": lambda v: max(_as_number(x) for x in _as_array(v)),
+    "min": lambda v: min(_as_number(x) for x in _as_array(v)),
+    "log": lambda v: math.log(_as_number(v)),
+    "log10": lambda v: math.log10(_as_number(v)),
+    # coercion (query/methods.go)
+    "string": _as_string,
+    "bytes": lambda v: v if isinstance(v, bytes) else _as_string(v).encode(),
+    "number": _m_number,
+    "bool": lambda v, default=None: _m_bool(v, default),
+    "not_null": lambda v: v if v is not None else (_ for _ in ()).throw(BloblangError("value is null")),
+    "not_empty": lambda v: v if v not in ("", [], {}) else (_ for _ in ()).throw(BloblangError("value is empty")),
+    "type": _type_name,
+    "exists": lambda v, path: _get_path(_as_object(v), tuple(_as_string(path).split("."))) is not None,
+    "or": lambda v, fallback: fallback if v is None or v is NOTHING else v,
+    # arrays (query/methods.go)
+    "map_each": _m_map_each,
+    "map_each_key": lambda v, fn: {_as_string(fn(k)): val for k, val in _as_object(v).items()},
+    "filter": lambda v, fn: (
+        [x for x in v if _as_bool(fn(x))]
+        if isinstance(v, list)
+        else {k: val for k, val in _as_object(v).items() if _as_bool(fn({"key": k, "value": val}))}
+    ),
+    "fold": _m_fold,
+    "all": lambda v, fn: all(_as_bool(fn(x)) for x in _as_array(v)),
+    "any": lambda v, fn: any(_as_bool(fn(x)) for x in _as_array(v)),
+    "append": lambda v, *items: _as_array(v) + list(items),
+    "concat": lambda v, *others: sum((_as_array(o) for o in others), _as_array(v)),
+    "flatten": lambda v: [y for x in _as_array(v) for y in (x if isinstance(x, list) else [x])],
+    "index": _m_index,
+    "first": lambda v: _m_index(v, 0),
+    "last": lambda v: _m_index(v, -1),
+    "sort": _m_sort,
+    "sort_by": _m_sort_by,
+    "join": _m_join,
+    "sum": lambda v: sum(_as_number(x) for x in _as_array(v)) if v else 0,
+    "enumerated": _m_enumerated,
+    "zip": _m_zip,
+    "unique": _m_unique,
+    "slice_each": _m_slice,
+    # objects (query/methods.go)
+    "keys": lambda v: list(_as_object(v).keys()),
+    "values": lambda v: list(_as_object(v).values()),
+    "key_values": lambda v: [{"key": k, "value": val} for k, val in _as_object(v).items()],
+    "merge": _m_merge,
+    "assign": lambda v, other: {**_as_object(v), **_as_object(other)},
+    "without": _m_without,
+    "with": lambda v, *fields: {k: val for k, val in _as_object(v).items() if k in {_as_string(f) for f in fields}},
+    "collapse": lambda v: _collapse(v),
+    "explode": lambda v, path: (_ for _ in ()).throw(BloblangError("explode unsupported")),
+    "get": _m_get,
+    "squash": lambda v: _squash(_as_array(v)),
+    # timestamps (query/methods_time.go)
+    "ts_parse": lambda v, fmt=None: _m_parse_timestamp(v, fmt),
+    "parse_timestamp": lambda v, fmt=None: _m_parse_timestamp(v, fmt),
+    "ts_format": _m_format_timestamp,
+    "format_timestamp": _m_format_timestamp,
+    "ts_unix": lambda v: int(_to_datetime(v).timestamp()),
+    "ts_unix_milli": lambda v: int(_to_datetime(v).timestamp() * 1000),
+    "ts_unix_micro": lambda v: int(_to_datetime(v).timestamp() * 1_000_000),
+    "ts_unix_nano": lambda v: int(_to_datetime(v).timestamp() * 1_000_000_000),
+    "ts_round": lambda v, dur_ns: _ts_round(v, dur_ns),
+    "ts_sub": lambda v, other: int((_to_datetime(v) - _to_datetime(other)).total_seconds() * 1e9),
+}
+
+
+def _m_bool(v, default=None):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0
+    if isinstance(v, str) and v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    if default is not None:
+        return default
+    raise BloblangError(f"expected bool, got {_type_name(v)}")
+
+
+def _go_format(fmt: str, args):
+    """Go fmt verbs subset: %s %d %f %v %q."""
+    out = []
+    it = iter(args)
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            verb = fmt[i + 1]
+            if verb == "%":
+                out.append("%")
+            elif verb in "sv":
+                out.append(_as_string(next(it)))
+            elif verb == "d":
+                out.append(str(_as_int(next(it))))
+            elif verb == "f":
+                out.append(f"{_as_number(next(it)):f}")
+            elif verb == "q":
+                out.append(json.dumps(_as_string(next(it))))
+            else:
+                out.append(c + verb)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _collapse(v, prefix=""):
+    out = {}
+
+    def rec(val, pre):
+        if isinstance(val, dict) and val:
+            for k, x in val.items():
+                rec(x, f"{pre}.{k}" if pre else k)
+        elif isinstance(val, list) and val:
+            for i, x in enumerate(val):
+                rec(x, f"{pre}.{i}" if pre else str(i))
+        else:
+            out[pre] = val
+
+    rec(v, prefix)
+    return out
+
+
+def _squash(arr):
+    out = {}
+    for obj in arr:
+        out = _m_merge(out, _as_object(obj)) if out else dict(_as_object(obj))
+    return out
+
+
+def _ts_round(v, dur_ns):
+    ts = _to_datetime(v)
+    ns = int(ts.timestamp() * 1e9)
+    d = _as_int(dur_ns)
+    rounded = ((ns + d // 2) // d) * d
+    return _dt.datetime.fromtimestamp(rounded / 1e9, _dt.timezone.utc).isoformat()

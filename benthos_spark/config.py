@@ -90,8 +90,18 @@ def _proc(spec: dict | str) -> P.Processor:
         return P.Filter(F.expr(spec))
     (name, conf), = spec.items()
     if name == "mapping":
+        if isinstance(conf, str):
+            # real Bloblang source (processor_mapping.go:96) — compiles
+            # to Columns, falls back to the Arrow interpreter
+            from benthos_spark.bloblang import BloblangMapping
+
+            return BloblangMapping(conf)
         return P.Mapping(_exprs(conf))
     if name == "mutation":
+        if isinstance(conf, str):
+            from benthos_spark.bloblang import BloblangMutation
+
+            return BloblangMutation(conf)
         return P.Mutation(_exprs(conf))
     if name == "filter":
         return P.Filter(F.expr(conf if isinstance(conf, str) else conf["check"]))

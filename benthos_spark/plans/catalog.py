@@ -1761,3 +1761,43 @@ def audio_transcode_rollup(spark, sf_dir):
             "size_ok"
         ),
     )
+
+
+@register(
+    "bloblang_mapping_orders",
+    """
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 8)) AS pri,
+           floor(o_totalprice / 1000)::BIGINT AS bucket,
+           CASE WHEN o_orderstatus = 'F' THEN 'done'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'other' END AS state,
+           concat(o_orderkey::VARCHAR, ':', o_orderstatus) AS tag
+    FROM orders
+    WHERE o_totalprice >= 1000
+    """,
+)
+def bloblang_mapping_orders(spark, sf_dir):
+    """A `mapping` processor written in REAL Bloblang syntax
+    (mapping_parser.go grammar), compiled by the Column tier
+    (bloblang/columns.py) to ONE fused JVM projection + filter — no
+    Python in the data path. Exercises method chains, match, let,
+    string concat, arithmetic, and the deleted() filter idiom."""
+    from benthos_spark.bloblang import BloblangMapping
+
+    src = """
+# typed-row Bloblang over the orders table
+let key_str = this.o_orderkey.string()
+root.o_orderkey = this.o_orderkey
+root.pri = this.o_orderpriority.slice(0, 8).uppercase()
+root.bucket = (this.o_totalprice / 1000).floor().int64()
+root.state = match this.o_orderstatus {
+  "F" => "done"
+  "O" => "open"
+  _ => "other"
+}
+root.tag = $key_str + ":" + this.o_orderstatus
+root = if this.o_totalprice < 1000 { deleted() }
+"""
+    o = _t(spark, sf_dir, "orders")
+    return BloblangMapping(src)(o)

@@ -1,0 +1,338 @@
+"""Bloblang mapping-language tests.
+
+Layer 1: parser + interpreter unit tests (≙ the reference's
+mapping_parser_test.go / query_parser_test.go colocated tests).
+Layer 2: the reference's own golden suites from config/test/bloblang/
+(cities, csv_formatter, github_releases) run through the interpreter —
+the `benthos test` analogue.
+Layer 3: the Column tier on real DataFrames — the same source compiles
+to a fused JVM projection; dynamic fallback via mapInPandas.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.bloblang import (
+    BloblangMapping,
+    BloblangMutation,
+    BloblangParseError,
+    Executor,
+    compile_mapping,
+    parse_mapping,
+)
+from benthos_spark.bloblang.interp import DELETED, BloblangError
+
+
+def run(src, doc, meta=None, mutate=False):
+    out, m = Executor(src).map_part(doc, meta, mutate=mutate)
+    return out
+
+
+# -- layer 1: parser + interpreter ------------------------------------------
+
+
+def test_basic_assignment():
+    assert run("root.x = this.a + 1", {"a": 2}) == {"x": 3}
+
+
+def test_nested_paths():
+    out = run('root.a.b.c = this.v\nroot.a.d = "y"', {"v": 1})
+    assert out == {"a": {"b": {"c": 1}, "d": "y"}}
+
+
+def test_root_prefix_optional():
+    assert run("x = this.a", {"a": 5}) == {"x": 5}
+
+
+def test_single_root_query():
+    assert run("this.a.uppercase()", {"a": "hi"}) == "HI"
+
+
+def test_number_semantics_div_always_float():
+    assert run("root.x = 10 / 4", {}) == {"x": 2.5}
+    assert run("root.x = 3 * 2", {}) == {"x": 6}
+    assert isinstance(run("root.x = 3 * 2", {})["x"], int)
+    assert run("root.x = 7 % 3", {}) == {"x": 1}
+
+
+def test_string_concat_plus():
+    assert run('root.x = "a" + "b" + "c"', {}) == {"x": "abc"}
+
+
+def test_precedence_reference_four_pass():
+    # {* / % |} then {+ -} then cmp then bool — arithmetic.go:432
+    assert run("root.x = 2 + 3 * 4", {}) == {"x": 14}
+    assert run("root.x = 2 + 3 * 4 == 14 && true", {}) == {"x": True}
+    assert run("root.x = 10 - 2 - 3", {}) == {"x": 5}
+
+
+def test_pipe_coalesce():
+    assert run('root.x = this.missing | "fallback"', {"a": 1}) == {"x": "fallback"}
+    assert run('root.x = this.a | "fallback"', {"a": 1}) == {"x": 1}
+
+
+def test_if_else_expression():
+    src = 'root.x = if this.v > 5 { "big" } else if this.v > 2 { "mid" } else { "small" }'
+    assert run(src, {"v": 9}) == {"x": "big"}
+    assert run(src, {"v": 3}) == {"x": "mid"}
+    assert run(src, {"v": 1}) == {"x": "small"}
+
+
+def test_if_without_else_skips_assignment():
+    assert run("root.x = if this.v > 5 { this.v }\nroot.y = 1", {"v": 1}) == {"y": 1}
+
+
+def test_match_literal_and_predicate_cases():
+    # a match target rebinds `this` for every case (NewMatchFunction)
+    src = """root.t = match this.status {
+  "open" => "o"
+  this == "closed" => "c"
+  _ => "other"
+}"""
+    assert run(src, {"status": "open"}) == {"t": "o"}
+    assert run(src, {"status": "closed"}) == {"t": "c"}
+    assert run(src, {"status": "x"}) == {"t": "other"}
+
+
+def test_match_without_target_uses_outer_this():
+    src = """root.t = match {
+  this.code >= 500 => "err"
+  this.status == "open" => "o"
+  _ => "other"
+}"""
+    assert run(src, {"status": "open", "code": 200}) == {"t": "o"}
+    assert run(src, {"status": "x", "code": 503}) == {"t": "err"}
+    assert run(src, {"status": "x", "code": 200}) == {"t": "other"}
+
+
+def test_match_with_target_rebinds_this():
+    src = 'root.x = match this.meta { this.level == "hi" => this.level.uppercase(), _ => "?" }'
+    assert run(src, {"meta": {"level": "hi"}}) == {"x": "HI"}
+
+
+def test_let_variables():
+    src = "let n = this.a * 2\nroot.x = $n + 1\nroot.y = $n"
+    assert run(src, {"a": 5}) == {"x": 11, "y": 10}
+
+
+def test_meta_assignment_and_read():
+    ex = Executor('meta topic = "t1"\nroot.x = @topic')
+    out, meta = ex.map_part({}, {})
+    assert meta["topic"] == "t1" and out == {"x": "t1"}
+
+
+def test_deleted_field_and_message():
+    out = run("root = this\nroot.b = deleted()", {"a": 1, "b": 2}, mutate=False)
+    assert out == {"a": 1}
+    ex = Executor("root.keep = true\nroot = if this.drop { deleted() }")
+    out, _ = ex.map_part({"drop": True})
+    assert out is DELETED
+    out, _ = ex.map_part({"drop": False})
+    assert out == {"keep": True}
+
+
+def test_method_chains_and_lambdas():
+    src = 'root.v = this.xs.filter(x -> x.n > 1).map_each(x -> x.n * 10).sort().join(",")'
+    # join requires strings
+    src = 'root.v = this.xs.filter(x -> x.n > 1).map_each(x -> (x.n * 10).string()).sort().join(",")'
+    assert run(src, {"xs": [{"n": 1}, {"n": 3}, {"n": 2}]}) == {"v": "20,30"}
+
+
+def test_map_apply():
+    src = """map parts {
+  root.first = this.split("-").index(0)
+  root.n = this.length()
+}
+root.out = this.id.apply("parts")"""
+    assert run(src, {"id": "abc-def"}) == {"out": {"first": "abc", "n": 7}}
+
+
+def test_object_and_array_literals():
+    src = 'root = {"a": [1, 2, this.v], "b": {"c": true}}'
+    assert run(src, {"v": 3}) == {"a": [1, 2, 3], "b": {"c": True}}
+
+
+def test_numeric_index_path():
+    assert run("root.x = this.0.name", [{"name": "n0"}, {"name": "n1"}]) == {"x": "n0"}
+
+
+def test_negation_and_not():
+    assert run("root.x = !this.flag\nroot.y = -this.n", {"flag": False, "n": 4}) == {
+        "x": True,
+        "y": -4,
+    }
+
+
+def test_catch_and_or():
+    assert run('root.x = this.s.number().catch(-1)', {"s": "abc"}) == {"x": -1}
+    assert run('root.x = this.miss.or(9)', {}) == {"x": 9}
+
+
+def test_fold():
+    src = "root.total = this.ns.fold(0, item -> item.tally + item.value)"
+    assert run(src, {"ns": [1, 2, 3]}) == {"total": 6}
+
+
+def test_parse_errors():
+    with pytest.raises(BloblangParseError):
+        parse_mapping("root.x = = 1")
+    with pytest.raises(BloblangParseError):
+        parse_mapping("root.x = this.foo.")
+
+
+def test_comments_and_blank_lines():
+    src = "# header\nroot.a = 1\n\n# more\nroot.b = 2 # not a comment marker inside? no\n"
+    out = run("# header\nroot.a = 1\n\nroot.b = 2\n", {})
+    assert out == {"a": 1, "b": 2}
+
+
+def test_quoted_path_segment():
+    assert run('root."weird key" = 1', {}) == {"weird key": 1}
+
+
+# -- layer 2: reference golden suites ---------------------------------------
+
+GOLDEN_DIR = "/root/reference/config/test/bloblang"
+
+
+def test_golden_cities():
+    src = open(f"{GOLDEN_DIR}/cities.blobl").read()
+    doc = {
+        "locations": [
+            {"name": "Seattle", "state": "WA"},
+            {"name": "New York", "state": "NY"},
+            {"name": "Bellevue", "state": "WA"},
+            {"name": "Olympia", "state": "WA"},
+        ]
+    }
+    assert run(src, doc) == {"Cities": "Bellevue, Olympia, Seattle"}
+
+
+def test_golden_csv_formatter():
+    src = open(f"{GOLDEN_DIR}/csv_formatter.blobl").read()
+    doc = [
+        {"foo": "hello world", "baz": 110, "bar": "bar value", "buz": False},
+        {"foo": "hello world 2", "bar": "bar value 2", "baz": 220, "buz": True},
+        {"foo": "hello world 3", "bar": "bar value 3", "baz": 330, "buz": True},
+    ]
+    expect = (
+        "bar,baz,buz,foo\n"
+        "bar value,110,false,hello world\n"
+        "bar value 2,220,true,hello world 2\n"
+        "bar value 3,330,true,hello world 3"
+    )
+    assert run(src, doc) == expect
+
+
+def test_golden_github_releases():
+    src = open(f"{GOLDEN_DIR}/github_releases.blobl").read()
+    doc = [
+        {
+            "tag_name": "1.23.4",
+            "assets": [
+                {"name": "benthos-lambda_1.23.4_linux_amd64.zip", "download_count": 123},
+                {"name": "benthos_1.23.4_checksums.txt", "download_count": 456},
+                {"name": "benthos_1.23.4_darwin_amd64.tar.gz", "download_count": 789},
+                {"name": "benthos_1.23.4_linux_amd64.tar.gz", "download_count": 101112},
+                {"name": "benthos_1.23.4_linux_arm64.tar.gz", "download_count": 131415},
+            ],
+        }
+    ]
+    assert run(src, doc) == [
+        {"source": "github", "dist": "lambda_linux_amd64", "download_count": 123, "version": "1.23.4"},
+        {"source": "github", "dist": "darwin_amd64", "download_count": 789, "version": "1.23.4"},
+        {"source": "github", "dist": "linux_amd64", "download_count": 101112, "version": "1.23.4"},
+        {"source": "github", "dist": "linux_arm64", "download_count": 131415, "version": "1.23.4"},
+    ]
+
+
+# -- layer 3: Column tier on DataFrames -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "alpha", 10.0, ["x", "y"]), (2, "beta", 20.0, ["z"]), (3, "gamma", 30.0, [])],
+        "id int, name string, score double, tags array<string>",
+    )
+
+
+def test_column_tier_basic(df):
+    proc = BloblangMapping('root.up = this.name.uppercase()\nroot.double = this.score * 2')
+    out = proc(df)
+    assert out.columns == ["up", "double"]
+    rows = {r["up"]: r["double"] for r in out.collect()}
+    assert rows == {"ALPHA": 20.0, "BETA": 40.0, "GAMMA": 60.0}
+
+
+def test_column_tier_is_jvm_only(df):
+    proc = BloblangMapping("root.x = this.score + 1")
+    plan = proc(df)._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "Python" not in plan
+
+
+def test_column_tier_mutation_keeps_columns(df):
+    proc = BloblangMutation('root.tier = if this.score > 15 { "hi" } else { "lo" }')
+    out = proc(df)
+    assert set(out.columns) == {"id", "name", "score", "tags", "tier"}
+    assert {r["id"]: r["tier"] for r in out.collect()} == {1: "lo", 2: "hi", 3: "hi"}
+
+
+def test_column_tier_filter_idiom(df):
+    proc = BloblangMutation("root = if this.score < 15 { deleted() }")
+    assert proc(df).count() == 2
+
+
+def test_column_tier_lambda_over_typed_array(df):
+    proc = BloblangMapping('root.n = this.tags.filter(t -> t != "x").length()')
+    assert {r["n"] for r in proc(df).collect()} == {1, 0}
+
+
+def test_column_tier_match(df):
+    proc = BloblangMapping(
+        'root.label = match this.name { "alpha" => "A", this.length() > 4 => "long", _ => "?" }'
+    )
+    got = [r["label"] for r in proc(df).orderBy(F.col("label")).collect()]
+    assert sorted(got) == ["?", "A", "long"]
+
+
+def test_column_tier_let_and_meta(df):
+    proc = BloblangMutation('let s = this.score * 10\nmeta src = "unit"\nroot.big = $s')
+    out = proc(df)
+    row = out.filter("id = 1").collect()[0]
+    assert row["big"] == 100.0 and row["_meta"]["src"] == "unit"
+
+
+def test_column_tier_nested_assignment(df):
+    proc = BloblangMapping("root.agg.sum = this.score + 1\nroot.agg.id = this.id")
+    row = proc(df).filter("agg.id = 2").collect()[0]
+    assert row["agg"]["sum"] == 21.0
+
+
+def test_dynamic_fallback_restructures_json(spark):
+    docs = [
+        {"locations": [{"name": "Seattle", "state": "WA"}, {"name": "Olympia", "state": "WA"}, {"name": "NYC", "state": "NY"}]},
+        {"locations": [{"name": "Austin", "state": "WA"}]},
+    ]
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], "value string")
+    src = open(f"{GOLDEN_DIR}/cities.blobl").read()
+    proc = BloblangMapping(src)
+    out = proc(df)
+    vals = sorted(json.loads(r["value"])["Cities"] for r in out.collect())
+    assert vals == ["Austin", "Olympia, Seattle"]
+
+
+def test_dynamic_fallback_typed_output(spark):
+    df = spark.createDataFrame(
+        [('{"a": 3, "b": "x"}',), ('{"a": 5, "b": "y"}',)], "value string"
+    )
+    proc = BloblangMapping(
+        "root.total = this.a * 2\nroot.tag = this.b.uppercase()",
+        output_schema="total long, tag string",
+    )
+    got = {r["total"]: r["tag"] for r in proc(df).collect()}
+    assert got == {6: "X", 10: "Y"}
