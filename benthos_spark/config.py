@@ -75,7 +75,27 @@ def _input(spec: dict) -> S.Source:
             count=conf.get("count"),
             streaming=conf.get("streaming", True),
         )
-    raise ConfigError(f"unknown input {name!r}; known: parquet, csv, file, generate")
+    if name == "sql_select":
+        from benthos_spark.operators.sql import SqlSelectSource
+
+        return SqlSelectSource(
+            dsn=conf["dsn"],
+            table=conf["table"],
+            columns=conf.get("columns", ["*"]),
+            where=conf.get("where"),
+            driver=conf.get("driver"),
+            partition_column=conf.get("partition_column"),
+            num_partitions=conf.get("num_partitions", 1),
+            lower_bound=conf.get("lower_bound"),
+            upper_bound=conf.get("upper_bound"),
+        )
+    if name == "sql_raw":
+        from benthos_spark.operators.sql import SqlRawSource
+
+        return SqlRawSource(dsn=conf["dsn"], query=conf["query"], driver=conf.get("driver"))
+    raise ConfigError(
+        f"unknown input {name!r}; known: parquet, csv, file, generate, sql_select, sql_raw"
+    )
 
 
 # -- processors -------------------------------------------------------------
@@ -151,10 +171,23 @@ def _proc(spec: dict | str) -> P.Processor:
             ts_col=conf["ts_col"], gap=conf["gap"], lateness=conf.get("lateness"),
             group_cols=conf.get("group_by", []), aggs=_exprs(conf["aggs"]),
         )
+    if name == "sql_select":
+        from benthos_spark.operators.sql import SqlSelect
+
+        return SqlSelect(
+            dsn=conf["dsn"],
+            table=conf["table"],
+            columns=conf["columns"],
+            args_mapping=conf.get("args_mapping", {}),
+            where=conf.get("where"),
+            driver=conf.get("driver"),
+            how=conf.get("how", "left"),
+            prefix=conf.get("prefix", ""),
+        )
     raise ConfigError(
         f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
-        "compress, decompress, window_agg, session_window_agg"
+        "compress, decompress, window_agg, session_window_agg, sql_select"
     )
 
 
@@ -180,9 +213,19 @@ def _output(spec: dict) -> Callable:
         return R.RoundRobinSink([_output(c) for c in conf["outputs"]], key=conf.get("key"))
     if name == "dlq_split":
         return R.DlqSplit(_output(conf["main"]), _output(conf["dlq"]))
+    if name == "sql_insert":
+        from benthos_spark.operators.sql import SqlInsertSink
+
+        return SqlInsertSink(
+            dsn=conf["dsn"],
+            table=conf["table"],
+            columns=conf.get("columns", []),
+            args_mapping=conf.get("args_mapping"),
+            driver=conf.get("driver"),
+        )
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, drop, fan_out, switch, fallback, "
-        "round_robin, dlq_split"
+        "round_robin, dlq_split, sql_insert"
     )
 
 

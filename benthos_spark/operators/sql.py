@@ -1,0 +1,226 @@
+"""SQL components: `sql_select` / `sql_insert` / `sql_raw` re-expressed
+over ``spark.read.jdbc`` / ``DataFrameWriter.jdbc``.
+
+Reference surface (all /root/reference/internal/impl/sql/):
+- processor_sql_select.go:26-48,82 — driver, dsn, table, columns,
+  where (with ``?`` placeholders), args_mapping; runs one query per
+  message and stores rows on the message
+- input_sql_select.go:76 — same fields as an input feeding the pipeline
+- output_sql_insert.go:75 / processor_sql_insert.go — table, columns,
+  args_mapping per-message INSERT
+- processor_sql_raw.go — verbatim query with args
+
+Spark-first re-expression (NOT a per-row port):
+
+- the **input** is a partitioned JDBC scan: Spark pushes the WHERE and
+  column list into the remote database and, given a partition column +
+  bounds, issues N parallel range queries — the scale path for reading
+  a 10^9-row table into a 1000-executor cluster.
+- the **processor** (per-message SELECT enrichment) becomes *one* JDBC
+  scan of the remote table followed by a JOIN on the args columns.
+  Per-message queries are a scale anti-pattern (N round trips); the
+  join computes the identical result set, broadcasts when the dim is
+  small, and shuffles co-partitioned otherwise.
+- the **insert** is a ``foreachBatch``/batch append via the JDBC writer
+  (per-partition batched INSERTs executor-side).
+
+The sandbox ships Apache Derby (embedded JDBC) in Spark's classpath, so
+all of this is exercised for real in tests — no network needed. Any
+other JDBC database is the same code path with a different DSN/driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benthos_spark.operators.processors import Processor
+
+_DRIVERS = {
+    "jdbc:derby": "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    "jdbc:postgresql": "org.postgresql.Driver",
+    "jdbc:mysql": "com.mysql.cj.jdbc.Driver",
+    "jdbc:sqlite": "org.sqlite.JDBC",
+}
+
+
+def _driver_for(dsn: str, driver: Optional[str]) -> Optional[str]:
+    if driver:
+        return driver
+    for prefix, cls in _DRIVERS.items():
+        if dsn.startswith(prefix):
+            return cls
+    return None
+
+
+def read_jdbc(
+    spark: SparkSession,
+    dsn: str,
+    table: str,
+    columns: Sequence[str] = ("*",),
+    where: Optional[str] = None,
+    driver: Optional[str] = None,
+    partition_column: Optional[str] = None,
+    num_partitions: int = 1,
+    lower_bound: Optional[int] = None,
+    upper_bound: Optional[int] = None,
+) -> DataFrame:
+    """JDBC scan with pushdown. ``columns``+``where`` are pushed into the
+    remote query (input_sql_select.go:76 table/columns/where); a
+    partition column turns the scan into N parallel range queries."""
+    cols = ", ".join(columns)
+    query = f"SELECT {cols} FROM {table}"
+    if where:
+        query += f" WHERE {where}"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", dsn)
+        .option("dbtable", f"({query}) sq")
+    )
+    drv = _driver_for(dsn, driver)
+    if drv:
+        reader = reader.option("driver", drv)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    return reader.load()
+
+
+@dataclass
+class SqlSelectSource:
+    """`sql_select` input (input_sql_select.go:76). Batch source: the
+    whole (filtered, projected) table enters the pipeline as one
+    DataFrame, partitioned when bounds are given."""
+
+    dsn: str
+    table: str
+    columns: Sequence[str] = ("*",)
+    where: Optional[str] = None
+    driver: Optional[str] = None
+    partition_column: Optional[str] = None
+    num_partitions: int = 1
+    lower_bound: Optional[int] = None
+    upper_bound: Optional[int] = None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return read_jdbc(
+            spark,
+            self.dsn,
+            self.table,
+            self.columns,
+            self.where,
+            self.driver,
+            self.partition_column,
+            self.num_partitions,
+            self.lower_bound,
+            self.upper_bound,
+        )
+
+
+@dataclass
+class SqlSelect(Processor):
+    """`sql_select` processor (processor_sql_select.go:26-48): enrich
+    each message with rows selected from a database table.
+
+    The reference runs ``SELECT columns FROM table WHERE <where ? args>``
+    once per message. Spark-first: ONE scan of the remote table (static
+    ``where`` pushed down) + a join on the arg columns — identical result
+    rows, no per-row round trips. ``args_mapping`` maps stream columns to
+    the ``?`` placeholders in join order; the reference's placeholder
+    equality becomes the join condition.
+
+    ``how='left'`` keeps messages with no match (reference stores an
+    empty array); ``prefix`` namespaces the joined columns.
+    """
+
+    dsn: str
+    table: str
+    columns: Sequence[str]
+    args_mapping: dict = field(default_factory=dict)  # stream col -> db col
+    where: Optional[str] = None  # static predicate, pushed to the DB
+    driver: Optional[str] = None
+    how: str = "left"
+    prefix: str = ""
+    broadcast_dim: bool = True
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        need = set(self.columns) | set(self.args_mapping.values())
+        dim = read_jdbc(
+            spark, self.dsn, self.table, sorted(need), self.where, self.driver
+        )
+        out_cols = {c: (self.prefix + c) for c in self.columns}
+        sel = [F.col(c).alias(n) for c, n in out_cols.items()]
+        sel += [F.col(c) for c in self.args_mapping.values() if c not in out_cols]
+        dim = dim.select(*sel)
+        cond = None
+        for stream_col, db_col in self.args_mapping.items():
+            alias = out_cols.get(db_col, db_col)
+            c = df[stream_col] == dim[alias]
+            cond = c if cond is None else (cond & c)
+        dim_j = F.broadcast(dim) if self.broadcast_dim else dim
+        joined = df.join(dim_j, cond, self.how)
+        # drop duplicated join-key columns from the dim side
+        for stream_col, db_col in self.args_mapping.items():
+            if db_col not in self.columns or (self.prefix + db_col) == stream_col:
+                joined = joined.drop(dim[out_cols.get(db_col, db_col)])
+        return joined
+
+
+@dataclass
+class SqlInsertSink:
+    """`sql_insert` output (output_sql_insert.go:75): append rows into a
+    table. Works as a batch sink or a ``foreachBatch`` streaming sink —
+    the JDBC writer batches INSERTs per partition executor-side."""
+
+    dsn: str
+    table: str
+    columns: Sequence[str]
+    args_mapping: Optional[dict] = None  # out col -> stream expr (SQL string)
+    driver: Optional[str] = None
+    mode: str = "append"
+
+    def write(self, df: DataFrame) -> None:
+        if self.args_mapping:
+            df = df.select(
+                *[F.expr(expr).alias(col) for col, expr in self.args_mapping.items()]
+            )
+        else:
+            df = df.select(*self.columns)
+        writer = df.write.format("jdbc").option("url", self.dsn).option("dbtable", self.table)
+        drv = _driver_for(self.dsn, self.driver)
+        if drv:
+            writer = writer.option("driver", drv)
+        writer.mode(self.mode).save()
+
+    # foreachBatch signature
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        self.write(df)
+
+
+@dataclass
+class SqlRawSource:
+    """`sql_raw` input (input_sql_raw.go:54): a verbatim query pushed to
+    the database as a subquery scan."""
+
+    dsn: str
+    query: str
+    driver: Optional[str] = None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.dsn)
+            .option("dbtable", f"({self.query}) sq")
+        )
+        drv = _driver_for(self.dsn, self.driver)
+        if drv:
+            reader = reader.option("driver", drv)
+        return reader.load()

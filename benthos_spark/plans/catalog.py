@@ -1801,3 +1801,44 @@ root = if this.o_totalprice < 1000 { deleted() }
 """
     o = _t(spark, sf_dir, "orders")
     return BloblangMapping(src)(o)
+
+
+@register(
+    "sql_select_enrich_customers",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_select_enrich_customers(spark, sf_dir):
+    """`sql_select` enrichment (processor_sql_select.go:26-48) through a
+    REAL JDBC database: the nation dim round-trips into embedded Derby
+    via the sql_insert writer, then SqlSelect reads it back (columns +
+    args_mapping surface) and joins it onto the customer stream — the
+    reference's per-message SELECT re-expressed as one broadcast join.
+    The oracle replays the identical relational result from parquet."""
+    import tempfile
+
+    from benthos_spark.operators.sql import SqlInsertSink, SqlSelect
+
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("N_NATIONKEY"), F.col("n_name").alias("N_NAME")
+    )
+    db = tempfile.mkdtemp(prefix="bs_derby_") + "/nationdb"
+    dsn = f"jdbc:derby:{db};create=true"
+    SqlInsertSink(dsn, "nation_dim", ["N_NATIONKEY", "N_NAME"], mode="overwrite").write(nation)
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    enriched = SqlSelect(
+        dsn=dsn,
+        table="nation_dim",
+        columns=["N_NAME"],
+        args_mapping={"c_nationkey": "N_NATIONKEY"},
+        how="inner",
+    )(c)
+    return enriched.groupBy(F.col("N_NAME").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
