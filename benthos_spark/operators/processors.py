@@ -231,12 +231,28 @@ class Dedupe(Processor):
 @dataclass
 class Split(Processor):
     """Re-batch into chunks (internal/impl/pure/processor_split.go:21).
-    Batch boundaries are physical in Spark → repartition."""
+    Batch boundaries are physical in Spark → repartition. The reference
+    splits by message count or byte size (processor_split.go:56-60);
+    here ``count`` = rows per partition and ``byte_size`` = payload
+    bytes per partition, each sized from one lightweight agg."""
 
-    partitions: int
+    partitions: int | None = None
+    count: int | None = None
+    byte_size: int | None = None
+    size_col: str | None = None  # payload column measured for byte_size
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        return df.repartition(self.partitions)
+        if self.partitions is not None:
+            return df.repartition(self.partitions)
+        if self.count is not None:
+            n_rows = df.count()
+            return df.repartition(max(1, -(-n_rows // self.count)))
+        if self.byte_size is not None:
+            if not self.size_col:
+                raise ValueError("byte_size split needs size_col")
+            total = df.agg(F.sum(F.length(F.col(self.size_col)))).collect()[0][0] or 0
+            return df.repartition(max(1, -(-int(total) // self.byte_size)))
+        raise ValueError("split needs one of partitions/count/byte_size")
 
 
 @dataclass
@@ -253,6 +269,7 @@ class Archive(Processor):
     fmt: str = "lines"
     out_col: str = "archived"
     order_by: object | None = None
+    name_col: object | None = None  # per-entry filename for tar/zip
 
     def __call__(self, df: DataFrame) -> DataFrame:
         payload = _to_col(self.payload)
@@ -261,9 +278,59 @@ class Archive(Processor):
             agg = F.array_join(F.array_sort(F.collect_list(payload)), sep)
         elif self.fmt == "json_array":
             agg = F.to_json(F.array_sort(F.collect_list(payload)))
+        elif self.fmt in ("tar", "zip", "binary"):
+            return self._archive_files(df, payload)
         else:
             raise ValueError(f"unsupported archive format {self.fmt}")
         return df.groupBy(*self.group_cols).agg(agg.alias(self.out_col))
+
+    def _archive_files(self, df: DataFrame, payload) -> DataFrame:
+        """tar/zip pack entries named by ``name_col``
+        (processor_archive.go:186-197 tar/zip cases) and the reference's
+        length-prefixed `binary` batch blob (message.go:79-99). One agg
+        (collect entries, sorted for determinism) + one Arrow UDF per
+        group — no per-row Python."""
+        fmt = self.fmt
+        name = _to_col(self.name_col) if self.name_col is not None else F.lit(None)
+        entries = F.array_sort(
+            F.collect_list(F.struct(name.cast("string").alias("name"), payload.alias("data")))
+        )
+
+        def pack(s: pd.Series) -> pd.Series:
+            import io
+            import struct
+            import tarfile
+            import zipfile
+
+            out = []
+            for ents in s:
+                if fmt == "binary":
+                    parts = [bytes(e["data"]) for e in ents]
+                    blob = struct.pack(">I", len(parts))
+                    for p in parts:
+                        blob += struct.pack(">I", len(p)) + p
+                    out.append(blob)
+                    continue
+                buf = io.BytesIO()
+                if fmt == "tar":
+                    with tarfile.open(fileobj=buf, mode="w") as tf:
+                        for i, e in enumerate(ents):
+                            data = bytes(e["data"])
+                            ti = tarfile.TarInfo(e["name"] or f"part_{i}")
+                            ti.size = len(data)
+                            ti.mtime = 0  # deterministic bytes
+                            tf.addfile(ti, io.BytesIO(data))
+                else:
+                    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                        for i, e in enumerate(ents):
+                            zi = zipfile.ZipInfo(e["name"] or f"part_{i}", (1980, 1, 1, 0, 0, 0))
+                            zf.writestr(zi, bytes(e["data"]))
+                out.append(buf.getvalue())
+            return pd.Series(out)
+
+        grouped = df.groupBy(*self.group_cols).agg(entries.alias("_entries"))
+        udf = F.pandas_udf(pack, "binary")
+        return grouped.withColumn(self.out_col, udf(F.col("_entries"))).drop("_entries")
 
 
 @dataclass
@@ -283,9 +350,79 @@ class Unarchive(Processor):
             parts = F.from_json(F.col(self.col), f"array<{self.element_type}>")
         elif self.fmt == "words":
             parts = F.split(F.trim(F.col(self.col)), r"\s+")
+        elif self.fmt == "json_map":
+            # object → one message per key, key in metadata archive_key
+            # (processor_unarchive.go:289-304 json_map case)
+            kv = F.explode(F.from_json(F.col(self.col), f"map<string,{self.element_type}>"))
+            return (
+                df.select("*", kv.alias("archive_key", self.out_col)).drop(self.col)
+            )
+        elif self.fmt == "csv":
+            # CSV doc → one message per record as a key→value map
+            # (processor_unarchive.go csv case: header row names fields)
+            return self._unarchive_csv(df)
+        elif self.fmt in ("tar", "zip", "binary"):
+            return self._unarchive_files(df)
         else:
             raise ValueError(f"unsupported unarchive format {self.fmt}")
         return df.withColumn(self.out_col, F.explode(parts)).drop(self.col)
+
+    def _unarchive_csv(self, df: DataFrame) -> DataFrame:
+        lines = F.split(F.col(self.col), "\r?\n")
+        header = F.split(F.element_at(lines, 1), ",")
+        body = F.filter(
+            F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))),
+            lambda l: F.length(l) > 0,
+        )
+        rows = F.transform(body, lambda l: F.map_from_arrays(header, F.split(l, ",")))
+        return df.withColumn(self.out_col, F.explode(rows)).drop(self.col)
+
+    def _unarchive_files(self, df: DataFrame) -> DataFrame:
+        """tar/zip/binary → one row per contained entry
+        (processor_unarchive.go:289-304): Arrow UDF returns
+        array<struct<name,data>>, then a JVM-side explode."""
+        fmt = self.fmt
+
+        def unpack(s: pd.Series) -> pd.Series:
+            import io
+            import struct
+            import tarfile
+            import zipfile
+
+            out = []
+            for blob in s:
+                b = bytes(blob)
+                ents = []
+                if fmt == "binary":
+                    (n,) = struct.unpack_from(">I", b, 0)
+                    off = 4
+                    for i in range(n):
+                        (ln,) = struct.unpack_from(">I", b, off)
+                        off += 4
+                        ents.append({"name": str(i), "data": b[off : off + ln]})
+                        off += ln
+                elif fmt == "tar":
+                    with tarfile.open(fileobj=io.BytesIO(b)) as tf:
+                        for m in tf.getmembers():
+                            if m.isfile():
+                                ents.append({"name": m.name, "data": tf.extractfile(m).read()})
+                else:
+                    with zipfile.ZipFile(io.BytesIO(b)) as zf:
+                        for zi in zf.infolist():
+                            if not zi.is_dir():
+                                ents.append({"name": zi.filename, "data": zf.read(zi)})
+                out.append(ents)
+            return pd.Series(out)
+
+        udf = F.pandas_udf(unpack, "array<struct<name:string,data:binary>>")
+        ent = F.explode(udf(F.col(self.col)))
+        return (
+            df.select("*", ent.alias("_e"))
+            .drop(self.col)
+            .withColumn("archive_name", F.col("_e.name"))
+            .withColumn(self.out_col, F.col("_e.data"))
+            .drop("_e")
+        )
 
 
 @dataclass
@@ -424,12 +561,15 @@ class While(Processor):
 @dataclass
 class Cached(Processor):
     """`cached` processor (internal/impl/pure/processor_cached.go:90):
-    memoise the child chain's result. Spark-first: the memo is a
+    memoise the child chain's result, with the reference's optional TTL
+    (processor_cached.go ttl field). Spark-first: the memo is a
     persisted DataFrame keyed in a registry — repeated pipeline runs
-    reuse the materialized result instead of recomputing."""
+    reuse the materialized result; an expired entry is unpersisted and
+    recomputed."""
 
     processors: Sequence[Processor]
     key: str
+    ttl_s: float | None = None
     _registry: dict = field(default_factory=dict)  # class-level override below
 
     REGISTRY: dict = None  # type: ignore[assignment]
@@ -439,14 +579,20 @@ class Cached(Processor):
             Cached.REGISTRY = {}
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        import time
+
         hit = Cached.REGISTRY.get(self.key)
         if hit is not None:
-            return hit
+            cached_df, stamp = hit
+            if self.ttl_s is None or (time.monotonic() - stamp) < self.ttl_s:
+                return cached_df
+            cached_df.unpersist()
+            del Cached.REGISTRY[self.key]
         out = df
         for p in self.processors:
             out = p(out)
         out = out.persist()
-        Cached.REGISTRY[self.key] = out
+        Cached.REGISTRY[self.key] = (out, time.monotonic())
         return out
 
 
@@ -471,22 +617,72 @@ class Observe(Processor):
         return df.observe(self.name, *[m.alias(k) for k, m in self.metrics.items()])
 
 
-def _zlib_codec(compress: bool, level: int = 6) -> Callable[[pd.Series], pd.Series]:
-    if compress:
-        return lambda s: s.map(lambda b: zlib.compress(bytes(b), level) if b is not None else None)
-    return lambda s: s.map(lambda b: zlib.decompress(bytes(b)) if b is not None else None)
+def _codec_pair(algorithm: str, level: int = 6):
+    """(compress_fn, decompress_fn) for the reference's algorithm set
+    (processor_compress.go:21: gzip/pgzip/zlib/flate/snappy/lz4/zstd).
+    gzip/zlib/flate are stdlib; snappy/lz4/zstd are import-gated (libs
+    absent in the offline sandbox — the Spark plumbing is identical)."""
+    if algorithm in ("gzip", "pgzip"):  # pgzip = parallel gzip, same format
+        import gzip as _gz
+
+        return (lambda b: _gz.compress(b, compresslevel=level)), _gz.decompress
+    if algorithm == "zlib":
+        return (lambda b: zlib.compress(b, level)), zlib.decompress
+    if algorithm == "flate":  # raw DEFLATE stream (RFC 1951)
+        def _c(b):
+            co = zlib.compressobj(level, zlib.DEFLATED, -15)
+            return co.compress(b) + co.flush()
+
+        def _d(b):
+            return zlib.decompressobj(-15).decompress(b)
+
+        return _c, _d
+    if algorithm == "snappy":
+        try:
+            import snappy  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "snappy codec needs python-snappy (pip install python-snappy on the cluster)"
+            ) from e
+        return snappy.compress, snappy.decompress
+    if algorithm == "lz4":
+        try:
+            import lz4.frame  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "lz4 codec needs the lz4 package (pip install lz4 on the cluster)"
+            ) from e
+        return lz4.frame.compress, lz4.frame.decompress
+    if algorithm == "zstd":
+        try:
+            import zstandard  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "zstd codec needs zstandard (pip install zstandard on the cluster)"
+            ) from e
+        return zstandard.ZstdCompressor(level=level).compress, (
+            lambda b: zstandard.ZstdDecompressor().decompress(b)
+        )
+    raise ValueError(f"unknown compression algorithm {algorithm!r}")
+
+
+def _codec_udf(algorithm: str, compress: bool, level: int = 6) -> Callable[[pd.Series], pd.Series]:
+    c, d = _codec_pair(algorithm, level)
+    fn = c if compress else d
+    return lambda s: s.map(lambda b: fn(bytes(b)) if b is not None else None)
 
 
 @dataclass
 class Compress(Processor):
-    """internal/impl/pure/processor_compress.go:21 — zlib over a binary
-    column via an Arrow-batched pandas UDF."""
+    """internal/impl/pure/processor_compress.go:21 — algorithm-selectable
+    compression over a binary column via an Arrow-batched pandas UDF."""
 
     col: str
     level: int = 6
+    algorithm: str = "zlib"
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        udf = F.pandas_udf(_zlib_codec(True, self.level), "binary")
+        udf = F.pandas_udf(_codec_udf(self.algorithm, True, self.level), "binary")
         return df.withColumn(self.col, udf(F.col(self.col)))
 
 
@@ -495,9 +691,10 @@ class Decompress(Processor):
     """internal/impl/pure/processor_decompress.go:21."""
 
     col: str
+    algorithm: str = "zlib"
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        udf = F.pandas_udf(_zlib_codec(False), "binary")
+        udf = F.pandas_udf(_codec_udf(self.algorithm, False), "binary")
         return df.withColumn(self.col, udf(F.col(self.col)))
 
 

@@ -207,7 +207,7 @@ def test_cached_memoizes(spark):
     b = proc(df)
     assert len(calls) == 1  # second call served from the registry
     assert a is b
-    Cached.REGISTRY.pop("test-cached-1").unpersist()
+    Cached.REGISTRY.pop("test-cached-1")[0].unpersist()
 
 
 def test_generate_source_batch(spark):
@@ -278,3 +278,118 @@ def test_branch_survives_cache_eviction(spark):
     spark.catalog.clearCache()
     got = {r["id"]: r["squared"] for r in out.collect()}
     assert got == {i: (i * 10.0) ** 2 for i in range(1, 101)}
+
+
+@pytest.mark.parametrize("algorithm", ["zlib", "gzip", "pgzip", "flate"])
+def test_compress_roundtrip_algorithms(spark, algorithm):
+    from benthos_spark.operators.processors import Decompress
+
+    df = spark.createDataFrame(
+        [(b"hello world " * 50,), (b"\x00\xff binary \x01" * 20,)], "payload binary"
+    )
+    out = compose(df, [Compress("payload", algorithm=algorithm),
+                       Decompress("payload", algorithm=algorithm)])
+    got = sorted(bytes(r["payload"]) for r in out.collect())
+    want = sorted([b"hello world " * 50, b"\x00\xff binary \x01" * 20])
+    assert got == want
+    # and it actually compresses
+    comp = Compress("payload", algorithm=algorithm)(df).collect()[0]["payload"]
+    assert len(comp) < len(b"hello world " * 50)
+
+
+def test_compress_gated_algorithms_raise(spark):
+    df = spark.createDataFrame([(b"x",)], "payload binary")
+    for alg in ("snappy", "lz4", "zstd"):
+        try:
+            Compress("payload", algorithm=alg)(df).collect()
+        except Exception as e:
+            assert "NotImplementedError" in str(type(e)) or "needs" in str(e)
+        else:  # pragma: no cover - only hit if the lib is installed
+            pass
+
+
+def test_archive_unarchive_tar_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("g", "a.txt", b"alpha"), ("g", "b.txt", b"beta")],
+        "grp string, fname string, payload binary",
+    )
+    arch = Archive(
+        group_cols=["grp"], payload=F.col("payload"), fmt="tar",
+        out_col="blob", name_col=F.col("fname"),
+    )(df)
+    assert arch.count() == 1
+    restored = Unarchive(col="blob", fmt="tar", out_col="payload")(arch)
+    got = {r["archive_name"]: bytes(r["payload"]) for r in restored.collect()}
+    assert got == {"a.txt": b"alpha", "b.txt": b"beta"}
+
+
+def test_archive_unarchive_zip_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("g", "x", b"one"), ("g", "y", b"two"), ("h", "z", b"three")],
+        "grp string, fname string, payload binary",
+    )
+    arch = Archive(
+        group_cols=["grp"], payload=F.col("payload"), fmt="zip",
+        out_col="blob", name_col=F.col("fname"),
+    )(df)
+    restored = Unarchive(col="blob", fmt="zip", out_col="payload")(arch)
+    got = {(r["grp"], r["archive_name"]): bytes(r["payload"]) for r in restored.collect()}
+    assert got == {("g", "x"): b"one", ("g", "y"): b"two", ("h", "z"): b"three"}
+
+
+def test_archive_binary_blob_format(spark):
+    """The length-prefixed batch blob must match the reference layout
+    (message.go:79-99: u32 count, then u32 len + content per part)."""
+    import struct
+
+    df = spark.createDataFrame([("g", b"hello"), ("g", b"world")], "grp string, p binary")
+    arch = Archive(group_cols=["grp"], payload=F.col("p"), fmt="binary", out_col="blob")(df)
+    blob = bytes(arch.collect()[0]["blob"])
+    (n,) = struct.unpack_from(">I", blob, 0)
+    assert n == 2
+    (l1,) = struct.unpack_from(">I", blob, 4)
+    assert blob[8 : 8 + l1] in (b"hello", b"world")
+    restored = Unarchive(col="blob", fmt="binary", out_col="p")(arch)
+    assert sorted(bytes(r["p"]) for r in restored.collect()) == [b"hello", b"world"]
+
+
+def test_unarchive_csv(spark):
+    df = spark.createDataFrame([("id,name\n1,alpha\n2,beta",)], "doc string")
+    out = Unarchive(col="doc", fmt="csv", out_col="rec")(df)
+    got = sorted((r["rec"]["id"], r["rec"]["name"]) for r in out.collect())
+    assert got == [("1", "alpha"), ("2", "beta")]
+
+
+def test_unarchive_json_map(spark):
+    df = spark.createDataFrame([('{"a": 1, "b": 2}',)], "doc string")
+    out = Unarchive(col="doc", fmt="json_map", out_col="v", element_type="int")(df)
+    got = {r["archive_key"]: r["v"] for r in out.collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_split_by_count_and_bytes(spark):
+    df = spark.createDataFrame([(("x" * 100),) for _ in range(40)], "payload string")
+    assert Split(count=10)(df).rdd.getNumPartitions() == 4
+    assert Split(byte_size=1000, size_col="payload")(df).rdd.getNumPartitions() == 4
+
+
+def test_cached_ttl_expires(spark):
+    import time
+
+    from benthos_spark.operators.processors import Cached
+
+    calls = []
+
+    class Counting(Mutation):
+        def __call__(self, df):
+            calls.append(1)
+            return super().__call__(df)
+
+    df = spark.createDataFrame([(1,)], "v int")
+    proc = Cached(processors=[Counting({"w": F.col("v") + 1})], key="ttl_test", ttl_s=0.2)
+    proc(df).collect()
+    proc(df).collect()
+    assert len(calls) == 1  # memoized
+    time.sleep(0.25)
+    proc(df).collect()
+    assert len(calls) == 2  # expired → recomputed
