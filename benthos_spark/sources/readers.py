@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import json
 import tarfile
 from dataclasses import dataclass, field
 from typing import Iterator
@@ -104,6 +105,7 @@ class FileSource(Source):
 
     def read(self, spark: SparkSession) -> DataFrame:
         parts = self.codec.split("/")
+        # native fast paths: pushdown-friendly JVM readers
         if parts == ["lines"]:
             return (spark.readStream if self.streaming else spark.read).text(self.path)
         if parts == ["csv"]:
@@ -111,34 +113,158 @@ class FileSource(Source):
         if parts == ["json_array"] or parts == ["json_documents"]:
             reader = spark.readStream if self.streaming else spark.read
             return reader.option("multiLine", parts == ["json_array"]).json(self.path)
-        if parts[0] in ("gzip", "tar"):
-            binary = spark.read.format("binaryFile").load(self.path)
-            inner = parts[1] if len(parts) > 1 else "lines"
-            return binary.mapInPandas(_unpack_container(parts[0], inner), schema="path string, line string")
-        raise ValueError(f"unsupported codec {self.codec}")
+        # general codec chain: binaryFile scan + ONE Arrow hop per file
+        if parts != ["auto"]:
+            for p in parts:
+                name = p.split(":", 1)[0]
+                if name not in _CODECS:
+                    raise ValueError(
+                        f"unsupported codec {p!r} in chain {self.codec!r}; known: "
+                        f"auto, {sorted(_CODECS)}"
+                    )
+        binary = spark.read.format("binaryFile").load(self.path)
+        return binary.mapInPandas(_unpack_chain(parts), schema="path string, line string")
 
 
-def _unpack_container(container: str, inner: str):
+# -- codec chain (internal/codec/reader.go:193-311) --------------------------
+#
+# Each codec maps [(name, blob)] -> [(name, blob)]; terminal scanners
+# (lines/csv/chunker/delim/regex/all-bytes) emit one part per message.
+# Chains compose left to right like the reference's `gzip/delim:\t`.
+
+
+def _codec_gzip(parts, arg):
+    return [(n, gzip.decompress(b)) for n, b in parts]
+
+
+def _codec_tar(parts, arg):
+    out = []
+    for n, b in parts:
+        with tarfile.open(fileobj=io.BytesIO(b)) as tf:
+            for m in tf.getmembers():
+                if m.isfile():
+                    out.append((f"{n}!{m.name}", tf.extractfile(m).read()))
+    return out
+
+
+def _codec_skipbom(parts, arg):
+    # reader.go skipbom: strip a UTF-8/16 BOM prefix, pass through
+    out = []
+    for n, b in parts:
+        for bom in (b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff"):
+            if b.startswith(bom):
+                b = b[len(bom):]
+                break
+        out.append((n, b))
+    return out
+
+
+def _codec_lines(parts, arg):
+    return [(n, ln.encode()) for n, b in parts for ln in b.decode("utf-8", "replace").splitlines()]
+
+
+def _codec_all_bytes(parts, arg):
+    return parts
+
+
+def _codec_chunker(parts, arg):
+    size = int(arg)
+    return [(n, b[i : i + size]) for n, b in parts for i in range(0, len(b), size)]
+
+
+def _codec_delim(parts, arg):
+    delim = arg.encode().decode("unicode_escape").encode()
+    out = []
+    for n, b in parts:
+        for piece in b.split(delim):
+            if piece:
+                out.append((n, piece))
+    return out
+
+
+def _codec_regex(parts, arg):
+    # reader.go regex codec: split the document at lines matching the
+    # pattern (each match starts a new message)
+    import re as _re
+
+    pat = _re.compile(arg.encode())
+    out = []
+    for n, b in parts:
+        last = 0
+        for m in pat.finditer(b):
+            if m.start() > last:
+                out.append((n, b[last : m.start()]))
+            last = m.start()
+        if last < len(b):
+            out.append((n, b[last:]))
+    return out
+
+
+def _codec_csv(parts, arg):
+    import csv as _csv
+
+    delim = arg if arg else ","
+    out = []
+    for n, b in parts:
+        rows = list(_csv.reader(io.StringIO(b.decode("utf-8", "replace")), delimiter=delim))
+        if not rows:
+            continue
+        header = rows[0]
+        for r in rows[1:]:
+            out.append((n, json.dumps(dict(zip(header, r))).encode()))
+    return out
+
+
+_CODECS = {
+    "gzip": _codec_gzip,
+    "tar": _codec_tar,
+    "skipbom": _codec_skipbom,
+    "lines": _codec_lines,
+    "all-bytes": _codec_all_bytes,
+    "chunker": _codec_chunker,
+    "delim": _codec_delim,
+    "regex": _codec_regex,
+    "csv": _codec_csv,
+}
+
+_TERMINAL = {"lines", "all-bytes", "chunker", "delim", "regex", "csv"}
+
+
+def resolve_auto_codec(path: str) -> list[str]:
+    """Extension-based codec auto-detect (reader.go:344-366)."""
+    chain: list[str] = []
+    p = path.lower()
+    if p.endswith((".tar.gz", ".tgz")):
+        return ["gzip", "tar", "all-bytes"]
+    if p.endswith(".gz"):
+        chain.append("gzip")
+        p = p[: -len(".gz")]
+    if p.endswith(".tar"):
+        chain.append("tar")
+        chain.append("all-bytes")
+        return chain
+    if p.endswith(".csv"):
+        chain.append("csv")
+    else:
+        chain.append("lines")
+    return chain
+
+
+def _unpack_chain(chain: list[str]):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             paths, lines = [], []
             for path, content in zip(pdf["path"], pdf["content"]):
-                if container == "gzip":
-                    blobs = [(path, gzip.decompress(bytes(content)))]
-                else:  # tar
-                    blobs = []
-                    with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
-                        for m in tf.getmembers():
-                            if m.isfile():
-                                blobs.append((f"{path}!{m.name}", tf.extractfile(m).read()))
-                for name, blob in blobs:
-                    if inner == "lines":
-                        for ln in blob.decode("utf-8", errors="replace").splitlines():
-                            paths.append(name)
-                            lines.append(ln)
-                    else:  # whole-blob
-                        paths.append(name)
-                        lines.append(blob.decode("utf-8", errors="replace"))
+                steps = resolve_auto_codec(path) if chain == ["auto"] else list(chain)
+                if steps[-1].split(":", 1)[0] not in _TERMINAL:
+                    steps.append("lines")
+                parts = [(path, bytes(content))]
+                for step in steps:
+                    name, _, arg = step.partition(":")
+                    parts = _CODECS[name](parts, arg)
+                for n, b in parts:
+                    paths.append(n)
+                    lines.append(b.decode("utf-8", errors="replace"))
             yield pd.DataFrame({"path": paths, "line": lines})
 
     return fn

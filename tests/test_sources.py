@@ -53,3 +53,84 @@ def test_fan_in_union(spark):
     out = fan_in(a, b)
     got = {(r["id"], r["s"]) for r in out.collect()}
     assert got == {(1, "a"), (2, None)}
+
+
+# -- codec chain scanners (internal/codec/reader.go:193-311) -----------------
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def codec_dir(tmp_path_factory):
+    import gzip as _gz
+    import tarfile as _tar
+    import io as _io
+
+    d = tmp_path_factory.mktemp("codecs")
+    (d / "plain.txt").write_bytes(b"l1\nl2\nl3")
+    (d / "bom.txt").write_bytes(b"\xef\xbb\xbfline1\nline2")
+    (d / "data.gz").write_bytes(_gz.compress(b"ga\ngb"))
+    (d / "chunk.bin").write_bytes(b"abcdefgh")
+    (d / "delim.txt").write_bytes(b"one|two|three")
+    (d / "log.txt").write_bytes(b"2024-01-01 start\ndetail a\n2024-01-02 next\ndetail b\n")
+    buf = _io.BytesIO()
+    with _tar.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("x.txt", b"xx1\nxx2"), ("y.txt", b"yy")]:
+            ti = _tar.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, _io.BytesIO(data))
+    (d / "arch.tar.gz").write_bytes(_gz.compress(buf.getvalue()))
+    return d
+
+
+def _lines(spark, path, codec):
+    from benthos_spark.sources.readers import FileSource
+
+    return [r["line"] for r in FileSource(str(path), codec=codec).read(spark).collect()]
+
+
+def test_codec_skipbom(spark, codec_dir):
+    got = _lines(spark, codec_dir / "bom.txt", "skipbom/lines")
+    assert got == ["line1", "line2"]
+
+
+def test_codec_chunker(spark, codec_dir):
+    got = _lines(spark, codec_dir / "chunk.bin", "chunker:3")
+    assert got == ["abc", "def", "gh"]
+
+
+def test_codec_delim(spark, codec_dir):
+    got = _lines(spark, codec_dir / "delim.txt", "delim:|")
+    assert got == ["one", "two", "three"]
+
+
+def test_codec_regex_sections(spark, codec_dir):
+    got = _lines(spark, codec_dir / "log.txt", r"regex:\d{4}-\d{2}-\d{2}")
+    assert len(got) == 2
+    assert got[0].startswith("2024-01-01") and "detail a" in got[0]
+    assert got[1].startswith("2024-01-02") and "detail b" in got[1]
+
+
+def test_codec_chained_gzip_tar_lines(spark, codec_dir):
+    got = sorted(_lines(spark, codec_dir / "arch.tar.gz", "gzip/tar/lines"))
+    assert got == ["xx1", "xx2", "yy"]
+
+
+def test_codec_chained_gzip_delim(spark, codec_dir):
+    import gzip as _gz
+
+    p = codec_dir / "gz_delim.gz"
+    p.write_bytes(_gz.compress(b"a;b;c"))
+    assert _lines(spark, p, "delim:;") != ["a", "b", "c"]  # without gzip: garbage
+    assert _lines(spark, p, "gzip/delim:;") == ["a", "b", "c"]
+
+
+def test_codec_auto_detect(spark, codec_dir):
+    got = sorted(_lines(spark, codec_dir / "arch.tar.gz", "auto"))
+    assert got == ["xx1\nxx2", "yy"]  # auto: gzip/tar/all-bytes per file
+    assert _lines(spark, codec_dir / "data.gz", "auto") == ["ga", "gb"]
+
+
+def test_codec_all_bytes(spark, codec_dir):
+    got = _lines(spark, codec_dir / "plain.txt", "all-bytes")
+    assert got == ["l1\nl2\nl3"]
