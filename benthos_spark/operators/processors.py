@@ -204,6 +204,43 @@ class Branch(Processor):
 
 
 @dataclass
+class GroupBy(Processor):
+    """`group_by` with per-group processor chains
+    (internal/impl/pure/processor_group_by.go:100-137): each message
+    joins the FIRST group whose check passes; each group's sub-batch
+    runs through that group's own processors; messages matching no
+    group pass through unprocessed as their own batch.
+
+    DataFrame form: split-filter per group (earlier checks excluded,
+    exactly the first-match rule), run each chain on its sub-frame, and
+    union the results (``allowMissingColumns`` — chains may diverge in
+    shape). ``split`` exposes the per-group frames for sinks that need
+    the batches separately."""
+
+    groups: Sequence[tuple[object, Sequence[Processor]]]
+
+    def split(self, df: DataFrame) -> list[DataFrame]:
+        out: list[DataFrame] = []
+        prior = F.lit(False)
+        for check, procs in self.groups:
+            cond = F.coalesce(_to_col(check), F.lit(False))
+            branch = df.filter(cond & ~prior)
+            for p in procs:
+                branch = p(branch)
+            out.append(branch)
+            prior = prior | cond
+        out.append(df.filter(~prior))  # groupless batch, unprocessed
+        return out
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        parts = self.split(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+
+@dataclass
 class GroupByValue(Processor):
     """Tag each message with its group key (internal/impl/pure/
     processor_group_by_value.go:23). Downstream aggregation/partitioning

@@ -648,13 +648,15 @@ def _pair_jaccard_spark(sh: DataFrame, threshold: float, candidates: DataFrame |
         # Verify only candidate docs: semi-join the shingle table down
         # BEFORE the self-join — at scale the candidate set is orders of
         # magnitude smaller than the corpus, so the O(shared-shingle²)
-        # join runs on a sliver of the data.
+        # join runs on a sliver of the data. The restricted set feeds
+        # three consumers (both self-join sides + sizes): persist it so
+        # the semi-join runs once, not three times.
         cand_ids = (
             candidates.select(F.col("a").alias("doc_id"))
             .unionByName(candidates.select(F.col("b").alias("doc_id")))
             .distinct()
         )
-        verify_sh = sh.join(F.broadcast(cand_ids), "doc_id")
+        verify_sh = sh.join(F.broadcast(cand_ids), "doc_id").persist()
     # Sizes from the (candidate-restricted) shingle set only — never the
     # full corpus. No forced broadcast: corpus-cardinality at 100 TB; AQE
     # upgrades the join to broadcast when the candidate set is small.
@@ -760,6 +762,7 @@ def minhash_lsh_neardup(spark, sf_dir):
         )
         .select(F.col("ba.doc_id").alias("a"), F.col("bb.doc_id").alias("b"))
         .distinct()
+        .persist()  # consumed 3x: both cand_id unions + the inter join
     )
     out = _pair_jaccard_spark(sh, _MINHASH_JACC, candidates)
     return out

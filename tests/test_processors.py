@@ -393,3 +393,27 @@ def test_cached_ttl_expires(spark):
     time.sleep(0.25)
     proc(df).collect()
     assert len(calls) == 2  # expired → recomputed
+
+
+def test_group_by_per_group_chains(spark):
+    """group_by (processor_group_by.go:100-137): first-match group
+    membership, per-group processor chains, groupless pass-through."""
+    from benthos_spark.operators.processors import GroupBy
+
+    df = spark.createDataFrame(
+        [(1, "a"), (5, "b"), (11, "c"), (25, "d")], "v int, k string"
+    )
+    gb = GroupBy(
+        groups=[
+            (F.col("v") < 10, [Mutation({"grp": F.lit("small"), "v2": F.col("v") * 2})]),
+            (F.col("v") < 20, [Mutation({"grp": F.lit("mid")})]),
+        ]
+    )
+    rows = {r["k"]: (r["grp"], r["v2"]) for r in gb(df).collect()}
+    assert rows["a"] == ("small", 2)
+    assert rows["b"] == ("small", 10)
+    assert rows["c"] == ("mid", None)
+    assert rows["d"] == (None, None)  # groupless, untouched
+
+    parts = gb.split(df)
+    assert [p.count() for p in parts] == [2, 1, 1]
