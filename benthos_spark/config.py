@@ -187,7 +187,7 @@ def _proc(spec: dict | str) -> P.Processor:
     raise ConfigError(
         f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
-        "compress, decompress, window_agg, session_window_agg, sql_select"
+        "compress, decompress, window_agg, session_window_agg, sql_select, jq"
     )
 
 
