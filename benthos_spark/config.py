@@ -171,6 +171,13 @@ def _proc(spec: dict | str) -> P.Processor:
             ts_col=conf["ts_col"], gap=conf["gap"], lateness=conf.get("lateness"),
             group_cols=conf.get("group_by", []), aggs=_exprs(conf["aggs"]),
         )
+    if name == "jq":
+        from benthos_spark.functions.jq_program import JqProcessor
+
+        if isinstance(conf, str):
+            return JqProcessor(conf)
+        return JqProcessor(conf["query"], col=conf.get("col", "value"),
+                           out_col=conf.get("out_col"))
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelect
 

@@ -119,3 +119,22 @@ def test_examples_compile(spark):
         with open(p) as f:
             pipe, sink = compile_config(f.read())
         assert pipe is not None and sink is not None
+
+
+def test_config_jq_processor(spark, tmp_path):
+    import json
+
+    from benthos_spark.config import _proc
+
+    proc = _proc({"jq": "select(.n > 1) | {big: .n}"})
+    df = spark.createDataFrame([('{"n": 1}',), ('{"n": 5}',)], "value string")
+    rows = [json.loads(r["value"]) for r in proc(df).collect()]
+    assert rows == [{"big": 5}]
+
+
+def test_config_bloblang_mapping_string(spark):
+    from benthos_spark.config import _proc
+
+    proc = _proc({"mapping": "root.out = this.v * 3"})
+    df = spark.createDataFrame([(2,), (3,)], "v int")
+    assert sorted(r["out"] for r in proc(df).collect()) == [6, 9]
