@@ -495,6 +495,36 @@ class Tag(Processor):
 
 
 @dataclass
+class TryCastMutation(Processor):
+    """Assignments whose *runtime* failures populate the error slot —
+    the reference marks a part failed when any processor errors on it
+    (internal/batch/error.go:13-45), e.g. a bad number parse. Spark's
+    non-ANSI casts return NULL instead of erroring, which would silently
+    lose the failure; this processor uses ``try_cast`` + a
+    source-not-null ⇒ result-null check to tag ``_error`` exactly where
+    the conversion failed, so `try`/`catch` routing sees real runtime
+    failures, not just explicit ``Tag``s.
+
+    ``casts`` maps output column → (source expr, target type)."""
+
+    casts: dict
+    error_fmt: str = "failed to cast {name}"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        df = ensure_error_col(df)
+        err = F.col(ERROR_COL)
+        for name, (source, dtype) in self.casts.items():
+            src = _to_col(source)
+            val = src.try_cast(dtype)
+            df = df.withColumn(name, val)
+            failed = src.isNotNull() & val.isNull()
+            err = F.when(err.isNotNull(), err).when(
+                failed, F.lit(self.error_fmt.format(name=name))
+            )
+        return df.withColumn(ERROR_COL, err.otherwise(F.lit(None).cast("string")))
+
+
+@dataclass
 class Try(Processor):
     """Apply children only to not-yet-errored messages
     (internal/impl/pure/processor_try.go:22; execute.go:38)."""

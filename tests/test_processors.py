@@ -417,3 +417,22 @@ def test_group_by_per_group_chains(spark):
 
     parts = gb.split(df)
     assert [p.count() for p in parts] == [2, 1, 1]
+
+
+def test_try_cast_mutation_tags_runtime_failures(spark):
+    """Real conversion failures (not explicit Tags) must reach the error
+    slot so try/catch routing sees them (internal/batch/error.go)."""
+    from benthos_spark.operators.processors import Catch, TryCastMutation
+
+    df = spark.createDataFrame(
+        [("1", "a"), ("nope", "b"), (None, "c")], "raw string, k string"
+    )
+    chain = [
+        TryCastMutation({"n": (F.col("raw"), "int")}),
+        Catch([Mutation({"n": F.lit(-1)})]),
+    ]
+    out = compose(df, chain)
+    got = {r["k"]: (r["n"], r["_error"]) for r in out.collect()}
+    assert got["a"] == (1, None)
+    assert got["b"] == (-1, None)  # runtime cast failure -> caught
+    assert got["c"] == (None, None)  # null source is not an error
