@@ -386,13 +386,19 @@ def test_cached_ttl_expires(spark):
             return super().__call__(df)
 
     df = spark.createDataFrame([(1,)], "v int")
-    proc = Cached(processors=[Counting({"w": F.col("v") + 1})], key="ttl_test", ttl_s=0.2)
+    # long TTL: second call must be a registry hit even on a slow host
+    proc = Cached(processors=[Counting({"w": F.col("v") + 1})], key="ttl_long", ttl_s=300)
     proc(df).collect()
     proc(df).collect()
     assert len(calls) == 1  # memoized
-    time.sleep(0.25)
-    proc(df).collect()
-    assert len(calls) == 2  # expired → recomputed
+    # tiny TTL + explicit sleep: entry must expire and recompute
+    proc2 = Cached(processors=[Counting({"w": F.col("v") + 1})], key="ttl_short", ttl_s=0.05)
+    proc2(df).collect()
+    time.sleep(0.1)
+    proc2(df).collect()
+    assert len(calls) == 3  # expired → recomputed
+    Cached.REGISTRY.pop("ttl_long")[0].unpersist()
+    Cached.REGISTRY.pop("ttl_short")[0].unpersist()
 
 
 def test_group_by_per_group_chains(spark):
