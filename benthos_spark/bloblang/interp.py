@@ -429,10 +429,16 @@ class Executor:
             return self._apply_map(map_name, target, scope)
         if name == "from_all" or name == "from":
             raise BloblangError(f"method {name} requires batch context (unsupported)")
+        query_arg_idx = _QUERY_ARGS.get(name, ())
         args = []
-        for a in node.args:
+        for i, a in enumerate(node.args):
             if isinstance(a, A.Lambda):
                 args.append(_LambdaFn(self, a, scope))
+            elif i in query_arg_idx:
+                # non-lambda query arg: evaluated per element with `this`
+                # rebound to it (map_each(this.value.uppercase()) form,
+                # query_parser.go — the named-context lambda is optional)
+                args.append(_QueryFn(self, a, scope))
             else:
                 args.append(self.eval(a, scope))
         named = {k: self.eval(v, scope) for k, v in node.named}
@@ -460,6 +466,34 @@ class Executor:
                     sub_root[0] = {}
                 sub_root[0] = _set_path(sub_root[0], list(stmt.path), res)
         return None if sub_root[0] is NOTHING else sub_root[0]
+
+
+# methods whose (positional) args are queries evaluated per element
+_QUERY_ARGS = {
+    "map_each": (0,),
+    "map_each_key": (0,),
+    "filter": (0,),
+    "sort_by": (0,),
+    "sort": (0,),
+    "all": (0,),
+    "any": (0,),
+    "fold": (1,),
+}
+
+
+class _QueryFn:
+    """A non-lambda query argument: evaluated with `this` rebound to
+    each element (the implicit-context form of mapping args)."""
+
+    __slots__ = ("ex", "node", "scope")
+
+    def __init__(self, ex: "Executor", node, scope: Scope):
+        self.ex = ex
+        self.node = node
+        self.scope = scope
+
+    def __call__(self, value):
+        return self.ex.eval(self.node, self.scope.child_context(value))
 
 
 class _LambdaFn:

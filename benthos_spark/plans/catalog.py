@@ -225,12 +225,14 @@ def switch_route_orders(spark, sf_dir):
 )
 def branch_enrich_parts(spark, sf_dir):
     """`branch` processor (processor_branch.go:24-57): request_map → child
-    enrichment (broadcast dim join) → result_map merged back."""
+    enrichment join → result_map merged back. No forced broadcast: part
+    grows with SF (200k×SF rows), so the join strategy is left to
+    Catalyst/AQE — broadcast at small sf, shuffle join at 100 TB."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
-    enrich = Apply(lambda df: df.join(F.broadcast(part), df.l_partkey == part.p_partkey))
+    enrich = Apply(lambda df: df.join(part, df.l_partkey == part.p_partkey))
     df = compose(li, [enrich, Mutation({
         "margin": F.round(F.col("l_extendedprice") - F.col("p_retailprice") * F.col("l_quantity"), 2)
     })])
