@@ -336,3 +336,83 @@ def test_dynamic_fallback_typed_output(spark):
     )
     got = {r["total"]: r["tag"] for r in proc(df).collect()}
     assert got == {6: "X", 10: "Y"}
+
+
+def test_golden_literals(monkeypatch):
+    """literals.yaml: if-without-else (Nothing) and deleted() inside
+    object/array literals omit the key/entry."""
+    src = """root = {
+  "1": "1",
+  "2": if env("FOO") == "ENABLED" {
+    "foo"
+  },
+  "3": if this.count > 5 {
+    this.count
+  } else {
+    deleted()
+  },
+  "4": [
+    "1",
+    if env("FOO") == "ENABLED" {
+      "foo"
+    },
+    if this.count > 5 {
+      this.count
+    } else {
+      deleted()
+    },
+    "4"
+  ]
+}"""
+    monkeypatch.setenv("FOO", "ENABLED")
+    assert run(src, {"count": 10}) == {"1": "1", "2": "foo", "3": 10, "4": ["1", "foo", 10, "4"]}
+    assert run(src, {"count": 3}) == {"1": "1", "2": "foo", "4": ["1", "foo", "4"]}
+    monkeypatch.setenv("FOO", "DISABLED")
+    assert run(src, {"count": 10}) == {"1": "1", "3": 10, "4": ["1", 10, "4"]}
+    assert run(src, {"count": 3}) == {"1": "1", "4": ["1", "4"]}
+
+
+def test_golden_boolean_operands():
+    """boolean_operands.yaml: short-circuit &&/|| with catch on missing
+    operands."""
+    src = 'ands = (first && second).catch("failed")\nors = (first || second).catch("failed")'
+    assert run(src, {"none": "of the target values"}) == {"ands": "failed", "ors": "failed"}
+    assert run(src, {"first": True}) == {"ands": "failed", "ors": True}
+    assert run(src, {"first": False}) == {"ands": False, "ors": "failed"}
+    assert run(src, {"first": True, "second": True}) == {"ands": True, "ors": True}
+
+
+def test_golden_walk_json():
+    """walk_json.yaml: recursive named map over arbitrary JSON via
+    match-on-type + apply (implicit-context map_each args)."""
+    src = """map unescape_values {
+  root = match {
+    this.type() == "object" => this.map_each(this.value.apply("unescape_values")),
+    this.type() == "array" => this.map_each(this.apply("unescape_values")),
+    this.type() == "string" => this.unescape_html(),
+    this.type() == "bytes" => this.unescape_html(),
+    _ => this,
+  }
+}
+root = this.apply("unescape_values")"""
+    assert run(src, "foo &amp; bar") == "foo & bar"
+    assert run(src, ["foo &amp; bar", 10, "1 &lt; 2"]) == ["foo & bar", 10, "1 < 2"]
+    assert run(src, {"first": "foo &amp; bar", "second": 10, "third": "1 &lt; 2"}) == {
+        "first": "foo & bar", "second": 10, "third": "1 < 2"
+    }
+    assert run(src, {"first": {"nested": "foo &amp; bar"}, "second": 10,
+                     "third": ["1 &lt; 2", {"also_nested": "2 &gt; 1"}]}) == {
+        "first": {"nested": "foo & bar"}, "second": 10,
+        "third": ["1 < 2", {"also_nested": "2 > 1"}],
+    }
+
+
+def test_golden_message_expansion():
+    """message_expansion.yaml: let + without + map_each($var.merge(this))."""
+    src = 'let doc_root = this.without("items")\nroot = items.map_each($doc_root.merge(this))'
+    doc = {"id": "foobar", "items": [{"content": "foo"}, {"content": "bar"}, {"content": "baz"}]}
+    assert run(src, doc) == [
+        {"content": "foo", "id": "foobar"},
+        {"content": "bar", "id": "foobar"},
+        {"content": "baz", "id": "foobar"},
+    ]
