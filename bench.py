@@ -52,6 +52,9 @@ BATCH_QUERIES = [
     "grok_parse_events",
     "bloblang_string_ops",
     "interpolate_orders",
+    "bloblang_mapping_orders",
+    "embedding_neardup_lsh_pairs",
+    "sql_select_enrich_customers",
 ]
 
 

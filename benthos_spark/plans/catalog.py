@@ -1049,9 +1049,17 @@ def embedding_neardup_lsh_pairs(spark, sf_dir):
     """Scale-path embedding near-dup: banded sign-LSH candidate generation
     ({_LSH_ND_TABLES} tables × {_LSH_ND_BITS} planes, P(candidate|cos=0.4)
     ≈ 0.90) → exact-cosine verify ≥ {_NEARDUP_COS}. All joins are
-    key-shuffle joins on (table, bucket) / vec_id — near-linear in corpus
-    size, no cartesian stage, no forced broadcast. Candidate generation is
-    deterministic, so the DuckDB oracle replicates it 1:1."""
+    key-shuffle joins on (table, bucket) / vec_id — no cartesian stage, no
+    forced broadcast. Candidate generation is deterministic, so the DuckDB
+    oracle replicates it 1:1.
+
+    Scaling dial: per-table candidate pairs ≈ n²/(2·2^bits); recall =
+    1-(1-p^bits)^tables with p = 1-acos(θ)/π. The low θ=0.4 threshold
+    (the synthetic corpus' near-dup band tops out at cos 0.51) forces few
+    bits for recall; a production corpus deduping at θ≥0.8 (p≈0.8) would
+    use bits≈log2(n/1000), tables≈10 for the same recall at near-linear
+    cost — the constants are the ONLY thing that changes, the plan shape
+    is already the scale path."""
     signs = _lsh_signs(_LSH_ND_TABLES * _LSH_ND_BITS)
     emb = _t(spark, sf_dir, "embeddings")
     table_buckets = [
