@@ -50,12 +50,71 @@ class ConfigError(ValueError):
     pass
 
 
+class Resources:
+    """Named resource components (`cache_resources`, `input_resources`,
+    `processor_resources`, `output_resources` + `resource: label`
+    references — internal/impl/pure resources; e.g. config/examples/
+    joining_streams.yaml cache_resources). Labels resolve in declaration
+    order: declare a resource before referencing it from another."""
+
+    def __init__(self):
+        self.caches: dict[str, Any] = {}
+        self.inputs: dict[str, Any] = {}
+        self.processors: dict[str, Any] = {}
+        self.outputs: dict[str, Any] = {}
+
+    @classmethod
+    def from_config(cls, conf: dict) -> "Resources":
+        res = cls()
+        for item in conf.get("cache_resources", []) or []:
+            res.caches[item["label"]] = _cache_resource(item)
+        for item in conf.get("input_resources", []) or []:
+            res.inputs[item["label"]] = _input(_strip_label(item), res)
+        for item in conf.get("processor_resources", []) or []:
+            res.processors[item["label"]] = _proc(_strip_label(item), res)
+        for item in conf.get("output_resources", []) or []:
+            res.outputs[item["label"]] = _output(_strip_label(item), res)
+        return res
+
+
+def _strip_label(item: dict) -> dict:
+    body = {k: v for k, v in item.items() if k != "label"}
+    if len(body) != 1:
+        raise ConfigError(f"resource {item.get('label')!r} must define exactly one component")
+    return body
+
+
+def _cache_resource(item: dict):
+    from benthos_spark.operators import cache as C
+
+    body = _strip_label(item)
+    (kind, conf), = body.items()
+    conf = conf or {}
+    if kind == "memory":
+        c = C.MemoryCache()
+    elif kind == "lru":
+        c = C.LRUCache(capacity=conf.get("cap", 1024))
+    elif kind == "ttlru":
+        c = C.TTLCache(ttl_s=conf.get("default_ttl", 60.0))
+    elif kind == "file":
+        c = C.FileCache(directory=conf["directory"])
+    else:
+        raise ConfigError(f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file")
+    for k, v in (conf.get("init_values") or {}).items():
+        c.set(k, v)
+    return c
+
+
 # -- inputs -----------------------------------------------------------------
 
 
-def _input(spec: dict) -> S.Source:
+def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     (name, conf), = spec.items()
     conf = conf or {}
+    if name == "resource":
+        if resources is None or conf not in resources.inputs:
+            raise ConfigError(f"unknown input resource {conf!r}")
+        return resources.inputs[conf]
     if name == "parquet":
         return S.ParquetSource(
             conf["path"],
@@ -105,10 +164,25 @@ def _exprs(d: dict) -> dict:
     return {k: F.expr(v) if isinstance(v, str) else F.lit(v) for k, v in d.items()}
 
 
-def _proc(spec: dict | str) -> P.Processor:
+def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
     if isinstance(spec, str):  # bare string = filter predicate shorthand
         return P.Filter(F.expr(spec))
     (name, conf), = spec.items()
+    if name == "resource":
+        if resources is None or conf not in resources.processors:
+            raise ConfigError(f"unknown processor resource {conf!r}")
+        return resources.processors[conf]
+    if name == "cache":
+        conf = conf or {}
+        label = conf["resource"]
+        if resources is None or label not in resources.caches:
+            raise ConfigError(f"unknown cache resource {label!r}")
+        from benthos_spark.operators.cache import CacheGet
+
+        if conf.get("operator", "get") != "get":
+            raise ConfigError("cache processor supports operator: get (set is an output)")
+        return CacheGet(resources.caches[label], key_col=conf["key"],
+                        value_col=conf.get("value_col", "cache_value"))
     if name == "mapping":
         if isinstance(conf, str):
             # real Bloblang source (processor_mapping.go:96) — compiles
@@ -130,7 +204,7 @@ def _proc(spec: dict | str) -> P.Processor:
         for case in conf:
             check = case.get("check")
             cases.append(
-                (F.expr(check) if check else None, [_proc(p) for p in case.get("processors", [])])
+                (F.expr(check) if check else None, [_proc(p, resources) for p in case.get("processors", [])])
             )
         return P.Switch(cases=cases)
     if name == "dedupe":
@@ -153,9 +227,9 @@ def _proc(spec: dict | str) -> P.Processor:
     if name == "split":
         return P.Split(conf["partitions"] if isinstance(conf, dict) else int(conf))
     if name == "try":
-        return P.Try([_proc(p) for p in conf])
+        return P.Try([_proc(p, resources) for p in conf])
     if name == "catch":
-        return P.Catch([_proc(p) for p in conf])
+        return P.Catch([_proc(p, resources) for p in conf])
     if name == "compress":
         return P.Compress(col=conf["col"], level=conf.get("level", 6))
     if name == "decompress":
@@ -201,25 +275,37 @@ def _proc(spec: dict | str) -> P.Processor:
 # -- outputs ----------------------------------------------------------------
 
 
-def _output(spec: dict) -> Callable:
+def _output(spec: dict, resources: Resources | None = None) -> Callable:
     (name, conf), = spec.items()
     conf = conf or {}
+    if name == "resource":
+        if resources is None or conf not in resources.outputs:
+            raise ConfigError(f"unknown output resource {conf!r}")
+        return resources.outputs[conf]
+    if name == "cache":
+        label = conf["resource"]
+        if resources is None or label not in resources.caches:
+            raise ConfigError(f"unknown cache resource {label!r}")
+        from benthos_spark.operators.cache import CacheWriteSink
+
+        return CacheWriteSink(resources.caches[label], key_col=conf["key"],
+                              value_col=conf.get("value_col", "value"))
     if name == "exactly_once":
         return ExactlyOnceParquetSink(conf["dir"], lineage_cols=tuple(conf.get("lineage", [])))
     if name == "drop":
         return R.DropSink()
     if name == "fan_out":
-        return R.FanOut(*[_output(c) for c in conf])
+        return R.FanOut(*[_output(c, resources) for c in conf])
     if name == "switch":
-        cases = [(F.expr(c["check"]), _output(c["output"])) for c in conf.get("cases", [])]
-        default = _output(conf["default"]) if "default" in conf else None
+        cases = [(F.expr(c["check"]), _output(c["output"], resources)) for c in conf.get("cases", [])]
+        default = _output(conf["default"], resources) if "default" in conf else None
         return R.SwitchSink(cases=cases, default=default)
     if name == "fallback":
-        return R.Fallback(*[_output(c) for c in conf])
+        return R.Fallback(*[_output(c, resources) for c in conf])
     if name == "round_robin":
-        return R.RoundRobinSink([_output(c) for c in conf["outputs"]], key=conf.get("key"))
+        return R.RoundRobinSink([_output(c, resources) for c in conf["outputs"]], key=conf.get("key"))
     if name == "dlq_split":
-        return R.DlqSplit(_output(conf["main"]), _output(conf["dlq"]))
+        return R.DlqSplit(_output(conf["main"], resources), _output(conf["dlq"], resources))
     if name == "sql_insert":
         from benthos_spark.operators.sql import SqlInsertSink
 
@@ -246,9 +332,10 @@ def compile_config(conf: str | dict) -> tuple[Pipeline, Callable]:
         conf = yaml.safe_load(conf)
     if "input" not in conf or "output" not in conf:
         raise ConfigError("config needs `input` and `output` sections")
-    source = _input(conf["input"])
-    procs = [_proc(p) for p in (conf.get("pipeline") or {}).get("processors", [])]
-    sink = _output(conf["output"])
+    resources = Resources.from_config(conf)
+    source = _input(conf["input"], resources)
+    procs = [_proc(p, resources) for p in (conf.get("pipeline") or {}).get("processors", [])]
+    sink = _output(conf["output"], resources)
     return Pipeline(source=source, processors=procs), sink
 
 

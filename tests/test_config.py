@@ -138,3 +138,57 @@ def test_config_bloblang_mapping_string(spark):
     proc = _proc({"mapping": "root.out = this.v * 3"})
     df = spark.createDataFrame([(2,), (3,)], "v int")
     assert sorted(r["out"] for r in proc(df).collect()) == [6, 9]
+
+
+def test_config_resources_cache_enrichment(spark):
+    """cache_resources + `cache` processor by `resource:` label
+    (config/examples/joining_streams.yaml shape)."""
+    import json
+
+    from benthos_spark.config import compile_config
+
+    conf = {
+        "input": {"generate": {"count": 3, "streaming": False,
+                               "mapping": {"key": "concat('k', value)"}}},
+        "pipeline": {"processors": [
+            {"cache": {"resource": "hydration", "key": "key", "value_col": "doc"}},
+        ]},
+        "output": {"drop": {}},
+        "cache_resources": [
+            {"label": "hydration", "memory": {"init_values": {"k0": "v-zero", "k2": "v-two"}}},
+        ],
+    }
+    pipeline, sink = compile_config(conf)
+    out = pipeline.run_batch(spark)
+    got = {r["key"]: r["doc"] for r in out.collect()}
+    assert got == {"k0": "v-zero", "k1": None, "k2": "v-two"}
+
+
+def test_config_processor_resource_reference(spark):
+    from benthos_spark.config import compile_config
+
+    conf = {
+        "input": {"generate": {"count": 4, "streaming": False,
+                               "mapping": {"v": "value"}}},
+        "pipeline": {"processors": [{"resource": "keep_evens"}]},
+        "output": {"drop": {}},
+        "processor_resources": [
+            {"label": "keep_evens", "filter": "v % 2 = 0"},
+        ],
+    }
+    pipeline, _ = compile_config(conf)
+    assert pipeline.run_batch(spark).count() == 2
+
+
+def test_config_unknown_resource_fails_compile():
+    import pytest as _pytest
+
+    from benthos_spark.config import ConfigError, compile_config
+
+    conf = {
+        "input": {"generate": {"count": 1}},
+        "pipeline": {"processors": [{"resource": "nope"}]},
+        "output": {"drop": {}},
+    }
+    with _pytest.raises(ConfigError, match="nope"):
+        compile_config(conf)
