@@ -183,7 +183,9 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             raise ConfigError("cache processor supports operator: get (set is an output)")
         return CacheGet(resources.caches[label], key_col=conf["key"],
                         value_col=conf.get("value_col", "cache_value"))
-    if name == "mapping":
+    if name in ("mapping", "bloblang"):
+        # `bloblang` is the reference's historical alias for `mapping`
+        # (processor_bloblang.go); both take Bloblang source
         if isinstance(conf, str):
             # real Bloblang source (processor_mapping.go:96) — compiles
             # to Columns, falls back to the Arrow interpreter
