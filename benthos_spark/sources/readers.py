@@ -215,7 +215,21 @@ def _codec_csv(parts, arg):
     return out
 
 
+def _codec_avro_ocf(parts, arg):
+    # one JSON message per OCF record (reader.go avro-ocf scanner);
+    # pure-python decoder, see functions/avro_ocf.py
+    from benthos_spark.functions.avro_ocf import read_ocf
+
+    out = []
+    for n, b in parts:
+        _, records = read_ocf(b)
+        for r in records:
+            out.append((n, json.dumps(r, default=lambda v: v.hex() if isinstance(v, bytes) else str(v)).encode()))
+    return out
+
+
 _CODECS = {
+    "avro-ocf": _codec_avro_ocf,
     "gzip": _codec_gzip,
     "tar": _codec_tar,
     "skipbom": _codec_skipbom,
@@ -227,7 +241,7 @@ _CODECS = {
     "csv": _codec_csv,
 }
 
-_TERMINAL = {"lines", "all-bytes", "chunker", "delim", "regex", "csv"}
+_TERMINAL = {"lines", "all-bytes", "chunker", "delim", "regex", "csv", "avro-ocf"}
 
 
 def resolve_auto_codec(path: str) -> list[str]:
