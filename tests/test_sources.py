@@ -134,3 +134,23 @@ def test_codec_auto_detect(spark, codec_dir):
 def test_codec_all_bytes(spark, codec_dir):
     got = _lines(spark, codec_dir / "plain.txt", "all-bytes")
     assert got == ["l1\nl2\nl3"]
+
+
+def test_py_files_package_is_importable(tmp_path):
+    """tools/package.py builds the spark-submit --py-files artifact; the
+    zip must be importable standalone (zipimport), matching how
+    executors resolve UDF closures on a real cluster."""
+    import subprocess
+    import sys
+
+    from tools.package import build
+
+    out = build(str(tmp_path / "benthos_spark.zip"))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import benthos_spark.functions.bloblang, benthos_spark.bloblang.parser, "
+        "benthos_spark.functions.jq_program as jq; "
+        "assert jq.JqProgram('.a').run({'a': 1}) == [1]; print('ok')"
+    ) % out
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, cwd="/")
+    assert r.returncode == 0 and r.stdout.strip() == "ok", r.stderr
