@@ -254,6 +254,13 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             return JqProcessor(conf)
         return JqProcessor(conf["query"], col=conf.get("col", "value"),
                            out_col=conf.get("out_col"))
+    if name == "jmespath":
+        from benthos_spark.functions.jmespath_program import JmespathProcessor
+
+        if isinstance(conf, str):
+            return JmespathProcessor(conf)
+        return JmespathProcessor(conf["query"], col=conf.get("col", "value"),
+                                 out_col=conf.get("out_col"))
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelect
 
@@ -270,7 +277,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
     raise ConfigError(
         f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
-        "compress, decompress, window_agg, session_window_agg, sql_select, jq"
+        "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath"
     )
 
 
