@@ -157,7 +157,16 @@ def compile_mapping(ast: A.MappingAST, schema: Optional[T.StructType] = None) ->
                     assignments.append(((str(k.value),), c))
                     env.assigned[str(k.value)] = c
                 continue
-            raise UnsupportedBloblang("root replaced by a non-object expression")
+            # scalar root: the message becomes a single value — one
+            # `value` column (≙ newPart.SetBytes/SetStructuredMut on a
+            # non-object result, executor.go:225-239)
+            c = _compile(stmt.expr, env)
+            if c is _DELETED:
+                row_filter = F.lit(False)
+                continue
+            assignments = [(("value",), c)]
+            env.assigned = {"value": c}
+            continue
         c = _compile(stmt.expr, env)
         if c is _DELETED:
             if len(stmt.path) > 1:

@@ -47,9 +47,12 @@ from benthos_spark.bloblang.ast import (
 
 
 class BloblangParseError(ValueError):
-    def __init__(self, msg: str, line: int = 0):
+    def __init__(self, msg: str, line: int = 0, fatal: bool = False):
         super().__init__(f"line {line}: {msg}" if line else msg)
         self.line = line
+        # fatal errors skip the single-root-mapping fallback
+        # (bestMatch/IsFatal, mapping_parser.go:22-37)
+        self.fatal = fatal
 
 
 @dataclass
@@ -170,10 +173,14 @@ def _resolve_precedence(operands: list[Node], ops: list[str]) -> Node:
 
 
 class Parser:
-    def __init__(self, toks: list[Tok]):
+    def __init__(self, toks: list[Tok], import_loader=None):
         self.toks = toks
         self.i = 0
         self.contexts: list[str] = []  # active lambda context names
+        # import "file" resolver: path -> source text (importParser,
+        # mapping_parser.go:189 — imported files contribute their map
+        # definitions). Default reads from the filesystem.
+        self.import_loader = import_loader or (lambda p: open(p).read())
 
     # -- token helpers ------------------------------------------------------
     def peek(self, ahead: int = 0) -> Tok:
@@ -209,7 +216,9 @@ class Parser:
         save = self.i
         try:
             stmt = self.parse_statement(out)
-        except BloblangParseError:
+        except BloblangParseError as e:
+            if e.fatal:
+                raise
             self.i = save
             expr = self.parse_query()
             self.skip_nl()
@@ -231,6 +240,18 @@ class Parser:
 
     def parse_statement(self, out: MappingAST) -> Optional[Assign]:
         t = self.peek()
+        if t.kind == "IDENT" and t.value == "import" and self.peek(1).kind == "STRING":
+            self.next()
+            path = str(self.next().value)
+            try:
+                src = self.import_loader(path)
+            except OSError as e:
+                raise BloblangParseError(
+                    f"failed to import mapping {path!r}: {e}", t.line, fatal=True
+                )
+            sub = Parser(tokenize(src), self.import_loader).parse_mapping()
+            out.maps.update(sub.maps)
+            return None
         if t.kind == "IDENT" and t.value == "let":
             self.next()
             name_t = self.next()
@@ -589,10 +610,11 @@ class Parser:
         return ObjectLit(tuple(pairs))
 
 
-def parse_mapping(src: str) -> MappingAST:
+def parse_mapping(src: str, import_loader=None) -> MappingAST:
     """Parse Bloblang mapping source → :class:`MappingAST`
-    (≙ ParseMapping, mapping_parser.go:19)."""
-    return Parser(tokenize(src)).parse_mapping()
+    (≙ ParseMapping, mapping_parser.go:19). ``import_loader`` resolves
+    ``import "path"`` statements (defaults to filesystem reads)."""
+    return Parser(tokenize(src), import_loader).parse_mapping()
 
 
 def parse_query(src: str) -> Node:

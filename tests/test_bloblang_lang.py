@@ -416,3 +416,32 @@ def test_golden_message_expansion():
         {"content": "bar", "id": "foobar"},
         {"content": "baz", "id": "foobar"},
     ]
+
+
+def test_import_statement_merges_maps():
+    files = {"maps.blobl": 'map shout {\n  root = this.uppercase() + "!"\n}\n'}
+    from benthos_spark.bloblang.parser import parse_mapping as pm
+
+    ast = pm('import "maps.blobl"\nroot.out = this.w.apply("shout")',
+             import_loader=lambda p: files[p])
+    out, _ = Executor(ast).map_part({"w": "hey"})
+    assert out == {"out": "HEY!"}
+
+
+def test_import_missing_file_fails():
+    from benthos_spark.bloblang.parser import parse_mapping as pm
+
+    def loader(path):
+        raise OSError("no such mapping")
+
+    with pytest.raises(BloblangParseError, match="import"):
+        pm('import "nope.blobl"\nroot = this', import_loader=loader)
+
+
+def test_column_tier_scalar_root(df):
+    proc = BloblangMapping("root = this.name.uppercase()")
+    out = proc(df)
+    assert out.columns == ["value"]
+    assert sorted(r["value"] for r in out.collect()) == ["ALPHA", "BETA", "GAMMA"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan
