@@ -152,8 +152,26 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
         from benthos_spark.operators.sql import SqlRawSource
 
         return SqlRawSource(dsn=conf["dsn"], query=conf["query"], driver=conf.get("driver"))
+    if name == "batched":
+        if conf.get("policy", {}).get("check"):
+            raise ConfigError(
+                "batched: a Bloblang `check` flush condition has no micro-batch "
+                "equivalent (flushing is time/size-driven in Spark); use period/"
+                "count/byte_size"
+            )
+        pol = conf.get("policy", {})
+        return S.BatchedSource(
+            child=_input(conf["child"], resources),
+            policy=S.BatchPolicy(
+                count=pol.get("count"),
+                byte_size=pol.get("byte_size"),
+                period=pol.get("period"),
+                size_col=pol.get("size_col"),
+            ),
+        )
     raise ConfigError(
-        f"unknown input {name!r}; known: parquet, csv, file, generate, sql_select, sql_raw"
+        f"unknown input {name!r}; known: parquet, csv, file, generate, batched, "
+        "sql_select, sql_raw, resource"
     )
 
 
@@ -344,6 +362,10 @@ def compile_config(conf: str | dict) -> tuple[Pipeline, Callable]:
     resources = Resources.from_config(conf)
     source = _input(conf["input"], resources)
     procs = [_proc(p, resources) for p in (conf.get("pipeline") or {}).get("processors", [])]
+    if isinstance(source, S.BatchedSource):
+        rebatch = source.policy.processor()
+        if rebatch is not None:
+            procs = [rebatch] + procs
     sink = _output(conf["output"], resources)
     return Pipeline(source=source, processors=procs), sink
 
@@ -354,6 +376,8 @@ def run_config(
     """Compile + start (streaming) or materialize (batch). The CLI
     entrypoint equivalent of `benthos -c config.yaml`."""
     pipe, sink = compile_config(conf)
+    if isinstance(pipe.source, S.BatchedSource) and not trigger_once:
+        start_kwargs = {**pipe.source.policy.start_kwargs(), **start_kwargs}
     if pipe.source.streaming:
         return pipe.start(spark, sink, checkpoint=checkpoint, trigger_once=trigger_once,
                           **start_kwargs)

@@ -92,6 +92,55 @@ class MemorySource(Source):
 
 
 @dataclass
+class BatchPolicy:
+    """The reference's batch policy (count / byte_size / period — the
+    re-batching knobs of `batched` and per-output batching,
+    internal/impl/pure/input_batched.go:21, service batch policy).
+
+    Spark-first mapping: the micro-batch IS the batch, so
+    - ``period``    → micro-batch trigger interval (processingTime)
+    - ``count``     → physical partition sizing: ~count rows per task
+    - ``byte_size`` → ~byte_size payload bytes per task (needs size_col)
+    A Bloblang ``check`` flush condition has no micro-batch equivalent
+    (flushing is time/size-driven in Spark) and is rejected at compile
+    time rather than silently ignored."""
+
+    count: int | None = None
+    byte_size: int | None = None
+    period: str | None = None
+    size_col: str | None = None
+
+    def processor(self):
+        from benthos_spark.operators.processors import Split
+
+        if self.count is not None:
+            return Split(count=self.count)
+        if self.byte_size is not None:
+            return Split(byte_size=self.byte_size, size_col=self.size_col)
+        return None
+
+    def start_kwargs(self) -> dict:
+        return {"processing_time": self.period} if self.period else {}
+
+
+@dataclass
+class BatchedSource(Source):
+    """`batched` input (input_batched.go:21): wrap a child input and
+    re-batch by policy. The child's stream is unchanged; the policy
+    contributes a re-partitioning stage and/or a trigger interval."""
+
+    child: Source
+    policy: BatchPolicy
+
+    @property
+    def streaming(self) -> bool:  # type: ignore[override]
+        return self.child.streaming
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.child.read(spark)
+
+
+@dataclass
 class FileSource(Source):
     """`file` input with a codec chain (internal/codec/reader.go:193-311;
     chainable like ``gzip/lines``). Text codecs use native readers

@@ -192,3 +192,34 @@ def test_config_unknown_resource_fails_compile():
     }
     with _pytest.raises(ConfigError, match="nope"):
         compile_config(conf)
+
+
+def test_config_batched_input_rebatches(spark):
+    from benthos_spark.config import compile_config
+
+    conf = {
+        "input": {"batched": {
+            "child": {"generate": {"count": 40, "streaming": False,
+                                   "mapping": {"v": "value"}}},
+            "policy": {"count": 10},
+        }},
+        "output": {"drop": {}},
+    }
+    pipe, _ = compile_config(conf)
+    out = pipe.run_batch(spark)
+    assert out.count() == 40
+    assert out.rdd.getNumPartitions() == 4  # ~count rows per physical batch
+
+
+def test_config_batched_check_rejected():
+    import pytest as _pytest
+
+    from benthos_spark.config import ConfigError, compile_config
+
+    conf = {
+        "input": {"batched": {"child": {"generate": {"count": 1}},
+                              "policy": {"check": "this.v > 0"}}},
+        "output": {"drop": {}},
+    }
+    with _pytest.raises(ConfigError, match="check"):
+        compile_config(conf)
