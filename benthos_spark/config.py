@@ -333,6 +333,16 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         return R.RoundRobinSink([_output(c, resources) for c in conf["outputs"]], key=conf.get("key"))
     if name == "dlq_split":
         return R.DlqSplit(_output(conf["main"], resources), _output(conf["dlq"], resources))
+    if name == "retry":
+        return R.RetrySink(
+            _output(conf["output"], resources),
+            max_retries=conf.get("max_retries", 3),
+            backoff_s=conf.get("backoff", 0.5),
+        )
+    if name == "reject":
+        return R.RejectSink(conf if isinstance(conf, str) else conf.get("error"))
+    if name == "inproc":
+        return R.InprocSink(conf if isinstance(conf, str) else conf["name"])
     if name == "sql_insert":
         from benthos_spark.operators.sql import SqlInsertSink
 
@@ -345,7 +355,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         )
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, drop, fan_out, switch, fallback, "
-        "round_robin, dlq_split, sql_insert"
+        "round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, resource"
     )
 
 

@@ -152,3 +152,84 @@ class DlqSplit:
             self.dlq(df.filter(F.col(self.error_col).isNotNull()), batch_id)
         finally:
             df.unpersist()
+
+
+class RetrySink:
+    """`retry` output (output_retry.go:105): retry the child sink with
+    exponential backoff until success or ``max_retries``. This is the
+    explicit in-batch retry loop ON TOP of Spark's own task/batch
+    replay: transient child failures (a flaky JDBC endpoint, an object
+    store 503) are absorbed without failing the micro-batch, so the
+    stream doesn't reprocess the whole batch for a blip. The child must
+    be idempotent (same contract as batch replay)."""
+
+    def __init__(self, child: Sink, max_retries: int = 3,
+                 backoff_s: float = 0.5, backoff_multiplier: float = 2.0):
+        self.child = child
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.backoff_multiplier = backoff_multiplier
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        import time
+
+        delay = self.backoff_s
+        for attempt in range(self.max_retries + 1):
+            try:
+                self.child(df, batch_id)
+                return
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+                time.sleep(delay)
+                delay *= self.backoff_multiplier
+
+
+class RejectSink:
+    """`reject` output (output_reject.go:25): nack every message with an
+    interpolated error. Spark form: raising inside foreachBatch fails
+    the micro-batch → the offset is not committed → upstream redelivers
+    (the nack). ``error_expr`` is evaluated against the first row for
+    the message (the reference interpolates per message; a batch shares
+    one failure)."""
+
+    def __init__(self, error_expr: object = None):
+        self.error_expr = error_expr
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        msg = "message rejected"
+        if self.error_expr is not None:
+            col = F.expr(self.error_expr) if isinstance(self.error_expr, str) else self.error_expr
+            row = df.select(col.alias("m")).limit(1).collect()
+            if row:
+                msg = str(row[0]["m"])
+        raise RuntimeError(f"reject: {msg} (batch {batch_id})")
+
+
+# `inproc` exchange (input_inproc.go:31 / output_inproc.go:20): a named
+# in-process handoff between two pipelines in one session. DataFrame
+# model: a registry of named frames — the writing pipeline registers its
+# result, the reading pipeline picks it up as a source.
+_INPROC: dict[str, DataFrame] = {}
+
+
+class InprocSink:
+    def __init__(self, name: str):
+        self.name = name
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        cur = _INPROC.get(self.name)
+        _INPROC[self.name] = df if cur is None else cur.unionByName(df, allowMissingColumns=True)
+
+
+def inproc_read(name: str) -> DataFrame:
+    if name not in _INPROC:
+        raise KeyError(f"inproc channel {name!r} has no data")
+    return _INPROC[name]
+
+
+def inproc_clear(name: str | None = None) -> None:
+    if name is None:
+        _INPROC.clear()
+    else:
+        _INPROC.pop(name, None)

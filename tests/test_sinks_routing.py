@@ -139,3 +139,50 @@ def test_sink_crash_between_write_and_ledger(spark, tmp_path):
     assert sink.read_committed(spark).count() == 50
     sink(df, batch_id=7)  # second replay: no-op
     assert sink.committed_rows() == 50
+
+
+def test_retry_sink_absorbs_transient_failures(spark):
+    from benthos_spark.sinks.routing import RetrySink
+
+    df = spark.createDataFrame([(1,)], "v int")
+    attempts = []
+
+    def flaky(d, bid):
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("transient")
+
+    RetrySink(flaky, max_retries=3, backoff_s=0.01)(df, 0)
+    assert len(attempts) == 3
+
+    def always_fails(d, bid):
+        attempts.append(1)
+        raise RuntimeError("permanent")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="permanent"):
+        RetrySink(always_fails, max_retries=2, backoff_s=0.01)(df, 1)
+
+
+def test_reject_sink_raises_with_interpolated_error(spark):
+    import pytest as _pytest
+
+    from benthos_spark.sinks.routing import RejectSink
+
+    df = spark.createDataFrame([("oops-42",)], "reason string")
+    with _pytest.raises(RuntimeError, match="oops-42"):
+        RejectSink("concat('err: ', reason)")(df, 7)
+
+
+def test_inproc_exchange(spark):
+    from benthos_spark.sinks.routing import InprocSink, inproc_clear, inproc_read
+
+    inproc_clear()
+    df1 = spark.createDataFrame([(1,)], "v int")
+    df2 = spark.createDataFrame([(2,)], "v int")
+    sink = InprocSink("chan")
+    sink(df1, 0)
+    sink(df2, 1)
+    assert sorted(r["v"] for r in inproc_read("chan").collect()) == [1, 2]
+    inproc_clear("chan")
