@@ -33,6 +33,8 @@ the analogue of the reference's config lint (reader.go:314).
 
 from __future__ import annotations
 
+import os
+import re
 from typing import Any, Callable
 
 import yaml
@@ -362,11 +364,42 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
 # -- top level --------------------------------------------------------------
 
 
+_ENV_RE = re.compile(r"\$\{([0-9A-Za-z_.]+)(:((\$\{[^}]+\})|[^}])*)?\}")
+_ESCAPED_ENV_RE = re.compile(r"\$\{(\{[0-9A-Za-z_.]+(:((\$\{[^}]+\})|[^}])*)?\})\}")
+
+
+def replace_env_variables(text: str, lookup=None) -> str:
+    """`${FOO}` / `${FOO:default}` config interpolation
+    (internal/config/env_vars.go:41 ReplaceEnvVariables): empty/missing
+    var → default (or error without one); `${{FOO}}` escapes to a
+    literal `${FOO}`. `${! ...}` Bloblang interpolations are untouched
+    (the env pattern requires an identifier first)."""
+    lookup = lookup or (lambda k: os.environ.get(k))
+    missing: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        default = m.group(2)[1:] if m.group(2) else None
+        val = lookup(name)
+        if val:
+            return val
+        if default is not None:
+            return default
+        missing.append(name)
+        return ""
+
+    out = _ENV_RE.sub(sub, text)
+    if missing:
+        raise ConfigError(f"required environment variables were not set: {missing}")
+    return _ESCAPED_ENV_RE.sub(lambda m: "${" + m.group(1)[1:-1] + "}", out)
+
+
 def compile_config(conf: str | dict) -> tuple[Pipeline, Callable]:
     """YAML/dict config -> (Pipeline, sink). Raises ConfigError on unknown
-    components (compile-time lint ≙ reader.go:314)."""
+    components (compile-time lint ≙ reader.go:314). String configs get
+    `${VAR}` env interpolation before parsing (env_vars.go)."""
     if isinstance(conf, str):
-        conf = yaml.safe_load(conf)
+        conf = yaml.safe_load(replace_env_variables(conf))
     if "input" not in conf or "output" not in conf:
         raise ConfigError("config needs `input` and `output` sections")
     resources = Resources.from_config(conf)

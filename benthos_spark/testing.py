@@ -121,3 +121,93 @@ def run_cases(spark: SparkSession, yaml_text: str) -> list[str]:
         run_case(spark, case)
         passed.append(case.get("name", "?"))
     return passed
+
+
+# -- reference golden-suite runner ------------------------------------------
+#
+# Executes the reference's own test YAMLs (config/test/bloblang/
+# *_test.yaml: target_mapping + input_batch + output_batches), the
+# `benthos test` file format (internal/cli/test/case.go:16-90). The
+# mapping runs through the real Bloblang Executor per message — the
+# same engine the BloblangMapping processor ships to executors.
+
+
+def run_reference_suite(spark: SparkSession, yaml_path: str) -> list[str]:
+    """Run a reference-format test file; returns passed case names.
+    Cases whose matchers need unimplemented features (e.g. `bloblang:`
+    error-message equality, exact-format parity) are skipped by
+    returning their name prefixed with 'SKIP '."""
+    import os
+
+    from benthos_spark.bloblang.interp import DELETED, BloblangError, Executor
+
+    with open(yaml_path) as f:
+        doc = yaml.safe_load(f)
+    base = os.path.dirname(os.path.abspath(yaml_path))
+    results = []
+    for case in doc["tests"]:
+        name = case.get("name", "?")
+        target = case.get("target_mapping")
+        if not target:
+            results.append(f"SKIP {name} (no target_mapping)")
+            continue
+        src = open(os.path.join(base, target)).read()
+        env_vars = case.get("environment") or {}
+        saved = {k: os.environ.get(k) for k in env_vars}
+        os.environ.update({k: str(v) for k, v in env_vars.items()})
+        try:
+            ex = Executor(src)
+            outputs = []
+            errors = []
+            for msg in case["input_batch"]:
+                content = msg["content"]
+                try:
+                    doc_in = json.loads(content)
+                except (json.JSONDecodeError, TypeError):
+                    doc_in = content
+                try:
+                    out, _meta = ex.map_part(doc_in, dict(msg.get("metadata") or {}))
+                    if out is DELETED:
+                        continue
+                    outputs.append(out)
+                    errors.append(None)
+                except BloblangError as e:
+                    outputs.append(doc_in)  # reference: message unchanged, error flagged
+                    errors.append(str(e))
+            (expected_batch,) = case["output_batches"]
+            if len(outputs) != len(expected_batch):
+                raise CaseFailure(
+                    f"{name}: expected {len(expected_batch)} messages, got {len(outputs)}"
+                )
+            skipped = False
+            for ix, (exp, got, err) in enumerate(zip(expected_batch, outputs, errors)):
+                for cond, arg in exp.items():
+                    if cond == "json_equals":
+                        if got != arg:
+                            raise CaseFailure(f"{name}[{ix}]: json_equals {got!r} != {arg!r}")
+                    elif cond == "content_equals":
+                        got_s = got if isinstance(got, str) else json.dumps(
+                            got, separators=(",", ":"), ensure_ascii=False
+                        )
+                        if got_s != arg:
+                            raise CaseFailure(f"{name}[{ix}]: content_equals {got_s!r} != {arg!r}")
+                    elif cond == "bloblang":
+                        # error-message-equality checks depend on the Go
+                        # engine's exact error strings; assert only that
+                        # an error occurred when the check reads error()
+                        if "error()" in arg:
+                            if err is None:
+                                raise CaseFailure(f"{name}[{ix}]: expected an errored message")
+                            skipped = True
+                        else:
+                            skipped = True
+                    else:
+                        raise ValueError(f"unknown condition {cond!r}")
+            results.append((f"SKIP-PARTIAL {name}" if skipped else name))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+    return results

@@ -223,3 +223,27 @@ def test_config_batched_check_rejected():
     }
     with _pytest.raises(ConfigError, match="check"):
         compile_config(conf)
+
+
+def test_env_var_interpolation(spark, monkeypatch):
+    from benthos_spark.config import ConfigError, compile_config, replace_env_variables
+
+    monkeypatch.setenv("N_ROWS", "7")
+    conf = """
+input:
+  generate: {count: ${N_ROWS}, streaming: false, mapping: {v: value}}
+pipeline:
+  processors:
+    - filter: "v >= ${MIN_V:3}"
+output:
+  drop: {}
+"""
+    pipe, _ = compile_config(conf)
+    assert pipe.run_batch(spark).count() == 4  # 3..6 of 0..6
+
+    assert replace_env_variables("a ${MISSING:dflt} b", lambda k: None) == "a dflt b"
+    assert replace_env_variables("${{LITERAL}}", lambda k: None) == "${LITERAL}"
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError, match="MISSING"):
+        replace_env_variables("${MISSING}", lambda k: None)

@@ -77,3 +77,29 @@ def test_row_count_mismatch(spark):
     }
     with pytest.raises(CaseFailure, match="expected 1 output rows, got 0"):
         run_case(spark, case)
+
+
+REF_SUITES = "/root/reference/config/test/bloblang"
+
+
+def test_reference_cities_suite(spark):
+    from benthos_spark.testing import run_reference_suite
+
+    got = run_reference_suite(spark, f"{REF_SUITES}/cities_test.yaml")
+    assert got == ["test cities mapping"]
+
+
+def test_reference_csv_formatter_suite(spark):
+    from benthos_spark.testing import run_reference_suite
+
+    got = run_reference_suite(spark, f"{REF_SUITES}/csv_formatter_test.yaml")
+    # case 2 asserts the Go engine's exact error string; we assert the
+    # error occurred (SKIP-PARTIAL)
+    assert got == ["Consistent objects", "SKIP-PARTIAL Empty"]
+
+
+def test_reference_github_releases_suite(spark):
+    from benthos_spark.testing import run_reference_suite
+
+    got = run_reference_suite(spark, f"{REF_SUITES}/github_releases_test.yaml")
+    assert got == ["Github releases mapping"]
