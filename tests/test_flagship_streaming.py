@@ -176,3 +176,41 @@ def test_kill_resume_exactly_once(spark, clips_dir, tmp_path):
     # exactly-once: no (window, codec) appears twice across batches
     rows = sink.read_committed(spark).groupBy("window_start", "codec").count().collect()
     assert all(r["count"] == 1 for r in rows)
+
+
+def test_bloblang_mapping_streams_exactly_once(spark, clips_dir, tmp_path):
+    """A real-Bloblang `mutation` stage (Column tier — no Python in the
+    plan) inside a streaming pipeline with the exactly-once sink: the
+    mapping-language frontend composes with watermarked windows and the
+    commit ledger like any Column processor."""
+    from benthos_spark.bloblang import BloblangMutation
+
+    pipe = Pipeline(
+        source=ParquetSource(clips_dir, streaming=True, schema=CLIPS_SCHEMA),
+        processors=[
+            BloblangMutation(
+                'root.n_words = this.transcript.split(" ").length()\n'
+                'root.long_clip = this.dur_ms > 1000'
+            ),
+            WindowAgg(
+                ts_col="event_ts",
+                size="1 minute",
+                lateness="30 seconds",
+                group_cols=["codec"],
+                aggs={
+                    "n_clips": F.count(F.lit(1)),
+                    "total_words": F.sum("n_words"),
+                    "n_long": F.sum(F.col("long_clip").cast("long")),
+                },
+            ),
+        ],
+    )
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    q = pipe.start(spark, sink, checkpoint=str(tmp_path / "ckpt"), trigger_once=True)
+    run_to_completion(q)
+    out = sink.read_committed(spark).filter(F.col("codec") != SENTINEL_CODEC)
+    total = out.agg(F.sum("n_clips"), F.sum("total_words")).collect()[0]
+    assert total[0] == N_CLIPS
+    assert total[1] > 0
+    dup = out.groupBy("window_start", "codec").count().filter("count > 1").count()
+    assert dup == 0
