@@ -1551,13 +1551,48 @@ _IVF_LISTS = 16
 _IVF_NPROBE = 2
 
 
-@register("embedding_ann_ivf_topk")  # no oracle: probabilistic recall — rows-only check
+def _ivf_oracle() -> str:
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_emb
+      FROM embeddings WHERE vec_id < {_IVF_LISTS}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cent_emb')} DESC, c.cent_id
+             ) AS rk
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    lists AS (SELECT vec_id, embedding, cent_id AS list_id FROM assigned WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS list_id
+      FROM assigned WHERE rk <= {_IVF_NPROBE} AND vec_id < {_N_QUERY}
+    ),
+    scored AS (
+      SELECT p.q_id, l.vec_id AS cand_id,
+             round({_cos_sql('p.q_emb', 'l.embedding')}, 4) AS cos
+      FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.q_id
+    ),
+    ranked AS (
+      SELECT q_id, cand_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, cand_id, cos, rank FROM ranked WHERE rank <= {_TOPK}
+    """
+
+
+@register("embedding_ann_ivf_topk", _ivf_oracle())
 def embedding_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN: coarse quantizer = the first {_IVF_LISTS} vectors as
     deterministic centroids (no training pass — reproducible without
     randomness); every vector is assigned to its nearest centroid's
     inverted list; each query probes its {_IVF_NPROBE} nearest lists and
-    runs exact cosine top-k inside them.
+    runs exact cosine top-k inside them. Fully deterministic (argmax
+    with cent_id tie-break, rounded scores with cand_id tie-break), so
+    the DuckDB oracle replicates it exactly — hard-gated since round 2.
 
     Scale path: centroids broadcast (tiny); the big side is hashed once
     to its list id; the probe join touches only the probed lists."""
