@@ -286,7 +286,9 @@ class Executor:
                     root_ref[0] = _set_path(root_ref[0], list(stmt.path), res)
         out = root_ref[0]
         if out is NOTHING:
-            out = None
+            # no root assignment: the original contents are unchanged
+            # (executor.go:225 "case query.Nothing: Do not change")
+            out = doc
         return out, meta
 
     def query(self, doc, meta: Optional[dict] = None):
@@ -742,7 +744,11 @@ def _m_number(v):
 
 
 def _m_merge(v, other):
-    """methods.go merge: deep merge; colliding scalars become arrays."""
+    """methods_structured.go:1058 merge: deep merge for objects
+    (colliding scalars become arrays); an array target appends
+    (concat for array-with-array)."""
+    if isinstance(v, list):
+        return v + (other if isinstance(other, list) else [other])
     if isinstance(v, dict) and isinstance(other, dict):
         out = dict(v)
         for k, val in other.items():

@@ -230,6 +230,15 @@ class Parser:
         if stmt is not None:
             out.statements.append(stmt)
         while True:
+            # statements are newline-separated (parseExecutor requires a
+            # newline between statements, mapping_parser.go:79)
+            t = self.peek()
+            if t.kind == "EOF":
+                break
+            if t.kind != "NL":
+                raise BloblangParseError(
+                    f"expected end of statement, got {t.value!r}", t.line
+                )
             self.skip_nl()
             if self.peek().kind == "EOF":
                 break
