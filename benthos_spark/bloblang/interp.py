@@ -62,6 +62,14 @@ NOTHING = _NothingType()
 DELETED = _DeletedType()
 
 
+class Raw(str):
+    """Unstructured message content: the reference errors when `this`
+    is referenced on content that doesn't parse as JSON
+    (executor.go:195 "unable to reference message as structured").
+    Wrap non-JSON content in Raw to get that behavior; plain str docs
+    stay directly addressable (a JSON string scalar)."""
+
+
 class Scope:
     __slots__ = ("doc", "named", "vars", "meta", "root_ref", "maps", "error")
 
@@ -158,7 +166,7 @@ def _json_default(v):
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
     if isinstance(v, _dt.datetime):
-        return v.isoformat()
+        return v.isoformat().replace("+00:00", "Z")
     raise TypeError(str(type(v)))
 
 
@@ -326,7 +334,14 @@ class Executor:
         return out
 
     def _eval_ContextRef(self, node, scope):
-        base = scope.named[node.name] if node.name is not None else scope.doc
+        if node.name is not None:
+            base = scope.named[node.name]
+        else:
+            base = scope.doc
+            if isinstance(base, Raw):
+                raise BloblangError(
+                    "unable to reference message as structured (with 'this')"
+                )
         return _get_path(base, node.path)
 
     def _eval_RootRef(self, node, scope):
@@ -416,14 +431,24 @@ class Executor:
     def _eval_MethodCall(self, node, scope):
         name = node.name
         if name == "catch":
-            # lazy: fallback evaluated only on error (methods.go `catch`)
+            # lazy: fallback evaluated only on error (methods.go `catch`);
+            # a lambda fallback receives the error message as context
+            try:
+                target = self.eval(node.target, scope)
+            except BloblangError as e:
+                fb = node.args[0]
+                if isinstance(fb, A.Lambda):
+                    return _LambdaFn(self, fb, scope)(str(e))
+                return self.eval(fb, scope)
+            return target
+        if name == "or":
+            # lazy: methods.go `or` replaces a FAILED or null target
             try:
                 target = self.eval(node.target, scope)
             except BloblangError:
-                fb = node.args[0]
-                if isinstance(fb, A.Lambda):
-                    raise
-                return self.eval(fb, scope)
+                return self.eval(node.args[0], scope)
+            if target is None or target is NOTHING:
+                return self.eval(node.args[0], scope)
             return target
         target = self.eval(node.target, scope)
         if name == "apply":
@@ -447,7 +472,10 @@ class Executor:
         fn = _METHODS.get(name)
         if fn is None:
             raise BloblangError(f"unrecognised method {name!r}")
-        return fn(target, *args, **named)
+        try:
+            return fn(target, *args, **named)
+        except TypeError as e:
+            raise BloblangError(f"method {name}: {e}") from e
 
     def _apply_map(self, name: str, value, scope: Scope):
         stmts = scope.maps.get(name)
@@ -480,6 +508,8 @@ _QUERY_ARGS = {
     "all": (0,),
     "any": (0,),
     "fold": (1,),
+    "find_by": (0,),
+    "find_all_by": (0,),
 }
 
 
@@ -566,7 +596,7 @@ def _call_function(name, args, named, scope: Scope):
     if name == "content":
         doc = scope.doc
         if isinstance(doc, (bytes, str)):
-            return doc if isinstance(doc, bytes) else doc.encode()
+            return bytes(doc) if isinstance(doc, bytes) else str(doc).encode()
         return _format_json(doc).encode()
     if name == "json":
         path = args[0] if args else ""
@@ -716,6 +746,14 @@ def _m_slice(v, low, high=None):
 
 def _m_index(v, i):
     i = _as_int(i)
+    if isinstance(v, bytes):
+        if -len(v) <= i < len(v):
+            return v[i]  # byte value, like Go indexing
+        raise BloblangError(f"index {i} out of bounds for size {len(v)}")
+    if isinstance(v, str):
+        if -len(v) <= i < len(v):
+            return v[i]
+        raise BloblangError(f"index {i} out of bounds for size {len(v)}")
     arr = _as_array(v)
     if -len(arr) <= i < len(arr):
         return arr[i]
@@ -824,12 +862,29 @@ def _to_datetime(v) -> _dt.datetime:
 
 
 def _m_parse_timestamp(v, fmt=None):
-    return _to_datetime(v).isoformat()
+    return _to_datetime(v)
 
 
-def _m_hash(v, algorithm="sha256", key=None):
+_CRC32_POLYS = {"ieee": 0xEDB88320, "castagnoli": 0x82F63B78, "koopman": 0xEB31D82E}
+
+
+def _crc32(data: bytes, poly_name: str) -> int:
+    poly = _CRC32_POLYS.get(poly_name.lower())
+    if poly is None:
+        raise BloblangError(f"unknown crc32 polynomial {poly_name!r}")
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ (poly if crc & 1 else 0)
+    return crc ^ 0xFFFFFFFF
+
+
+def _m_hash(v, algorithm="sha256", key=None, polynomial="IEEE"):
     data = v.encode() if isinstance(v, str) else v
     alg = algorithm.replace("-", "").lower()
+    if alg == "crc32":
+        return _crc32(data, polynomial).to_bytes(4, "big")
     if alg == "xxhash64":
         raise BloblangError("xxhash64 unavailable")
     if key is not None:
@@ -950,15 +1005,27 @@ def _m_parse_csv(v, parse_header_row=True, delimiter=",", lazy_quotes=False):
     return [dict(zip(header, r)) for r in rows[1:]]
 
 
+def _match_to_object(m) -> dict:
+    # group key = subexp name when named, else its index (SubexpNames)
+    name_by_index = {}
+    for name, idx in (m.re.groupindex or {}).items():
+        name_by_index[idx] = name
+    out = {"0": m.group(0)}
+    for i in range(1, (m.re.groups or 0) + 1):
+        g = m.group(i)
+        out[name_by_index.get(i, str(i))] = g if g is not None else ""
+    return out
+
+
 def _m_re_find_object(v, pattern):
     m = _re.search(pattern, _as_string(v))
     if not m:
         return {}
-    out = {str(i): g for i, g in enumerate([m.group(0), *m.groups()]) if g is not None}
-    for name, g in (m.groupdict() or {}).items():
-        if g is not None:
-            out[name] = g
-    return out
+    return _match_to_object(m)
+
+
+def _m_re_find_all_object(v, pattern):
+    return [_match_to_object(m) for m in _re.finditer(pattern, _as_string(v))]
 
 
 _METHODS = {
@@ -983,25 +1050,27 @@ _METHODS = {
         for m in _re.finditer(p, _as_string(v))
     ],
     "re_find_object": _m_re_find_object,
+    "re_find_all_object": _m_re_find_all_object,
     "quote": lambda v: json.dumps(_as_string(v), ensure_ascii=False),
     "unquote": lambda v: json.loads(_as_string(v)),
     "reverse": lambda v: v[::-1] if isinstance(v, (str, bytes)) else _as_array(v)[::-1],
     "length": lambda v: len(v) if isinstance(v, (str, bytes, list, dict)) else (_ for _ in ()).throw(BloblangError(f"expected string/array/object, got {_type_name(v)}")),
     "slice": _m_slice,
-    "strip_html": lambda v: _re.sub(r"<[^>]*>", "", _as_string(v)),
-    "escape_url_query": lambda v: __import__("urllib.parse", fromlist=["quote"]).quote(_as_string(v), safe=""),
-    "unescape_url_query": lambda v: __import__("urllib.parse", fromlist=["unquote"]).unquote(_as_string(v)),
+    "strip_html": lambda v, allowed=None: _strip_html(v, allowed),
+    "escape_url_query": lambda v: __import__("urllib.parse", fromlist=["quote_plus"]).quote_plus(_as_string(v)),
+    "unescape_url_query": lambda v: __import__("urllib.parse", fromlist=["unquote_plus"]).unquote_plus(_as_string(v)),
     "escape_html": lambda v: __import__("html").escape(_as_string(v)),
     "unescape_html": lambda v: __import__("html").unescape(_as_string(v)),
     "format": lambda v, *a: _go_format(_as_string(v), a),
     "contains": _m_contains,
     "lines": lambda v: _as_string(v).split("\n"),
-    "parse_json": lambda v: json.loads(_as_string(v)),
-    "format_json": lambda v, indent=None, no_indent=False: (
-        json.dumps(v, ensure_ascii=False, default=_json_default)
-        if no_indent or indent is None
+    "parse_json": lambda v, use_number=False: json.loads(_as_string(v)),
+    "format_json": lambda v, indent="    ", no_indent=False: (
+        json.dumps(v, separators=(",", ":"), ensure_ascii=False, default=_json_default)
+        if no_indent
         else json.dumps(v, ensure_ascii=False, indent=indent, default=_json_default)
     ),
+    "format_yaml": lambda v: __import__("yaml").safe_dump(v, default_flow_style=False, sort_keys=False, allow_unicode=True),
     "parse_yaml": lambda v: __import__("yaml").safe_load(_as_string(v)),
     "parse_csv": _m_parse_csv,
     "encode": _m_encode,
@@ -1033,7 +1102,10 @@ _METHODS = {
     "or": lambda v, fallback: fallback if v is None or v is NOTHING else v,
     # arrays (query/methods.go)
     "map_each": _m_map_each,
-    "map_each_key": lambda v, fn: {_as_string(fn(k)): val for k, val in _as_object(v).items()},
+    "map_each_key": lambda v, fn: {
+        (k if (nk := fn(k)) is NOTHING else _as_string(nk)): val
+        for k, val in _as_object(v).items()
+    },
     "filter": lambda v, fn: (
         [x for x in v if _as_bool(fn(x))]
         if isinstance(v, list)
@@ -1048,6 +1120,16 @@ _METHODS = {
     "index": _m_index,
     "first": lambda v: _m_index(v, 0),
     "last": lambda v: _m_index(v, -1),
+    "find": lambda v, needle: next((i for i, x in enumerate(_as_array(v)) if _icompare(x, needle)), None),
+    "find_all": lambda v, needle: [i for i, x in enumerate(_as_array(v)) if _icompare(x, needle)],
+    "find_by": lambda v, fn: next((i for i, x in enumerate(_as_array(v)) if _as_bool(fn(x))), None),
+    "find_all_by": lambda v, fn: [i for i, x in enumerate(_as_array(v)) if _as_bool(fn(x))],
+    "parse_url": lambda v: _m_parse_url(v),
+    "filepath_join": lambda v: "/".join(_as_string(x) for x in _as_array(v)).replace("//", "/"),
+    "filepath_split": lambda v: [
+        _as_string(v)[: _as_string(v).rfind("/") + 1],
+        _as_string(v)[_as_string(v).rfind("/") + 1 :],
+    ],
     "sort": _m_sort,
     "sort_by": _m_sort_by,
     "join": _m_join,
@@ -1064,8 +1146,8 @@ _METHODS = {
     "assign": lambda v, other: {**_as_object(v), **_as_object(other)},
     "without": _m_without,
     "with": lambda v, *fields: {k: val for k, val in _as_object(v).items() if k in {_as_string(f) for f in fields}},
-    "collapse": lambda v: _collapse(v),
-    "explode": lambda v, path: (_ for _ in ()).throw(BloblangError("explode unsupported")),
+    "collapse": lambda v, include_empty=False: _collapse(v, include_empty=include_empty),
+    "explode": lambda v, path: _m_explode(v, path),
     "get": _m_get,
     "squash": lambda v: _squash(_as_array(v)),
     # timestamps (query/methods_time.go)
@@ -1122,7 +1204,9 @@ def _go_format(fmt: str, args):
     return "".join(out)
 
 
-def _collapse(v, prefix=""):
+def _collapse(v, prefix="", include_empty=False):
+    """methods_structured.go collapse: flatten to dot paths; empty
+    objects/arrays are DROPPED unless include_empty."""
     out = {}
 
     def rec(val, pre):
@@ -1132,11 +1216,76 @@ def _collapse(v, prefix=""):
         elif isinstance(val, list) and val:
             for i, x in enumerate(val):
                 rec(x, f"{pre}.{i}" if pre else str(i))
+        elif isinstance(val, (dict, list)):
+            if include_empty:
+                out[pre] = val
         else:
             out[pre] = val
 
     rec(v, prefix)
     return out
+
+
+def _m_parse_url(v):
+    """methods_strings.go parse_url → Go net/url.URL shaped object
+    (keys as the reference marshals them; `user` present only when the
+    URL carries userinfo)."""
+    from urllib.parse import urlsplit
+
+    u = urlsplit(_as_string(v))
+    out = {
+        "fragment": u.fragment,
+        "host": u.netloc.rsplit("@", 1)[-1] if u.netloc else "",
+        "opaque": "",
+        "path": u.path,
+        "raw_fragment": "",
+        "raw_path": "",
+        "raw_query": u.query,
+        "scheme": u.scheme,
+    }
+    if "@" in (u.netloc or ""):
+        userinfo = u.netloc.rsplit("@", 1)[0]
+        name, _, password = userinfo.partition(":")
+        out["user"] = {"name": name, "password": password}
+    return out
+
+
+def _strip_html(v, allowed=None):
+    if not allowed:
+        return _re.sub(r"<[^>]*>", "", _as_string(v))
+    keep = {str(t).lower() for t in allowed}
+
+    def sub(m):
+        tag = m.group(1).lower()
+        return m.group(0) if tag in keep else ""
+
+    return _re.sub(r"</?\s*([A-Za-z0-9]+)[^>]*>", sub, _as_string(v))
+
+
+def _m_explode(v, path):
+    """methods_structured.go explode: the array/object at `path` fans
+    the WHOLE document out — one copy per element, with the path
+    replaced by that element."""
+    import copy
+
+    obj = _as_object(v)
+    segs = _as_string(path).split(".")
+    target = _get_path(obj, tuple(segs))
+    if isinstance(target, list):
+        out = []
+        for item in target:
+            c = copy.deepcopy(obj)
+            _set_path(c, segs, item)
+            out.append(c)
+        return out
+    if isinstance(target, dict):
+        outd = {}
+        for k, item in target.items():
+            c = copy.deepcopy(obj)
+            _set_path(c, segs, item)
+            outd[k] = c
+        return outd
+    raise BloblangError(f"expected array or object at {path!r}, got {_type_name(target)}")
 
 
 def _squash(arr):

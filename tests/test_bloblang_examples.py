@@ -1,0 +1,72 @@
+"""Bloblang doc-example conformance corpus.
+
+tests/fixtures/blobl_examples.json is extracted from the reference's
+own method/function documentation examples
+(internal/bloblang/query/methods*.go + functions.go NewExampleSpec
+calls) by tools/extract_blobl_examples.py. Every runnable example's
+mapping is executed through our interpreter and compared against the
+documented output; `Error(...)`-documented examples must raise.
+Nondeterministic/gated examples carry a `skip` reason in the fixture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from benthos_spark.bloblang.interp import DELETED, Executor, Raw, _format_json
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "blobl_examples.json")
+
+with open(FIXTURE) as f:
+    EXAMPLES = json.load(f)
+
+
+def _parse(content):
+    try:
+        return json.loads(content)
+    except (json.JSONDecodeError, TypeError):
+        return Raw(content)
+
+
+def _ids():
+    out = []
+    for i, e in enumerate(EXAMPLES):
+        head = e["mapping"].split("\n")[0][:48]
+        out.append(f"{i:03d}-{head}")
+    return out
+
+
+@pytest.mark.parametrize("example", EXAMPLES, ids=_ids())
+def test_doc_example(example):
+    if "skip" in example:
+        pytest.skip(example["skip"])
+    expect_error = example["output"].startswith("Error(")
+    ex = Executor(example["mapping"])
+    if expect_error:
+        with pytest.raises(Exception):
+            out, _ = ex.map_part(_parse(example["input"]))
+            if out is DELETED:
+                raise AssertionError("deleted, not errored")
+        return
+    out, _ = ex.map_part(_parse(example["input"]))
+    if out is DELETED:
+        got = "<Message deleted>"
+    elif isinstance(out, bytes):
+        got = out.decode("utf-8", "replace")
+    elif isinstance(out, str):
+        got = str(out)
+    else:
+        got = json.loads(_format_json(out))
+    raw_want = example["output"]
+    want = _parse(raw_want)
+    assert (got == want) or (isinstance(got, str) and got == raw_want), (
+        f"{example['mapping']!r}: {got!r} != {want!r}"
+    )
+
+
+def test_corpus_size_sanity():
+    runnable = [e for e in EXAMPLES if "skip" not in e]
+    assert len(runnable) >= 160, "conformance corpus unexpectedly shrank"
