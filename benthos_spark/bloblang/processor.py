@@ -34,9 +34,18 @@ from benthos_spark.operators.processors import META_COL, Processor
 
 
 def _rows_to_docs(pdf, value_json: bool):
+    from benthos_spark.bloblang.interp import Raw
+
     metas = pdf[META_COL].tolist() if META_COL in pdf.columns else [{}] * len(pdf)
     if value_json:
-        docs = [json.loads(v) for v in pdf["value"].tolist()]
+        docs = []
+        for v in pdf["value"].tolist():
+            try:
+                docs.append(json.loads(v))
+            except (json.JSONDecodeError, TypeError):
+                # unstructured content: `this` errors, content() works
+                # (the reference's lazy bytes↔structured duality)
+                docs.append(Raw(v))
     else:
         cols = [c for c in pdf.columns if c != META_COL]
         docs = pdf[cols].to_dict("records")
