@@ -755,9 +755,10 @@ def _flatten_path(node: A.GetField) -> Optional[A.ContextRef]:
 
 def _c_getfield(n: A.GetField, e: _Env):
     # `this.a.b` arrives as GetField chains — collapse onto the context
-    # ref so we emit col("a")["b"] instead of struct(*).a.b
+    # ref so we emit col("a")["b"] instead of struct(*).a.b (which also
+    # works schema-less: the head becomes a plain column reference)
     flat = _flatten_path(n)
-    if flat is not None and (flat.name is not None or e.this_col is not None or e.schema is not None):
+    if flat is not None:
         return _c_context(flat, e)
     return _path_col(_compile(n.target, e), (n.seg,))
 

@@ -660,21 +660,35 @@ _INTERP_RE = re.compile(r"\$\{!\s*(.*?)\s*\}")
 
 def interpolate(template: str) -> Column:
     """Compile an interpolated config string into ONE concat Column:
-    ``interpolate("c-${! upper(codec) }.wav")`` ≙ the reference's field
-    expressions (field/expression.go:19-60) used in every config string.
-    Static segments stay literals; dynamic segments are parsed with
-    ``F.expr`` so they run JVM-side."""
+    ``interpolate("c-${! this.codec.uppercase() }.wav")`` ≙ the
+    reference's field expressions (field/expression.go:19-60,
+    parser/field_parser.go) used in every config string. Static
+    segments stay literals; dynamic segments are REAL Bloblang queries
+    compiled to Columns (bloblang/columns.py); segments that don't
+    parse as Bloblang fall back to Spark-SQL ``F.expr`` so existing
+    configs keep working. Either way the result is JVM-side."""
     parts: list[Column] = []
     pos = 0
     for m in _INTERP_RE.finditer(template):
         if m.start() > pos:
             parts.append(F.lit(template[pos : m.start()]))
-        parts.append(F.expr(m.group(1)).cast("string"))
+        parts.append(_interp_expr(m.group(1)).cast("string"))
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
     if not parts:
         return F.lit("")
     return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def _interp_expr(src: str) -> Column:
+    try:
+        from benthos_spark.bloblang.columns import UnsupportedBloblang, _Env, _compile
+        from benthos_spark.bloblang.parser import BloblangParseError, parse_query
+
+        node = parse_query(src)
+        return _compile(node, _Env(schema=None))
+    except Exception:
+        return F.expr(src)
 
 

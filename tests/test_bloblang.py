@@ -219,3 +219,12 @@ def test_quote(spark):
     got = {r["s"]: r["q"] for r in df.select("s", B.quote("s").alias("q")).collect()}
     assert got["plain"] == '"plain"'
     assert got['he said "hi"\tok'] == '"he said \\"hi\\"\\tok"'
+
+
+def test_interpolation_accepts_bloblang_queries(spark, df):
+    import benthos_spark.functions.bloblang as bl
+
+    out = df.select(
+        bl.interpolate("v-${! this.s.trim().uppercase() }-${! n * 2 }").alias("x")
+    ).collect()
+    assert any(r["x"].startswith("v-") and r["x"].endswith("-6") for r in out)
