@@ -97,9 +97,30 @@ def _check_row(expected: dict, got: Row, ix: int) -> None:
             raise ValueError(f"unknown condition {cond!r}")
 
 
-def run_case(spark: SparkSession, case: dict) -> None:
-    """Run one declarative case; raises CaseFailure on mismatch."""
-    procs = [_proc(p) for p in case.get("target_processors", [])]
+def _resolve_pointer(doc: dict, pointer: str):
+    """`/pipeline/processors`-style JSON pointer into the config doc
+    (the reference's target_processors addressing,
+    internal/cli/test/case.go:16-90)."""
+    cur = doc
+    for seg in pointer.strip("/").split("/"):
+        if isinstance(cur, list):
+            cur = cur[int(seg)]
+        else:
+            cur = cur[seg]
+    return cur
+
+
+def run_case(spark: SparkSession, case: dict, config_doc: dict | None = None) -> None:
+    """Run one declarative case; raises CaseFailure on mismatch.
+    ``target_processors`` is either an inline processor list or a JSON
+    pointer (string) into ``config_doc`` — the `benthos test` form where
+    tests live next to the pipeline they exercise."""
+    target = case.get("target_processors", [])
+    if isinstance(target, str):
+        if config_doc is None:
+            raise ValueError("pointer target_processors needs the config document")
+        target = _resolve_pointer(config_doc, target)
+    procs = [_proc(p) for p in target]
     df = _rows_from_input(spark, case["input_batch"])
     out = compose(df, procs)
     rows = sorted(out.collect(), key=lambda r: int((r[META_COL] or {}).get("__case_ix", 0)))
@@ -118,7 +139,7 @@ def run_cases(spark: SparkSession, yaml_text: str) -> list[str]:
     doc = yaml.safe_load(yaml_text)
     passed = []
     for case in doc["tests"]:
-        run_case(spark, case)
+        run_case(spark, case, config_doc=doc)
         passed.append(case.get("name", "?"))
     return passed
 

@@ -103,3 +103,47 @@ def test_reference_github_releases_suite(spark):
 
     got = run_reference_suite(spark, f"{REF_SUITES}/github_releases_test.yaml")
     assert got == ["Github releases mapping"]
+
+
+def test_target_processors_pointer(spark):
+    """`benthos test` form: the tests section points into the pipeline
+    it exercises (/pipeline/processors pointer)."""
+    from benthos_spark.testing import run_cases
+
+    yaml_text = """
+pipeline:
+  processors:
+    - mutation: {tier: "CASE WHEN priority <= 2 THEN 'urgent' ELSE 'normal' END"}
+tests:
+  - name: routes by priority
+    target_processors: /pipeline/processors
+    input_batch:
+      - json: {id: 1, priority: 1}
+      - json: {id: 2, priority: 5}
+    output_batch:
+      - json_contains: {tier: urgent}
+      - json_contains: {tier: normal}
+"""
+    assert run_cases(spark, yaml_text) == ["routes by priority"]
+
+
+def test_target_processors_pointer_with_bloblang(spark):
+    from benthos_spark.testing import run_cases
+
+    yaml_text = """
+pipeline:
+  processors:
+    - mapping: |
+        root.id = this.id
+        root.label = if this.v > 10 { "big" } else { "small" }
+tests:
+  - name: bloblang block via pointer
+    target_processors: /pipeline/processors
+    input_batch:
+      - json: {id: 1, v: 50}
+      - json: {id: 2, v: 3}
+    output_batch:
+      - json_equals: {id: 1, label: big}
+      - json_equals: {id: 2, label: small}
+"""
+    assert run_cases(spark, yaml_text) == ["bloblang block via pointer"]
