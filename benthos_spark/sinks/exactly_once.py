@@ -124,3 +124,72 @@ class ExactlyOnceParquetSink:
             with open(os.path.join(self.ledger_dir, f"{b}.json")) as f:
                 out.append(json.load(f))
         return out
+
+
+class ExactlyOnceBucketedTableSink:
+    """Exactly-once append into a BUCKETED managed table.
+
+    Same commit protocol as :class:`ExactlyOnceParquetSink` (ledger file
+    = atomic commit point, replays self-clean), but the data lands in a
+    table partitioned by ``_batch_id`` and bucketed by ``bucket_cols`` —
+    so every downstream join on the bucket key is shuffle-free
+    (operators/bucketing.py). Replays overwrite their own ``_batch_id``
+    partition (dynamic partition overwrite), keeping the write
+    idempotent. This is the in-sandbox analogue of the Iceberg
+    exactly-once sink with a bucket-partitioned table spec.
+    """
+
+    def __init__(self, table: str, ledger_dir: str, bucket_cols: tuple[str, ...],
+                 n_buckets: int = 16):
+        self.table = table
+        self.ledger_dir = ledger_dir
+        os.makedirs(ledger_dir, exist_ok=True)
+        self.bucket_cols = bucket_cols
+        self.n_buckets = n_buckets
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        ledger_path = os.path.join(self.ledger_dir, f"{batch_id}.json")
+        if os.path.exists(ledger_path):
+            return  # exactly-once skip
+        spark = df.sparkSession
+        staged = df.withColumn("_batch_id", F.lit(batch_id))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if not spark.catalog.tableExists(self.table):
+                (
+                    staged.write.mode("overwrite")
+                    .partitionBy("_batch_id")
+                    .bucketBy(self.n_buckets, *self.bucket_cols)
+                    .sortBy(*self.bucket_cols)
+                    .format("parquet")
+                    .saveAsTable(self.table)
+                )
+            else:
+                # dynamic overwrite of THIS batch's partition only —
+                # replay-idempotent, other batches untouched
+                staged.write.mode("overwrite").insertInto(self.table)
+            rows = spark.table(self.table).filter(F.col("_batch_id") == batch_id).count()
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        tmp = ledger_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "committed_at": time.time(), "rows": rows}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, ledger_path)
+
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(name[: -len(".json")])
+            for name in os.listdir(self.ledger_dir)
+            if name.endswith(".json")
+        )
+
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        batches = self.committed_batches()
+        return (
+            spark.table(self.table)
+            .filter(F.col("_batch_id").isin(batches))
+            .drop("_batch_id")
+        )

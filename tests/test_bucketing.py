@@ -62,3 +62,40 @@ def test_bucketed_aggregation_skips_shuffle(spark, bucketed_tables):
     agg = spark.table(left).groupBy("clip_id").agg(F.count(F.lit(1)).alias("n"))
     assert_no_shuffle(agg)
     assert agg.count() == 2000
+
+
+def test_exactly_once_bucketed_table_sink(spark, tmp_path):
+    """The streaming sink variant that lands a bucketed table: replays
+    are idempotent (ledger + dynamic partition overwrite) and the
+    committed table joins downstream WITHOUT a shuffle."""
+    from benthos_spark.sinks.exactly_once import ExactlyOnceBucketedTableSink
+
+    sink = ExactlyOnceBucketedTableSink(
+        "eo_bucketed", str(tmp_path / "ledger"), ("clip_id",), n_buckets=8
+    )
+    batch0 = spark.range(0, 100).select(
+        F.concat(F.lit("c"), F.col("id")).alias("clip_id"), F.lit(1).alias("v")
+    )
+    batch1 = spark.range(100, 150).select(
+        F.concat(F.lit("c"), F.col("id")).alias("clip_id"), F.lit(2).alias("v")
+    )
+    try:
+        sink(batch0, 0)
+        sink(batch1, 1)
+        sink(batch0, 0)  # replay: must be a no-op (ledger skip)
+        out = sink.read_committed(spark)
+        assert out.count() == 150
+        assert out.groupBy("clip_id").count().filter("count > 1").count() == 0
+
+        # downstream co-located join against another 8-bucket table
+        dim = spark.range(0, 150).select(
+            F.concat(F.lit("c"), F.col("id")).alias("clip_id"),
+            F.concat(F.lit("t"), F.col("id")).alias("transcript"),
+        )
+        write_bucketed(dim, "eo_dim", ["clip_id"], 8)
+        joined = spark.table("eo_bucketed").join(spark.table("eo_dim"), "clip_id")
+        assert_no_shuffle(joined)
+        assert joined.count() == 150
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eo_bucketed")
+        spark.sql("DROP TABLE IF EXISTS eo_dim")
