@@ -55,6 +55,8 @@ BATCH_QUERIES = [
     "bloblang_mapping_orders",
     "embedding_neardup_lsh_pairs",
     "sql_select_enrich_customers",
+    "group_by_chains_orders",
+    "jq_program_events",
 ]
 
 

@@ -1890,3 +1890,76 @@ def sql_select_enrich_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "group_by_chains_orders",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'expedite'
+                WHEN o_orderstatus = 'F' THEN 'archive'
+                ELSE NULL END AS route,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN floor(o_totalprice)::BIGINT * 2
+                ELSE floor(o_totalprice)::BIGINT END AS score
+    FROM orders
+    """,
+)
+def group_by_chains_orders(spark, sf_dir):
+    """`group_by` with per-group processor chains
+    (processor_group_by.go:100-137): urgent orders run an expedite
+    chain (route tag + doubled score), fulfilled orders an archive
+    chain, the rest pass through unprocessed (route NULL)."""
+    from benthos_spark.operators.processors import GroupBy
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    base = F.floor(F.col("o_totalprice")).cast("long")
+    gb = GroupBy(
+        groups=[
+            (
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                [Mutation({"route": F.lit("expedite"), "score": base * 2})],
+            ),
+            (
+                F.col("o_orderstatus") == "F",
+                [Mutation({"route": F.lit("archive"), "score": base})],
+            ),
+        ]
+    )
+    out = gb(o)
+    return out.select(
+        "o_orderkey",
+        F.col("route"),
+        F.coalesce(F.col("score"), base).alias("score"),
+    )
+
+
+@register(
+    "jq_program_events",
+    """
+    SELECT event_id,
+           try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           try_cast(json_extract_string(props, '$.k') AS BIGINT) * 2 AS dbl,
+           (try_cast(json_extract_string(props, '$.k') AS BIGINT) >= 50) AS hi
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def jq_program_events(spark, sf_dir):
+    """Full jq PROGRAM (processor_jq.go gojq semantics, not just path
+    extraction): object construction + select() filter over the dynamic
+    props documents; the JSON result re-enters the typed plan via
+    from_json so the hash gate compares typed values."""
+    from benthos_spark.functions.jq_program import JqProcessor
+
+    ev = _t(spark, sf_dir, "events").select("event_id", F.col("props").alias("value"))
+    out = JqProcessor('select(.k != null) | {k: .k, dbl: (.k * 2), hi: (.k >= 50)}')(ev)
+    parsed = F.from_json(F.col("value"), "k bigint, dbl bigint, hi boolean")
+    return out.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["dbl"].alias("dbl"),
+        parsed["hi"].alias("hi"),
+    )
