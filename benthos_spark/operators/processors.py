@@ -233,6 +233,12 @@ class GroupBy(Processor):
         return out
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        # mutation-only group chains fuse to ONE scan of when/otherwise
+        # chains (first-match + groupless pass-through ≡ Switch with
+        # keep_unmatched) instead of re-reading the fact per group
+        fused = Switch(cases=list(self.groups), keep_unmatched=True)._fuse_mutation_only(df)
+        if fused is not None:
+            return fused
         parts = self.split(df)
         out = parts[0]
         for p in parts[1:]:
