@@ -458,8 +458,15 @@ def _lambda_fn(node: A.Lambda, env: _Env):
     return fn
 
 
+# methods whose named (kwarg) form the Column tier understands; any
+# other named args force the dynamic tier instead of being dropped
+_NAMED_OK: dict = {}
+
+
 def _c_method(node: A.MethodCall, env: _Env):
     name = node.name
+    if node.named and name not in _NAMED_OK:
+        raise UnsupportedBloblang(f"named arguments on {name} (dynamic tier)")
     target = _compile(node.target, env)
     if target is _DELETED:
         raise UnsupportedBloblang("method on deleted()")
@@ -486,6 +493,14 @@ def _c_method(node: A.MethodCall, env: _Env):
     if name == "or":
         return B.or_(target, col(0))
     if name in ("string",):
+        # structs/arrays/maps stringify as JSON (reference AsBytes), not
+        # Spark's struct-display format
+        if _infer_is_container(node.target, env) or (
+            isinstance(node.target, A.ContextRef)
+            and node.target.name is None
+            and not node.target.path
+        ):
+            return F.to_json(target)
         return target.cast("string")
     if name in ("number", "float64"):
         return target.cast("double")
@@ -540,6 +555,8 @@ def _c_method(node: A.MethodCall, env: _Env):
     if name == "contains":
         return B.contains(target, col(0))
     if name == "strip_html":
+        if nargs:
+            raise UnsupportedBloblang("strip_html tag allowlist (dynamic tier)")
         return B.strip_html(target)
     if name in ("escape_url_query", "unescape_url_query", "escape_html", "unescape_html"):
         return getattr(B, name)(target)

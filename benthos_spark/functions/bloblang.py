@@ -498,8 +498,23 @@ def or_(col, default) -> Column:
 
 
 def type_of(col) -> Column:
-    """methods.go:469 ``type()``."""
-    return F.typeof(_c(col))
+    """methods.go:469 ``type()`` — returns the BLOBLANG type name
+    (string/bytes/number/bool/array/object/timestamp/null), not Spark's
+    typeof() SQL name."""
+    c = _c(col)
+    t = F.typeof(c)
+    mapped = (
+        F.when(c.isNull(), F.lit("null"))
+        .when(t.isin("tinyint", "smallint", "int", "bigint", "float", "double") | t.startswith("decimal"), "number")
+        .when(t == "string", "string")
+        .when(t == "boolean", "bool")
+        .when(t == "binary", "bytes")
+        .when(t.startswith("timestamp") | (t == "date"), "timestamp")
+        .when(t.startswith("array"), "array")
+        .when(t.startswith("struct") | t.startswith("map"), "object")
+        .otherwise(t)
+    )
+    return mapped
 
 
 def encrypt_aes(col, key, mode: str = "CBC") -> Column:

@@ -112,7 +112,7 @@ def test_object_methods(df):
     assert one(df, bl.with_only(st, "y")).asDict() == {"y": 2}
     assert one(df, bl.get(F.struct(st.alias("inner")), "inner.z")) == 3
     assert one(df, bl.or_(F.lit(None).cast("int"), 7)) == 7
-    assert one(df, bl.type_of(F.lit(1.5))) == "double"
+    assert one(df, bl.type_of(F.lit(1.5))) == "number"  # Bloblang type names
 
 
 def test_json_functions(df):

@@ -70,3 +70,60 @@ def test_doc_example(example):
 def test_corpus_size_sanity():
     runnable = [e for e in EXAMPLES if "skip" not in e]
     assert len(runnable) >= 160, "conformance corpus unexpectedly shrank"
+
+
+def test_column_tier_agrees_with_documented_outputs(spark):
+    """Dual-backend consistency: every doc example whose input is a flat
+    typed row AND whose mapping compiles in the Column tier must produce
+    the documented output through the JVM path too (no divergence
+    between the Arrow interpreter and the Column compiler)."""
+    from benthos_spark.bloblang.columns import UnsupportedBloblang, compile_mapping
+    from benthos_spark.bloblang.parser import BloblangParseError, parse_mapping
+
+    def flatish(d):
+        if not isinstance(d, dict) or not d:
+            return False
+        for v in d.values():
+            if isinstance(v, dict) or v is None:
+                return False
+            if isinstance(v, list) and any(isinstance(x, (dict, list)) for x in v):
+                return False
+        return True
+
+    compilable = 0
+    for e in EXAMPLES:
+        if "skip" in e or e["output"].startswith("Error("):
+            continue
+        try:
+            doc = json.loads(e["input"])
+        except (json.JSONDecodeError, TypeError):
+            continue
+        if not flatish(doc):
+            continue
+        try:
+            ast = parse_mapping(e["mapping"])
+            df = spark.createDataFrame([doc])
+            compiled = compile_mapping(ast, df.schema)
+            rows = compiled.apply(df, mutate=False).collect()
+        except Exception:
+            continue  # dynamic-tier-only example
+        compilable += 1
+        try:
+            want = json.loads(e["output"])
+        except (json.JSONDecodeError, TypeError):
+            want = e["output"]
+        got = rows[0].asDict(recursive=True) if rows else "<deleted>"
+        ok = got == want
+        if not ok and isinstance(want, dict) and isinstance(got, dict):
+            ok = set(got) == set(want) and all(
+                got.get(k) == v
+                or (
+                    isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                    and isinstance(got.get(k), (int, float))
+                    and abs(got.get(k) - v) < 1e-9
+                )
+                for k, v in want.items()
+            )
+        assert ok, f"Column tier diverges on {e['mapping']!r}: {got!r} != {want!r}"
+    assert compilable >= 50, f"Column tier compiled only {compilable} examples"
