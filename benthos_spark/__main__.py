@@ -1,7 +1,14 @@
-"""CLI: run a YAML pipeline config — the `benthos -c config.yaml`
-entrypoint (/root/reference/internal/cli/run.go:282) on Spark.
+"""CLI: run or test a YAML pipeline config.
+
+- run (default): the `benthos -c config.yaml` entrypoint
+  (/root/reference/internal/cli/run.go:282) on Spark
+- `test`: the `benthos test <files...>` entrypoint
+  (internal/cli/test) — executes each file's embedded `tests:` section
+  (inline processors, /pipeline/processors pointers, or
+  target_mapping Bloblang goldens)
 
 Local:      python -m benthos_spark -c pipeline.yaml --checkpoint /tmp/ckpt
+            python -m benthos_spark test configs/*.yaml
 Cluster:    spark-submit --py-files benthos_spark.zip run_config.py ...
             (spark-submit ships the package; the session then comes from
             the cluster manager instead of the local builder).
@@ -17,7 +24,37 @@ from benthos_spark.session import get_spark
 from benthos_spark.streaming.pipeline import run_to_completion
 
 
+def run_tests(paths: list[str]) -> int:
+    import yaml
+
+    from benthos_spark.testing import CaseFailure, run_cases, run_reference_suite
+
+    spark = get_spark(app="benthos-spark:test")
+    spark.sparkContext.setLogLevel("ERROR")
+    failed = 0
+    for path in paths:
+        with open(path) as f:
+            text = f.read()
+        doc = yaml.safe_load(text)
+        cases = (doc or {}).get("tests", [])
+        uses_mapping = any("target_mapping" in c for c in cases)
+        try:
+            if uses_mapping:
+                results = run_reference_suite(spark, path)
+            else:
+                results = run_cases(spark, text)
+            for name in results:
+                print(f"PASS {path}: {name}")
+        except CaseFailure as e:
+            failed += 1
+            print(f"FAIL {path}: {e}")
+    return 1 if failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "test":
+        return run_tests(argv[1:])
     ap = argparse.ArgumentParser(prog="benthos_spark")
     ap.add_argument("-c", "--config", required=True, help="pipeline YAML path")
     ap.add_argument("--checkpoint", required=True)

@@ -247,3 +247,32 @@ output:
 
     with _pytest.raises(ConfigError, match="MISSING"):
         replace_env_variables("${MISSING}", lambda k: None)
+
+
+def test_cli_test_subcommand(tmp_path):
+    """`python -m benthos_spark test file.yaml` — the `benthos test`
+    CLI entrypoint (internal/cli/test)."""
+    import subprocess
+    import sys
+
+    conf = tmp_path / "case.yaml"
+    conf.write_text(
+        """
+pipeline:
+  processors:
+    - mutation: {d: "v * 2"}
+tests:
+  - name: doubles
+    target_processors: /pipeline/processors
+    input_batch:
+      - json: {v: 21}
+    output_batch:
+      - json_contains: {d: 42}
+"""
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "benthos_spark", "test", str(conf)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PASS" in r.stdout
