@@ -654,7 +654,9 @@ def _c_method(node: A.MethodCall, env: _Env):
     if name == "enumerated":
         return B.enumerated(target)
     if name == "zip":
-        return B.zip_(target, col(0))
+        # Bloblang zip yields arrays of (possibly heterogeneous) tuples —
+        # not a typed Spark array; dynamic tier
+        raise UnsupportedBloblang("zip (heterogeneous tuples, dynamic tier)")
     if name == "keys":
         return B.keys(target)
     if name == "values":

@@ -71,22 +71,27 @@ class Raw(str):
 
 
 class Scope:
-    __slots__ = ("doc", "named", "vars", "meta", "root_ref", "maps", "error")
+    __slots__ = ("doc", "named", "vars", "meta", "root_ref", "maps", "error", "message")
 
-    def __init__(self, doc, named=None, vars=None, meta=None, root_ref=None, maps=None):
+    def __init__(self, doc, named=None, vars=None, meta=None, root_ref=None, maps=None,
+                 message=None):
         self.doc = doc
         self.named = named or {}
         self.vars = vars if vars is not None else {}
         self.meta = meta if meta is not None else {}
         self.root_ref = root_ref  # 1-element list holding the new doc
         self.maps = maps or {}
+        # the original message content: content() reads THIS even inside
+        # lambda/match contexts (functions.go content() is message-level)
+        self.message = doc if message is None else message
 
     def child_context(self, doc, name: Optional[str] = None):
         named = self.named
         if name is not None:
             named = dict(named)
             named[name] = doc
-        s = Scope(doc, named, self.vars, self.meta, self.root_ref, self.maps)
+        s = Scope(doc, named, self.vars, self.meta, self.root_ref, self.maps,
+                  message=self.message)
         return s
 
 
@@ -162,11 +167,17 @@ def _as_bool(v) -> bool:
     raise BloblangError(f"expected bool value, got {_type_name(v)}")
 
 
+def _ts_json(ts: _dt.datetime) -> str:
+    s = ts.isoformat()
+    s = _re.sub(r"\.(\d*?)0+(?=$|[Z+-])", lambda m: "." + m.group(1) if m.group(1) else "", s)
+    return s.replace("+00:00", "Z")
+
+
 def _json_default(v):
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
     if isinstance(v, _dt.datetime):
-        return v.isoformat().replace("+00:00", "Z")
+        return _ts_json(v)
     raise TypeError(str(type(v)))
 
 
@@ -545,11 +556,17 @@ class _LambdaFn:
 
 def _arith(op, left, right):
     if op == "+":
+        if isinstance(left, _dt.datetime):
+            return left + _dt.timedelta(seconds=_as_number(right))
         if isinstance(left, (str, bytes)):
             return _as_string(left) + _as_string(right)
         a, b = _as_number(left), _as_number(right)
         return a + b
     if op == "-":
+        if isinstance(left, _dt.datetime):
+            if isinstance(right, _dt.datetime):
+                return (left - right).total_seconds()
+            return left - _dt.timedelta(seconds=_as_number(right))
         return _as_number(left) - _as_number(right)
     if op == "*":
         return _as_number(left) * _as_number(right)
@@ -594,7 +611,7 @@ def _call_function(name, args, named, scope: Scope):
     if name == "this":
         return scope.doc
     if name == "content":
-        doc = scope.doc
+        doc = scope.message
         if isinstance(doc, (bytes, str)):
             return bytes(doc) if isinstance(doc, bytes) else str(doc).encode()
         return _format_json(doc).encode()
@@ -804,7 +821,9 @@ def _m_merge(v, other):
     raise BloblangError("expected object values for merge")
 
 
-def _m_format_timestamp(v, fmt="2006-01-02T15:04:05.999999999Z07:00", tz=None):
+def _m_format_timestamp(v, fmt="2006-01-02T15:04:05.999999999Z07:00", tz=None, format=None):
+    if format is not None:
+        fmt = format
     ts = _to_datetime(v)
     if tz:
         import zoneinfo
@@ -815,26 +834,37 @@ def _m_format_timestamp(v, fmt="2006-01-02T15:04:05.999999999Z07:00", tz=None):
 
 _GO_TO_PY = [
     ("2006", "%Y"),
+    ("Jan", "%b"),
+    ("Mon", "%a"),
     ("01", "%m"),
     ("02", "%d"),
     ("15", "%H"),
     ("04", "%M"),
     ("05", "%S"),
-    (".999999999", ""),
-    (".999999", ""),
-    (".999", ""),
     ("Z07:00", "%:z"),
     ("-07:00", "%:z"),
-    ("Jan", "%b"),
-    ("Mon", "%a"),
     ("MST", "%Z"),
     ("03", "%I"),
     ("PM", "%p"),
 ]
 
+_GO_FRAC_RE = _re.compile(r"\.(9+|0+)")
+
 
 def _go_strftime(ts: _dt.datetime, fmt: str) -> str:
     py = fmt
+    # Go fractional seconds: .9s strip trailing zeros (dot dropped when
+    # zero); .0s are fixed width
+    def frac(m):
+        n = len(m.group(1))
+        micros = f"{ts.microsecond:06d}"
+        nanos = (micros + "000")[:n]
+        if m.group(1)[0] == "9":
+            nanos = nanos.rstrip("0")
+            return ("." + nanos) if nanos else ""
+        return "." + nanos
+
+    py = _GO_FRAC_RE.sub(lambda m: frac(m).replace("%", "%%"), py)
     for go, p in _GO_TO_PY:
         py = py.replace(go, p)
     if "%:z" in py:
@@ -844,6 +874,25 @@ def _go_strftime(ts: _dt.datetime, fmt: str) -> str:
             off = "Z"
         py = py.replace("%:z", off.replace("%", "%%"))
     return ts.strftime(py)
+
+
+def _go_strptime(value: str, fmt: str) -> _dt.datetime:
+    """Parse with a Go reference layout (time.Parse)."""
+    py = _GO_FRAC_RE.sub("%f_FRAC", fmt)
+    for go, p in _GO_TO_PY:
+        py = py.replace(go, p)
+    py = py.replace("%f_FRAC", "%f").replace(".%f", "%f_DOT")
+    py = py.replace("%f_DOT", ".%f")
+    if "%:z" in py:
+        # normalize Z / +01:00 offsets to strptime's %z
+        py = py.replace("%:z", "%z")
+        value = value.replace("Z", "+0000")
+        value = _re.sub(r"([+-]\d{2}):(\d{2})$", r"\1\2", value)
+    try:
+        ts = _dt.datetime.strptime(value, py)
+    except ValueError as e:
+        raise BloblangError(f"unable to parse timestamp {value!r} with layout {fmt!r}: {e}")
+    return ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
 
 
 def _to_datetime(v) -> _dt.datetime:
@@ -862,7 +911,49 @@ def _to_datetime(v) -> _dt.datetime:
 
 
 def _m_parse_timestamp(v, fmt=None):
+    if fmt is not None and isinstance(v, str):
+        return _go_strptime(v, fmt)
     return _to_datetime(v)
+
+
+_DUR_UNITS = {"ns": 1, "us": 1000, "µs": 1000, "ms": 1000_000, "s": 1000_000_000,
+              "m": 60 * 1000_000_000, "h": 3600 * 1000_000_000}
+_DUR_RE = _re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+
+
+def _m_parse_duration(v) -> int:
+    """Go time.ParseDuration → integer nanoseconds ("1h30m", "50us")."""
+    sv = _as_string(v).strip()
+    sign = -1 if sv.startswith("-") else 1
+    sv = sv.lstrip("+-")
+    pos = 0
+    total = 0.0
+    for m in _DUR_RE.finditer(sv):
+        if m.start() != pos:
+            raise BloblangError(f"invalid duration {v!r}")
+        total += float(m.group(1)) * _DUR_UNITS[m.group(2)]
+        pos = m.end()
+    if pos != len(sv) or pos == 0:
+        raise BloblangError(f"invalid duration {v!r}")
+    return sign * int(total)
+
+
+_ISO_DUR_RE = _re.compile(
+    r"^P(?:(\d+(?:\.\d+)?)Y)?(?:(\d+(?:\.\d+)?)M)?(?:(\d+(?:\.\d+)?)W)?(?:(\d+(?:\.\d+)?)D)?"
+    r"(?:T(?:(\d+(?:\.\d+)?)H)?(?:(\d+(?:\.\d+)?)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _m_parse_duration_iso8601(v) -> int:
+    """ISO-8601 duration → integer nanoseconds (years=365d, months=30d,
+    matching the reference's fixed-unit interpretation)."""
+    m = _ISO_DUR_RE.match(_as_string(v).strip())
+    if not m or not any(m.groups()):
+        raise BloblangError(f"invalid ISO-8601 duration {v!r}")
+    y, mo, w, d, h, mi, sec = (float(g) if g else 0.0 for g in m.groups())
+    year_s = 365.2425 * 86400  # Gregorian year, month = year/12 (Go period lib)
+    total_s = y * year_s + mo * (year_s / 12) + w * 7 * 86400 + d * 86400 + h * 3600 + mi * 60 + sec
+    return int(total_s * 1_000_000_000)
 
 
 _CRC32_POLYS = {"ieee": 0xEDB88320, "castagnoli": 0x82F63B78, "koopman": 0xEB31D82E}
@@ -927,6 +1018,17 @@ def _m_decode(v, scheme):
     raise BloblangError(f"unrecognised encoding {scheme!r}")
 
 
+def _m_compress(v, algorithm, level, compress):
+    from benthos_spark.operators.processors import _codec_pair
+
+    try:
+        c, d = _codec_pair(_as_string(algorithm), int(level))
+    except (ValueError, NotImplementedError) as e:
+        raise BloblangError(str(e))
+    data = v.encode() if isinstance(v, str) else bytes(v)
+    return c(data) if compress else d(data)
+
+
 def _m_fold(v, init, fn):
     acc = init
     for item in _as_array(v):
@@ -952,6 +1054,28 @@ def _m_unique(v):
             continue
         seen.add(k)
         out.append(x)
+    return out
+
+
+def _m_with(v, *fields):
+    """methods_structured.go `with`: keep only the listed (dot-path)
+    fields, preserving nesting."""
+    obj = _as_object(v)
+    keep_top = set()
+    nested: dict[str, list] = {}
+    for f in fields:
+        f = _as_string(f)
+        if "." in f:
+            head, rest = f.split(".", 1)
+            nested.setdefault(head, []).append(rest)
+        else:
+            keep_top.add(f)
+    out = {}
+    for k, val in obj.items():
+        if k in keep_top:
+            out[k] = val
+        elif k in nested and isinstance(val, dict):
+            out[k] = _m_with(val, *nested[k])
     return out
 
 
@@ -1075,6 +1199,8 @@ _METHODS = {
     "parse_csv": _m_parse_csv,
     "encode": _m_encode,
     "decode": _m_decode,
+    "compress": lambda v, algorithm, level=6: _m_compress(v, algorithm, level, True),
+    "decompress": lambda v, algorithm: _m_compress(v, algorithm, 6, False),
     "hash": _m_hash,
     # numbers (query/methods.go + math)
     "floor": lambda v: math.floor(_as_number(v)),
@@ -1145,7 +1271,7 @@ _METHODS = {
     "merge": _m_merge,
     "assign": lambda v, other: {**_as_object(v), **_as_object(other)},
     "without": _m_without,
-    "with": lambda v, *fields: {k: val for k, val in _as_object(v).items() if k in {_as_string(f) for f in fields}},
+    "with": lambda v, *fields: _m_with(v, *fields),
     "collapse": lambda v, include_empty=False: _collapse(v, include_empty=include_empty),
     "explode": lambda v, path: _m_explode(v, path),
     "get": _m_get,
@@ -1160,6 +1286,11 @@ _METHODS = {
     "ts_unix_micro": lambda v: int(_to_datetime(v).timestamp() * 1_000_000),
     "ts_unix_nano": lambda v: int(_to_datetime(v).timestamp() * 1_000_000_000),
     "ts_round": lambda v, dur_ns: _ts_round(v, dur_ns),
+    "ts_tz": lambda v, tz: _m_ts_tz(v, tz),
+    "ts_strptime": lambda v, fmt: _dt.datetime.strptime(_as_string(v), fmt).replace(tzinfo=_dt.timezone.utc),
+    "ts_strftime": lambda v, fmt, tz=None: _m_ts_strftime(v, fmt, tz),
+    "parse_duration": _m_parse_duration,
+    "parse_duration_iso8601": _m_parse_duration_iso8601,
     "ts_sub": lambda v, other: int((_to_datetime(v) - _to_datetime(other)).total_seconds() * 1e9),
 }
 
@@ -1295,9 +1426,25 @@ def _squash(arr):
     return out
 
 
+def _m_ts_tz(v, tz):
+    ts = _to_datetime(v)
+    if tz.upper() == "UTC":
+        return ts.astimezone(_dt.timezone.utc)
+    import zoneinfo
+
+    return ts.astimezone(zoneinfo.ZoneInfo(tz))
+
+
+def _m_ts_strftime(v, fmt, tz=None):
+    ts = _to_datetime(v)
+    if tz:
+        ts = _m_ts_tz(ts, tz)
+    return ts.strftime(fmt)
+
+
 def _ts_round(v, dur_ns):
     ts = _to_datetime(v)
     ns = int(ts.timestamp() * 1e9)
     d = _as_int(dur_ns)
     rounded = ((ns + d // 2) // d) * d
-    return _dt.datetime.fromtimestamp(rounded / 1e9, _dt.timezone.utc).isoformat()
+    return _dt.datetime.fromtimestamp(rounded / 1e9, _dt.timezone.utc)

@@ -597,10 +597,10 @@ class Parser:
                 self.next()
                 break
             t = self.peek()
-            if t.kind == "STRING":
+            if t.kind == "STRING" and self.peek(1).kind == "OP" and self.peek(1).value == ":":
                 self.next()
                 key: Node = Lit(t.value)
-            elif t.kind == "IDENT":
+            elif t.kind == "IDENT" and self.peek(1).kind == "OP" and self.peek(1).value == ":":
                 self.next()
                 key = Lit(t.value)
             elif t.kind == "OP" and t.value == "(":
@@ -608,7 +608,9 @@ class Parser:
                 key = self.parse_query()
                 self.expect_op(")")
             else:
-                raise BloblangParseError(f"bad object key {t.value!r}", t.line)
+                # dynamic key: a full query expression (`{loc.state: ...}`,
+                # query_literal_parser.go dynamic object keys)
+                key = self.parse_query()
             self.skip_nl()
             self.expect_op(":")
             self.skip_nl()

@@ -69,7 +69,7 @@ def test_doc_example(example):
 
 def test_corpus_size_sanity():
     runnable = [e for e in EXAMPLES if "skip" not in e]
-    assert len(runnable) >= 160, "conformance corpus unexpectedly shrank"
+    assert len(runnable) >= 190, "conformance corpus unexpectedly shrank"
 
 
 def test_column_tier_agrees_with_documented_outputs(spark):
@@ -113,6 +113,17 @@ def test_column_tier_agrees_with_documented_outputs(spark):
         except (json.JSONDecodeError, TypeError):
             want = e["output"]
         got = rows[0].asDict(recursive=True) if rows else "<deleted>"
+        if isinstance(got, dict):
+            import datetime as _dt
+
+            from benthos_spark.bloblang.interp import _ts_json
+
+            got = {
+                k: _ts_json(v.replace(tzinfo=_dt.timezone.utc) if v.tzinfo is None else v)
+                if isinstance(v, _dt.datetime)
+                else v
+                for k, v in got.items()
+            }
         ok = got == want
         if not ok and isinstance(want, dict) and isinstance(got, dict):
             ok = set(got) == set(want) and all(

@@ -28,6 +28,14 @@ FILES = [
     "methods.go",
     "methods_numbers.go",
     "functions.go",
+    # registered via the public plugin API with .Example(summary,
+    # mapping, [2]string{input, output}) — same logical shape
+    "../../impl/pure/bloblang_time.go",
+    "../../impl/pure/bloblang_string.go",
+    "../../impl/pure/bloblang_objects.go",
+    "../../impl/pure/bloblang_encoding.go",
+    "../../impl/pure/bloblang_general.go",
+    "../../impl/pure/bloblang_numbers.go",
 ]
 
 # examples whose behavior depends on runtime state, the host, the Go
@@ -47,6 +55,13 @@ SKIP_SUBSTRINGS = [
     'parse_url().catch(err',
     # OTel spans
     "tracing_span",
+    # Go shortest-float32 repr is not reproducible from float64
+    ".float32()",
+    # lz4 lib absent in the sandbox (stdlib codecs covered)
+    '("lz4")',
+    # Go compress/flate and zlib differ by 1 byte at level 6 — the
+    # roundtrip is covered by test_processors compression tests
+    "long_content",
 ]
 
 
@@ -83,7 +98,7 @@ def _parse_go_string(src: str, i: int) -> tuple[str, int] | None:
 
 def extract_examples(src: str) -> list[dict]:
     examples = []
-    for m in re.finditer(r"NewExampleSpec\(", src):
+    for m in re.finditer(r"(?:NewExampleSpec|[.\t ]Example)\(", src):
         i = m.end()
         depth = 1
         args: list[str] = []  # one logical string per call argument
@@ -112,6 +127,10 @@ def extract_examples(src: str) -> list[dict]:
                     i += 1
                 continue
             c = src[i]
+            if c == "/" and src[i : i + 2] == "//":
+                # commented-out example strings are not test data
+                i = src.index("\n", i)
+                continue
             if c in "`\"":
                 parsed = _parse_go_string(src, i)
                 if parsed is None:
