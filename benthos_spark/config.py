@@ -274,6 +274,15 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             return JqProcessor(conf)
         return JqProcessor(conf["query"], col=conf.get("col", "value"),
                            out_col=conf.get("out_col"))
+    if name == "protobuf":
+        from benthos_spark.functions.protobuf import ProtobufProcessor
+
+        return ProtobufProcessor(
+            operator=conf["operator"],
+            message=conf["message"],
+            import_paths=conf.get("import_paths", []),
+            col=conf.get("col", "value"),
+        )
     if name == "jmespath":
         from benthos_spark.functions.jmespath_program import JmespathProcessor
 
