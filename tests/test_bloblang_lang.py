@@ -445,3 +445,50 @@ def test_column_tier_scalar_root(df):
     assert sorted(r["value"] for r in out.collect()) == ["ALPHA", "BETA", "GAMMA"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan
+
+
+def test_parser_fuzz_no_crashes():
+    """Arbitrary input must either parse or raise BloblangParseError —
+    never an unhandled exception (tokenizer/parser robustness)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from benthos_spark.bloblang.parser import parse_mapping as pm
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def fuzz(src):
+        try:
+            pm(src)
+        except BloblangParseError:
+            pass
+
+    fuzz()
+
+
+def test_interp_fuzz_no_crashes_on_random_docs():
+    """A fixed mapping over arbitrary JSON-ish docs either evaluates or
+    raises BloblangError — never an unhandled exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    json_vals = st.recursive(
+        st.none() | st.booleans() | st.integers(-10, 10) | st.text(max_size=6),
+        lambda s: st.lists(s, max_size=3) | st.dictionaries(st.text(max_size=4), s, max_size=3),
+        max_leaves=8,
+    )
+    ex = Executor(
+        'root.a = this.x | "d"\n'
+        'root.b = (this.y.uppercase()).catch("?")\n'
+        "root.c = this.z.type()"
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(json_vals)
+    def fuzz(doc):
+        try:
+            ex.map_part(doc)
+        except BloblangError:
+            pass
+
+    fuzz()
