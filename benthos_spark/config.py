@@ -427,7 +427,16 @@ def run_config(
 ):
     """Compile + start (streaming) or materialize (batch). The CLI
     entrypoint equivalent of `benthos -c config.yaml`."""
+    if isinstance(conf, str):
+        conf = yaml.safe_load(replace_env_variables(conf))
     pipe, sink = compile_config(conf)
+    # top-level `metrics:` section (reference config metrics exporters;
+    # here: the per-batch JSONL listener, streaming/metrics.py)
+    mconf = conf.get("metrics") if isinstance(conf, dict) else None
+    if mconf and "metrics_path" not in start_kwargs:
+        path = mconf.get("json_file", {}).get("path") if isinstance(mconf, dict) else None
+        if path:
+            start_kwargs["metrics_path"] = path
     if isinstance(pipe.source, S.BatchedSource) and not trigger_once:
         start_kwargs = {**pipe.source.policy.start_kwargs(), **start_kwargs}
     if pipe.source.streaming:

@@ -276,3 +276,34 @@ tests:
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "PASS" in r.stdout
+
+
+def test_config_metrics_section(spark, tmp_path):
+    """Top-level `metrics:` config section attaches the JSONL listener
+    (reference metrics exporters ≙ streaming/metrics.py)."""
+    import json as _json
+    import time
+
+    from benthos_spark.config import run_config
+    from benthos_spark.streaming.pipeline import run_to_completion
+
+    src = tmp_path / "in"
+    spark.range(0, 20).selectExpr("id as v", "timestamp'2024-01-01' as ts").write.parquet(str(src))
+    mpath = tmp_path / "metrics.jsonl"
+    conf = {
+        "input": {"parquet": {"path": str(src), "streaming": True}},
+        "pipeline": {"processors": [{"mutation": {"d": "v * 2"}}]},
+        "output": {"drop": {}},
+        "metrics": {"json_file": {"path": str(mpath)}},
+    }
+    q = run_config(spark, conf, checkpoint=str(tmp_path / "ckpt"))
+    run_to_completion(q)
+    deadline = time.time() + 10
+    recs = []
+    while time.time() < deadline:
+        if mpath.exists():
+            recs = [_json.loads(l) for l in mpath.read_text().splitlines() if l.strip()]
+            if any(r.get("event") == "progress" and r.get("input_received", 0) > 0 for r in recs):
+                break
+        time.sleep(0.2)
+    assert any(r.get("input_received", 0) >= 20 for r in recs if r.get("event") == "progress")
