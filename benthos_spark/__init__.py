@@ -31,6 +31,17 @@ def __getattr__(name):
         "ParquetSource": ("benthos_spark.sources.readers", "ParquetSource"),
         "compile_config": ("benthos_spark.config", "compile_config"),
         "run_config": ("benthos_spark.config", "run_config"),
+        "BloblangMapping": ("benthos_spark.bloblang", "BloblangMapping"),
+        "BloblangMutation": ("benthos_spark.bloblang", "BloblangMutation"),
+        "parse_mapping": ("benthos_spark.bloblang", "parse_mapping"),
+        "JqProgram": ("benthos_spark.functions.jq_program", "JqProgram"),
+        "JmesProgram": ("benthos_spark.functions.jmespath_program", "JmesProgram"),
+        "SqlSelect": ("benthos_spark.operators.sql", "SqlSelect"),
+        "write_bucketed": ("benthos_spark.operators.bucketing", "write_bucketed"),
+        "bucketed_join": ("benthos_spark.operators.bucketing", "bucketed_join"),
+        "ExactlyOnceBucketedTableSink": (
+            "benthos_spark.sinks.exactly_once", "ExactlyOnceBucketedTableSink"
+        ),
     }
     if name in surface:
         import importlib
