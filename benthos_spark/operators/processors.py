@@ -828,19 +828,80 @@ class Grok(Processor):
 
 @dataclass
 class ParseLog(Processor):
-    """`parse_log` (internal/impl/pure/processor_parse_log.go:28) — common
-    formats as canned grok templates."""
+    """`parse_log` (internal/impl/pure/processor_parse_log.go:28) — the
+    reference's two formats (syslog_rfc5424, syslog_rfc3164) as pure
+    JVM regex extraction (one codegen'd projection, no Python), plus an
+    `app_log` grok template used by local fixtures. Field names match
+    the go-syslog output keys (appname/hostname/message/msgid/procid/
+    priority/facility/severity/timestamp/version/structureddata)."""
 
     col: str
-    format: str = "syslog_bsd"
+    format: str = "syslog_rfc5424"
+    default_year: int | None = None  # rfc3164 timestamps carry no year
 
     _FORMATS = {
         # e.g. "2024-03-01T00:00:05 INFO svc-7 order 42 total 18.5"
         "app_log": "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{NOTSPACE:service} %{GREEDYDATA:message}",
     }
 
+    # RFC5424: <PRI>VERSION TS HOST APP PROCID MSGID [SD] MSG
+    _RFC5424 = (
+        r"^<(\d{1,3})>(\d{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+) "
+        r"((?:\[.*?\])+|-)\s?(.*)$"
+    )
+    # RFC3164: <PRI>Mmm dd hh:mm:ss HOST TAG[PID]: MSG
+    _RFC3164 = (
+        r"^<(\d{1,3})>([A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) (\S+) "
+        r"([^\[:\s]+)(?:\[(\d+)\])?:\s?(.*)$"
+    )
+
     def __call__(self, df: DataFrame) -> DataFrame:
-        return Grok(self.col, self._FORMATS[self.format], types={"ts": "timestamp"})(df)
+        if self.format == "app_log":
+            return Grok(self.col, self._FORMATS[self.format], types={"ts": "timestamp"})(df)
+        line = F.col(self.col)
+
+        def grp(pat: str, i: int) -> Column:
+            g = F.regexp_extract(line, pat, i)
+            return F.when(g == "", F.lit(None)).otherwise(g)
+
+        if self.format == "syslog_rfc5424":
+            pri = grp(self._RFC5424, 1).cast("int")
+            dash_null = lambda c: F.when(c == "-", F.lit(None)).otherwise(c)
+            return df.withColumns({
+                "priority": pri,
+                "facility": (pri / 8).cast("int"),
+                "severity": pri % 8,
+                "version": grp(self._RFC5424, 2).cast("int"),
+                "timestamp": dash_null(grp(self._RFC5424, 3)).cast("timestamp"),
+                "hostname": dash_null(grp(self._RFC5424, 4)),
+                "appname": dash_null(grp(self._RFC5424, 5)),
+                "procid": dash_null(grp(self._RFC5424, 6)),
+                "msgid": dash_null(grp(self._RFC5424, 7)),
+                "structureddata": dash_null(grp(self._RFC5424, 8)),
+                "message": grp(self._RFC5424, 9),
+            })
+        if self.format == "syslog_rfc3164":
+            import datetime
+
+            year = self.default_year or datetime.date.today().year
+            pri = grp(self._RFC3164, 1).cast("int")
+            ts = F.to_timestamp(
+                F.concat(F.lit(f"{year} "), grp(self._RFC3164, 2)), "yyyy MMM [ ]d HH:mm:ss"
+            )
+            return df.withColumns({
+                "priority": pri,
+                "facility": (pri / 8).cast("int"),
+                "severity": pri % 8,
+                "timestamp": ts,
+                "hostname": grp(self._RFC3164, 3),
+                "appname": grp(self._RFC3164, 4),
+                "procid": grp(self._RFC3164, 5),
+                "message": grp(self._RFC3164, 6),
+            })
+        raise ValueError(
+            f"unknown parse_log format {self.format!r}; known: "
+            "syslog_rfc5424, syslog_rfc3164, app_log"
+        )
 
 
 @dataclass

@@ -55,20 +55,25 @@ class FanOutSequential(FanOut):
 
 class SwitchSink:
     """Route rows to the first matching case's sink; optional default.
-    ``cases`` = [(condition Column, sink), ...]."""
+    ``cases`` = [(condition, sink)] or [(condition, sink, continue_)] —
+    a `continue: true` case lets matching rows ALSO be tested against
+    later cases (output_switch.go:160, non-mutually-exclusive checks)."""
 
-    def __init__(self, cases: Sequence[tuple[object, Sink]], default: Sink | None = None):
-        self.cases = cases
+    def __init__(self, cases: Sequence[tuple], default: Sink | None = None):
+        self.cases = [
+            (c[0], c[1], c[2] if len(c) > 2 else False) for c in cases
+        ]
         self.default = default
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         df = df.persist()
         try:
             prior = F.lit(False)
-            for cond, sink in self.cases:
+            for cond, sink, cont in self.cases:
                 c = F.expr(cond) if isinstance(cond, str) else cond
                 sink(df.filter(c & ~prior), batch_id)
-                prior = prior | c
+                if not cont:
+                    prior = prior | c
             if self.default is not None:
                 self.default(df.filter(~prior), batch_id)
         finally:

@@ -442,3 +442,50 @@ def test_try_cast_mutation_tags_runtime_failures(spark):
     assert got["a"] == (1, None)
     assert got["b"] == (-1, None)  # runtime cast failure -> caught
     assert got["c"] == (None, None)  # null source is not an error
+
+
+def test_parse_log_syslog_rfc5424(spark):
+    """The reference's primary parse_log format, pure JVM regex."""
+    from benthos_spark.operators.processors import ParseLog
+
+    line = (
+        '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 123 ID47 '
+        '[exampleSDID@32473 iut="3"] An application event log entry'
+    )
+    df = spark.createDataFrame([(line,), ("<34>1 2003-10-11T22:14:15Z host app - - - msg",)], "raw string")
+    out = {r["hostname"]: r for r in ParseLog("raw", "syslog_rfc5424")(df).collect()}
+    r = out["mymachine.example.com"]
+    assert (r["priority"], r["facility"], r["severity"]) == (165, 20, 5)
+    assert r["appname"] == "evntslog" and r["procid"] == "123" and r["msgid"] == "ID47"
+    assert r["structureddata"].startswith("[exampleSDID@32473")
+    assert r["message"] == "An application event log entry"
+    assert r["timestamp"].year == 2003
+    r2 = out["host"]
+    assert r2["procid"] is None and r2["msgid"] is None and r2["message"] == "msg"
+
+
+def test_parse_log_syslog_rfc3164(spark):
+    from benthos_spark.operators.processors import ParseLog
+
+    df = spark.createDataFrame(
+        [("<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",),
+         ("<13>Feb  5 17:32:18 10.0.0.99 myapp: Use the BFG!",)],
+        "raw string",
+    )
+    out = {r["hostname"]: r for r in ParseLog("raw", "syslog_rfc3164", default_year=2003)(df).collect()}
+    r = out["mymachine"]
+    assert (r["priority"], r["facility"], r["severity"]) == (34, 4, 2)
+    assert r["appname"] == "su" and r["procid"] == "230"
+    assert r["message"] == "'su root' failed"
+    assert (r["timestamp"].month, r["timestamp"].day) == (10, 11)
+    r2 = out["10.0.0.99"]
+    assert r2["appname"] == "myapp" and r2["procid"] is None
+    assert r2["timestamp"].day == 5
+
+
+def test_parse_log_is_jvm_only(spark):
+    from benthos_spark.operators.processors import ParseLog
+
+    df = spark.createDataFrame([("<34>1 2003-10-11T22:14:15Z h a - - - m",)], "raw string")
+    plan = ParseLog("raw", "syslog_rfc5424")(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "mapInPandas" not in plan

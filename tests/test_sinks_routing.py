@@ -186,3 +186,30 @@ def test_inproc_exchange(spark):
     sink(df2, 1)
     assert sorted(r["v"] for r in inproc_read("chan").collect()) == [1, 2]
     inproc_clear("chan")
+
+
+def test_switch_sink_continue_case(spark):
+    """output switch `continue: true`: rows passing a continue case are
+    also tested against later cases (output_switch.go:160)."""
+    from benthos_spark.sinks.routing import SwitchSink
+
+    df = spark.createDataFrame([(1,), (5,), (11,)], "v int")
+    got = {}
+
+    def cap(name):
+        def sink(d, bid):
+            got[name] = sorted(r["v"] for r in d.collect())
+        return sink
+
+    SwitchSink(
+        cases=[
+            ("v > 0", cap("audit"), True),   # continue: everything logs
+            ("v > 10", cap("big"), False),
+            ("v > 2", cap("mid"), False),
+        ],
+        default=cap("rest"),
+    )(df, 0)
+    assert got["audit"] == [1, 5, 11]
+    assert got["big"] == [11]
+    assert got["mid"] == [5]
+    assert got["rest"] == [1]
