@@ -335,7 +335,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     if name == "fan_out":
         return R.FanOut(*[_output(c, resources) for c in conf])
     if name == "switch":
-        cases = [(F.expr(c["check"]), _output(c["output"], resources)) for c in conf.get("cases", [])]
+        cases = [(F.expr(c["check"]), _output(c["output"], resources), c.get("continue", False)) for c in conf.get("cases", [])]
         default = _output(conf["default"], resources) if "default" in conf else None
         return R.SwitchSink(cases=cases, default=default)
     if name == "fallback":
