@@ -37,17 +37,31 @@ def run_tests(paths: list[str]) -> int:
             text = f.read()
         doc = yaml.safe_load(text)
         cases = (doc or {}).get("tests", [])
-        uses_mapping = any("target_mapping" in c for c in cases)
+        if not cases:
+            print(f"SKIP {path}: no tests section")
+            continue
+        # reference-format files (target_mapping or bloblang-pointer
+        # cases) run through the golden-suite runner; DataFrame-typed
+        # cases (inline processors or json inputs) use the harness
+        dataframe_style = any(
+            isinstance(c.get("target_processors"), list)
+            or any("json" in m for m in c.get("input_batch", []))
+            for c in cases
+        )
         try:
-            if uses_mapping:
-                results = run_reference_suite(spark, path)
-            else:
+            if dataframe_style:
                 results = run_cases(spark, text)
+            else:
+                results = run_reference_suite(spark, path)
             for name in results:
-                print(f"PASS {path}: {name}")
+                tag = "SKIP" if str(name).startswith("SKIP") else "PASS"
+                print(f"{tag} {path}: {name}")
         except CaseFailure as e:
             failed += 1
             print(f"FAIL {path}: {e}")
+        except Exception as e:  # unexpected — report, keep going
+            failed += 1
+            print(f"FAIL {path}: {type(e).__name__}: {e}")
     return 1 if failed else 0
 
 

@@ -71,10 +71,11 @@ class Raw(str):
 
 
 class Scope:
-    __slots__ = ("doc", "named", "vars", "meta", "root_ref", "maps", "error", "message")
+    __slots__ = ("doc", "named", "vars", "meta", "root_ref", "maps", "error", "message",
+                 "batch", "index")
 
     def __init__(self, doc, named=None, vars=None, meta=None, root_ref=None, maps=None,
-                 message=None):
+                 message=None, batch=None, index=0):
         self.doc = doc
         self.named = named or {}
         self.vars = vars if vars is not None else {}
@@ -84,6 +85,10 @@ class Scope:
         # the original message content: content() reads THIS even inside
         # lambda/match contexts (functions.go content() is message-level)
         self.message = doc if message is None else message
+        # batch context (from_all()/.from(i)/batch_index(), the reference's
+        # windowed batch functions — query/functions.go batch accessors)
+        self.batch = batch if batch is not None else [self.message]
+        self.index = index
 
     def child_context(self, doc, name: Optional[str] = None):
         named = self.named
@@ -91,7 +96,7 @@ class Scope:
             named = dict(named)
             named[name] = doc
         s = Scope(doc, named, self.vars, self.meta, self.root_ref, self.maps,
-                  message=self.message)
+                  message=self.message, batch=self.batch, index=self.index)
         return s
 
 
@@ -262,20 +267,28 @@ class Executor:
             self.ast = parse_mapping(src_or_ast)
 
     # -- public -------------------------------------------------------------
-    def map_part(self, doc, meta: Optional[dict] = None, mutate: bool = False):
+    def map_part(self, doc, meta: Optional[dict] = None, mutate: bool = False,
+                 batch=None, index: int = 0):
         """Run the mapping over one document. Returns (new_doc, new_meta);
         new_doc is DELETED when the message is deleted (root = deleted()).
         ``mutate=True`` starts root as a copy of the input (the `mutation`
-        processor's MapOnto path, executor.go:143)."""
+        processor's MapOnto path, executor.go:143). ``batch``/``index``
+        provide the batch context for from_all()/batch_index()."""
         meta = dict(meta or {})
         import copy
 
         root_ref = [copy.deepcopy(doc) if mutate else NOTHING]
-        scope = Scope(doc, vars={}, meta=meta, root_ref=root_ref, maps=self.ast.maps)
+        scope = Scope(doc, vars={}, meta=meta, root_ref=root_ref, maps=self.ast.maps,
+                      batch=batch, index=index)
         for stmt in self.ast.statements:
             res = self.eval(stmt.expr, scope)
             if res is NOTHING:
                 continue  # skip assignment entirely (executor.go:204)
+            if isinstance(res, (dict, list)):
+                # assignments CLONE the value (assignment.go IClone):
+                # `root = this` must not alias the input — later path
+                # writes would corrupt the source message/batch
+                res = copy.deepcopy(res)
             if stmt.kind == "var":
                 scope.vars[stmt.path[0]] = res
             elif stmt.kind == "meta":
@@ -309,6 +322,18 @@ class Executor:
             # (executor.go:225 "case query.Nothing: Do not change")
             out = doc
         return out, meta
+
+    def map_batch(self, docs, metas=None, mutate: bool = False):
+        """Run the mapping over a whole batch with batch context
+        (ProcessBatch semantics). Returns [(doc, meta)] with deleted
+        messages removed."""
+        metas = metas or [{} for _ in docs]
+        out = []
+        for i, (d, m) in enumerate(zip(docs, metas)):
+            nd, nm = self.map_part(d, m, mutate=mutate, batch=list(docs), index=i)
+            if nd is not DELETED:
+                out.append((nd, nm))
+        return out
 
     def query(self, doc, meta: Optional[dict] = None):
         """Evaluate as a boolean check (QueryPart, executor.go:111)."""
@@ -461,12 +486,24 @@ class Executor:
             if target is None or target is NOTHING:
                 return self.eval(node.args[0], scope)
             return target
+        if name == "from_all":
+            # evaluate the target once per message in the batch
+            out = []
+            for d in scope.batch:
+                sub = Scope(d, {}, scope.vars, scope.meta, scope.root_ref, scope.maps,
+                            message=d, batch=scope.batch, index=scope.index)
+                out.append(self.eval(node.target, sub))
+            return out
+        if name == "from":
+            i = self.eval(node.args[0], scope)
+            d = scope.batch[_as_int(i)]
+            sub = Scope(d, {}, scope.vars, scope.meta, scope.root_ref, scope.maps,
+                        message=d, batch=scope.batch, index=scope.index)
+            return self.eval(node.target, sub)
         target = self.eval(node.target, scope)
         if name == "apply":
             map_name = _as_string(self.eval(node.args[0], scope))
             return self._apply_map(map_name, target, scope)
-        if name == "from_all" or name == "from":
-            raise BloblangError(f"method {name} requires batch context (unsupported)")
         query_arg_idx = _QUERY_ARGS.get(name, ())
         args = []
         for i, a in enumerate(node.args):
@@ -498,6 +535,10 @@ class Executor:
             res = self.eval(stmt.expr, sub)
             if res is NOTHING:
                 continue
+            if isinstance(res, (dict, list)):
+                import copy as _copy
+
+                res = _copy.deepcopy(res)
             if stmt.kind == "var":
                 sub.vars[stmt.path[0]] = res
             elif not stmt.path:
@@ -669,9 +710,9 @@ def _call_function(name, args, named, scope: Scope):
     if name == "throw":
         raise BloblangError(_as_string(args[0]) if args else "thrown")
     if name == "batch_index":
-        return scope.vars.get("_batch_index", 0)
+        return scope.index
     if name == "batch_size":
-        return scope.vars.get("_batch_size", 1)
+        return len(scope.batch)
     if name == "count":
         key = _as_string(args[0]) if args else ""
         counts = _COUNTERS.setdefault(key, [0])
@@ -793,9 +834,13 @@ def _m_get(v, path):
     return _get_path(_as_object(v), tuple(_as_string(path).split(".")))
 
 
-def _m_number(v):
-    n = _as_number(v)
-    return n
+def _m_number(v, default=None):
+    try:
+        return _as_number(v)
+    except BloblangError:
+        if default is not None:
+            return default
+        raise
 
 
 def _m_merge(v, other):

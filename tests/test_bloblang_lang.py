@@ -492,3 +492,25 @@ def test_interp_fuzz_no_crashes_on_random_docs():
             pass
 
     fuzz()
+
+
+def test_batch_functions_from_all_and_index():
+    """Windowed batch functions (query batch accessors): from_all()
+    evaluates per message, batch_index()/batch_size() expose position."""
+    docs = [{"n": 3}, {"n": 5}, {"n": 9}]
+    src = ("root.sum = json(\"n\").from_all().sum()\n"
+           "root.i = batch_index()\n"
+           "root.first = json(\"n\").from(0)\n"
+           "root = if batch_index() > 0 { deleted() }")
+    out = Executor(src).map_batch(docs)
+    assert out == [({"sum": 17, "i": 0, "first": 3}, {})]
+
+
+def test_assignment_clones_no_aliasing():
+    """`root = this` must not alias: later path writes cannot corrupt
+    the input message or batch (assignment.go IClone)."""
+    doc = {"a": {"b": 1}}
+    src = "root = this\nroot.a.b = 99"
+    out, _ = Executor(src).map_part(doc)
+    assert out == {"a": {"b": 99}}
+    assert doc == {"a": {"b": 1}}  # input untouched

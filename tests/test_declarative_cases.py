@@ -147,3 +147,22 @@ tests:
       - json_equals: {id: 2, label: small}
 """
     assert run_cases(spark, yaml_text) == ["bloblang block via pointer"]
+
+
+def test_entire_reference_bloblang_test_directory(spark):
+    """ALL of config/test/bloblang/*.yaml runs verbatim: golden
+    .blobl mappings, pointer-form bloblang processors (incl. cross-file
+    `./file.yaml#/pointer`), batch functions (from_all/batch_index in
+    windowed.yaml), and the unarchive json_array step. The one partial
+    skip asserts errored-state where the case checks Go's exact error
+    string."""
+    import glob
+
+    from benthos_spark.testing import run_reference_suite
+
+    passed, skipped = [], []
+    for path in sorted(glob.glob(f"{REF_SUITES}/*.yaml")):
+        for name in run_reference_suite(spark, path):
+            (skipped if str(name).startswith("SKIP") else passed).append(f"{path.rsplit('/',1)[-1]}:{name}")
+    assert len(passed) == 20, passed
+    assert skipped == ["csv_formatter_test.yaml:SKIP-PARTIAL Empty"]
