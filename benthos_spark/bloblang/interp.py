@@ -1034,6 +1034,52 @@ def _m_hash(v, algorithm="sha256", key=None, polynomial="IEEE"):
     return getattr(hashlib, alg)(data).digest()
 
 
+_JWT_ALGS = {"sha256": "HS256", "sha384": "HS384", "sha512": "HS512"}
+
+
+def _b64url(data: bytes) -> str:
+    return base64.urlsafe_b64encode(data).rstrip(b"=").decode()
+
+
+def _b64url_dec(s: str) -> bytes:
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
+def _m_sign_jwt(claims, secret, alg: str) -> str:
+    """sign_jwt_hs* (jwt_sign.go): claims object → compact JWS."""
+    import hmac as _hmac
+
+    header = {"alg": _JWT_ALGS[alg], "typ": "JWT"}
+    signing_input = (
+        _b64url(json.dumps(header, separators=(",", ":")).encode())
+        + "."
+        + _b64url(json.dumps(_as_object(claims), separators=(",", ":"),
+                             default=_json_default).encode())
+    )
+    sig = _hmac.new(_as_string(secret).encode(), signing_input.encode(),
+                    getattr(hashlib, alg)).digest()
+    return signing_input + "." + _b64url(sig)
+
+
+def _m_parse_jwt(token, secret, alg: str) -> dict:
+    """parse_jwt_hs* (jwt_parse.go): verify signature, return claims."""
+    import hmac as _hmac
+
+    parts = _as_string(token).split(".")
+    if len(parts) != 3:
+        raise BloblangError("invalid JWT: expected 3 segments")
+    header = json.loads(_b64url_dec(parts[0]))
+    if header.get("alg") != _JWT_ALGS[alg]:
+        raise BloblangError(
+            f"invalid JWT: algorithm mismatch ({header.get('alg')} != {_JWT_ALGS[alg]})"
+        )
+    expect = _hmac.new(_as_string(secret).encode(),
+                       f"{parts[0]}.{parts[1]}".encode(), getattr(hashlib, alg)).digest()
+    if not _hmac.compare_digest(expect, _b64url_dec(parts[2])):
+        raise BloblangError("invalid JWT: signature verification failed")
+    return json.loads(_b64url_dec(parts[1]))
+
+
 def _m_encode(v, scheme):
     data = v.encode() if isinstance(v, str) else v
     scheme = scheme.lower()
@@ -1247,6 +1293,14 @@ _METHODS = {
     "compress": lambda v, algorithm, level=6: _m_compress(v, algorithm, level, True),
     "decompress": lambda v, algorithm: _m_compress(v, algorithm, 6, False),
     "hash": _m_hash,
+    # JWT HMAC family (impl/crypto/jwt_sign.go:91-105, jwt_parse.go:178;
+    # RS*/ES* need RSA/ECDSA libs and are gated)
+    "sign_jwt_hs256": lambda v, secret: _m_sign_jwt(v, secret, "sha256"),
+    "sign_jwt_hs384": lambda v, secret: _m_sign_jwt(v, secret, "sha384"),
+    "sign_jwt_hs512": lambda v, secret: _m_sign_jwt(v, secret, "sha512"),
+    "parse_jwt_hs256": lambda v, secret: _m_parse_jwt(v, secret, "sha256"),
+    "parse_jwt_hs384": lambda v, secret: _m_parse_jwt(v, secret, "sha384"),
+    "parse_jwt_hs512": lambda v, secret: _m_parse_jwt(v, secret, "sha512"),
     # numbers (query/methods.go + math)
     "floor": lambda v: math.floor(_as_number(v)),
     "ceil": lambda v: math.ceil(_as_number(v)),

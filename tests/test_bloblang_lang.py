@@ -514,3 +514,24 @@ def test_assignment_clones_no_aliasing():
     out, _ = Executor(src).map_part(doc)
     assert out == {"a": {"b": 99}}
     assert doc == {"a": {"b": 1}}  # input untouched
+
+
+def test_jwt_hs_family_roundtrip():
+    """sign_jwt_hs*/parse_jwt_hs* (impl/crypto/jwt_sign.go/jwt_parse.go)."""
+    claims = {"sub": "user-1", "mood": "disdainful", "iat": 1696222515}
+    for alg in ("hs256", "hs384", "hs512"):
+        src = f'root.t = this.sign_jwt_{alg}("dont-tell-anyone")'
+        tok = run(src, claims)["t"]
+        assert tok.count(".") == 2
+        back = run(f'root.c = this.t.parse_jwt_{alg}("dont-tell-anyone")', {"t": tok})
+        assert back["c"] == claims
+        # wrong secret -> verification error -> catch
+        bad = run(f'root.c = this.t.parse_jwt_{alg}("wrong").catch("bad sig")', {"t": tok})
+        assert bad["c"] == "bad sig"
+    # cross-check HS256 against the RFC 7515 JWS structure
+    import base64 as b64, hashlib, hmac, json as js
+    tok = run('root.t = this.sign_jwt_hs256("k")', {"a": 1})["t"]
+    h, p, s = tok.split(".")
+    assert js.loads(b64.urlsafe_b64decode(h + "==")) == {"alg": "HS256", "typ": "JWT"}
+    expect = hmac.new(b"k", f"{h}.{p}".encode(), hashlib.sha256).digest()
+    assert b64.urlsafe_b64decode(s + "==") == expect
