@@ -1052,3 +1052,70 @@ def compose(df: DataFrame, processors: Iterable[Processor]) -> DataFrame:
     for p in processors:
         df = p(df)
     return df
+
+
+@dataclass
+class ParquetDecode(Processor):
+    """`parquet_decode` (internal/impl/parquet/processor_decode.go):
+    each message's binary payload is a parquet FILE; explode it into one
+    message per contained row (JSON payloads). pyarrow-backed, one
+    Arrow hop per file blob."""
+
+    col: str
+    out_col: str = "row"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        import json as _json
+
+        def unpack(s: pd.Series) -> pd.Series:
+            import io
+
+            import pyarrow.parquet as pq
+
+            out = []
+            for blob in s:
+                table = pq.read_table(io.BytesIO(bytes(blob)))
+                out.append([_json.dumps(r, default=str) for r in table.to_pylist()])
+            return pd.Series(out)
+
+        udf = F.pandas_udf(unpack, "array<string>")
+        return (
+            df.withColumn(self.out_col, F.explode(udf(F.col(self.col))))
+            .drop(self.col)
+        )
+
+
+@dataclass
+class ParquetEncode(Processor):
+    """`parquet_encode` (internal/impl/parquet/processor_encode.go):
+    pack each group's rows into ONE parquet-file payload. ``payload_cols``
+    select the row fields; deterministic sort keeps replays byte-stable."""
+
+    group_cols: Sequence[str]
+    payload_cols: Sequence[str]
+    out_col: str = "parquet"
+    compression: str = "snappy"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        rows = F.array_sort(
+            F.collect_list(F.struct(*[F.col(c) for c in self.payload_cols]))
+        )
+        comp = self.compression
+
+        def pack(s: pd.Series) -> pd.Series:
+            import io
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            out = []
+            for entries in s:
+                table = pa.Table.from_pylist([dict(e) for e in entries])
+                buf = io.BytesIO()
+                pq.write_table(table, buf, compression=comp)
+                out.append(buf.getvalue())
+            return pd.Series(out)
+
+        udf = F.pandas_udf(pack, "binary")
+        grouped = df.groupBy(*self.group_cols).agg(rows.alias("_rows"))
+        return grouped.withColumn(self.out_col, udf(F.col("_rows"))).drop("_rows")

@@ -489,3 +489,26 @@ def test_parse_log_is_jvm_only(spark):
     df = spark.createDataFrame([("<34>1 2003-10-11T22:14:15Z h a - - - m",)], "raw string")
     plan = ParseLog("raw", "syslog_rfc5424")(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "mapInPandas" not in plan
+
+
+def test_parquet_encode_decode_roundtrip(spark):
+    """parquet_encode/parquet_decode processors (impl/parquet): rows →
+    one parquet-file payload per group → back to one message per row."""
+    import json as _json
+
+    from benthos_spark.operators.processors import ParquetDecode, ParquetEncode
+
+    df = spark.createDataFrame(
+        [("g1", 1, "a"), ("g1", 2, "b"), ("g2", 3, "c")],
+        "grp string, n int, s string",
+    )
+    packed = ParquetEncode(group_cols=["grp"], payload_cols=["n", "s"])(df)
+    assert packed.count() == 2
+    blob = bytes(packed.filter("grp = 'g1'").collect()[0]["parquet"])
+    assert blob[:4] == b"PAR1"  # real parquet magic
+    restored = ParquetDecode(col="parquet", out_col="row")(packed)
+    rows = sorted(
+        (r["grp"], _json.loads(r["row"])["n"], _json.loads(r["row"])["s"])
+        for r in restored.collect()
+    )
+    assert rows == [("g1", 1, "a"), ("g1", 2, "b"), ("g2", 3, "c")]
