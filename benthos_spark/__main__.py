@@ -2,6 +2,9 @@
 
 - run (default): the `benthos -c config.yaml` entrypoint
   (/root/reference/internal/cli/run.go:282) on Spark
+- `blobl`: the `benthos blobl` entrypoint (internal/cli/blobl) —
+  execute a Bloblang mapping over JSONL documents on stdin, one result
+  per line (empty for deleted messages is omitted)
 - `test`: the `benthos test <files...>` entrypoint
   (internal/cli/test) — executes each file's embedded `tests:` section
   (inline processors, /pipeline/processors pointers, or
@@ -65,8 +68,44 @@ def run_tests(paths: list[str]) -> int:
     return 1 if failed else 0
 
 
+def run_blobl(argv: list[str]) -> int:
+    import json
+
+    from benthos_spark.bloblang.interp import DELETED, BloblangError, Executor, Raw, _format_json
+
+    if argv and argv[0] == "-f":
+        src = open(argv[1]).read()
+    elif argv:
+        src = argv[0]
+    else:
+        print("usage: python -m benthos_spark blobl '<mapping>' | -f file.blobl", file=sys.stderr)
+        return 2
+    ex = Executor(src)
+    status = 0
+    for line in sys.stdin:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        try:
+            doc = json.loads(line)
+        except json.JSONDecodeError:
+            doc = Raw(line)
+        try:
+            out, _ = ex.map_part(doc)
+        except BloblangError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            status = 1
+            continue
+        if out is DELETED:
+            continue
+        print(out if isinstance(out, str) else _format_json(out))
+    return status
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "blobl":
+        return run_blobl(argv[1:])
     if argv and argv[0] == "test":
         return run_tests(argv[1:])
     ap = argparse.ArgumentParser(prog="benthos_spark")

@@ -307,3 +307,20 @@ def test_config_metrics_section(spark, tmp_path):
                 break
         time.sleep(0.2)
     assert any(r.get("input_received", 0) >= 20 for r in recs if r.get("event") == "progress")
+
+
+def test_cli_blobl_subcommand():
+    """`python -m benthos_spark blobl '<mapping>'` — the `benthos blobl`
+    CLI (internal/cli/blobl): JSONL in, one result per line, deleted
+    messages omitted, raw content supported."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "benthos_spark", "blobl",
+         'root.v = this.n * 2\nroot = if this.n > 5 { deleted() }'],
+        input='{"n":2}\n{"n":9}\n{"n":3}\n',
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert r.stdout.splitlines() == ['{"v":4}', '{"v":6}']
