@@ -599,8 +599,11 @@ def _arith(op, left, right):
     if op == "+":
         if isinstance(left, _dt.datetime):
             return left + _dt.timedelta(seconds=_as_number(right))
-        if isinstance(left, (str, bytes)):
-            return _as_string(left) + _as_string(right)
+        if isinstance(left, bytes):
+            # []byte + x stays bytes (arithmetic.go sumOp string/[]byte case)
+            return left + (right if isinstance(right, bytes) else _as_string(right).encode())
+        if isinstance(left, str):
+            return left + _as_string(right)
         a, b = _as_number(left), _as_number(right)
         return a + b
     if op == "-":
