@@ -1071,9 +1071,11 @@ def embedding_neardup_lsh_pairs(spark, sf_dir):
         )
         for t in range(_LSH_ND_TABLES)
     ]
-    buckets = emb.select(
-        "vec_id", F.explode(F.array(*table_buckets)).alias("tb")
-    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    buckets = (
+        emb.select("vec_id", F.explode(F.array(*table_buckets)).alias("tb"))
+        .select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        .persist()  # both self-join sides reuse the 24-plane projection
+    )
     ba, bb = buckets.alias("ba"), buckets.alias("bb")
     candidates = (
         ba.join(
