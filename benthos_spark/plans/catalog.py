@@ -1006,7 +1006,7 @@ def embedding_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     hashed = emb.select(
         "vec_id", "embedding", _lsh_bucket_spark(signs, range(_LSH_PLANES)).alias("bucket")
-    )
+    ).persist()  # both bucket-join sides reuse the 12-plane projection
     a = hashed.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket")
     b = hashed.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
     # co-partitioned self-join on bucket: candidates never leave their bucket
