@@ -1019,13 +1019,62 @@ def _crc32(data: bytes, poly_name: str) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+def _xxhash64(data: bytes, seed: int = 0) -> int:
+    """Pure-python XXH64 (public spec, xxhash.com) — matches the
+    reference's hash("xxhash64") output."""
+    M = (1 << 64) - 1
+    P1, P2, P3, P4, P5 = (
+        11400714785074694791, 14029467366897019727, 1609587929392839161,
+        9650029242287828579, 2870177450012600261,
+    )
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def round_(acc, inp):
+        acc = (acc + inp * P2) & M
+        return (rotl(acc, 31) * P1) & M
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1, v2, v3, v4 = (seed + P1 + P2) & M, (seed + P2) & M, seed & M, (seed - P1) & M
+        while i <= n - 32:
+            v1 = round_(v1, int.from_bytes(data[i : i + 8], "little")); i += 8
+            v2 = round_(v2, int.from_bytes(data[i : i + 8], "little")); i += 8
+            v3 = round_(v3, int.from_bytes(data[i : i + 8], "little")); i += 8
+            v4 = round_(v4, int.from_bytes(data[i : i + 8], "little")); i += 8
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ round_(0, v)) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i <= n - 8:
+        h = ((rotl(h ^ round_(0, int.from_bytes(data[i : i + 8], "little")), 27) * P1) + P4) & M
+        i += 8
+    if i <= n - 4:
+        h = ((rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * P1) & M), 23) * P2) + P3) & M
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * P5) & M), 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
 def _m_hash(v, algorithm="sha256", key=None, polynomial="IEEE"):
     data = v.encode() if isinstance(v, str) else v
     alg = algorithm.replace("-", "").lower()
     if alg == "crc32":
         return _crc32(data, polynomial).to_bytes(4, "big")
     if alg == "xxhash64":
-        raise BloblangError("xxhash64 unavailable")
+        # the reference returns the decimal string (methods_strings.go)
+        return str(_xxhash64(data))
     if key is not None:
         import hmac as _hmac
 
@@ -1392,6 +1441,12 @@ _METHODS = {
     "ts_strptime": lambda v, fmt: _dt.datetime.strptime(_as_string(v), fmt).replace(tzinfo=_dt.timezone.utc),
     "ts_strftime": lambda v, fmt, tz=None: _m_ts_strftime(v, fmt, tz),
     "parse_duration": _m_parse_duration,
+    "compare_bcrypt": lambda v, other: (_ for _ in ()).throw(
+        BloblangError("compare_bcrypt needs the bcrypt library on the cluster")
+    ),
+    "compare_argon2": lambda v, other: (_ for _ in ()).throw(
+        BloblangError("compare_argon2 needs the argon2-cffi library on the cluster")
+    ),
     "parse_duration_iso8601": _m_parse_duration_iso8601,
     "ts_sub": lambda v, other: int((_to_datetime(v) - _to_datetime(other)).total_seconds() * 1e9),
 }

@@ -535,3 +535,29 @@ def test_jwt_hs_family_roundtrip():
     assert js.loads(b64.urlsafe_b64decode(h + "==")) == {"alg": "HS256", "typ": "JWT"}
     expect = hmac.new(b"k", f"{h}.{p}".encode(), hashlib.sha256).digest()
     assert b64.urlsafe_b64decode(s + "==") == expect
+
+
+def test_xxhash64_known_vectors():
+    """hash("xxhash64") — pure-python XXH64 verified against the
+    cespare/xxhash test vectors (the library the reference embeds),
+    covering the empty, short-tail, and 32+-byte accumulator paths."""
+    from benthos_spark.bloblang.interp import _xxhash64
+
+    assert _xxhash64(b"") == 0xEF46DB3751D8E999
+    assert _xxhash64(b"a") == 0xD24EC4F1A98C6E5B
+    assert _xxhash64(b"as") == 0x1C330FB2D66BE179
+    assert (
+        _xxhash64(b"Call me Ishmael. Some years ago--never mind how long precisely-")
+        == 0x02A2E85470D6FD96
+    )
+    # the bloblang surface returns the decimal string (methods_strings.go)
+    assert run('root.h = this.v.hash("xxhash64")', {"v": "a"}) == {
+        "h": str(0xD24EC4F1A98C6E5B)
+    }
+
+
+def test_password_compare_methods_gated():
+    from benthos_spark.bloblang.interp import BloblangError
+
+    out = run('root.r = this.h.compare_bcrypt("pw").catch("gated")', {"h": "$2a$x"})
+    assert out == {"r": "gated"}
