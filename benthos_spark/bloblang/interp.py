@@ -1449,6 +1449,23 @@ _METHODS = {
     ),
     "parse_duration_iso8601": _m_parse_duration_iso8601,
     "ts_sub": lambda v, other: int((_to_datetime(v) - _to_datetime(other)).total_seconds() * 1e9),
+    # aliases registered by the plugin API (impl/pure/bloblang_time.go)
+    "format_timestamp_strftime": lambda v, fmt, tz=None: _m_ts_strftime(v, fmt, tz),
+    "parse_timestamp_strptime": lambda v, fmt: _dt.datetime.strptime(_as_string(v), fmt).replace(tzinfo=_dt.timezone.utc),
+    "format_timestamp_unix": lambda v: int(_to_datetime(v).timestamp()),
+    "format_timestamp_unix_milli": lambda v: int(_to_datetime(v).timestamp() * 1e3),
+    "format_timestamp_unix_micro": lambda v: int(_to_datetime(v).timestamp() * 1e6),
+    "format_timestamp_unix_nano": lambda v: int(_to_datetime(v).timestamp() * 1e9),
+    "ts_add_iso8601": lambda v, dur: _to_datetime(v) + _dt.timedelta(
+        seconds=_m_parse_duration_iso8601(dur) / 1e9
+    ),
+    "ts_sub_iso8601": lambda v, dur: _to_datetime(v) - _dt.timedelta(
+        seconds=_m_parse_duration_iso8601(dur) / 1e9
+    ),
+    "parse_form_url_encoded": lambda v: _m_parse_form(v),
+    "parse_xml": lambda v, cast=False: _xml_to_obj(_as_string(v), cast),
+    "format_xml": lambda v, indent="    ", no_indent=False: _obj_to_xml(v, indent, no_indent),
+    "json_path": lambda v, expr: _m_json_path(v, _as_string(expr)),
 }
 
 
@@ -1462,6 +1479,190 @@ def _m_bool(v, default=None):
     if default is not None:
         return default
     raise BloblangError(f"expected bool, got {_type_name(v)}")
+
+
+def _m_parse_form(v):
+    """parse_form_url_encoded (impl/pure/bloblang_string.go): single
+    values unwrap, repeated keys stay arrays."""
+    from urllib.parse import parse_qs
+
+    out = {}
+    for k, vals in parse_qs(_as_string(v), keep_blank_values=True).items():
+        out[k] = vals[0] if len(vals) == 1 else vals
+    return out
+
+
+def _xml_cast(txt: str, cast: bool):
+    if not cast:
+        return txt
+    if txt.lower() in ("true", "false"):
+        return txt.lower() == "true"
+    try:
+        return int(txt)
+    except ValueError:
+        try:
+            return float(txt)
+        except ValueError:
+            return txt
+
+
+def _xml_to_obj(src: str, cast: bool = False):
+    """parse_xml (impl/xml/bloblang.go conventions: attributes as
+    '-name', mixed text as '#text', repeated elements become arrays)."""
+    import xml.etree.ElementTree as ET
+
+    # the reference tolerates unquoted attribute values (id=99)
+    src = _re.sub(r'=\s*([A-Za-z0-9_.]+)([\s>/])', r'="\1"\2', src)
+
+    def conv(el):
+        obj = {}
+        for k, val in el.attrib.items():
+            obj[f"-{k}"] = _xml_cast(val, cast)
+        for child in el:
+            c = conv(child)
+            if child.tag in obj:
+                cur = obj[child.tag]
+                obj[child.tag] = cur + [c] if isinstance(cur, list) else [cur, c]
+            else:
+                obj[child.tag] = c
+        text = (el.text or "").strip()
+        if text and not obj:
+            return _xml_cast(text, cast)
+        if text:
+            obj["#text"] = _xml_cast(text, cast)
+        return obj if obj else ""
+
+    root = ET.fromstring(src)
+    return {root.tag: conv(root)}
+
+
+def _obj_to_xml(v, indent: str = "    ", no_indent: bool = False) -> str:
+    """format_xml: object → (pretty) XML; no_indent collapses to one
+    line, an empty indent keeps newlines without padding (xmlutil)."""
+    if no_indent:
+        indent = ""
+    lines: list[str] = []
+
+    def rec(obj, depth):
+        pad = indent * depth
+        if isinstance(obj, dict):
+            for k, val in obj.items():
+                if k.startswith("-") or k == "#text":
+                    continue
+                vals = val if isinstance(val, list) else [val]
+                for item in vals:
+                    attrs = ""
+                    if isinstance(item, dict):
+                        attrs = "".join(
+                            f' {ak[1:]}="{av}"' for ak, av in item.items() if ak.startswith("-")
+                        )
+                    if isinstance(item, dict) and any(
+                        not kk.startswith("-") and kk != "#text" for kk in item
+                    ):
+                        lines.append(f"{pad}<{k}{attrs}>")
+                        rec(item, depth + 1)
+                        lines.append(f"{pad}</{k}>")
+                    else:
+                        inner = item.get("#text", "") if isinstance(item, dict) else item
+                        lines.append(f"{pad}<{k}{attrs}>{_as_string(inner)}</{k}>")
+
+    rec(v, 0)
+    return ("" if no_indent else "\n").join(lines)
+
+
+_JSONPATH_SEG = _re.compile(
+    r"\.\.([A-Za-z0-9_]+)"      # ..name recursive descent
+    r"|\.([A-Za-z0-9_]+|\*)"     # .name / .*
+    r"|\[\s*'([^']*)'\s*\]"      # ['name']
+    r"|\[\s*(-?\d+)\s*\]"       # [n]
+    r"|\[\s*\*\s*\]"            # [*]
+    r"|\[\?\(([^)]*)\)\]"       # [?(@.field op value)]
+)
+
+_JSONPATH_FILTER = _re.compile(
+    r"^@(?:\.([A-Za-z0-9_]+))?\s*(==|!=|<=|>=|<|>)\s*(.+)$"
+)
+
+
+def _m_json_path(v, expr: str):
+    """json_path (impl/jsonpath/bloblang_jsonpath.go — goessner
+    JSONPath): dot/bracket access, wildcards, recursive descent, and
+    @-filters. Multi-match operators return arrays; plain paths return
+    the single value (error when absent, like gval)."""
+    if not expr.startswith("$"):
+        raise BloblangError(f"json_path expression must start with $: {expr!r}")
+    pos = 1
+    matches = [v]
+    multi = False
+    while pos < len(expr):
+        m = _JSONPATH_SEG.match(expr, pos)
+        if not m:
+            raise BloblangError(f"invalid json_path segment at {expr[pos:]!r}")
+        pos = m.end()
+        rec_name, name, bname, idx, filt = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+        )
+        nxt = []
+        if rec_name is not None:
+            multi = True
+
+            def walk(x):
+                if isinstance(x, dict):
+                    for k, val in x.items():
+                        if k == rec_name:
+                            nxt.append(val)
+                        walk(val)
+                elif isinstance(x, list):
+                    for e in x:
+                        walk(e)
+
+            for cur in matches:
+                walk(cur)
+        elif name == "*" or (name is None and bname is None and idx is None and filt is None):
+            multi = True
+            for cur in matches:
+                if isinstance(cur, dict):
+                    nxt.extend(cur.values())
+                elif isinstance(cur, list):
+                    nxt.extend(cur)
+        elif name is not None or bname is not None:
+            key = name if name is not None else bname
+            for cur in matches:
+                if isinstance(cur, dict) and key in cur:
+                    nxt.append(cur[key])
+        elif idx is not None:
+            i = int(idx)
+            for cur in matches:
+                if isinstance(cur, list) and -len(cur) <= i < len(cur):
+                    nxt.append(cur[i])
+        elif filt is not None:
+            multi = True
+            fm = _JSONPATH_FILTER.match(filt.strip())
+            if not fm:
+                raise BloblangError(f"unsupported json_path filter {filt!r}")
+            fkey, op, raw = fm.group(1), fm.group(2), fm.group(3).strip()
+            rhs = json.loads(raw.replace("'", '"')) if raw[0] in "'\"0123456789tfn-[{" else raw
+
+            def keep(e):
+                lhs = e.get(fkey) if fkey else e
+                if not isinstance(lhs, type(rhs)) and not (
+                    isinstance(lhs, (int, float)) and isinstance(rhs, (int, float))
+                ):
+                    return False
+                return {
+                    "==": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+                    "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
+                }[op]
+
+            for cur in matches:
+                if isinstance(cur, list):
+                    nxt.extend(e for e in cur if isinstance(e, (dict, int, float, str)) and keep(e))
+        matches = nxt
+    if multi:
+        return matches
+    if not matches:
+        raise BloblangError(f"json_path {expr!r}: unknown key")
+    return matches[0]
 
 
 def _go_format(fmt: str, args):

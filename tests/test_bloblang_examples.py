@@ -69,7 +69,7 @@ def test_doc_example(example):
 
 def test_corpus_size_sanity():
     runnable = [e for e in EXAMPLES if "skip" not in e]
-    assert len(runnable) >= 190, "conformance corpus unexpectedly shrank"
+    assert len(runnable) >= 200, "conformance corpus unexpectedly shrank"
 
 
 def test_column_tier_agrees_with_documented_outputs(spark):

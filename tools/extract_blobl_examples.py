@@ -36,6 +36,8 @@ FILES = [
     "../../impl/pure/bloblang_encoding.go",
     "../../impl/pure/bloblang_general.go",
     "../../impl/pure/bloblang_numbers.go",
+    "../../impl/xml/bloblang.go",
+    "../../impl/jsonpath/bloblang_jsonpath.go",
 ]
 
 # examples whose behavior depends on runtime state, the host, the Go
@@ -44,7 +46,6 @@ SKIP_SUBSTRINGS = [
     "now()", "uuid_v4", "nanoid", "ksuid", "snowflake_id", "random_int",
     "timestamp_unix", "hostname", "env(", "file(", "counter(",
     "from_all", ".from(", "batch_index", "batch_size",
-    "parse_form_url_encoded",
     "ulid(",
     # need AES primitives (no crypto lib in the sandbox)
     "encrypt_aes", "decrypt_aes",
