@@ -162,8 +162,15 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
                 "count/byte_size"
             )
         pol = conf.get("policy", {})
+        child = _input(conf["child"], resources)
+        if child.streaming and (pol.get("count") is not None or pol.get("byte_size") is not None):
+            raise ConfigError(
+                "batched: count/byte_size policies size partitions from a batch-only "
+                "aggregation and cannot run over a streaming child; use `period` "
+                "(micro-batch trigger) or set the child input's streaming: false"
+            )
         return S.BatchedSource(
-            child=_input(conf["child"], resources),
+            child=child,
             policy=S.BatchPolicy(
                 count=pol.get("count"),
                 byte_size=pol.get("byte_size"),

@@ -392,6 +392,16 @@ def _decode_value(f: Field, wire: int, buf: io.BytesIO, fs: FileSet):
     if f.type == "ref":
         kind, fqn = _resolve_ref(f, fs)
         if kind == "enum":
+            if f.repeated and wire == 2:
+                # proto3 packs repeated enums by default: length-delimited
+                # blob of varints, same layout as packed scalars
+                raw = _decode_scalar("bytes", wire, buf, fs)
+                sub = io.BytesIO(raw)
+                vals = []
+                while sub.tell() < len(raw):
+                    v = _read_varint(sub)
+                    vals.append(fs.enums[fqn].get(v, v))
+                return vals
             v = _read_varint(buf)
             return fs.enums[fqn].get(v, v)
         raw = _decode_scalar("bytes", wire, buf, fs)

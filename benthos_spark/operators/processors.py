@@ -287,6 +287,12 @@ class Split(Processor):
     def __call__(self, df: DataFrame) -> DataFrame:
         if self.partitions is not None:
             return df.repartition(self.partitions)
+        if df.isStreaming and (self.count is not None or self.byte_size is not None):
+            raise ValueError(
+                "split: count/byte_size sizing runs a batch-only aggregation "
+                "(count()/agg().collect()) and cannot execute on a streaming "
+                "DataFrame; use partitions=N or a `period` trigger policy"
+            )
         if self.count is not None:
             n_rows = df.count()
             return df.repartition(max(1, -(-n_rows // self.count)))
@@ -518,16 +524,22 @@ class TryCastMutation(Processor):
 
     def __call__(self, df: DataFrame) -> DataFrame:
         df = ensure_error_col(df)
-        err = F.col(ERROR_COL)
+        tmp = "__trycast_tmp"
         for name, (source, dtype) in self.casts.items():
             src = _to_col(source)
-            val = src.try_cast(dtype)
-            df = df.withColumn(name, val)
-            failed = src.isNotNull() & val.isNull()
-            err = F.when(err.isNotNull(), err).when(
-                failed, F.lit(self.error_fmt.format(name=name))
+            # Stage the cast under a temp name so `src` still resolves to
+            # the PRE-cast value when the output name equals the source
+            # column — otherwise the failure check would compare the cast
+            # result against itself and never fire.
+            df = df.withColumn(tmp, src.try_cast(dtype))
+            failed = src.isNotNull() & F.col(tmp).isNull()
+            err = (
+                F.when(F.col(ERROR_COL).isNotNull(), F.col(ERROR_COL))
+                .when(failed, F.lit(self.error_fmt.format(name=name)))
+                .otherwise(F.lit(None).cast("string"))
             )
-        return df.withColumn(ERROR_COL, err.otherwise(F.lit(None).cast("string")))
+            df = df.withColumn(ERROR_COL, err).withColumn(name, F.col(tmp)).drop(tmp)
+        return df
 
 
 @dataclass

@@ -108,6 +108,8 @@ class SqlSelectSource:
     num_partitions: int = 1
     lower_bound: Optional[int] = None
     upper_bound: Optional[int] = None
+    # JDBC scans are bounded: always a batch source for run_config
+    streaming: bool = False
 
     def read(self, spark: SparkSession) -> DataFrame:
         return read_jdbc(
@@ -213,6 +215,7 @@ class SqlRawSource:
     dsn: str
     query: str
     driver: Optional[str] = None
+    streaming: bool = False
 
     def read(self, spark: SparkSession) -> DataFrame:
         reader = (

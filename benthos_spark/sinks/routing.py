@@ -223,8 +223,12 @@ class InprocSink:
         self.name = name
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
+        # A micro-batch frame's lineage is only valid inside its own batch:
+        # pin the rows NOW (eager localCheckpoint) so readers after later
+        # batches don't recompute from a source that has moved on.
+        snap = df.localCheckpoint(eager=True)
         cur = _INPROC.get(self.name)
-        _INPROC[self.name] = df if cur is None else cur.unionByName(df, allowMissingColumns=True)
+        _INPROC[self.name] = snap if cur is None else cur.unionByName(snap, allowMissingColumns=True)
 
 
 def inproc_read(name: str) -> DataFrame:

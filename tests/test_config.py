@@ -324,3 +324,44 @@ def test_cli_blobl_subcommand():
     )
     assert r.returncode == 0, r.stderr[-1500:]
     assert r.stdout.splitlines() == ['{"v":4}', '{"v":6}']
+
+
+def test_config_batched_count_streaming_rejected():
+    """count/byte_size sizing needs a batch aggregation — over a streaming
+    child it must fail at compile time, not at Pipeline.start."""
+    import pytest as _pytest
+
+    from benthos_spark.config import ConfigError, compile_config
+
+    conf = {
+        "input": {"batched": {
+            "child": {"generate": {"count": 5, "streaming": True,
+                                   "mapping": {"v": "value"}}},
+            "policy": {"count": 2},
+        }},
+        "output": {"drop": {}},
+    }
+    with _pytest.raises(ConfigError, match="streaming"):
+        compile_config(conf)
+
+
+def test_run_config_sql_select_input(spark, tmp_path):
+    """run_config must treat sql inputs as batch sources (they carry
+    streaming=False) instead of crashing on the attribute."""
+    from benthos_spark.config import run_config
+    from benthos_spark.operators.sql import SqlInsertSink
+
+    dsn = f"jdbc:derby:{tmp_path}/cfgdb;create=true"
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "ID int, NAME string")
+    SqlInsertSink(dsn, "items", ["ID", "NAME"], mode="overwrite").write(dim)
+    from benthos_spark.sinks.routing import inproc_clear, inproc_read
+
+    inproc_clear()
+    conf = {
+        "input": {"sql_select": {"dsn": dsn, "table": "items",
+                                 "columns": ["id", "name"]}},
+        "output": {"inproc": "sqlchan"},
+    }
+    run_config(spark, conf, checkpoint=str(tmp_path / "ckpt"))
+    assert sorted(r["NAME"] for r in inproc_read("sqlchan").collect()) == ["a", "b"]
+    inproc_clear("sqlchan")

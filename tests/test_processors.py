@@ -512,3 +512,26 @@ def test_parquet_encode_decode_roundtrip(spark):
         for r in restored.collect()
     )
     assert rows == [("g1", 1, "a"), ("g1", 2, "b"), ("g2", 3, "c")]
+
+
+def test_try_cast_mutation_same_name_as_source(spark):
+    """Casting a column onto ITSELF must still flag runtime failures: the
+    failure check has to see the pre-cast value, not the cast result."""
+    from benthos_spark.operators.processors import TryCastMutation
+
+    df = spark.createDataFrame(
+        [("1", "a"), ("nope", "b"), (None, "c")], "n string, k string"
+    )
+    out = TryCastMutation({"n": (F.col("n"), "int")})(df)
+    got = {r["k"]: (r["n"], r["_error"]) for r in out.collect()}
+    assert got["a"] == (1, None)
+    assert got["b"][0] is None and got["b"][1] is not None  # flagged, not silent
+    assert got["c"] == (None, None)
+
+
+def test_split_count_on_streaming_frame_rejected(spark):
+    from benthos_spark.operators.processors import Split
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="streaming"):
+        Split(count=10)(stream)

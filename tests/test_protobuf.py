@@ -186,3 +186,35 @@ def test_processor_to_json_from_json(spark, tmp_path):
     jdf = spark.createDataFrame([(json.dumps(d),) for d in docs], "value string")
     back = ProtobufProcessor("from_json", "testing.Person", [str(schema_dir)])(jdf)
     assert sorted(bytes(r["value"]) for r in back.collect()) == sorted(wires)
+
+
+PALETTE_PROTO = """
+syntax = "proto3";
+package pal;
+
+enum Color {
+  COLOR_UNSPECIFIED = 0;
+  RED = 1;
+  BLUE = 2;
+}
+
+message Palette {
+  repeated Color colors = 1;
+}
+"""
+
+
+def test_packed_repeated_enum_decode():
+    """proto3 packs repeated enums by default (wire 2, varint blob) —
+    decode must unpack them, not read the length as the first value."""
+    fs = parse_proto(PALETTE_PROTO)
+    # field 1 / wire 2, len=4, varints [1, 2, 0, 300]
+    wire = bytes([0x0A, 0x05, 0x01, 0x02, 0x00, 0xAC, 0x02])
+    doc = decode_message(wire, "pal.Palette", fs)
+    assert doc == {"colors": ["RED", "BLUE", "COLOR_UNSPECIFIED", 300]}
+
+
+def test_unpacked_repeated_enum_roundtrip():
+    fs = parse_proto(PALETTE_PROTO)
+    wire = encode_message({"colors": ["RED", "BLUE"]}, "pal.Palette", fs)
+    assert decode_message(wire, "pal.Palette", fs) == {"colors": ["RED", "BLUE"]}

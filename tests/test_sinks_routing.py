@@ -213,3 +213,20 @@ def test_switch_sink_continue_case(spark):
     assert got["big"] == [11]
     assert got["mid"] == [5]
     assert got["rest"] == [1]
+
+
+def test_inproc_batches_are_pinned(spark, tmp_path):
+    """A micro-batch frame registered on the exchange must not be
+    recomputed from the (moved-on) source when read after later batches."""
+    from benthos_spark.sinks.routing import InprocSink, inproc_clear, inproc_read
+
+    inproc_clear()
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,), (2,)], "v int").write.parquet(src)
+    sink = InprocSink("pinned")
+    sink(spark.read.parquet(src), 0)
+    # the source moves on between micro-batches
+    spark.createDataFrame([(99,)], "v int").write.mode("overwrite").parquet(src)
+    sink(spark.read.parquet(src), 1)
+    assert sorted(r["v"] for r in inproc_read("pinned").collect()) == [1, 2, 99]
+    inproc_clear("pinned")
