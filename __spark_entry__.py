@@ -26,4 +26,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The audio/image/video oracles read materialized gate parquet; the
+    # driver runs this gate at sf0.01 — make sure the files exist before
+    # any oracle executes (pure numpy/pyarrow, no SparkSession needed).
+    from benthos_spark.datagen.gate import ensure_gate_tables
+
+    ensure_gate_tables("sf0.01")
     return dict(catalog.ORACLES)

@@ -156,18 +156,50 @@ def make_transcript(i: int, dur_ms: int, seed: int = SEED) -> str:
     return head + body + "."
 
 
-def clips_pdf(ids: np.ndarray, seed: int = SEED) -> pd.DataFrame:
-    """Materialize clip rows for a chunk of indices (runs inside a task)."""
+def clips_pdf(ids: np.ndarray, seed: int = SEED, with_expected: bool = False) -> pd.DataFrame:
+    """Materialize clip rows for a chunk of indices (runs inside a task).
+
+    ``with_expected=True`` adds ground-truth columns the DuckDB oracle
+    reads so the gate can hash-check the decode/analysis entries
+    (datagen/gate.py):
+
+    - ``n_samples``   — arithmetic (round(sr·dur/1000)), independent of
+      both encoder and decoder.
+    - ``checksum16``  — for pcm/wav the ENCODER's own int16 sample sum
+      (decode-independent ground truth); for the companded codecs the
+      encode→decode roundtrip value (their fidelity gate is the SNR≥30dB
+      pytest against `reference_signal`).
+    - ``voiced_ratio``/``spectral_centroid``/``rolloff85`` — the
+      deterministic trim+rFFT analysis of the decoded payload, computed
+      here at generation time (consistency columns: the engine must
+      reproduce them bit-for-bit at query time from the bytes alone).
+    """
     params = clip_params(ids, seed)
     rows_bytes, transcripts = [], []
+    exp: dict[str, list] = {"n_samples": [], "checksum16": [], "voiced_ratio": [],
+                            "spectral_centroid": [], "rolloff85": []}
     for k, i in enumerate(ids):
         sr = int(params["sr_hz"][k])
         dur = int(params["dur_ms"][k])
         codec = CODEC_CHOICES[int(params["codec_ix"][k])]
         x = reference_signal(int(i), sr, dur, seed)
-        rows_bytes.append(audio.encode(x, codec, sr))
+        b = audio.encode(x, codec, sr)
+        rows_bytes.append(b)
         transcripts.append(make_transcript(int(i), dur, seed))
-    return pd.DataFrame(
+        if with_expected:
+            exp["n_samples"].append(int(round(sr * dur / 1000.0)))
+            if codec in ("pcm_s16le", "wav"):
+                q = np.clip(np.rint(x * 32767.0), -32768, 32767)
+                exp["checksum16"].append(int(q.sum()))
+            else:
+                exp["checksum16"].append(audio.checksum16(audio.decode(b, codec)))
+            xd = audio.decode(b, codec)
+            t = audio.trim_silence(xd)
+            exp["voiced_ratio"].append(len(t) / len(xd) if len(xd) else 0.0)
+            c, r = audio.spectral_features(t if len(t) else xd, sr)
+            exp["spectral_centroid"].append(c)
+            exp["rolloff85"].append(r)
+    out = pd.DataFrame(
         {
             "clip_id": [f"clip-{int(i):012d}" for i in ids],
             "bytes": rows_bytes,
@@ -178,6 +210,13 @@ def clips_pdf(ids: np.ndarray, seed: int = SEED) -> pd.DataFrame:
             "event_ts": [BASE_TS + dt.timedelta(milliseconds=int(m)) for m in params["ts_ms"]],
         }
     )
+    if with_expected:
+        out["n_samples"] = np.array(exp["n_samples"], dtype=np.int64)
+        out["checksum16"] = np.array(exp["checksum16"], dtype=np.int64)
+        out["voiced_ratio"] = np.array(exp["voiced_ratio"], dtype=np.float64)
+        out["spectral_centroid"] = np.array(exp["spectral_centroid"], dtype=np.float64)
+        out["rolloff85"] = np.array(exp["rolloff85"], dtype=np.float64)
+    return out
 
 
 def generate_clips(

@@ -1,0 +1,91 @@
+"""Materialized gate tables for the DuckDB correctness oracle.
+
+The audio/image/video catalog entries run over *synthesized* inputs
+(datagen/clips.py, functions/multimodal.py) — there is no clips table in
+``/root/testdata/sf*``, so round 1/2 could only rows-check them. This
+module writes the SAME deterministic tables to parquet under
+``<repo>/data/gate/<sf>/`` so that
+
+- the Spark query reads the materialized parquet, and
+- the oracle SQL reads the identical file via DuckDB ``read_parquet``,
+
+turning the rows-only entries into hash-checked gate rows. The parquet
+carries ground-truth columns computed at generation time (encoder-side
+int16 checksums, arithmetic sample counts, pre-serialization luminance)
+that the engine must reproduce at query time from the payload bytes
+alone — see clips_pdf/images_pdf ``with_expected``.
+
+Generation is pure numpy/pyarrow (no SparkSession) so `oracle_sql()` can
+trigger it before any query runs; writes are atomic (tmp + rename) and
+idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+GATE_ROOT = REPO_ROOT / "data" / "gate"
+
+# per-sf row counts (match the pre-round-3 _AUDIO_N / _IMG_N scaling)
+SIZES = {
+    "sf0.001": {"clips": 300, "images": 200, "videos": 50},
+    "sf0.01": {"clips": 1200, "images": 800, "videos": 200},
+}
+
+_TABLES = ("clips", "images", "videos")
+
+
+def gate_sf_name(sf_dir: str) -> str | None:
+    """The sf name for a testdata dir, or None if not a gated scale."""
+    name = str(sf_dir).rstrip("/").rsplit("/", 1)[-1]
+    return name if name in SIZES else None
+
+
+def table_path(sf_name: str, table: str) -> str:
+    return str(GATE_ROOT / sf_name / f"{table}.parquet")
+
+
+def _write_atomic(pdf, path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    # micros, not pandas' default nanos — Spark's vectorized reader
+    # rejects TIMESTAMP(NANOS) parquet columns
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        tmp,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    os.replace(tmp, path)
+
+
+def ensure_gate_tables(sf_name: str) -> None:
+    """Generate any missing gate parquet for `sf_name` (idempotent)."""
+    if sf_name not in SIZES:
+        raise ValueError(f"no gate sizing for {sf_name!r}; known: {sorted(SIZES)}")
+    sizes = SIZES[sf_name]
+    if all(os.path.exists(table_path(sf_name, t)) for t in _TABLES):
+        return
+
+    from benthos_spark.datagen.clips import clips_pdf
+    from benthos_spark.functions.multimodal import images_pdf, videos_pdf
+
+    p = table_path(sf_name, "clips")
+    if not os.path.exists(p):
+        ids = np.arange(sizes["clips"], dtype=np.int64)
+        _write_atomic(clips_pdf(ids, with_expected=True), p)
+    p = table_path(sf_name, "images")
+    if not os.path.exists(p):
+        ids = np.arange(sizes["images"], dtype=np.int64)
+        _write_atomic(images_pdf(ids, with_expected=True), p)
+    p = table_path(sf_name, "videos")
+    if not os.path.exists(p):
+        ids = np.arange(sizes["videos"], dtype=np.int64)
+        _write_atomic(videos_pdf(ids), p)

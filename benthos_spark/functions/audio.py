@@ -207,8 +207,19 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
 
 AUDIO_FEATURE_FIELDS = (
     "n_samples bigint, rms double, peak double, decoded_ms double, "
-    "clip_ok boolean"
+    "checksum16 bigint, clip_ok boolean"
 )
+
+
+def checksum16(x: np.ndarray) -> int:
+    """Integer checksum of a decoded float signal: sum of the 16-bit
+    re-quantization. For PCM/WAV payloads this equals the sum of the
+    encoder's own int16 samples (an encoder-side ground truth the gate
+    parquet carries), so a decode offset/endianness/scaling bug breaks
+    the oracle match."""
+    if len(x) == 0:
+        return 0
+    return int(np.rint(x.astype(np.float64) * 32767.0).sum())
 
 
 def audio_features_map_in_pandas(schema_passthrough_cols: list[str]):
@@ -227,6 +238,7 @@ def audio_features_map_in_pandas(schema_passthrough_cols: list[str]):
             n_samples = np.zeros(n, dtype=np.int64)
             rms = np.zeros(n, dtype=np.float64)
             peak = np.zeros(n, dtype=np.float64)
+            csum = np.zeros(n, dtype=np.int64)
             ok = np.zeros(n, dtype=bool)
             codecs = pdf["codec"].to_numpy()
             srs = pdf["sr_hz"].to_numpy()
@@ -242,6 +254,7 @@ def audio_features_map_in_pandas(schema_passthrough_cols: list[str]):
                 if len(x):
                     rms[i] = float(np.sqrt(np.mean(np.square(x, dtype=np.float64))))
                     peak[i] = float(np.max(np.abs(x)))
+                    csum[i] = checksum16(x)
                 expect = int(round(srs[i] * durs[i] / 1000.0))
                 ok[i] = abs(len(x) - expect) <= 1
             out = pdf[schema_passthrough_cols].copy()
@@ -251,6 +264,7 @@ def audio_features_map_in_pandas(schema_passthrough_cols: list[str]):
             out["decoded_ms"] = np.divide(
                 n_samples * 1000.0, srs, out=np.zeros(n, dtype=np.float64), where=srs > 0
             )
+            out["checksum16"] = csum
             out["clip_ok"] = ok
             yield out
 

@@ -189,60 +189,85 @@ def frame_sample_map_in_pandas(every_n: int):
 # ---------------------------------------------------------------------------
 
 
-def generate_images(spark, n: int, height: int = 48, width: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic raw-RGB images: per-pixel gradient + per-image phase
-    from splitmix64 (scale-independent, distributed via mapInPandas)."""
+def images_pdf(ids: np.ndarray, height: int = 48, width: int = 64, seed: int = 42,
+               with_expected: bool = False) -> pd.DataFrame:
+    """Deterministic raw-RGB image rows for a chunk of indices: per-pixel
+    gradient + per-image phase from splitmix64 (scale-independent).
+
+    ``with_expected=True`` adds ``mean_lum``/``n_pixels`` computed from
+    the array BEFORE serialization — i.e. independently of the decode
+    path the engine exercises at query time — so the gate parquet
+    carries a decode-checking oracle column (datagen/gate.py)."""
     from benthos_spark.datagen.clips import _splitmix64
+
+    rows = {"image_id": [], "bytes": [], "width": [], "height": [], "channels": [], "codec": []}
+    exp: dict[str, list] = {"mean_lum": [], "n_pixels": []}
+    yy, xx = np.mgrid[0:height, 0:width]
+    for i in ids:
+        phase = int(_splitmix64(np.array([int(i) + seed], dtype=np.uint64))[0] % np.uint64(256))
+        r = ((xx * 2 + phase) % 256).astype(np.uint8)
+        g = ((yy * 3 + phase) % 256).astype(np.uint8)
+        b = ((xx + yy + phase) % 256).astype(np.uint8)
+        arr = np.stack([r, g, b], axis=-1)
+        rows["image_id"].append(f"img-{int(i):010d}")
+        rows["bytes"].append(arr.tobytes())
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["channels"].append(3)
+        rows["codec"].append("raw_rgb8")
+        if with_expected:
+            lum = arr.mean(axis=2)
+            exp["mean_lum"].append(float(lum.mean()))
+            exp["n_pixels"].append(int(lum.size))
+    out = pd.DataFrame(rows)
+    out["width"] = out["width"].astype("int32")
+    out["height"] = out["height"].astype("int32")
+    out["channels"] = out["channels"].astype("int32")
+    if with_expected:
+        out["mean_lum"] = np.array(exp["mean_lum"], dtype=np.float64)
+        out["n_pixels"] = np.array(exp["n_pixels"], dtype=np.int64)
+    return out
+
+
+def videos_pdf(ids: np.ndarray, height: int = 24, width: int = 32, n_frames: int = 12,
+               seed: int = 42) -> pd.DataFrame:
+    """Deterministic raw-gray video rows: frame f = (gradient + f) % 256."""
+    yy, xx = np.mgrid[0:height, 0:width]
+    base = ((xx + yy) % 256).astype(np.uint8)
+    rows = {"video_id": [], "bytes": [], "width": [], "height": [],
+            "n_frames": [], "fps": [], "codec": []}
+    for i in ids:
+        frames = [((base.astype(np.int64) + int(i) + f) % 256).astype(np.uint8) for f in range(n_frames)]
+        rows["video_id"].append(f"vid-{int(i):010d}")
+        rows["bytes"].append(b"".join(fr.tobytes() for fr in frames))
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["n_frames"].append(n_frames)
+        rows["fps"].append(8.0)
+        rows["codec"].append("raw_gray8")
+    out = pd.DataFrame(rows)
+    out["width"] = out["width"].astype("int32")
+    out["height"] = out["height"].astype("int32")
+    out["n_frames"] = out["n_frames"].astype("int32")
+    out["fps"] = out["fps"].astype("float32")
+    return out
+
+
+def generate_images(spark, n: int, height: int = 48, width: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic raw-RGB images, distributed via mapInPandas."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf["id"].to_numpy()
-            rows = {"image_id": [], "bytes": [], "width": [], "height": [], "channels": [], "codec": []}
-            yy, xx = np.mgrid[0:height, 0:width]
-            for i in ids:
-                phase = int(_splitmix64(np.array([i + seed], dtype=np.uint64))[0] % np.uint64(256))
-                r = ((xx * 2 + phase) % 256).astype(np.uint8)
-                g = ((yy * 3 + phase) % 256).astype(np.uint8)
-                b = ((xx + yy + phase) % 256).astype(np.uint8)
-                arr = np.stack([r, g, b], axis=-1)
-                rows["image_id"].append(f"img-{int(i):010d}")
-                rows["bytes"].append(arr.tobytes())
-                rows["width"].append(width)
-                rows["height"].append(height)
-                rows["channels"].append(3)
-                rows["codec"].append("raw_rgb8")
-            pdf_out = pd.DataFrame(rows)
-            pdf_out["width"] = pdf_out["width"].astype("int32")
-            pdf_out["height"] = pdf_out["height"].astype("int32")
-            pdf_out["channels"] = pdf_out["channels"].astype("int32")
-            yield pdf_out
+            yield images_pdf(pdf["id"].to_numpy(), height, width, seed)
 
     return spark.range(n).mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
 def generate_videos(spark, n: int, height: int = 24, width: int = 32, n_frames: int = 12, seed: int = 42) -> DataFrame:
-    """Deterministic raw-gray videos: frame f = (gradient + f) % 256."""
+    """Deterministic raw-gray videos, distributed via mapInPandas."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yy, xx = np.mgrid[0:height, 0:width]
-        base = ((xx + yy) % 256).astype(np.uint8)
         for pdf in batches:
-            rows = {"video_id": [], "bytes": [], "width": [], "height": [],
-                    "n_frames": [], "fps": [], "codec": []}
-            for i in pdf["id"].to_numpy():
-                frames = [((base.astype(np.int64) + int(i) + f) % 256).astype(np.uint8) for f in range(n_frames)]
-                rows["video_id"].append(f"vid-{int(i):010d}")
-                rows["bytes"].append(b"".join(fr.tobytes() for fr in frames))
-                rows["width"].append(width)
-                rows["height"].append(height)
-                rows["n_frames"].append(n_frames)
-                rows["fps"].append(8.0)
-                rows["codec"].append("raw_gray8")
-            out = pd.DataFrame(rows)
-            out["width"] = out["width"].astype("int32")
-            out["height"] = out["height"].astype("int32")
-            out["n_frames"] = out["n_frames"].astype("int32")
-            out["fps"] = out["fps"].astype("float32")
-            yield out
+            yield videos_pdf(pdf["id"].to_numpy(), height, width, n_frames, seed)
 
     return spark.range(n).mapInPandas(gen, schema=VIDEO_SCHEMA)

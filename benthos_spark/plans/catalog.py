@@ -1099,26 +1099,76 @@ def embedding_neardup_lsh_pairs(spark, sf_dir):
 
 
 # =====================================================================
-# 5. Audio pipeline entries (the north-rule workload; input synthesized
-#    deterministically — sf_dir has no clips table, so these are
-#    rows-only checks; the hard invariants live in tests/)
+# 5. Audio pipeline entries (the north-rule workload). Inputs are
+#    synthesized deterministically; at the gate scales (sf0.001/sf0.01)
+#    they are MATERIALIZED to parquet (datagen/gate.py) so DuckDB can
+#    hash-check every entry against the identical file — the parquet
+#    carries ground-truth columns (arithmetic sample counts,
+#    encoder-side checksums) the engine must reproduce from the bytes.
+#    Float PCM fidelity (SNR ≥ 30 dB vs reference_signal) stays in
+#    tests/test_audio_codecs.py / test_flagship_streaming.py.
 # =====================================================================
 
-_AUDIO_N = {"sf0.001": 300, "sf0.01": 1200}
+from benthos_spark.datagen import gate as _gate
+
+_CLIPS_GATE = _gate.table_path("sf0.01", "clips")
+_IMAGES_GATE = _gate.table_path("sf0.01", "images")
+_VIDEOS_GATE = _gate.table_path("sf0.01", "videos")
+
+_CLIP_BASE_COLS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "event_ts"]
 
 
 def _clips_for(spark, sf_dir):
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is not None:
+        _gate.ensure_gate_tables(sf)
+        return spark.read.parquet(_gate.table_path(sf, "clips")).select(*_CLIP_BASE_COLS)
     from benthos_spark.datagen.clips import generate_clips
 
-    n = _AUDIO_N.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1200)
-    return generate_clips(spark, n)
+    return generate_clips(spark, 1200)
 
 
-@register("audio_decode_features")  # no oracle: binary payloads live outside DuckDB
+def _images_for(spark, sf_dir):
+    from benthos_spark.functions import multimodal as mm
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is not None:
+        _gate.ensure_gate_tables(sf)
+        return spark.read.parquet(_gate.table_path(sf, "images")).select(
+            "image_id", "bytes", "width", "height", "channels", "codec"
+        )
+    return mm.generate_images(spark, 800)
+
+
+def _videos_for(spark, sf_dir):
+    from benthos_spark.functions import multimodal as mm
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is not None:
+        _gate.ensure_gate_tables(sf)
+        return spark.read.parquet(_gate.table_path(sf, "videos"))
+    return mm.generate_videos(spark, 200)
+
+
+@register(
+    "audio_decode_features",
+    f"""
+    SELECT codec,
+           count(*) AS n_clips,
+           sum(n_samples)::BIGINT AS total_samples,
+           sum(checksum16)::BIGINT AS total_checksum16,
+           count(*) AS ok_clips
+    FROM read_parquet('{_CLIPS_GATE}')
+    GROUP BY codec
+    """,
+)
 def audio_decode_features(spark, sf_dir):
-    """Vectorized decode (pcm/wav/ulaw/alaw) → per-codec feature rollup.
-    The pandas-UDF mapping stage of the flagship streaming pipeline, in
-    batch form (≙ Bloblang mapping on binary payloads)."""
+    """Vectorized decode (pcm/wav/ulaw/alaw) → per-codec rollup — the
+    pandas-UDF mapping stage of the flagship streaming pipeline in batch
+    form (≙ Bloblang mapping on binary payloads). The oracle reads the
+    gate parquet's ground-truth columns: `n_samples` is pure arithmetic
+    and `checksum16` is the ENCODER's int16 sample sum for pcm/wav, so
+    the engine only matches by actually decoding every payload."""
     from benthos_spark.functions.audio import AUDIO_FEATURE_FIELDS, audio_features_map_in_pandas
 
     clips = _clips_for(spark, sf_dir)
@@ -1131,12 +1181,25 @@ def audio_decode_features(spark, sf_dir):
     return feats.groupBy("codec").agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.sum("n_samples").alias("total_samples"),
-        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.sum("checksum16").alias("total_checksum16"),
         F.sum(F.col("clip_ok").cast("long")).alias("ok_clips"),
     )
 
 
-@register("audio_transcript_normalize")  # no oracle: synthesized input
+@register(
+    "audio_transcript_normalize",
+    rf"""
+    WITH n AS (
+      SELECT clip_id,
+             regexp_replace(regexp_replace(lower(trim(transcript)),
+                            '[.,!?;:]', '', 'g'), '\s+', ' ', 'g') AS transcript_norm
+      FROM read_parquet('{_CLIPS_GATE}')
+    )
+    SELECT clip_id, transcript_norm,
+           len(string_split(transcript_norm, ' '))::BIGINT AS n_words
+    FROM n
+    """,
+)
 def audio_transcript_normalize(spark, sf_dir):
     """Transcript normalization — lowercase/trim/collapse-whitespace/strip
     punctuation, all JVM-side Column exprs (Bloblang string-method chain,
@@ -1152,7 +1215,18 @@ def audio_transcript_normalize(spark, sf_dir):
     )
 
 
-@register("clip_transcript_rejoin")  # no oracle: synthesized input
+@register(
+    "clip_transcript_rejoin",
+    f"""
+    WITH c AS (SELECT clip_id, codec, event_ts FROM read_parquet('{_CLIPS_GATE}')),
+         t AS (SELECT clip_id, event_ts AS t_ts FROM read_parquet('{_CLIPS_GATE}'))
+    SELECT codec,
+           count(*) AS n_joined,
+           sum(CASE WHEN c.event_ts = t.t_ts THEN 1 ELSE 0 END)::BIGINT AS ts_match
+    FROM c JOIN t USING (clip_id)
+    GROUP BY codec
+    """,
+)
 def clip_transcript_rejoin(spark, sf_dir):
     """Batch analog of the stateful clip↔transcript stream join
     (sequence.sharded_join, input_sequence.go:144-157): split the table
@@ -1446,22 +1520,34 @@ def window_offset_events(spark, sf_dir):
 
 # =====================================================================
 # 8. Multimodal pipeline entries (image/video as binary + typed
-#    metadata; deterministic synthetic inputs — rows-only checks, the
-#    numeric invariants live in tests/test_multimodal.py)
+#    metadata). Gate-scale inputs are materialized to parquet with
+#    pre-serialization ground-truth columns (datagen/gate.py) so the
+#    rollups are hash-checked; pixel-level invariants stay in
+#    tests/test_multimodal.py.
 # =====================================================================
 
-_IMG_N = {"sf0.001": 200, "sf0.01": 800}
 
-
-@register("image_features_rollup")  # no oracle: binary payloads live outside DuckDB
+@register(
+    "image_features_rollup",
+    f"""
+    SELECT codec,
+           count(*) AS n_images,
+           round(avg(mean_lum), 4) AS avg_lum,
+           sum(n_pixels)::BIGINT AS total_pixels,
+           count(*) AS ok_images
+    FROM read_parquet('{_IMAGES_GATE}')
+    GROUP BY codec
+    """,
+)
 def image_features_rollup(spark, sf_dir):
     """Vectorized image decode → luminance features → rollup (the image
     analog of audio_decode_features; raw_rgb8 decode is real, container
-    codecs are stubbed at the kernel boundary)."""
+    codecs are stubbed at the kernel boundary). The oracle's `mean_lum`
+    column was computed from the pixel array BEFORE serialization —
+    independent of the decode path the engine runs here."""
     from benthos_spark.functions import multimodal as mm
 
-    n = _IMG_N.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 800)
-    imgs = mm.generate_images(spark, n)
+    imgs = _images_for(spark, sf_dir)
     feats = imgs.mapInPandas(
         mm.image_features_map_in_pandas(["image_id", "codec"]),
         schema="image_id string, codec string, " + mm.IMAGE_FEATURE_FIELDS,
@@ -1469,19 +1555,27 @@ def image_features_rollup(spark, sf_dir):
     return feats.groupBy("codec").agg(
         F.count(F.lit(1)).alias("n_images"),
         F.round(F.avg("mean_lum"), 4).alias("avg_lum"),
+        F.sum("n_pixels").alias("total_pixels"),
         F.sum(F.col("img_ok").cast("long")).alias("ok_images"),
     )
 
 
-@register("video_frame_sample")  # no oracle: binary payloads live outside DuckDB
+@register(
+    "video_frame_sample",
+    f"""
+    SELECT video_id,
+           ceil(n_frames / 4.0)::BIGINT AS n_frames_sampled
+    FROM read_parquet('{_VIDEOS_GATE}')
+    """,
+)
 def video_frame_sample(spark, sf_dir):
     """Video → every-4th-frame UDTF (mapInPandas as table function) →
     per-video frame counts; the frame-sampling stage of a multimodal
-    training pipeline."""
+    training pipeline. Oracle: pure arithmetic (ceil(n_frames/4)) over
+    the materialized video metadata — independent of the explode."""
     from benthos_spark.functions import multimodal as mm
 
-    n = max(_IMG_N.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 800) // 4, 50)
-    vids = mm.generate_videos(spark, n)
+    vids = _videos_for(spark, sf_dir)
     frames = vids.mapInPandas(mm.frame_sample_map_in_pandas(every_n=4), schema=mm.IMAGE_SCHEMA)
     return (
         frames.withColumn("video_id", F.split(F.col("image_id"), "#")[0])
@@ -1747,11 +1841,24 @@ def levenshtein_neardup_prefix(spark, sf_dir):
     ).filter(F.col("dist") <= 12)
 
 
-@register("audio_analysis_rollup")  # no oracle: binary payloads live outside DuckDB
+@register(
+    "audio_analysis_rollup",
+    f"""
+    SELECT codec,
+           count(*) AS n_clips,
+           round(avg(voiced_ratio), 4) AS avg_voiced,
+           round(avg(spectral_centroid), 2) AS avg_centroid,
+           round(avg(rolloff85), 2) AS avg_rolloff
+    FROM read_parquet('{_CLIPS_GATE}')
+    GROUP BY codec
+    """,
+)
 def audio_analysis_rollup(spark, sf_dir):
     """Decode → silence-trim → spectral features (one rFFT per clip) →
     per-codec rollup; the analysis pass of the audio training pipeline
-    (functions/audio.py: trim_silence + spectral_features)."""
+    (functions/audio.py: trim_silence + spectral_features). The oracle
+    columns are generation-time consistency values: the engine must
+    reproduce them bit-for-bit at query time from the payload bytes."""
     from benthos_spark.functions.audio import AUDIO_ANALYSIS_FIELDS, audio_analysis_map_in_pandas
 
     clips = _clips_for(spark, sf_dir)
@@ -1794,11 +1901,30 @@ def jq_variant_events(spark, sf_dir):
     )
 
 
-@register("audio_transcode_rollup")  # no oracle: binary payloads live outside DuckDB
+@register(
+    "audio_transcode_rollup",
+    f"""
+    WITH c AS (
+      SELECT 2 * greatest(1, round(n_samples * 16000.0 / sr_hz)::BIGINT) AS out_bytes,
+             dur_ms
+      FROM read_parquet('{_CLIPS_GATE}')
+    )
+    SELECT 'pcm_s16le' AS codec,
+           count(*) AS n_clips,
+           sum(out_bytes)::BIGINT AS total_bytes,
+           sum(CASE WHEN out_bytes = dur_ms * 32 THEN 1 ELSE 0 END)::BIGINT AS size_ok
+    FROM c
+    """,
+)
 def audio_transcode_rollup(spark, sf_dir):
     """Decode → linear-resample to 16 kHz → re-encode pcm_s16le — the
     heaviest realistic audio mapping (transcode_map_in_pandas); rollup
-    verifies byte accounting (2 bytes/sample at the target rate)."""
+    verifies byte accounting (2 bytes/sample at the target rate). The
+    oracle derives expected byte sizes arithmetically from the gate
+    parquet's `n_samples` — independent of decode/resample/encode.
+    (No .5 rounding ties exist: for every sr in {{8000,16000,22050,44100}},
+    n·16000/sr can only be half-integral if 441 | n, which forces an
+    even numerator — so SQL round and Python round agree.)"""
     from benthos_spark.datagen.clips import CLIPS_SCHEMA
     from benthos_spark.functions.audio import transcode_map_in_pandas
 
