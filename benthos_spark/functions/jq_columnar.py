@@ -1,0 +1,600 @@
+"""jq program → columnar compiler (the VARIANT fast path for programs).
+
+The reference embeds compiled gojq (internal/impl/pure/processor_jq.go:26)
+so jq programs run at native speed; our full interpreter
+(functions/jq_program.py) is per-row Python inside Arrow batches —
+correct, but the engine's only row-at-a-time surface. This module
+compiles the *common program subset* straight onto Spark VARIANT /
+Column expressions so `JqProcessor` stays JVM-side for the shapes real
+pipelines use:
+
+- field paths ``.a.b[0]`` (with ``?``), identity ``.``
+- literals, object ``{k: e}`` and array ``[e, ...]`` construction
+- arithmetic ``+ - * / %``, comparisons, ``and``/``or``, ``//``
+- ``select(cond)`` as a pipe stage (compiles to a relational filter)
+- ``if .. then .. elif .. else .. end``, ``map(f)``, ``floor``/``ceil``,
+  ``tostring``/``tonumber``, ``not``
+
+Anything else (generators, slices, variables, reduce, recursion, ``$metadata``)
+raises ``JqCompileError`` and the caller falls back to the interpreter,
+so coverage is a pure optimization, never a semantics change. Number
+int-ness is tracked per row (jq ints must render ``6``, floats ``6.0``)
+via the variant's own JSON lexeme. Known divergences from the
+interpreter, pinned by the dual-backend conformance test
+(tests/test_jq_columnar.py):
+
+- lenient errors: arithmetic on null / iterating null with ``map``
+  yields JSON null instead of raising (jq would error);
+- object key order: variant ``to_json`` emits keys sorted, the
+  interpreter preserves input order — JSON-equivalent output bytes;
+- float rendering: very large/small doubles use Java notation
+  (``1.0E20``) rather than Python's (``1e+20``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from benthos_spark.functions.jq_program import JqError, _tokenize
+
+
+class JqCompileError(JqError):
+    """Program is outside the columnar subset — use the interpreter."""
+
+
+_IDENT_PATH = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_INT_LEXEME = r"^-?[0-9]+$"
+
+
+# ---------------------------------------------------------------------------
+# compiled values: tagged columns
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CV:
+    """A compiled jq value: `kind` ∈ variant|num|str|bool|null|json.
+    num carries (d: double col, isint: bool col); variant is lazy — a
+    (base, path) pair materialized into ONE try_variant_get; `json` is
+    an already-rendered compact JSON text (the unifier for branches of
+    if/alt and constructed objects/arrays)."""
+
+    kind: str
+    col: Optional[Column] = None  # variant/str/bool/json payload
+    d: Optional[Column] = None  # num: double value
+    isint: Optional[Column] = None  # num: per-row jq int-ness
+    l: Optional[Column] = None  # num: exact long lane (used when isint)
+    base: Optional[Column] = None  # variant: unmaterialized base
+    path: str = "$"
+
+    @staticmethod
+    def variant(base: Column, path: str = "$") -> "CV":
+        return CV("variant", base=base, path=path)
+
+    def vcol(self) -> Column:
+        """Materialize a variant CV into one variant_get call."""
+        if self.kind != "variant":
+            raise JqCompileError(f"not a variant value: {self.kind}")
+        if self.col is not None:
+            return self.col
+        return self.base if self.path == "$" else F.try_variant_get(self.base, self.path, "variant")
+
+
+def _num(d: Column, isint: Column, l: Optional[Column] = None) -> CV:
+    """Numbers carry a double lane plus an exact long lane: jq renders
+    ints without a fraction, and int arithmetic must not lose precision
+    past 2^53 (the interpreter uses Python ints)."""
+    return CV("num", d=d, isint=isint, l=(d.cast("long") if l is None else l))
+
+
+def _as_num(v: CV) -> CV:
+    if v.kind == "num":
+        return v
+    if v.kind == "variant":
+        lng = (
+            F.try_variant_get(v.col, "$", "bigint")
+            if v.col is not None
+            else F.try_variant_get(v.base, v.path, "bigint")
+        )
+        return _num(_variant_double(v), F.to_json(v.vcol()).rlike(_INT_LEXEME), lng)
+    if v.kind == "json":
+        return _num(F.try_cast(v.col, "double"), v.col.rlike(_INT_LEXEME), F.try_cast(v.col, "bigint"))
+    if v.kind == "null":
+        return _num(F.lit(None).cast("double"), F.lit(False))
+    raise JqCompileError(f"cannot use {v.kind} as number")
+
+
+def _variant_double(v: CV) -> Column:
+    if v.col is not None:
+        return F.try_variant_get(v.col, "$", "double")
+    return F.try_variant_get(v.base, v.path, "double")
+
+
+def _as_str(v: CV) -> Column:
+    """The string payload when the value IS a JSON string, else NULL."""
+    if v.kind == "str":
+        return v.col
+    if v.kind == "variant":
+        c = v.vcol()
+        js = F.to_json(c)
+        return F.when(js.startswith('"'), F.try_variant_get(c, "$", "string"))
+    raise JqCompileError(f"cannot use {v.kind} as string")
+
+
+def _truthy(v: CV) -> Column:
+    """jq truthiness: everything except null/false (0 and "" are true)."""
+    if v.kind == "null":
+        return F.lit(False)
+    if v.kind == "json":
+        t = F.coalesce(v.col, F.lit("null"))
+        return (t != "null") & (t != "false")
+    if v.kind == "bool":
+        return F.coalesce(v.col, F.lit(False))
+    if v.kind == "num":
+        return v.d.isNotNull()
+    if v.kind == "str":
+        return v.col.isNotNull()
+    # only JSON null / false are falsy — derive from the lexeme, NOT a
+    # boolean cast (Spark would cast the number 0 to false)
+    js = F.coalesce(F.to_json(v.vcol()), F.lit("null"))
+    return (js != "null") & (js != "false")
+
+
+def _render(v: CV) -> Column:
+    """Compiled value → its compact JSON text (the processor's output)."""
+    if v.kind == "null":
+        return F.lit("null")
+    if v.kind == "json":
+        return F.coalesce(v.col, F.lit("null"))
+    if v.kind == "bool":
+        return F.when(v.col.isNull(), "null").when(v.col, "true").otherwise("false")
+    if v.kind == "num":
+        return F.coalesce(
+            F.when(v.isint, v.l.cast("string")).otherwise(v.d.cast("string")),
+            F.lit("null"),
+        )
+    if v.kind == "str":
+        # JSON-escape via to_json(struct(s)) == '{"s":<escaped>}'
+        js = F.to_json(F.struct(v.col.alias("s")))
+        return F.when(v.col.isNull(), "null").otherwise(
+            F.substring(js, 6, F.length(js) - 6)
+        )
+    return F.coalesce(F.to_json(v.vcol()), F.lit("null"))
+
+
+_NULL_ORDER = {"null": 0, "bool": 1, "num": 2, "str": 3}
+
+
+def _compare(a: CV, b: CV, op: str) -> CV:
+    """jq comparison with its total type order (null < bool < num < str).
+    Only null/num/str/bool comparands compile; arrays/objects fall back."""
+
+    def norm(v: CV):
+        if v.kind == "variant":
+            # typed views of the variant; type rank derived from the lexeme
+            js = F.to_json(v.vcol())
+            rank = (
+                F.when(js.isNull() | (js == "null"), 0)
+                .when((js == "true") | (js == "false"), 1)
+                .when(js.startswith('"'), 3)
+                .otherwise(2)
+            )
+            return rank, _variant_double(v), _as_str(v), F.try_variant_get(v.vcol(), "$", "boolean")
+        if v.kind == "null":
+            return F.lit(0), F.lit(None).cast("double"), F.lit(None).cast("string"), F.lit(None).cast("boolean")
+        if v.kind == "bool":
+            return F.when(v.col.isNull(), 0).otherwise(1), F.lit(None).cast("double"), F.lit(None).cast("string"), v.col
+        if v.kind == "num":
+            return F.when(v.d.isNull(), 0).otherwise(2), v.d, F.lit(None).cast("string"), F.lit(None).cast("boolean")
+        if v.kind == "str":
+            return F.when(v.col.isNull(), 0).otherwise(3), F.lit(None).cast("double"), v.col, F.lit(None).cast("boolean")
+        raise JqCompileError(f"cannot compare {v.kind}")
+
+    ra, da, sa, ba = norm(a)
+    rb, db, sb, bb = norm(b)
+    # three-way sign: rank first, then the typed payload
+    sign = (
+        F.when(ra < rb, -1)
+        .when(ra > rb, 1)
+        .when(ra == 2, F.when(da < db, -1).when(da > db, 1).otherwise(0))
+        .when(ra == 3, F.when(sa < sb, -1).when(sa > sb, 1).otherwise(0))
+        .when(ra == 1, F.when(ba < bb, -1).when(ba > bb, 1).otherwise(0))
+        .otherwise(0)
+    )
+    cond = {
+        "==": sign == 0, "!=": sign != 0,
+        "<": sign < 0, "<=": sign <= 0, ">": sign > 0, ">=": sign >= 0,
+    }[op]
+    return CV("bool", col=cond)
+
+
+def _arith(a: CV, b: CV, op: str) -> CV:
+    if op == "+" and a.kind == "str" and b.kind == "str":
+        return CV("str", col=F.concat(a.col, b.col))
+    na, nb = _as_num(a), _as_num(b)
+    if op in ("+", "-", "*"):
+        d = {"+": na.d + nb.d, "-": na.d - nb.d, "*": na.d * nb.d}[op]
+        lng = {"+": na.l + nb.l, "-": na.l - nb.l, "*": na.l * nb.l}[op]
+        return _num(d, na.isint & nb.isint, lng)
+    if op == "/":
+        # jq/Python: true division, always float (interpreter errors on /0;
+        # compiled yields null — lenient)
+        return _num(F.when(nb.d != 0, na.d / nb.d), F.lit(False))
+    if op == "%":
+        # interpreter: int(math.fmod(int(x), int(y))) — C-truncated mod,
+        # which is exactly Spark's % on longs
+        lng = F.when(nb.l != 0, na.l % nb.l)
+        return _num(lng.cast("double"), F.lit(True), lng)
+    raise JqCompileError(f"unsupported operator {op}")
+
+
+# ---------------------------------------------------------------------------
+# parser (subset) → AST tuples
+# ---------------------------------------------------------------------------
+
+
+class _SubsetParser:
+    """Recursive descent over the shared tokenizer; anything outside the
+    compilable grammar raises JqCompileError (→ interpreter fallback)."""
+
+    def __init__(self, src: str):
+        self.toks = _tokenize(src)
+        self.i = 0
+
+    def peek(self, k=0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        if t[0] != "eof":
+            self.i += 1
+        return t
+
+    def expect(self, val):
+        t = self.next()
+        if t[1] != val:
+            raise JqCompileError(f"expected {val!r}, got {t[1]!r}")
+
+    def parse(self):
+        node = self.pipe()
+        if self.peek()[0] != "eof":
+            raise JqCompileError(f"trailing input {self.peek()[1]!r}")
+        return node
+
+    def pipe(self):
+        stages = [self.alt()]
+        while self.peek()[1] == "|":
+            self.next()
+            stages.append(self.alt())
+        return ("pipe", stages) if len(stages) > 1 else stages[0]
+
+    def alt(self):
+        node = self.or_()
+        while self.peek()[1] == "//":
+            self.next()
+            node = ("alt", node, self.or_())
+        return node
+
+    def or_(self):
+        node = self.and_()
+        while self.peek()[1] in ("or",):
+            self.next()
+            node = ("or", node, self.and_())
+        return node
+
+    def and_(self):
+        node = self.cmp()
+        while self.peek()[1] in ("and",):
+            self.next()
+            node = ("and", node, self.cmp())
+        return node
+
+    def cmp(self):
+        node = self.add()
+        if self.peek()[1] in ("==", "!=", "<", "<=", ">", ">="):
+            op = self.next()[1]
+            node = ("cmp", op, node, self.add())
+        return node
+
+    def add(self):
+        node = self.mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            node = ("arith", op, node, self.mul())
+        return node
+
+    def mul(self):
+        node = self.unary()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            node = ("arith", op, node, self.unary())
+        return node
+
+    def unary(self):
+        if self.peek()[1] == "-":
+            self.next()
+            return ("neg", self.postfix())
+        return self.postfix()
+
+    def postfix(self):
+        node = self.primary()
+        while True:
+            t = self.peek()
+            if t[0] == "field":
+                self.next()
+                node = ("field", node, t[1][1:])
+            elif t[1] == "[":
+                self.next()
+                idx = self.next()
+                if idx[0] == "number" and self.peek()[1] == "]":
+                    self.next()
+                    node = ("index", node, int(idx[1]))
+                elif idx[0] == "string" and self.peek()[1] == "]":
+                    self.next()
+                    node = ("field", node, json.loads(idx[1]))
+                else:
+                    raise JqCompileError("only literal [int] / [\"key\"] indexing compiles")
+            elif t[1] == "?":
+                self.next()  # navigation is already null-safe columnar
+            else:
+                return node
+
+    def primary(self):
+        kind, val = self.peek()
+        if kind == "field":
+            self.next()
+            return ("field", ("identity",), val[1:])
+        if val == ".":
+            self.next()
+            if self.peek()[1] == "[":  # .[0] / .["k"] handled by postfix
+                node = ("identity",)
+                return node
+            return ("identity",)
+        if kind == "number":
+            self.next()
+            return ("lit_num", float(val), "." not in val)
+        if kind == "string":
+            self.next()
+            s = json.loads(val)
+            if "\\(" in val:
+                raise JqCompileError("string interpolation not compiled")
+            return ("lit_str", s)
+        if val == "(":
+            self.next()
+            node = self.pipe()
+            self.expect(")")
+            return node
+        if val == "[":
+            self.next()
+            items = []
+            if self.peek()[1] != "]":
+                items.append(self.alt())
+                while self.peek()[1] == ",":
+                    self.next()
+                    items.append(self.alt())
+            self.expect("]")
+            return ("array", items)
+        if val == "{":
+            self.next()
+            pairs = []
+            while self.peek()[1] != "}":
+                kt = self.next()
+                if kt[0] == "ident" or kt[0] == "field":
+                    key = kt[1].lstrip(".")
+                elif kt[0] == "string":
+                    key = json.loads(kt[1])
+                else:
+                    raise JqCompileError(f"object key {kt[1]!r} not compiled")
+                if self.peek()[1] == ":":
+                    self.next()
+                    pairs.append((key, self.alt()))
+                else:  # {k} shorthand
+                    pairs.append((key, ("field", ("identity",), key)))
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect("}")
+            return ("object", pairs)
+        if kind == "ident":
+            return self.ident_primary()
+        raise JqCompileError(f"token {val!r} not in the compilable subset")
+
+    def ident_primary(self):
+        name = self.next()[1]
+        if name == "true":
+            return ("lit_bool", True)
+        if name == "false":
+            return ("lit_bool", False)
+        if name == "null":
+            return ("lit_null",)
+        if name == "if":
+            cond = self.pipe()
+            self.expect("then")
+            then = self.pipe()
+            elifs = []
+            while self.peek()[1] == "elif":
+                self.next()
+                c = self.pipe()
+                self.expect("then")
+                elifs.append((c, self.pipe()))
+            orelse = ("identity",)
+            if self.peek()[1] == "else":
+                self.next()
+                orelse = self.pipe()
+            self.expect("end")
+            return ("if", cond, then, elifs, orelse)
+        if name in ("select", "map"):
+            self.expect("(")
+            arg = self.pipe()
+            self.expect(")")
+            return (name, arg)
+        if name in ("floor", "ceil", "tostring", "tonumber", "not"):
+            return ("call0", name)
+        raise JqCompileError(f"function {name!r} not compiled")
+
+
+# ---------------------------------------------------------------------------
+# AST → (keep predicate, CV)
+# ---------------------------------------------------------------------------
+
+
+def _compile(node, cur: CV, keep: Optional[Column]):
+    """Returns (keep, CV). `select` stages narrow keep; everything else
+    maps the current value."""
+    tag = node[0]
+    if tag == "identity":
+        return keep, cur
+    if tag == "pipe":
+        for stage in node[1]:
+            keep, cur = _compile(stage, cur, keep)
+        return keep, cur
+    if tag == "select":
+        _, cond = _compile(node[1], cur, None)
+        c = _truthy(cond)
+        return (c if keep is None else (keep & c)), cur
+    if tag == "field":
+        keep, base = _compile(node[1], cur, keep)
+        name = node[2]
+        if base.kind != "variant":
+            raise JqCompileError(f"cannot index {base.kind}")
+        if _IDENT_PATH.match(name):
+            seg = "." + name
+        else:
+            esc = name.replace("\\", "\\\\").replace('"', '\\"')
+            seg = f'["{esc}"]'
+        if base.col is not None:
+            return keep, CV.variant(base.col, "$" + seg)
+        return keep, CV.variant(base.base, base.path + seg)
+    if tag == "index":
+        keep, base = _compile(node[1], cur, keep)
+        if base.kind != "variant":
+            raise JqCompileError(f"cannot index {base.kind}")
+        if node[2] < 0:
+            raise JqCompileError("negative indices not compiled")
+        seg = f"[{node[2]}]"
+        if base.col is not None:
+            return keep, CV.variant(base.col, "$" + seg)
+        return keep, CV.variant(base.base, base.path + seg)
+    if tag == "lit_num":
+        return keep, _num(F.lit(node[1]), F.lit(node[2]), F.lit(int(node[1])))
+    if tag == "lit_str":
+        return keep, CV("str", col=F.lit(node[1]))
+    if tag == "lit_bool":
+        return keep, CV("bool", col=F.lit(node[1]))
+    if tag == "lit_null":
+        return keep, CV("null")
+    if tag == "neg":
+        _, v = _compile(node[1], cur, None)
+        n = _as_num(v)
+        return keep, _num(-n.d, n.isint, -n.l)
+    if tag == "arith":
+        _, a = _compile(node[2], cur, None)
+        _, b = _compile(node[3], cur, None)
+        return keep, _arith(a, b, node[1])
+    if tag == "cmp":
+        _, a = _compile(node[2], cur, None)
+        _, b = _compile(node[3], cur, None)
+        return keep, _compare(a, b, node[1])
+    if tag == "and":
+        _, a = _compile(node[1], cur, None)
+        _, b = _compile(node[2], cur, None)
+        return keep, CV("bool", col=_truthy(a) & _truthy(b))
+    if tag == "or":
+        _, a = _compile(node[1], cur, None)
+        _, b = _compile(node[2], cur, None)
+        return keep, CV("bool", col=_truthy(a) | _truthy(b))
+    if tag == "alt":
+        _, a = _compile(node[1], cur, None)
+        _, b = _compile(node[2], cur, None)
+        return keep, CV("json", col=F.when(_truthy(a), _render(a)).otherwise(_render(b)))
+    if tag == "if":
+        _, c = _compile(node[1], cur, None)
+        _, t = _compile(node[2], cur, None)
+        expr = F.when(_truthy(c), _render(t))
+        for ec, et in node[3]:
+            _, cc = _compile(ec, cur, None)
+            _, tt = _compile(et, cur, None)
+            expr = expr.when(_truthy(cc), _render(tt))
+        _, e = _compile(node[4], cur, None)
+        return keep, CV("json", col=expr.otherwise(_render(e)))
+    if tag == "array":
+        parts = [F.lit("[")]
+        for i, item in enumerate(node[1]):
+            if i:
+                parts.append(F.lit(","))
+            _, v = _compile(item, cur, None)
+            parts.append(_render(v))
+        parts.append(F.lit("]"))
+        return keep, CV("json", col=F.concat(*parts))
+    if tag == "object":
+        parts = [F.lit("{")]
+        for i, (key, vnode) in enumerate(node[1]):
+            if i:
+                parts.append(F.lit(","))
+            parts.append(F.lit(json.dumps(key, ensure_ascii=False) + ":"))
+            _, v = _compile(vnode, cur, None)
+            parts.append(_render(v))
+        parts.append(F.lit("}"))
+        return keep, CV("json", col=F.concat(*parts))
+    if tag == "map":
+        if cur.kind != "variant":
+            raise JqCompileError("map over non-variant")
+        arr = F.try_variant_get(cur.vcol(), "$", "array<variant>")
+        fnode = node[1]
+
+        def body(elem):
+            _, v = _compile(fnode, CV.variant(elem), None)
+            return _render(v)
+
+        rendered = F.concat(F.lit("["), F.array_join(F.transform(arr, body), ","), F.lit("]"))
+        return keep, CV("json", col=F.when(arr.isNotNull(), rendered))
+    if tag == "call0":
+        name = node[1]
+        if name in ("floor", "ceil"):
+            n = _as_num(cur)
+            fn = F.floor if name == "floor" else F.ceil
+            # already-int inputs keep the exact long lane
+            lng = F.when(n.isint, n.l).otherwise(fn(n.d).cast("long"))
+            return keep, _num(F.when(n.isint, n.d).otherwise(fn(n.d).cast("double")), F.lit(True), lng)
+        if name == "tostring":
+            if cur.kind == "str":
+                return keep, cur
+            if cur.kind == "variant":
+                js = F.to_json(cur.vcol())
+                s = F.when(js.startswith('"'), F.try_variant_get(cur.vcol(), "$", "string")).otherwise(js)
+                return keep, CV("str", col=s)
+            return keep, CV("str", col=_render(cur))
+        if name == "tonumber":
+            if cur.kind == "num":
+                return keep, cur
+            if cur.kind == "str":
+                return keep, _num(F.try_cast(cur.col, "double"), cur.col.rlike(_INT_LEXEME), F.try_cast(cur.col, "bigint"))
+            n = _as_num(cur)
+            return keep, n
+        if name == "not":
+            return keep, CV("bool", col=~_truthy(cur))
+    raise JqCompileError(f"node {tag!r} not compiled")
+
+
+class CompiledJq:
+    """A jq program compiled to Column expressions over one variant input."""
+
+    def __init__(self, src: str):
+        self.ast = _SubsetParser(src).parse()
+
+    def apply(self, variant_col: Column) -> tuple[Optional[Column], Column]:
+        """(keep predicate or None, rendered compact-JSON output column)."""
+        keep, out = _compile(self.ast, CV.variant(variant_col), None)
+        return keep, _render(out)
+
+
+def try_compile(src: str) -> Optional[CompiledJq]:
+    try:
+        return CompiledJq(src)
+    except JqError:
+        return None

@@ -518,7 +518,11 @@ def _mk_binop(a, b, op):
         if op == "%":
             if y == 0:
                 raise JqError("division by zero")
-            return int(math.fmod(int(x), int(y)))
+            # C-truncated integer mod (gojq), exact — math.fmod would
+            # round the operands through float64 first
+            xi, yi = int(x), int(y)
+            r = abs(xi) % abs(yi)
+            return -r if xi < 0 else r
         raise JqError(f"unknown op {op}")
 
     def fn(v, env):
@@ -836,8 +840,24 @@ class JqProcessor:
     query: str
     col: str = "value"
     out_col: Optional[str] = None  # defaults to col (replace in place)
+    columnar: bool = True  # compile the common subset to Column exprs
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        if self.columnar:
+            from benthos_spark.functions.jq_columnar import try_compile
+
+            compiled = try_compile(self.query)
+            if compiled is not None:
+                v = F.parse_json(F.col(self.col).cast("string"))
+                keep, rendered = compiled.apply(v)
+                out = df if keep is None else df.filter(keep)
+                out_col = self.out_col or self.col
+                out = out.withColumn(out_col, rendered)
+                # the interpreter path replaces the input column
+                return out.drop(self.col) if out_col != self.col else out
+        return self._interpret(df)
+
+    def _interpret(self, df: DataFrame) -> DataFrame:
         import pandas as pd
 
         src = self.query
@@ -861,7 +881,9 @@ class JqProcessor:
                         continue  # no value -> message filtered
                     result = outs[0] if len(outs) == 1 else outs
                     row = {c: pdf[c].iloc[i] for c in keep_cols}
-                    row[out_col] = json.dumps(result, separators=(",", ":"))
+                    # ensure_ascii=False to match the columnar renderer
+                    # (Spark to_json emits raw UTF-8, not \uXXXX escapes)
+                    row[out_col] = json.dumps(result, separators=(",", ":"), ensure_ascii=False)
                     rows.append(row)
                 yield pd.DataFrame(rows) if rows else pd.DataFrame({c: [] for c in out_fields})
 

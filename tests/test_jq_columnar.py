@@ -1,0 +1,174 @@
+"""Dual-backend conformance for the jq→columnar compiler: every program
+in the compilable subset must produce byte-identical output (and
+identical row-keep decisions) through the Column path and the per-row
+interpreter, over a corpus of varied documents."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from benthos_spark.functions.jq_columnar import JqCompileError, try_compile
+from benthos_spark.functions.jq_program import JqProcessor, JqProgram
+
+DOCS = [
+    {"k": 7, "name": "alpha", "tags": ["a", "b"], "meta": {"depth": 2, "ok": True}},
+    {"k": 52, "name": "beta", "tags": [], "meta": {"depth": 0, "ok": False}},
+    {"k": 0, "name": "", "tags": ["x"], "meta": {"depth": -3, "ok": True}},
+    {"k": -13, "name": "Gamma δelta", "tags": ["q", "r", "s"], "meta": {"depth": 11, "ok": False}},
+    {"k": 2.5, "name": "float-k", "tags": ["z"], "meta": {"depth": 1, "ok": True}},
+    {"name": "no-k at all", "tags": ["t"], "meta": {"depth": 4, "ok": True}},
+    {"k": 100, "name": 'quote"inside', "tags": ["a"], "meta": {"depth": 7, "ok": False}},
+    {"k": 31, "name": None, "tags": None, "meta": {}},
+    {"k": 9007199254740993, "name": "big", "tags": ["big"], "meta": {"depth": 5, "ok": True}},
+]
+
+# Programs inside the compilable subset: interpreter is the truth bar.
+PROGRAMS = [
+    ".",
+    ".k",
+    ".name",
+    ".meta.depth",
+    ".meta.ok",
+    ".missing",
+    ".missing.deeper",
+    ".tags[0]",
+    ".tags[2]",
+    "{k: .k}",
+    '{"key with space": .k, n: .name}',
+    "{k: .k, d: .meta.depth, both: (.k != null and .meta.ok)}",
+    "select(.k != null)",
+    "select(.k != null) | {k: .k, dbl: (.k * 2), hi: (.k >= 50)}",
+    "select(.meta.ok) | .name",
+    "select(.k != null) | .k + 1",
+    "select(.k != null) | .k - 10",
+    "select(.k != null) | .k % 7",
+    "select(.k != null) | -.k",
+    "select(.k != null) | if .k >= 50 then \"high\" else \"low\" end",
+    "if .meta.ok then 1 else 0 end",
+    "if .k == null then \"none\" elif .k > 10 then \"big\" else \"small\" end",
+    ".k == 7",
+    ".k != 7",
+    ".name == \"beta\"",
+    ".k > 10 or .meta.ok",
+    ".k > 10 and .k < 60",
+    ".k // 42",
+    ".name // \"anon\"",
+    "[.k, .name]",
+    "[]",
+    "{}",
+    "map(.) ",
+    # map over the tags array
+    ".tags | map(.)",
+    "select(.k != null) | .k | floor",
+    "select(.k != null) | .k | ceil",
+    "select(.k != null) | .k | tostring",
+    ".name | tostring",
+    ".meta.ok | not",
+    "null",
+    "true",
+    '"literal"',
+    "3.5",
+    "12",
+]
+
+# outside the subset — must fall back, not mis-compile
+FALLBACK_PROGRAMS = [
+    ".[]",
+    ".tags[]",
+    "reduce .[] as $x (0; . + $x)",
+    ".k as $v | $v",
+    "to_entries",
+    "..|numbers",
+    ".tags | length",
+    "$metadata.topic",
+    ".a, .b",
+]
+
+
+@pytest.mark.parametrize("prog", FALLBACK_PROGRAMS)
+def test_outside_subset_falls_back(prog):
+    assert try_compile(prog) is None
+
+
+def test_subset_compiles():
+    for prog in PROGRAMS:
+        assert try_compile(prog) is not None, prog
+
+
+def _interp_rows(prog, docs):
+    p = JqProgram(prog)
+    out = {}
+    for i, doc in enumerate(docs):
+        try:
+            res = p.run(doc)
+        except Exception:
+            out[i] = "<error>"
+            continue
+        if not res:
+            out[i] = None  # filtered
+        else:
+            r = res[0] if len(res) == 1 else res
+            out[i] = json.dumps(r, separators=(",", ":"), ensure_ascii=False)
+    return out
+
+
+def test_dual_backend_conformance(spark):
+    rows = [(i, json.dumps(d)) for i, d in enumerate(DOCS)]
+    df = spark.createDataFrame(rows, "i int, value string")
+    mismatches = []
+    for prog in PROGRAMS:
+        expect = _interp_rows(prog, DOCS)
+        got_rows = JqProcessor(prog)(df).collect()
+        got = {r["i"]: r["value"] for r in got_rows}
+        for i in range(len(DOCS)):
+            e = expect.get(i)
+            if e == "<error>":
+                continue  # interpreter errors; columnar is lenient (documented)
+            g = got.get(i)
+            if not _json_equal(e, g):
+                mismatches.append((prog, i, e, g))
+    assert not mismatches, mismatches[:10]
+
+
+def _typed(v):
+    """JSON value with int/float distinction preserved for comparison."""
+    if isinstance(v, bool) or v is None or isinstance(v, str):
+        return v
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        return ("float", v)
+    if isinstance(v, list):
+        return [_typed(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _typed(x) for k, x in v.items()}
+    return v
+
+
+def _json_equal(e, g):
+    """Byte equality, else JSON-value equality (variant to_json emits
+    object keys sorted; the interpreter preserves input order — JSON-
+    equivalent, and the int/float distinction must still hold)."""
+    if e == g:
+        return True
+    if e is None or g is None:
+        return False
+    try:
+        return _typed(json.loads(e)) == _typed(json.loads(g))
+    except Exception:
+        return False
+
+
+def test_columnar_plan_has_no_python_stage(spark):
+    df = spark.createDataFrame([(1, '{"k": 5}')], "i int, value string")
+    out = JqProcessor('select(.k != null) | {k: .k, dbl: (.k * 2)}')(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_interpreter_forced_path_still_works(spark):
+    df = spark.createDataFrame([(1, '{"k": 5}'), (2, '{"k": null}')], "i int, value string")
+    out = JqProcessor('select(.k != null) | {k: .k}', columnar=False)(df).collect()
+    assert len(out) == 1 and out[0]["value"] == '{"k":5}'
