@@ -30,7 +30,7 @@ import threading
 import time
 from collections import OrderedDict
 from dataclasses import dataclass
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -207,12 +207,19 @@ class MultilevelCache(Cache):
 @dataclass
 class CacheGet(Processor):
     """`cache` get-enrichment (processor_cache.go:26): snapshot the cache
-    into a DataFrame and broadcast-join it on ``key_col`` — the scale
-    path for read-mostly lookup (no shuffle of the stream side)."""
+    into a DataFrame and join it on ``key_col``.
+
+    The reference's cache doubles as a corpus-scale dedupe/idempotency
+    store, so an unconditional broadcast is a footgun. ``broadcast``:
+    None (default) hints a broadcast only while the snapshot is small
+    (≤ ``broadcast_max_rows``); beyond that the join is left to
+    Catalyst/AQE. True forces the hint, False forbids it."""
 
     cache: Cache
     key_col: str
     value_col: str = "cache_value"
+    broadcast: Optional[bool] = None
+    broadcast_max_rows: int = 100_000
 
     def __call__(self, df: DataFrame) -> DataFrame:
         items = self.cache.items()  # type: ignore[attr-defined]
@@ -223,7 +230,8 @@ class CacheGet(Processor):
             [(k, json.dumps(v) if not isinstance(v, str) else v) for k, v in items],
             f"{self.key_col} string, {self.value_col} string",
         )
-        return df.join(F.broadcast(snap), on=self.key_col, how="left")
+        hint = self.broadcast if self.broadcast is not None else len(items) <= self.broadcast_max_rows
+        return df.join(F.broadcast(snap) if hint else snap, on=self.key_col, how="left")
 
 
 class CacheWriteSink:

@@ -140,6 +140,12 @@ class SqlSelect(Processor):
 
     ``how='left'`` keeps messages with no match (reference stores an
     empty array); ``prefix`` namespaces the joined columns.
+
+    ``broadcast_dim``: None (default) adds NO hint — Catalyst/AQE picks
+    the join strategy from the scanned size, so pointing this at a
+    billion-row table shuffles instead of OOMing the driver. True forces
+    a broadcast (only for tables you KNOW are dim-sized); False forbids
+    the hint explicitly.
     """
 
     dsn: str
@@ -150,7 +156,7 @@ class SqlSelect(Processor):
     driver: Optional[str] = None
     how: str = "left"
     prefix: str = ""
-    broadcast_dim: bool = True
+    broadcast_dim: Optional[bool] = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
         spark = df.sparkSession
@@ -167,7 +173,7 @@ class SqlSelect(Processor):
             alias = out_cols.get(db_col, db_col)
             c = df[stream_col] == dim[alias]
             cond = c if cond is None else (cond & c)
-        dim_j = F.broadcast(dim) if self.broadcast_dim else dim
+        dim_j = F.broadcast(dim) if self.broadcast_dim is True else dim
         joined = df.join(dim_j, cond, self.how)
         # drop duplicated join-key columns from the dim side
         for stream_col, db_col in self.args_mapping.items():

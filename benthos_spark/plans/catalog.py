@@ -904,12 +904,22 @@ def embedding_cosine_topk(spark, sf_dir):
     WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_NEARDUP_COS}
     """,
 )
-def embedding_neardup_pairs(spark, sf_dir):
+def embedding_neardup_pairs(spark, sf_dir, max_rows: int = 200_000):
     """Embedding-cosine near-dup pairs at cos ≥ {_NEARDUP_COS}. At scale
     this is the verify stage behind an LSH/IVF candidate filter (see
     embedding_ann_lsh_topk); exact all-pairs here is the sf-small oracle
-    path."""
+    path. GUARDRAIL: refuses above `max_rows` input rows — at corpus
+    scale the O(n²) cartesian is never the right plan; use the
+    registered scale path `embedding_neardup_lsh_pairs`."""
     emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is an exact O(n²) baseline and refuses "
+            f"{n} rows (> max_rows={max_rows}); use embedding_neardup_lsh_pairs "
+            f"(banded sign-LSH + exact verify) at this scale, or raise max_rows "
+            f"explicitly if you really mean it"
+        )
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     # Plain (cartesian) join — partition×partition, no driver-sized
@@ -2013,6 +2023,7 @@ def sql_select_enrich_customers(spark, sf_dir):
         columns=["N_NAME"],
         args_mapping={"c_nationkey": "N_NATIONKEY"},
         how="inner",
+        broadcast_dim=True,  # 25-row nation dim — known bounded
     )(c)
     return enriched.groupBy(F.col("N_NAME").alias("nation")).agg(
         F.count(F.lit(1)).alias("n_customers"),

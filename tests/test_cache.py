@@ -102,3 +102,30 @@ def test_cache_get_empty_cache_no_phantom(spark):
     out = CacheGet(cache, key_col="key", value_col="val")(df)
     got = {r["key"]: r["val"] for r in out.collect()}
     assert got == {"": None, "alpha": None}
+
+
+def test_cache_get_large_snapshot_not_broadcast(spark):
+    """Auto mode must stop hinting a broadcast once the snapshot exceeds
+    the row threshold — the reference's cache doubles as a corpus-scale
+    dedupe store."""
+    from benthos_spark.operators.cache import CacheGet, MemoryCache
+
+    cache = MemoryCache()
+    for i in range(50):
+        cache.set(f"k{i}", f"v{i}")
+    df = spark.createDataFrame([(f"k{i}",) for i in range(5)], "key string")
+    # tiny snapshot: hinted
+    plan = CacheGet(cache, key_col="key")(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # same snapshot with a tiny threshold: no hint
+    plan2 = (
+        CacheGet(cache, key_col="key", broadcast_max_rows=10)(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan2
+    # explicit override wins either way
+    plan3 = (
+        CacheGet(cache, key_col="key", broadcast=False)(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan3

@@ -81,3 +81,14 @@ def test_partitioned_exactly_once_sink(spark, tmp_path):
     plan = _plan(out.filter(F.col("codec") == "wav"))
     assert "PartitionFilters: [isnotnull(codec" in plan
     assert out.filter(F.col("codec") == "wav").count() > 0
+
+
+def test_embedding_neardup_pairs_refuses_at_scale(spark, monkeypatch):
+    """The O(n^2) exact baseline must refuse corpus-scale inputs and
+    point at the LSH scale path."""
+    import pytest as _pytest
+
+    from benthos_spark.plans import catalog
+
+    with _pytest.raises(ValueError, match="neardup_lsh"):
+        catalog.embedding_neardup_pairs(spark, "/root/testdata/sf0.01", max_rows=10)

@@ -78,12 +78,48 @@ def test_sql_select_processor_enrichment(spark, derby_dsn):
 
 
 def test_sql_select_processor_plan_is_broadcast(spark, derby_dsn):
+    """broadcast_dim=True (a table the user KNOWS is dim-sized) forces
+    the broadcast hint."""
+    stream = spark.createDataFrame([("o1", 1)], "order_id string, tier int")
+    proc = SqlSelect(
+        dsn=derby_dsn, table="tiers", columns=["TIER_NAME"],
+        args_mapping={"tier": "TIER_ID"}, broadcast_dim=True,
+    )
+    plan = proc(stream)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sql_select_default_does_not_force_broadcast(spark, derby_dsn):
+    """Default (None): no hint — a JDBC scan has unknown/huge size stats,
+    so Catalyst must NOT plan a broadcast of the remote table (pointing
+    the processor at a billion-row table would otherwise OOM the
+    driver)."""
     stream = spark.createDataFrame([("o1", 1)], "order_id string, tier int")
     proc = SqlSelect(
         dsn=derby_dsn, table="tiers", columns=["TIER_NAME"], args_mapping={"tier": "TIER_ID"}
     )
     plan = proc(stream)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the STREAM side may be broadcast (it is tiny here); the dim scan
+    # (JDBCRelation) must not sit under a BroadcastExchange subtree
+    lines = plan.splitlines()
+
+    def node_depth(line):
+        m = line.find("+- ")
+        m2 = line.find(":- ")
+        cands = [x for x in (m, m2) if x >= 0]
+        return min(cands) if cands else (-1 if not line.strip() else 0)
+
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = node_depth(line)
+        for nxt in lines[i + 1:]:
+            nd = node_depth(nxt)
+            if 0 <= nd <= d:
+                break  # subtree ended
+            assert "JDBCRelation" not in nxt, (
+                "remote table broadcast by default:\n" + plan
+            )
 
 
 def test_sql_insert_append_and_readback(spark, derby_dsn):
