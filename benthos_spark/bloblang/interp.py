@@ -732,6 +732,33 @@ def _call_function(name, args, named, scope: Scope):
     if name == "file":
         with open(_as_string(args[0]), "rb") as f:
             return f.read()
+    if name == "fake":
+        # internal/impl/lang/bloblang.go:79 embeds gofakeit; this engine
+        # substitutes DETERMINISTIC per-call sequences (same types, no
+        # randomness — seeded pipelines must replay exactly)
+        ftype = _as_string(args[0]) if args else ""
+        counts = _COUNTERS.setdefault(f"__fake_{ftype}", [0])
+        counts[0] += 1
+        i = counts[0]
+        fakes = {
+            "email": lambda: f"user{i:04d}@example.com",
+            "name": lambda: f"Fake Name {i:04d}",
+            "first_name": lambda: f"First{i:04d}",
+            "last_name": lambda: f"Last{i:04d}",
+            "username": lambda: f"user_{i:04d}",
+            "uuid_hyphenated": lambda: f"00000000-0000-4000-8000-{i:012d}",
+            "uuid_digit": lambda: f"00000000000040008000{i:012d}",
+            "phone": lambda: f"+1555{i:07d}",
+            "url": lambda: f"https://example.com/page/{i}",
+            "ipv4_address": lambda: f"10.{(i >> 16) & 255}.{(i >> 8) & 255}.{i & 255}",
+            "time_string": lambda: f"{i % 24:02d}:{(i * 7) % 60:02d}",
+            "year_string": lambda: str(2000 + (i % 50)),
+            "month_string": lambda: f"{1 + (i % 12):02d}",
+            "day_string": lambda: f"{1 + (i % 28):02d}",
+        }
+        if ftype in fakes:
+            return fakes[ftype]()
+        return f"fake-{ftype or 'string'}-{i:06d}"
     raise BloblangError(f"unrecognised function {name!r}")
 
 
@@ -1332,6 +1359,13 @@ _METHODS = {
     "contains": _m_contains,
     "lines": lambda v: _as_string(v).split("\n"),
     "parse_json": lambda v, use_number=False: json.loads(_as_string(v)),
+    # impl/msgpack/processor.go + bloblang methods: pure-python codec
+    "parse_msgpack": lambda v: __import__(
+        "benthos_spark.functions.msgpack", fromlist=["unpackb"]
+    ).unpackb(v if isinstance(v, (bytes, bytearray)) else _as_string(v).encode("latin-1")),
+    "format_msgpack": lambda v: __import__(
+        "benthos_spark.functions.msgpack", fromlist=["packb"]
+    ).packb(v),
     "format_json": lambda v, indent="    ", no_indent=False: (
         json.dumps(v, separators=(",", ":"), ensure_ascii=False, default=_json_default)
         if no_indent

@@ -561,3 +561,27 @@ def test_password_compare_methods_gated():
 
     out = run('root.r = this.h.compare_bcrypt("pw").catch("gated")', {"h": "$2a$x"})
     assert out == {"r": "gated"}
+
+
+def test_parse_format_msgpack_methods():
+    """interp-tier msgpack methods (impl/msgpack bloblang plugins) ride
+    the pure-python codec; roundtrip through both."""
+    from benthos_spark.bloblang.interp import Executor
+
+    doc = {"v": {"a": 1, "b": [1, 2.5, "x"], "c": None, "ok": True}}
+    packed, _ = Executor("root = this.v.format_msgpack()").map_part(doc)
+    assert isinstance(packed, bytes)
+    out, _ = Executor("root = this.format_msgpack().parse_msgpack()").map_part(doc["v"])
+    assert out == doc["v"]
+
+
+def test_fake_is_deterministic_per_sequence():
+    from benthos_spark.bloblang.interp import Executor, _COUNTERS
+
+    for k in [k for k in _COUNTERS if k.startswith("__fake_")]:
+        del _COUNTERS[k]
+    out1, _ = Executor('root = fake("email")').map_part({})
+    out2, _ = Executor('root = fake("email")').map_part({})
+    assert out1 == "user0001@example.com" and out2 == "user0002@example.com"
+    uu, _ = Executor('root = fake("uuid_hyphenated")').map_part({})
+    assert len(uu) == 36 and uu.count("-") == 4
