@@ -320,8 +320,15 @@ def _c_match(node: A.MatchExpr, env: _Env):
             cond = F.lit(True)
         elif isinstance(case, A.Lit):
             if ctx is None:
-                raise UnsupportedBloblang("literal match case without target")
-            cond = ctx == F.lit(case.value)
+                # targetless match at mapping top level: the context is
+                # the whole row object, which never equals a scalar
+                # literal (ref query_expression_parser.go:78-132 — case
+                # literals compare against the context value)
+                if isinstance(case.value, (dict, list)):
+                    raise UnsupportedBloblang("container literal match case")
+                cond = F.lit(False)
+            else:
+                cond = ctx == F.lit(case.value)
         else:
             cond = _compile(case, sub_env)
         out = F.when(cond, res) if out is None else out.when(cond, res)
@@ -699,28 +706,61 @@ def _apply_map_col(map_name: str, target: Column, env: _Env):
     if stmts is None:
         raise UnsupportedBloblang(f"map {map_name!r} not found")
     sub = env.child(contexts=dict(env.contexts), vars=dict(env.vars), this_col=target)
-    fields: dict[str, Column] = {}
+    # nested assignment tree: name -> Column | subtree (insertion-ordered,
+    # later assignments to the same path replace)
+    tree: dict = {}
     single: Optional[Column] = None
+
+    def _set(path, col):
+        node = tree
+        for seg in path[:-1]:
+            nxt = node.get(str(seg))
+            if not isinstance(nxt, dict):
+                if nxt is not None and isinstance(nxt, Column):
+                    # writing under a previously-assigned scalar: patch
+                    # the struct column field-by-field
+                    raise UnsupportedBloblang("sub-path write into an expression value")
+                nxt = {}
+                node[str(seg)] = nxt
+            node = nxt
+        node[str(path[-1])] = col
+
+    def _del(path):
+        node = tree
+        for seg in path[:-1]:
+            node = node.get(str(seg))
+            if not isinstance(node, dict):
+                return  # nothing assigned there: deletion is a no-op
+        node.pop(str(path[-1]), None)
+
     for stmt in stmts:
         if stmt.kind == "var":
             sub.vars[stmt.path[0]] = _compile(stmt.expr, sub)
             continue
         c = _compile(stmt.expr, sub)
         if c is _DELETED:
-            fields.pop(stmt.path[0] if stmt.path else "", None)
+            if stmt.path:
+                _del(stmt.path)
             continue
         if not stmt.path:
             single = c
-            fields.clear()
-        elif len(stmt.path) == 1:
-            fields[str(stmt.path[0])] = c
-            single = None
+            tree.clear()
         else:
-            raise UnsupportedBloblang("nested path in map")
+            _set(stmt.path, c)
+            single = None
+
+    def _build(node: dict) -> Column:
+        return F.struct(
+            *[
+                (_build(v) if isinstance(v, dict) else v).alias(k)
+                for k, v in node.items()
+            ]
+        )
+
     if single is not None:
         return single
-    if fields:
-        return F.struct(*[c.alias(k) for k, c in fields.items()])
+    if tree:
+        return _build(tree)
     raise UnsupportedBloblang(f"map {map_name!r} produced no assignments")
 
 

@@ -585,3 +585,61 @@ def test_fake_is_deterministic_per_sequence():
     assert out1 == "user0001@example.com" and out2 == "user0002@example.com"
     uu, _ = Executor('root = fake("uuid_hyphenated")').map_part({})
     assert len(uu) == 36 and uu.count("-") == 4
+
+
+def test_column_tier_named_map_nested_paths(df):
+    """Named `map` bodies with nested assignment paths compile to nested
+    structs in the Column tier (ref mapping_parser.go:189-305) — no
+    Arrow fallback."""
+    src = """
+map shape {
+  root.meta.orig = this.name
+  root.meta.len = this.name.length()
+  root.score2 = this.score * 2
+}
+root.out = this.apply("shape")
+"""
+    proc = BloblangMapping(src)
+    plan = proc(df)._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "Python" not in plan
+    rows = {r["out"]["meta"]["orig"]: r["out"] for r in proc(df).collect()}
+    assert rows["alpha"]["meta"]["len"] == 5
+    assert rows["beta"]["score2"] == 40.0
+
+
+def test_column_tier_named_map_nested_delete(df):
+    src = """
+map shape {
+  root.a.keep = this.id
+  root.a.drop = this.id * 10
+  root.a.drop = deleted()
+}
+root.out = this.apply("shape")
+"""
+    out = BloblangMapping(src)(df).collect()[0]["out"]
+    assert out["a"].asDict() == {"keep": out["a"]["keep"]}
+
+
+def test_column_tier_literal_match_without_target(df):
+    """A targetless match at mapping top level compares case literals
+    against the whole row object — never equal to a scalar literal, so
+    only predicate/default cases can fire; it must compile, not fall
+    back (ref query_expression_parser.go:78-132)."""
+    proc = BloblangMapping(
+        'root.label = match { "alpha" => "A", this.score > 15 => "hi", _ => "lo" }'
+    )
+    plan = proc(df)._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "Python" not in plan
+    assert {r["label"] for r in proc(df).collect()} == {"hi", "lo"}
+
+
+def test_interp_literal_match_without_target_scalar_context():
+    """In a scalar context the same targetless form matches literals —
+    interpreter parity check for the semantics the Column tier encodes."""
+    from benthos_spark.bloblang.interp import Executor
+
+    out, _ = Executor(
+        'map m { root = match { "F" => "done", _ => "other" } }\n'
+        'root.state = this.status.apply("m")'
+    ).map_part({"status": "F"})
+    assert out == {"state": "done"}
