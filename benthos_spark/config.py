@@ -154,6 +154,16 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
         from benthos_spark.operators.sql import SqlRawSource
 
         return SqlRawSource(dsn=conf["dsn"], query=conf["query"], driver=conf.get("driver"))
+    if name == "changelog":
+        from benthos_spark.operators.cdc import ChangelogFileSource
+
+        return ChangelogFileSource(
+            path=conf["path"],
+            row_schema=conf["row_schema"],
+            envelope=conf.get("envelope", True),
+            streaming=conf.get("streaming", False),
+            max_files_per_trigger=conf.get("max_files_per_trigger"),
+        )
     if name == "batched":
         if conf.get("policy", {}).get("check"):
             raise ConfigError(
@@ -179,7 +189,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             ),
         )
     raise ConfigError(
-        f"unknown input {name!r}; known: parquet, csv, file, generate, batched, "
+        f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, "
         "sql_select, sql_raw, resource"
     )
 
@@ -337,6 +347,15 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
                               value_col=conf.get("value_col", "value"))
     if name == "exactly_once":
         return ExactlyOnceParquetSink(conf["dir"], lineage_cols=tuple(conf.get("lineage", [])))
+    if name == "merge_apply":
+        from benthos_spark.operators.cdc import MergeApplySink
+
+        return MergeApplySink(
+            out_dir=conf["dir"],
+            pk_cols=conf["pk"],
+            order_col=conf.get("order_col", "lsn"),
+            n_buckets=conf.get("n_buckets", 16),
+        )
     if name == "drop":
         return R.DropSink()
     if name == "fan_out":
@@ -372,7 +391,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             driver=conf.get("driver"),
         )
     raise ConfigError(
-        f"unknown output {name!r}; known: exactly_once, drop, fan_out, switch, fallback, "
+        f"unknown output {name!r}; known: exactly_once, merge_apply, drop, fan_out, switch, fallback, "
         "round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, resource"
     )
 

@@ -1,0 +1,314 @@
+"""CDC: changelog source + exactly-once MERGE-apply sink.
+
+The usedatabrew fork's headline feature is ``pg_stream`` — logical-
+replication CDC from Postgres into the pipeline
+(/root/reference/internal/impl/postgres_cdc/input.go:184): snapshot +
+WAL changes arrive as per-row change events (insert/update/delete)
+ordered by LSN. This module re-expresses that Spark-first, with no
+database dependency:
+
+- :class:`ChangelogFileSource` reads Debezium-format JSON change events
+  (the wire format CDC tools emit) from files, batch or streaming —
+  columns ``(op, lsn, ts_ms, before, after)`` with typed row structs.
+- :class:`MergeApplySink` is a ``foreachBatch`` MERGE: upsert/delete by
+  primary key, ordered by LSN, onto a bucket-partitioned copy-on-write
+  state table with an atomic snapshot-manifest commit per micro-batch.
+
+Scale design (the part that must survive 100 TB):
+
+- state is hash-bucketed by PK into ``n_buckets`` directories; a batch
+  rewrites ONLY the buckets its changes touch (like Hudi copy-on-write
+  upsert / an Iceberg MERGE with bucket partitioning), the manifest
+  carries unaffected buckets forward by reference;
+- each change batch collapses to ONE latest event per PK (window by
+  LSN) before touching state, so the rewrite is bounded by live keys,
+  not event volume;
+- rows keep their applying LSN in ``_order``: a redelivered or
+  out-of-order event with a lower LSN can never overwrite a newer row
+  (idempotent under at-least-once redelivery, exactly-once under the
+  ledger protocol shared with sinks/exactly_once.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ORDER_COL = "_order"
+BUCKET_COL = "_bucket"
+DELETED_COL = "_deleted"
+
+
+# ---------------------------------------------------------------------------
+# changelog source
+# ---------------------------------------------------------------------------
+
+
+def debezium_schema(row_schema: str) -> str:
+    """DDL for the Debezium envelope around a row schema (the JSON shape
+    pg_stream/Debezium emit: payload.{before,after,op,ts_ms,source.lsn})."""
+    return (
+        "payload struct<"
+        f"before struct<{row_schema}>, after struct<{row_schema}>, "
+        "op string, ts_ms long, "
+        "source struct<lsn long, table string>>"
+    )
+
+
+@dataclass
+class ChangelogFileSource:
+    """Debezium-format JSON changelog files → ``(op, lsn, ts_ms, before,
+    after)``. ``envelope=False`` accepts the flattened shape (op/lsn/
+    ts_ms/before/after at top level). Streaming reads replay files in
+    order (pair with ``max_files_per_trigger`` for kill/resume tests)."""
+
+    path: str
+    row_schema: str  # DDL of the table row, e.g. "id int, name string"
+    envelope: bool = True
+    streaming: bool = False
+    max_files_per_trigger: Optional[int] = None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if self.envelope:
+            schema = debezium_schema(self.row_schema)
+        else:
+            schema = (
+                f"op string, lsn long, ts_ms long, "
+                f"before struct<{self.row_schema}>, after struct<{self.row_schema}>"
+            )
+        reader = spark.readStream if self.streaming else spark.read
+        reader = reader.schema(schema)
+        if self.streaming and self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        df = reader.json(self.path)
+        if self.envelope:
+            p = F.col("payload")
+            df = df.select(
+                p["op"].alias("op"),
+                p["source"]["lsn"].alias("lsn"),
+                p["ts_ms"].alias("ts_ms"),
+                p["before"].alias("before"),
+                p["after"].alias("after"),
+            )
+        return df
+
+
+# ---------------------------------------------------------------------------
+# merge-apply sink
+# ---------------------------------------------------------------------------
+
+
+class MergeApplySink:
+    """``foreachBatch`` MERGE of change events onto a copy-on-write state
+    table (the apply side of ``pg_stream`` → a warehouse table).
+
+    Input batch columns: ``op`` ('c'/'u'/'r' upsert, 'd' delete), an
+    ordering column (default ``lsn``), and ``after``/``before`` row
+    structs (delete events may carry only ``before``).
+
+    Commit protocol: data for touched buckets lands under
+    ``data/bucket=N/b<batch_id>/``; the atomic commit point is the
+    rename of ``ledger/<batch_id>.json`` — a snapshot MANIFEST mapping
+    every bucket to the batch directory that last rewrote it. Replays
+    re-merge against the previous committed snapshot and overwrite their
+    own directories: idempotent. Readers (:meth:`read_state`) load the
+    latest manifest only."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        pk_cols: Sequence[str],
+        order_col: str = "lsn",
+        n_buckets: int = 16,
+    ):
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "data")
+        self.ledger_dir = os.path.join(out_dir, "ledger")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        self.pk_cols = list(pk_cols)
+        self.order_col = order_col
+        self.n_buckets = n_buckets
+
+    # -- manifest helpers ---------------------------------------------------
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(n[: -len(".json")])
+            for n in os.listdir(self.ledger_dir)
+            if n.endswith(".json")
+        )
+
+    def _manifest(self, batch_id: Optional[int] = None) -> dict:
+        batches = self.committed_batches()
+        if batch_id is not None:
+            batches = [b for b in batches if b <= batch_id]
+        if not batches:
+            return {"buckets": {}, "batch_id": None}
+        with open(os.path.join(self.ledger_dir, f"{batches[-1]}.json")) as f:
+            return json.load(f)
+
+    def _bucket_dir(self, bucket: int, batch_id: int) -> str:
+        return os.path.join(self.data_dir, f"bucket={bucket}", f"b{batch_id}")
+
+    # -- foreachBatch hook --------------------------------------------------
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        ledger_path = os.path.join(self.ledger_dir, f"{batch_id}.json")
+        if os.path.exists(ledger_path):
+            return  # exactly-once skip
+        spark = df.sparkSession
+        # previous committed snapshot (replays see the same base state)
+        prev = self._manifest()
+        prev_buckets: dict[str, str] = dict(prev.get("buckets", {}))
+
+        # 1. collapse to the LATEST event per PK (window by order col) —
+        #    bounded by live keys, not event volume
+        pk = [
+            F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(f"__pk_{c}")
+            for c in self.pk_cols
+        ]
+        ev = df.select(
+            "op",
+            F.col(self.order_col).alias(ORDER_COL),
+            F.col("after"),
+            *pk,
+        )
+        w = Window.partitionBy(*[f"__pk_{c}" for c in self.pk_cols]).orderBy(
+            F.col(ORDER_COL).desc()
+        )
+        latest = (
+            ev.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        latest = latest.withColumn(
+            BUCKET_COL,
+            F.pmod(F.hash(*[F.col(f"__pk_{c}") for c in self.pk_cols]), F.lit(self.n_buckets)),
+        ).persist()
+        try:
+            touched = sorted(
+                r[BUCKET_COL] for r in latest.select(BUCKET_COL).distinct().collect()
+            )
+            if touched:
+                # 2. current state of ONLY the touched buckets
+                dirs = [
+                    prev_buckets[str(b)] for b in touched if str(b) in prev_buckets
+                ]
+                if dirs:
+                    old = spark.read.parquet(*dirs)
+                else:
+                    old = None
+
+                # 3. merge. Deletes become TOMBSTONE rows (pk + _deleted
+                #    + LSN) rather than silently dropping the key: change
+                #    streams are only ordered per key by LSN, so an
+                #    insert can ARRIVE after the delete that kills it —
+                #    the tombstone's LSN guard stops the resurrection.
+                #    Tombstones live in state until a compaction policy
+                #    removes them (kept forever here; at warehouse scale
+                #    expire them past the source's max replay horizon).
+                row_fields = [
+                    f.name for f in df.schema["after"].dataType.fields
+                ]
+                non_pk = [c for c in row_fields if c not in self.pk_cols]
+                rows = latest.select(
+                    *[F.col(f"__pk_{c}").alias(c) for c in self.pk_cols],
+                    *[F.col(f"after.{c}").alias(c) for c in non_pk],
+                    (F.col("op") == "d").alias(DELETED_COL),
+                    F.col(ORDER_COL),
+                    F.col(BUCKET_COL),
+                )
+                if old is not None:
+                    # stored row survives only while no change outranks it
+                    ch_keys = rows.select(
+                        *self.pk_cols, F.col(ORDER_COL).alias("__ch_order")
+                    )
+                    survivors = (
+                        old.join(ch_keys, on=self.pk_cols, how="left")
+                        .filter(
+                            F.col("__ch_order").isNull()
+                            | (F.col(ORDER_COL) >= F.col("__ch_order"))
+                        )
+                        .drop("__ch_order")
+                        .withColumn(
+                            BUCKET_COL,
+                            F.pmod(F.hash(*self.pk_cols), F.lit(self.n_buckets)),
+                        )
+                    )
+                    # a change applies only if it outranks the stored row
+                    stored = old.select(
+                        *self.pk_cols, F.col(ORDER_COL).alias("__st_order")
+                    )
+                    rows = (
+                        rows.join(stored, on=self.pk_cols, how="left")
+                        .filter(
+                            F.col("__st_order").isNull()
+                            | (F.col(ORDER_COL) > F.col("__st_order"))
+                        )
+                        .drop("__st_order")
+                    )
+                    merged = survivors.unionByName(rows)
+                else:
+                    merged = rows
+
+                # 4. rewrite touched buckets under this batch's directory
+                merged = merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+                (
+                    merged.write.mode("overwrite")
+                    .partitionBy(BUCKET_COL)
+                    .parquet(os.path.join(self.data_dir, f"_stage_b{batch_id}"))
+                )
+                # move per-bucket results into their committed location
+                import shutil
+
+                stage = os.path.join(self.data_dir, f"_stage_b{batch_id}")
+                for b in touched:
+                    part = os.path.join(stage, f"{BUCKET_COL}={b}")
+                    dst = self._bucket_dir(b, batch_id)
+                    if os.path.exists(dst):
+                        shutil.rmtree(dst)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    if os.path.exists(part):
+                        os.rename(part, dst)
+                        prev_buckets[str(b)] = dst
+                    else:
+                        # bucket emptied by deletes: drop it from the
+                        # snapshot entirely
+                        prev_buckets.pop(str(b), None)
+                shutil.rmtree(stage, ignore_errors=True)
+        finally:
+            latest.unpersist()
+
+        # 5. atomic manifest commit
+        tmp = ledger_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "committed_at": time.time(),
+                    "buckets": prev_buckets,
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, ledger_path)
+
+    # -- read side ----------------------------------------------------------
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        """Live rows only (tombstones filtered; protocol columns dropped)."""
+        man = self._manifest()
+        dirs = list(man.get("buckets", {}).values())
+        if not dirs:
+            raise ValueError("no committed state")
+        return (
+            spark.read.parquet(*dirs)
+            .filter(~F.col(DELETED_COL))
+            .drop(ORDER_COL, DELETED_COL)
+        )

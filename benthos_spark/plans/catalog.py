@@ -2102,3 +2102,73 @@ def jq_program_events(spark, sf_dir):
         parsed["dbl"].alias("dbl"),
         parsed["hi"].alias("hi"),
     )
+
+
+@register(
+    "cdc_merge_apply_orders",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_live,
+           round(sum(o_totalprice
+                     + CASE WHEN o_orderkey % 10 IN (6, 7, 8) THEN 1000 ELSE 0 END),
+                 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 9
+    GROUP BY o_orderstatus
+    """,
+)
+def cdc_merge_apply_orders(spark, sf_dir):
+    """CDC merge-apply (the pg_stream headline,
+    /root/reference/internal/impl/postgres_cdc/input.go:184): a
+    deterministic changelog derived from the orders table — insert every
+    order, update keys with o_orderkey%10 in {6,7,8} (+1000 price),
+    delete keys with %10==9 — replayed through the REAL
+    operators/cdc.MergeApplySink (latest-per-PK window, LSN guards,
+    tombstones, bucket-pruned copy-on-write commit). The oracle computes
+    the closed-form final state straight from orders, so the whole event
+    pipeline must land exactly."""
+    import shutil
+    import tempfile
+
+    from benthos_spark.operators.cdc import MergeApplySink
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    row = F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+    h = F.col("o_orderkey") % 10
+    inserts = o.select(
+        F.lit("c").alias("op"),
+        (F.col("o_orderkey") * 2).alias("lsn"),
+        row.alias("after"),
+        row.alias("before"),
+    )
+    updates = o.filter(h.isin(6, 7, 8)).select(
+        F.lit("u").alias("op"),
+        (F.col("o_orderkey") * 2 + 1).alias("lsn"),
+        F.struct(
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        ).alias("after"),
+        row.alias("before"),
+    )
+    deletes = o.filter(h == 9).select(
+        F.lit("d").alias("op"),
+        (F.col("o_orderkey") * 2 + 1).alias("lsn"),
+        F.lit(None).cast("struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>").alias("after"),
+        row.alias("before"),
+    )
+    changelog = inserts.unionByName(updates).unionByName(deletes)
+
+    tmp = tempfile.mkdtemp(prefix="bs_cdc_")
+    try:
+        sink = MergeApplySink(tmp, pk_cols=["o_orderkey"], n_buckets=8)
+        sink(changelog, 0)
+        state = sink.read_state(spark)
+        out = state.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
