@@ -57,6 +57,8 @@ BATCH_QUERIES = [
     "sql_select_enrich_customers",
     "group_by_chains_orders",
     "jq_program_events",
+    "cdc_merge_apply_orders",
+    "audio_decode_features",
 ]
 
 

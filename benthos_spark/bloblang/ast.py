@@ -161,6 +161,7 @@ class Assign(Node):
     kind: str
     path: tuple
     expr: Node
+    line: int = 0  # 1-based source line, for Go-parity error wrapping
 
 
 @dataclass

@@ -75,8 +75,9 @@ class Scope:
                  "batch", "index")
 
     def __init__(self, doc, named=None, vars=None, meta=None, root_ref=None, maps=None,
-                 message=None, batch=None, index=0):
+                 message=None, batch=None, index=0, error=None):
         self.doc = doc
+        self.error = error
         self.named = named or {}
         self.vars = vars if vars is not None else {}
         self.meta = meta if meta is not None else {}
@@ -268,7 +269,7 @@ class Executor:
 
     # -- public -------------------------------------------------------------
     def map_part(self, doc, meta: Optional[dict] = None, mutate: bool = False,
-                 batch=None, index: int = 0):
+                 batch=None, index: int = 0, error: Optional[str] = None):
         """Run the mapping over one document. Returns (new_doc, new_meta);
         new_doc is DELETED when the message is deleted (root = deleted()).
         ``mutate=True`` starts root as a copy of the input (the `mutation`
@@ -279,9 +280,18 @@ class Executor:
 
         root_ref = [copy.deepcopy(doc) if mutate else NOTHING]
         scope = Scope(doc, vars={}, meta=meta, root_ref=root_ref, maps=self.ast.maps,
-                      batch=batch, index=index)
+                      batch=batch, index=index, error=error)
         for stmt in self.ast.statements:
-            res = self.eval(stmt.expr, scope)
+            try:
+                res = self.eval(stmt.expr, scope)
+            except BloblangError as e:
+                # Go parity: mapping errors carry the failing statement's
+                # line (executor.go:202 "failed assignment (line %v): %w")
+                if str(e).startswith("failed assignment"):
+                    raise
+                raise BloblangError(
+                    f"failed assignment (line {stmt.line or 1}): {e}"
+                ) from e
             if res is NOTHING:
                 continue  # skip assignment entirely (executor.go:204)
             if isinstance(res, (dict, list)):
@@ -524,6 +534,20 @@ class Executor:
             return fn(target, *args, **named)
         except TypeError as e:
             raise BloblangError(f"method {name}: {e}") from e
+        except BloblangError as e:
+            # Go parity: type errors are annotated ONCE with the field the
+            # offending value came from (query/errors.go ErrFrom +
+            # TypeError.From; fieldFunction.Annotation)
+            msg = str(e)
+            if (
+                msg.startswith("expected ")
+                and " from " not in msg
+                and " value, got " in msg
+            ):
+                ann = _field_annotation(node.target)
+                if ann:
+                    raise BloblangError(f"{msg} from {ann}") from e
+            raise
 
     def _apply_map(self, name: str, value, scope: Scope):
         stmts = scope.maps.get(name)
@@ -1840,3 +1864,23 @@ def _ts_round(v, dur_ns):
     d = _as_int(dur_ns)
     rounded = ((ns + d // 2) // d) * d
     return _dt.datetime.fromtimestamp(rounded / 1e9, _dt.timezone.utc)
+
+
+def _field_annotation(node) -> Optional[str]:
+    """Go's fieldFunction.Annotation(): the `this.a.b` provenance string
+    for a context/root field chain, or None for non-field targets."""
+    segs: list[str] = []
+    cur = node
+    while isinstance(cur, A.GetField):
+        segs.append(str(cur.seg))
+        cur = cur.target
+    if isinstance(cur, A.ContextRef):
+        head = cur.name or "this"
+        path = [str(s) for s in cur.path] + list(reversed(segs))
+    elif isinstance(cur, A.RootRef):
+        head = "root"
+        path = [str(s) for s in cur.path] + list(reversed(segs))
+    else:
+        return None
+    full = head + ("." + ".".join(path) if path else "")
+    return f"field `{full}`"

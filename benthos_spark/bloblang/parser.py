@@ -225,7 +225,7 @@ class Parser:
             if self.peek().kind != "EOF":
                 t = self.peek()
                 raise BloblangParseError(f"unexpected trailing input {t.value!r}", t.line)
-            out.statements.append(Assign("root", (), expr))
+            out.statements.append(Assign("root", (), expr, line=1))
             return out
         if stmt is not None:
             out.statements.append(stmt)
@@ -267,7 +267,7 @@ class Parser:
             if name_t.kind not in ("IDENT", "STRING"):
                 raise BloblangParseError("expected variable name", name_t.line)
             self.expect_op("=")
-            return Assign("var", (str(name_t.value),), self.parse_query())
+            return Assign("var", (str(name_t.value),), self.parse_query(), line=t.line)
         if t.kind == "IDENT" and t.value == "meta":
             nxt = self.peek(1)
             if (nxt.kind in ("IDENT", "STRING") and self.peek(2).kind == "OP" and self.peek(2).value == "=") or (
@@ -280,7 +280,7 @@ class Parser:
                     self.next()
                     key = (str(kt.value),)
                 self.expect_op("=")
-                return Assign("meta", key, self.parse_query())
+                return Assign("meta", key, self.parse_query(), line=t.line)
         if t.kind == "IDENT" and t.value == "map":
             nxt = self.peek(1)
             if nxt.kind in ("IDENT", "STRING"):
@@ -314,7 +314,7 @@ class Parser:
         expr = self.parse_query()
         if path and path[0] == "root":
             path = path[1:]
-        return Assign("root", tuple(path), expr)
+        return Assign("root", tuple(path), expr, line=t.line)
 
     def parse_assign_path(self) -> list:
         t = self.next()

@@ -155,9 +155,10 @@ def run_cases(spark: SparkSession, yaml_text: str) -> list[str]:
 
 def run_reference_suite(spark: SparkSession, yaml_path: str) -> list[str]:
     """Run a reference-format test file; returns passed case names.
-    Cases whose matchers need unimplemented features (e.g. `bloblang:`
-    error-message equality, exact-format parity) are skipped by
-    returning their name prefixed with 'SKIP '."""
+    All matcher forms assert for real, including `bloblang:` predicate
+    checks — error() equality works because the interpreter emits the
+    Go-format error strings ("failed assignment (line N): … from field
+    `this.x`")."""
     import os
 
     from benthos_spark.bloblang.interp import DELETED, BloblangError, Executor
@@ -264,15 +265,28 @@ def run_reference_suite(spark: SparkSession, yaml_path: str) -> list[str]:
                                 pass
                             raise CaseFailure(f"{name}[{ix}]: content_equals {got_s!r} != {arg!r}")
                     elif cond == "bloblang":
-                        # error-message-equality checks depend on the Go
-                        # engine's exact error strings; assert only that
-                        # an error occurred when the check reads error()
-                        if "error()" in arg:
-                            if err is None:
-                                raise CaseFailure(f"{name}[{ix}]: expected an errored message")
-                            skipped = True
-                        else:
-                            skipped = True
+                        # evaluate the predicate with OUR interpreter over
+                        # the output message, error() bound to the recorded
+                        # error (the reference runs the same check with its
+                        # engine — test/case.go). Error-string equality now
+                        # asserts for real: the interpreter produces the
+                        # Go-format messages ("failed assignment (line N):
+                        # … from field `this.x`").
+                        from benthos_spark.bloblang.interp import Executor
+
+                        try:
+                            verdict, _ = Executor(f"root = ({arg})").map_part(
+                                got, error=err
+                            )
+                        except Exception as e:
+                            raise CaseFailure(
+                                f"{name}[{ix}]: bloblang check failed to evaluate: {e}"
+                            )
+                        if verdict is not True:
+                            raise CaseFailure(
+                                f"{name}[{ix}]: bloblang check {arg!r} -> {verdict!r} "
+                                f"(error={err!r})"
+                            )
                     else:
                         raise ValueError(f"unknown condition {cond!r}")
             results.append((f"SKIP-PARTIAL {name}" if skipped else name))

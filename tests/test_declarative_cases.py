@@ -93,9 +93,10 @@ def test_reference_csv_formatter_suite(spark):
     from benthos_spark.testing import run_reference_suite
 
     got = run_reference_suite(spark, f"{REF_SUITES}/csv_formatter_test.yaml")
-    # case 2 asserts the Go engine's exact error string; we assert the
-    # error occurred (SKIP-PARTIAL)
-    assert got == ["Consistent objects", "SKIP-PARTIAL Empty"]
+    # case 2 asserts the Go engine's exact error string — our interpreter
+    # now produces the same "failed assignment (line N): … from field
+    # `this.0`" format, so the equality check runs for real (no skip)
+    assert got == ["Consistent objects", "Empty"]
 
 
 def test_reference_github_releases_suite(spark):
@@ -153,9 +154,9 @@ def test_entire_reference_bloblang_test_directory(spark):
     """ALL of config/test/bloblang/*.yaml runs verbatim: golden
     .blobl mappings, pointer-form bloblang processors (incl. cross-file
     `./file.yaml#/pointer`), batch functions (from_all/batch_index in
-    windowed.yaml), and the unarchive json_array step. The one partial
-    skip asserts errored-state where the case checks Go's exact error
-    string."""
+    windowed.yaml), and the unarchive json_array step. Bloblang
+    predicate checks (incl. Go-exact error-string equality) assert for
+    real — zero skips."""
     import glob
 
     from benthos_spark.testing import run_reference_suite
@@ -164,5 +165,5 @@ def test_entire_reference_bloblang_test_directory(spark):
     for path in sorted(glob.glob(f"{REF_SUITES}/*.yaml")):
         for name in run_reference_suite(spark, path):
             (skipped if str(name).startswith("SKIP") else passed).append(f"{path.rsplit('/',1)[-1]}:{name}")
-    assert len(passed) == 20, passed
-    assert skipped == ["csv_formatter_test.yaml:SKIP-PARTIAL Empty"]
+    assert len(passed) == 21, passed
+    assert skipped == []
