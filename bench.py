@@ -119,11 +119,20 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    workdir = tempfile.mkdtemp(prefix="benthos_bench_")
-    try:
-        datagen_sec, stream_sec, exec_sec, n_clips = run_flagship_streaming(spark, workdir)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    # best-of-2 like the batch queries: the first streaming run pays
+    # Python-worker startup + codegen for the Arrow decode stage (7-18s
+    # of pure session warmup on this host, wildly variable); the metric
+    # is steady-state clips/sec, so measure the warm run
+    best = None
+    for _ in range(2):
+        workdir = tempfile.mkdtemp(prefix="benthos_bench_")
+        try:
+            datagen_sec, stream_sec, exec_sec, n_clips = run_flagship_streaming(spark, workdir)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+        if best is None or stream_sec < best[1]:
+            best = (datagen_sec, stream_sec, exec_sec, n_clips)
+    datagen_sec, stream_sec, exec_sec, n_clips = best
     timings["flagship_streaming_e2e"] = round(stream_sec, 3)
 
     total = time.time() - total0

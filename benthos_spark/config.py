@@ -154,6 +154,12 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
         from benthos_spark.operators.sql import SqlRawSource
 
         return SqlRawSource(dsn=conf["dsn"], query=conf["query"], driver=conf.get("driver"))
+    if name == "dynamic":
+        reg = S.DynamicSet()
+        for label, child in (conf.get("inputs") or {}).items():
+            reg.set(label, _input(child, resources))
+        streaming = any(c.streaming for _, c in reg.items())
+        return S.DynamicSource(reg, streaming=streaming)
     if name == "changelog":
         from benthos_spark.operators.cdc import ChangelogFileSource
 
@@ -189,7 +195,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             ),
         )
     raise ConfigError(
-        f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, "
+        f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, dynamic, "
         "sql_select, sql_raw, resource"
     )
 
@@ -347,6 +353,16 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
                               value_col=conf.get("value_col", "value"))
     if name == "exactly_once":
         return ExactlyOnceParquetSink(conf["dir"], lineage_cols=tuple(conf.get("lineage", [])))
+    if name == "dynamic":
+        from benthos_spark.sources.readers import DynamicSet
+
+        reg = DynamicSet()
+        for label, child in (conf.get("outputs") or {}).items():
+            reg.set(label, _output(child, resources))
+        selected = conf.get("selected") or (reg.labels()[0] if reg.labels() else None)
+        if selected is None:
+            raise ConfigError("dynamic output: no outputs registered")
+        return R.DynamicSink(reg, selected=selected)
     if name == "merge_apply":
         from benthos_spark.operators.cdc import MergeApplySink
 
@@ -391,7 +407,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             driver=conf.get("driver"),
         )
     raise ConfigError(
-        f"unknown output {name!r}; known: exactly_once, merge_apply, drop, fan_out, switch, fallback, "
+        f"unknown output {name!r}; known: exactly_once, merge_apply, dynamic, drop, fan_out, switch, fallback, "
         "round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, resource"
     )
 

@@ -242,3 +242,21 @@ def inproc_clear(name: str | None = None) -> None:
         _INPROC.clear()
     else:
         _INPROC.pop(name, None)
+
+
+class DynamicSink:
+    """`dynamic` output (io/output_dynamic.go:22): route every batch to
+    the registry's currently-selected child sink. The selection (and the
+    registry contents) are re-read per micro-batch, so runtime swaps
+    apply at the next batch boundary."""
+
+    def __init__(self, registry, selected: str):
+        self.registry = registry
+        self.selected = selected
+
+    def select(self, label: str) -> None:
+        self.selected = label
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        child = self.registry.get(self.selected)
+        child(df, batch_id)

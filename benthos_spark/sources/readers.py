@@ -414,3 +414,54 @@ def fan_in(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+# -- dynamic component registry ---------------------------------------------
+# `dynamic` input/output (internal/impl/io/input_dynamic.go:19,
+# output_dynamic.go:22): labelled children created/changed/removed at
+# runtime. The reference mutates them via REST endpoints; here the
+# registry is the in-process API (the endpoints are network plumbing this
+# engine declares out of scope). Semantics mapping:
+# - dynamic INPUT: the labelled set is resolved when the pipeline's
+#   lineage is built — add/remove take effect on (re)start, exactly like
+#   a config reload; a running Spark query's source set is immutable.
+# - dynamic OUTPUT: the sink re-resolves the registry EVERY micro-batch,
+#   so output swaps take effect at the next batch boundary (closer to
+#   the reference's live mutation, because foreachBatch is re-entered).
+
+
+class DynamicSet:
+    """A labelled, mutable set of child components."""
+
+    def __init__(self, **children):
+        self._children: dict[str, object] = dict(children)
+
+    def set(self, label: str, child) -> None:
+        self._children[label] = child
+
+    def remove(self, label: str) -> None:
+        self._children.pop(label, None)
+
+    def labels(self) -> list[str]:
+        return sorted(self._children)
+
+    def get(self, label: str):
+        return self._children[label]
+
+    def items(self):
+        return sorted(self._children.items())
+
+
+@dataclass
+class DynamicSource(Source):
+    """`dynamic` input: fan-in over the registry's current members,
+    resolved at read time (≙ restart-time reload)."""
+
+    registry: DynamicSet
+    streaming: bool = False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        children = [c for _, c in self.registry.items()]
+        if not children:
+            raise ValueError("dynamic input: no children registered")
+        return fan_in(*[c.read(spark) for c in children])

@@ -365,3 +365,21 @@ def test_run_config_sql_select_input(spark, tmp_path):
     run_config(spark, conf, checkpoint=str(tmp_path / "ckpt"))
     assert sorted(r["NAME"] for r in inproc_read("sqlchan").collect()) == ["a", "b"]
     inproc_clear("sqlchan")
+
+
+def test_config_dynamic_input_and_output(spark, tmp_path):
+    from benthos_spark.config import run_config
+    from benthos_spark.sinks.routing import inproc_clear, inproc_read
+
+    inproc_clear()
+    conf = {
+        "input": {"dynamic": {"inputs": {
+            "a": {"generate": {"count": 2, "streaming": False, "mapping": {"v": "value"}}},
+            "b": {"generate": {"count": 3, "streaming": False, "mapping": {"v": "value + 10"}}},
+        }}},
+        "output": {"dynamic": {"outputs": {"main": {"inproc": "dynchan"}},
+                               "selected": "main"}},
+    }
+    run_config(spark, conf, checkpoint=str(tmp_path / "ckpt"))
+    assert inproc_read("dynchan").count() == 5
+    inproc_clear()

@@ -154,3 +154,38 @@ def test_py_files_package_is_importable(tmp_path):
     ) % out
     r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, cwd="/")
     assert r.returncode == 0 and r.stdout.strip() == "ok", r.stderr
+
+
+def test_dynamic_input_set_mutation(spark):
+    """`dynamic` input (io/input_dynamic.go): labelled children added /
+    removed between runs; the read resolves the current set."""
+    from benthos_spark.sources.readers import DynamicSet, DynamicSource, GenerateSource
+
+    reg = DynamicSet(
+        a=GenerateSource(mapping={"v": "value"}, count=3, streaming=False),
+    )
+    src = DynamicSource(reg)
+    assert src.read(spark).count() == 3
+    reg.set("b", GenerateSource(mapping={"v": "value + 100"}, count=2, streaming=False))
+    assert src.read(spark).count() == 5
+    reg.remove("a")
+    assert src.read(spark).count() == 2
+
+
+def test_dynamic_output_swap_between_batches(spark, tmp_path):
+    """`dynamic` output: the target sink is re-resolved per micro-batch,
+    so a swap applies at the next batch boundary."""
+    from benthos_spark.sinks.routing import DynamicSink, InprocSink, inproc_clear, inproc_read
+    from benthos_spark.sources.readers import DynamicSet
+
+    inproc_clear()
+    reg = DynamicSet(one=InprocSink("chan_one"), two=InprocSink("chan_two"))
+    sink = DynamicSink(reg, selected="one")
+    df1 = spark.createDataFrame([(1,)], "v int")
+    df2 = spark.createDataFrame([(2,)], "v int")
+    sink(df1, 0)
+    sink.select("two")
+    sink(df2, 1)
+    assert [r["v"] for r in inproc_read("chan_one").collect()] == [1]
+    assert [r["v"] for r in inproc_read("chan_two").collect()] == [2]
+    inproc_clear()
