@@ -542,8 +542,23 @@ class JmespathProcessor:
     query: str
     col: str = "value"
     out_col: Optional[str] = None
+    columnar: bool = True  # compile the common subset to Column exprs
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        if self.columnar:
+            from pyspark.sql import functions as F
+
+            from benthos_spark.functions.jmespath_columnar import try_compile
+
+            compiled = try_compile(self.query)
+            if compiled is not None:
+                v = F.parse_json(F.col(self.col).cast("string"))
+                out_col = self.out_col or self.col
+                out = df.withColumn(out_col, compiled.apply(v))
+                return out.drop(self.col) if out_col != self.col else out
+        return self._interpret(df)
+
+    def _interpret(self, df: DataFrame) -> DataFrame:
         import pandas as pd
 
         src = self.query
@@ -564,7 +579,8 @@ class JmespathProcessor:
                     doc = json.loads(pdf[col].iloc[i])
                     result = prog.search(doc)
                     row = {c: pdf[c].iloc[i] for c in keep}
-                    row[out_col] = json.dumps(result, separators=(",", ":"))
+                    # ensure_ascii=False to match the columnar renderer
+                    row[out_col] = json.dumps(result, separators=(",", ":"), ensure_ascii=False)
                     rows.append(row)
                 yield pd.DataFrame(rows) if rows else pd.DataFrame({c: [] for c in out_fields})
 
