@@ -201,7 +201,9 @@ class MergeApplySink:
                     prev_buckets[str(b)] for b in touched if str(b) in prev_buckets
                 ]
                 if dirs:
-                    old = spark.read.parquet(*dirs)
+                    # mergeSchema: bucket dirs written before a schema
+                    # evolution may lack newer columns
+                    old = spark.read.option("mergeSchema", "true").parquet(*dirs)
                 else:
                     old = None
 
@@ -253,7 +255,10 @@ class MergeApplySink:
                         )
                         .drop("__st_order")
                     )
-                    merged = survivors.unionByName(rows)
+                    # allowMissingColumns: schema evolution — a changelog
+                    # that grows a column merges over old state with the
+                    # new column null on historical rows (and vice versa)
+                    merged = survivors.unionByName(rows, allowMissingColumns=True)
                 else:
                     merged = rows
 
@@ -308,7 +313,61 @@ class MergeApplySink:
         if not dirs:
             raise ValueError("no committed state")
         return (
-            spark.read.parquet(*dirs)
+            spark.read.option("mergeSchema", "true").parquet(*dirs)
             .filter(~F.col(DELETED_COL))
             .drop(ORDER_COL, DELETED_COL)
         )
+
+    # -- maintenance --------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        expire_tombstones_below: Optional[int] = None,
+        target_files_per_bucket: int = 1,
+    ) -> dict:
+        """Copy-on-write maintenance pass: rewrite every bucket coalesced
+        to ``target_files_per_bucket`` files, dropping tombstones whose
+        LSN is below ``expire_tombstones_below`` (set it to the source's
+        minimum replay horizon — an event older than that can never be
+        redelivered, so its tombstone is dead weight).
+
+        Run while the stream is STOPPED (a maintenance window): the pass
+        rewrites the LATEST manifest in place (atomic tmp+rename), so a
+        resumed stream — including a replay of the last batch, which
+        skips via its ledger entry — sees the compacted snapshot.
+        Returns {bucket: rows_kept}."""
+        ledger = self.committed_batches()
+        if not ledger:
+            return {}
+        latest = ledger[-1]
+        man = self._manifest()
+        buckets: dict[str, str] = dict(man.get("buckets", {}))
+        kept: dict[str, int] = {}
+        for b, d in sorted(buckets.items()):
+            df = spark.read.option("mergeSchema", "true").parquet(d)
+            if expire_tombstones_below is not None:
+                df = df.filter(
+                    ~(F.col(DELETED_COL) & (F.col(ORDER_COL) < expire_tombstones_below))
+                )
+            n = df.count()
+            if n == 0:
+                buckets.pop(b, None)
+                continue
+            out_dir = os.path.join(self.data_dir, f"bucket={b}", f"c{latest}")
+            if os.path.exists(out_dir):
+                import shutil
+
+                shutil.rmtree(out_dir)
+            df.coalesce(target_files_per_bucket).write.mode("overwrite").parquet(out_dir)
+            buckets[b] = out_dir
+            kept[b] = n
+        man["buckets"] = buckets
+        man["compacted_at"] = time.time()
+        ledger_path = os.path.join(self.ledger_dir, f"{latest}.json")
+        tmp = ledger_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, ledger_path)
+        return kept

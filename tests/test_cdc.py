@@ -213,3 +213,44 @@ def test_cdc_config_surface(spark, tmp_path):
     sink = MergeApplySink(state_dir, pk_cols=["id"], n_buckets=2)
     rows = sink.read_state(spark).collect()
     assert len(rows) == 1 and rows[0]["name"] == "a2"
+
+
+def test_merge_apply_schema_evolution(spark, tmp_path):
+    """A changelog that grows a column merges over old state: historical
+    rows read back with the new column null."""
+    sink = MergeApplySink(str(tmp_path / "state"), pk_cols=["id"], n_buckets=2)
+    d1 = str(tmp_path / "log1")
+    _write_events(d1, [_event("c", 1, after={"id": 1, "name": "a", "qty": 5})])
+    sink(ChangelogFileSource(d1, ROW).read(spark), 0)
+    d2 = str(tmp_path / "log2")
+    _write_events(d2, [_event("c", 2, after={"id": 2, "name": "b", "qty": 1,
+                                             "lang": "en"})])
+    sink(ChangelogFileSource(d2, ROW + ", lang string").read(spark), 1)
+    got = {r["id"]: r.asDict() for r in sink.read_state(spark).collect()}
+    assert got[1]["lang"] is None and got[2]["lang"] == "en"
+    assert got[1]["name"] == "a" and got[2]["name"] == "b"
+
+
+def test_merge_apply_compaction_expires_tombstones(spark, tmp_path):
+    sink = MergeApplySink(str(tmp_path / "state"), pk_cols=["id"], n_buckets=2)
+    d1 = str(tmp_path / "log1")
+    _write_events(d1, [
+        _event("c", 1, after={"id": 1, "name": "a", "qty": 5}),
+        _event("c", 2, after={"id": 2, "name": "b", "qty": 6}),
+        _event("d", 3, before={"id": 2, "name": "b", "qty": 6}),
+    ])
+    sink(ChangelogFileSource(d1, ROW).read(spark), 0)
+    # tombstone for id=2 is in state (protected against late arrivals)
+    man = sink._manifest()
+    raw = spark.read.parquet(*man["buckets"].values())
+    assert raw.filter("_deleted").count() == 1
+    kept = sink.compact(spark, expire_tombstones_below=10)
+    assert sum(kept.values()) == 1  # only the live row remains
+    rows = sink.read_state(spark).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1
+    # stream resumes against the compacted snapshot: replay of batch 0
+    # skips (ledger), a new batch applies normally
+    d2 = str(tmp_path / "log2")
+    _write_events(d2, [_event("c", 20, after={"id": 3, "name": "c", "qty": 1})])
+    sink(ChangelogFileSource(d2, ROW).read(spark), 1)
+    assert sink.read_state(spark).count() == 2
