@@ -13,7 +13,8 @@ pipelines use:
 - arithmetic ``+ - * / %``, comparisons, ``and``/``or``, ``//``
 - ``select(cond)`` as a pipe stage (compiles to a relational filter)
 - ``if .. then .. elif .. else .. end``, ``map(f)``, ``floor``/``ceil``,
-  ``tostring``/``tonumber``, ``not``
+  ``tostring``/``tonumber``, ``not``, ``length``, ``type``,
+  ``has("key")``
 
 Anything else (generators, slices, variables, reduce, recursion, ``$metadata``)
 raises ``JqCompileError`` and the caller falls back to the interpreter,
@@ -433,8 +434,15 @@ class _SubsetParser:
             arg = self.pipe()
             self.expect(")")
             return (name, arg)
-        if name in ("floor", "ceil", "tostring", "tonumber", "not"):
+        if name in ("floor", "ceil", "tostring", "tonumber", "not", "length", "type"):
             return ("call0", name)
+        if name == "has":
+            self.expect("(")
+            kt = self.next()
+            if kt[0] != "string":
+                raise JqCompileError("has() compiles with a literal string key only")
+            self.expect(")")
+            return ("has", json.loads(kt[1]))
         raise JqCompileError(f"function {name!r} not compiled")
 
 
@@ -578,6 +586,64 @@ def _compile(node, cur: CV, keep: Optional[Column]):
             return keep, n
         if name == "not":
             return keep, CV("bool", col=~_truthy(cur))
+        if name == "type":
+            if cur.kind != "variant":
+                kindmap = {"num": "number", "str": "string", "bool": "boolean", "null": "null"}
+                if cur.kind in kindmap:
+                    return keep, CV("str", col=F.lit(kindmap[cur.kind]))
+                raise JqCompileError("type over rendered value")
+            js = F.coalesce(F.to_json(cur.vcol()), F.lit("null"))
+            t = (
+                F.when(js == "null", "null")
+                .when((js == "true") | (js == "false"), "boolean")
+                .when(js.startswith('"'), "string")
+                .when(js.startswith("["), "array")
+                .when(js.startswith("{"), "object")
+                .otherwise("number")
+            )
+            return keep, CV("str", col=t)
+        if name == "length":
+            # jq: strings/arrays/objects -> size, null -> 0, number -> abs
+            if cur.kind == "num":
+                return keep, _num(F.abs(cur.d), cur.isint, F.abs(cur.l))
+            if cur.kind == "str":
+                return keep, _num(F.length(cur.col).cast("double"), F.lit(True),
+                                  F.length(cur.col).cast("long"))
+            if cur.kind == "null":
+                return keep, _num(F.lit(0.0), F.lit(True), F.lit(0))
+            if cur.kind != "variant":
+                raise JqCompileError("length over rendered value")
+            c = cur.vcol()
+            js = F.coalesce(F.to_json(c), F.lit("null"))
+            n = (
+                F.when(js == "null", F.lit(0).cast("long"))
+                .when(js.startswith('"'), F.length(F.try_variant_get(c, "$", "string")).cast("long"))
+                .when(js.startswith("["), F.array_size(F.try_variant_get(c, "$", "array<variant>")).cast("long"))
+                .when(js.startswith("{"), F.size(F.map_keys(F.try_variant_get(c, "$", "map<string,variant>"))).cast("long"))
+                .when((js == "true") | (js == "false"), F.lit(None).cast("long"))  # jq errors; lenient null
+                .otherwise(F.abs(F.try_variant_get(c, "$", "bigint")))
+            )
+            isint = ~(js.rlike(r"^-?[0-9]*\.")) | js.startswith("[")
+            d = (
+                F.when(js.rlike(r"^-?[0-9.eE+]+$") & ~js.rlike(_INT_LEXEME),
+                       F.abs(_variant_double(cur)))
+                .otherwise(n.cast("double"))
+            )
+            return keep, _num(d, isint, F.coalesce(n, d.cast("long")))
+    if tag == "has":
+        if cur.kind != "variant":
+            raise JqCompileError("has over non-variant")
+        c = cur.vcol()
+        name = node[1]
+        if _IDENT_PATH.match(name):
+            seg = "$." + name
+        else:
+            esc = name.replace("\\", "\\\\").replace('"', '\\"')
+            seg = '$["' + esc + '"]'
+        # missing key -> SQL NULL; key-with-JSON-null -> variant null
+        # (NOT SQL null) -> has = true, matching jq
+        present = F.try_variant_get(c, seg, "variant").isNotNull()
+        return keep, CV("bool", col=present)
     raise JqCompileError(f"node {tag!r} not compiled")
 
 

@@ -71,17 +71,29 @@ PROGRAMS = [
     '"literal"',
     "3.5",
     "12",
+    ".tags | length",
+    ".name | length",
+    ".k | length",
+    ".meta | length",
+    ".missing | length",
+    "type",
+    ".k | type",
+    ".tags | type",
+    ".meta.ok | type",
+    'has("k")',
+    'has("nope")',
+    'select(.k != null) | {t: (.k | type), n: has("name")}',
 ]
 
 # outside the subset — must fall back, not mis-compile
 FALLBACK_PROGRAMS = [
+    "has(.k)",
     ".[]",
     ".tags[]",
     "reduce .[] as $x (0; . + $x)",
     ".k as $v | $v",
     "to_entries",
     "..|numbers",
-    ".tags | length",
     "$metadata.topic",
     ".a, .b",
 ]
