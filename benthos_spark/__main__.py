@@ -102,12 +102,53 @@ def run_blobl(argv: list[str]) -> int:
     return status
 
 
+def run_lint(paths: list[str]) -> int:
+    """`benthos lint` (internal/cli/lint.go): compile-check configs
+    without running them — unknown components, missing sections, and
+    invalid policies fail here with the known-set listed."""
+    from benthos_spark.config import ConfigError, compile_config, replace_env_variables
+
+    # Column expressions (F.expr) need a JVM even at compile time
+    spark = get_spark(app="benthos-spark:lint", cores=1)
+    spark.sparkContext.setLogLevel("ERROR")
+    failed = 0
+    for path in paths:
+        try:
+            with open(path) as f:
+                compile_config(replace_env_variables(f.read()))
+            print(f"OK   {path}")
+        except ConfigError as e:
+            print(f"LINT {path}: {e}")
+            failed += 1
+        except Exception as e:  # unreadable/invalid YAML
+            print(f"LINT {path}: {e}")
+            failed += 1
+    return 1 if failed else 0
+
+
+def run_echo(path: str) -> int:
+    """`benthos echo`: parse + env-interpolate the config and print the
+    normalized YAML (what the compiler actually sees)."""
+    import yaml
+
+    from benthos_spark.config import replace_env_variables
+
+    with open(path) as f:
+        doc = yaml.safe_load(replace_env_variables(f.read()))
+    print(yaml.safe_dump(doc, default_flow_style=False, sort_keys=False), end="")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "blobl":
         return run_blobl(argv[1:])
     if argv and argv[0] == "test":
         return run_tests(argv[1:])
+    if argv and argv[0] == "lint":
+        return run_lint(argv[1:])
+    if argv and argv[0] == "echo":
+        return run_echo(argv[1])
     ap = argparse.ArgumentParser(prog="benthos_spark")
     ap.add_argument("-c", "--config", required=True, help="pipeline YAML path")
     ap.add_argument("--checkpoint", required=True)

@@ -383,3 +383,17 @@ def test_config_dynamic_input_and_output(spark, tmp_path):
     run_config(spark, conf, checkpoint=str(tmp_path / "ckpt"))
     assert inproc_read("dynchan").count() == 5
     inproc_clear()
+
+
+def test_cli_lint_and_echo(tmp_path, capsys):
+    from benthos_spark.__main__ import run_echo, run_lint
+
+    good = tmp_path / "good.yaml"
+    good.write_text("input: {generate: {count: 1}}\noutput: {drop: {}}\n")
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("input: {kafka: {}}\noutput: {drop: {}}\n")
+    assert run_lint([str(good)]) == 0
+    assert run_lint([str(bad)]) == 1
+    assert run_echo(str(good)) == 0
+    out = capsys.readouterr().out
+    assert "generate" in out and "LINT" in out
