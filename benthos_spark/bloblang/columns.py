@@ -694,6 +694,24 @@ def _c_method(node: A.MethodCall, env: _Env):
         return B.ts_tz(target, val(0))
     if name == "ts_sub":
         return B.ts_sub(target, col(0))
+    if name == "json_path":
+        return B.json_path(target, val(0))
+    if name == "ts_strftime":
+        if nargs > 1:
+            raise UnsupportedBloblang("ts_strftime with tz")
+        try:
+            return B.ts_strftime(target, val(0))
+        except ValueError as e:
+            raise UnsupportedBloblang(str(e))
+    if name == "ts_strptime":
+        try:
+            return B.ts_strptime(target, val(0))
+        except ValueError as e:
+            raise UnsupportedBloblang(str(e))
+    if name == "filepath_join":
+        return F.regexp_replace(F.array_join(target, "/"), "//", "/")
+    if name == "filepath_split":
+        return B.filepath_split_pair(target)
     if name == "parse_xml":
         return B.parse_xml(target, val(0))
     if name == "format_xml":

@@ -707,3 +707,67 @@ def _interp_expr(src: str) -> Column:
         return F.expr(src)
 
 
+
+
+_STRFTIME_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d", "H": "HH",
+    "I": "hh", "M": "mm", "S": "ss", "f": "SSSSSS", "p": "a", "j": "DDD",
+    "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM", "Z": "zzz", "z": "xx",
+}
+
+
+def strftime_to_java(fmt: str) -> str:
+    """C strftime → Java DateTimeFormatter pattern (the subset the
+    ts_strftime/ts_strptime doc examples use). Raises ValueError on
+    unknown % codes so the Column tier can fall back."""
+    out = []
+    lit = []
+
+    def flush():
+        if lit:
+            text = "".join(lit)
+            if any(ch.isalpha() or ch == "'" for ch in text):
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError("dangling %")
+            code = fmt[i + 1]
+            i += 2
+            if code == "%":
+                lit.append("%")
+                continue
+            if code not in _STRFTIME_JAVA:
+                raise ValueError(f"strftime code %{code} not mapped")
+            flush()
+            out.append(_STRFTIME_JAVA[code])
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def ts_strftime(col, fmt: str) -> Column:
+    """methods (impl/pure/bloblang_time.go ts_strftime) — C-format output."""
+    return F.date_format(_c(col), strftime_to_java(fmt))
+
+
+def ts_strptime(col, fmt: str) -> Column:
+    """ts_strptime — C-format parse to a (UTC-session) timestamp."""
+    return F.to_timestamp(_c(col), strftime_to_java(fmt))
+
+
+def filepath_split_pair(col) -> Column:
+    """methods_strings.go filepath_split — [dir-with-trailing-slash,
+    file] two-element array (Go filepath.Split semantics)."""
+    c = _c(col)
+    file = F.when(c.contains("/"), F.substring_index(c, "/", -1)).otherwise(c)
+    dirp = c.substr(F.lit(1), F.length(c) - F.length(file))
+    return F.array(dirp, file)
