@@ -1403,6 +1403,21 @@ _METHODS = {
     "compress": lambda v, algorithm, level=6: _m_compress(v, algorithm, level, True),
     "decompress": lambda v, algorithm: _m_compress(v, algorithm, 6, False),
     "hash": _m_hash,
+    # methods_strings.go:279,367 — pure-python AES (functions/aes.py),
+    # reference semantics: no padding, IV must be one block, CBC needs
+    # len % 16 == 0; encrypt/decrypt return raw bytes
+    "encrypt_aes": lambda v, scheme, key, iv: __import__(
+        "benthos_spark.functions.aes", fromlist=["encrypt"]
+    ).encrypt(_as_string(scheme),
+              key if isinstance(key, (bytes, bytearray)) else _as_string(key).encode(),
+              iv if isinstance(iv, (bytes, bytearray)) else _as_string(iv).encode(),
+              v if isinstance(v, (bytes, bytearray)) else _as_string(v).encode()),
+    "decrypt_aes": lambda v, scheme, key, iv: __import__(
+        "benthos_spark.functions.aes", fromlist=["decrypt"]
+    ).decrypt(_as_string(scheme),
+              key if isinstance(key, (bytes, bytearray)) else _as_string(key).encode(),
+              iv if isinstance(iv, (bytes, bytearray)) else _as_string(iv).encode(),
+              v if isinstance(v, (bytes, bytearray)) else _as_string(v).encode()),
     # JWT HMAC family (impl/crypto/jwt_sign.go:91-105, jwt_parse.go:178;
     # RS*/ES* need RSA/ECDSA libs and are gated)
     "sign_jwt_hs256": lambda v, secret: _m_sign_jwt(v, secret, "sha256"),

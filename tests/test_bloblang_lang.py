@@ -643,3 +643,59 @@ def test_interp_literal_match_without_target_scalar_context():
         'root.state = this.status.apply("m")'
     ).map_part({"status": "F"})
     assert out == {"state": "done"}
+
+
+def test_aes_nist_vectors():
+    """functions/aes.py against FIPS-197 App. C and SP 800-38A — the
+    public vectors the Go stdlib is itself verified against."""
+    from benthos_spark.functions import aes
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert aes.AES(key).encrypt_block(pt).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert aes.AES(key).decrypt_block(aes.AES(key).encrypt_block(pt)) == pt
+    k192 = bytes.fromhex("000102030405060708090a0b0c0d0e0f1011121314151617")
+    assert aes.AES(k192).encrypt_block(pt).hex() == "dda97ca4864cdfe06eaf70a0ec0d7191"
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f")
+    assert aes.AES(k256).encrypt_block(pt).hex() == "8ea2b7ca516745bfeafc49904b496089"
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff")
+    pt2 = bytes.fromhex(
+        "6bc1bee22e409f96e93d7e117393172aae2d8a571e03ac9c9eb76fac45af8e51")
+    assert aes.ctr_xcrypt(key, iv, pt2).hex() == (
+        "874d6191b620e3261bef6864990db6ce9806f66b7970fdff8617187bb9fffdff")
+    iv2 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    assert aes.cbc_encrypt(key, iv2, pt2).hex() == (
+        "7649abac8119b246cee98e9b12e9197d5086cb9b507219ee95db113a917678b2")
+    assert aes.cbc_decrypt(key, iv2, aes.cbc_encrypt(key, iv2, pt2)) == pt2
+    assert aes.ofb_xcrypt(key, iv2, pt2).hex() == (
+        "3b3fd92eb72dad20333449f8e83cfb4a7789508d16918f03f53c52dac54ed825")
+
+
+def test_aes_bloblang_methods_reference_example():
+    """The reference's own encrypt_aes/decrypt_aes doc example
+    (methods_strings.go:284-289) end-to-end through the interpreter."""
+    from benthos_spark.bloblang.interp import Executor
+
+    src = (
+        'let key = "2b7e151628aed2a6abf7158809cf4f3c".decode("hex")\n'
+        'let vector = "f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff".decode("hex")\n'
+        'root.encrypted = this.value.encrypt_aes("ctr", $key, $vector).encode("hex")'
+    )
+    out, _ = Executor(src).map_part({"value": "hello world!"})
+    assert out == {"encrypted": "84e9b31ff7400bdf80be7254"}
+    src2 = (
+        'let key = "2b7e151628aed2a6abf7158809cf4f3c".decode("hex")\n'
+        'let vector = "f0f1f2f3f4f5f6f7f8f9fafbfcfdfeff".decode("hex")\n'
+        'root.decrypted = this.value.decode("hex").decrypt_aes("ctr", $key, $vector).string()'
+    )
+    out2, _ = Executor(src2).map_part({"value": "84e9b31ff7400bdf80be7254"})
+    assert out2 == {"decrypted": "hello world!"}
+
+
+def test_aes_cbc_requires_block_multiple():
+    from benthos_spark.functions import aes
+
+    with pytest.raises(ValueError, match="multiple of the block size"):
+        aes.cbc_encrypt(b"0" * 16, b"1" * 16, b"short")

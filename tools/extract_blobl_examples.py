@@ -47,8 +47,6 @@ SKIP_SUBSTRINGS = [
     "timestamp_unix", "hostname", "env(", "file(", "counter(",
     "from_all", ".from(", "batch_index", "batch_size",
     "ulid(",
-    # need AES primitives (no crypto lib in the sandbox)
-    "encrypt_aes", "decrypt_aes",
     # full JSON-Schema validation engine (json_schema processor covers
     # the typed subset)
     ".json_schema(",
