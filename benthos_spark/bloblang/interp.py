@@ -1514,12 +1514,10 @@ _METHODS = {
     "ts_strptime": lambda v, fmt: _dt.datetime.strptime(_as_string(v), fmt).replace(tzinfo=_dt.timezone.utc),
     "ts_strftime": lambda v, fmt, tz=None: _m_ts_strftime(v, fmt, tz),
     "parse_duration": _m_parse_duration,
-    "compare_bcrypt": lambda v, other: (_ for _ in ()).throw(
-        BloblangError("compare_bcrypt needs the bcrypt library on the cluster")
-    ),
-    "compare_argon2": lambda v, other: (_ for _ in ()).throw(
-        BloblangError("compare_argon2 needs the argon2-cffi library on the cluster")
-    ),
+    # impl/crypto/bcrypt.go:26 / argon2.go:110 — from-scratch verifiers
+    # (functions/bcrypt.py, functions/argon2.py; NIST/RFC-vector tested)
+    "compare_bcrypt": lambda v, hashed: _m_compare_pw("bcrypt", v, hashed),
+    "compare_argon2": lambda v, hashed: _m_compare_pw("argon2", v, hashed),
     "parse_duration_iso8601": _m_parse_duration_iso8601,
     "ts_sub": lambda v, other: int((_to_datetime(v) - _to_datetime(other)).total_seconds() * 1e9),
     # aliases registered by the plugin API (impl/pure/bloblang_time.go)
@@ -1899,3 +1897,15 @@ def _field_annotation(node) -> Optional[str]:
         return None
     full = head + ("." + ".".join(path) if path else "")
     return f"field `{full}`"
+
+
+def _m_compare_pw(scheme: str, v, hashed) -> bool:
+    """impl/crypto bcrypt.go:26 / argon2.go:110: True/False on compare;
+    malformed hashes error (Go returns the error, not a mismatch)."""
+    import importlib
+
+    mod = importlib.import_module(f"benthos_spark.functions.{scheme}")
+    try:
+        return mod.compare(_as_string(v), _as_string(hashed))
+    except ValueError as e:
+        raise BloblangError(f"compare_{scheme}: {e}") from e

@@ -556,11 +556,13 @@ def test_xxhash64_known_vectors():
     }
 
 
-def test_password_compare_methods_gated():
-    from benthos_spark.bloblang.interp import BloblangError
-
-    out = run('root.r = this.h.compare_bcrypt("pw").catch("gated")', {"h": "$2a$x"})
-    assert out == {"r": "gated"}
+def test_password_compare_malformed_hash_errors():
+    """A malformed hash must surface as a catchable Bloblang error (Go
+    returns the error rather than a mismatch), not a raw exception."""
+    out = run('root.r = this.pw.compare_bcrypt("$2a$x").catch("bad-hash")', {"pw": "secret"})
+    assert out == {"r": "bad-hash"}
+    out = run('root.r = this.pw.compare_argon2("nope").catch("bad-hash")', {"pw": "secret"})
+    assert out == {"r": "bad-hash"}
 
 
 def test_parse_format_msgpack_methods():
@@ -699,3 +701,58 @@ def test_aes_cbc_requires_block_multiple():
 
     with pytest.raises(ValueError, match="multiple of the block size"):
         aes.cbc_encrypt(b"0" * 16, b"1" * 16, b"short")
+
+
+def test_bcrypt_public_vectors():
+    """functions/bcrypt.py vs the published OpenWall/OpenBSD vectors
+    (low cost — fast) incl. π-derived Blowfish constants."""
+    from benthos_spark.functions import bcrypt as B
+
+    w = B._pi_words()
+    assert w[:4] == [0x243F6A88, 0x85A308D3, 0x13198A2E, 0x03707344]
+    assert w[18] == 0xD1310BA6  # S-box starts where P ends
+    assert B.compare("U*U", "$2a$05$CCCCCCCCCCCCCCCCCCCCC.E5YPO9kmyuRGyh0XouQYb4YMJKvyOeW")
+    assert B.compare("U*U*", "$2a$05$CCCCCCCCCCCCCCCCCCCCC.VGOzA784oUp/Z0DY336zx7pLYAy0lwK")
+    assert B.compare("", "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s.")
+    assert not B.compare("wrong", "$2a$05$CCCCCCCCCCCCCCCCCCCCC.E5YPO9kmyuRGyh0XouQYb4YMJKvyOeW")
+    with pytest.raises(ValueError):
+        B.compare("x", "$notbcrypt$")
+
+
+def test_argon2_rfc9106_vectors():
+    from benthos_spark.functions.argon2 import argon2
+
+    pw, salt = bytes([1] * 32), bytes([2] * 16)
+    secret, ad = bytes([3] * 8), bytes([4] * 12)
+    assert argon2(pw, salt, t=3, m=32, p=4, taglen=32, kind="d",
+                  secret=secret, ad=ad).hex() == (
+        "512b391b6f1162975371d30919734294f868e3be3984f3c1a13a4db9fabe4acb")
+    assert argon2(pw, salt, t=3, m=32, p=4, taglen=32, kind="i",
+                  secret=secret, ad=ad).hex() == (
+        "c814d9d1dc7f37aa13f0d77f2494bda1c8de6b016dd388d29952a4c4672b6ce8")
+    assert argon2(pw, salt, t=3, m=32, p=4, taglen=32, kind="id",
+                  secret=secret, ad=ad).hex() == (
+        "0d640df58d78766c08c037a34a8b53c9d01ef0452d75b65eb52520e96b01e659")
+
+
+def test_compare_password_methods_reference_examples():
+    """The reference's own compare_bcrypt / compare_argon2 doc examples
+    (impl/crypto/bcrypt.go:17-24, argon2.go:110-117) — cost-10 bcrypt
+    and m=4096 argon2id, a few seconds each in pure python."""
+    from benthos_spark.bloblang.interp import Executor
+
+    bh = "$2y$10$Dtnt5NNzVtMCOZONT705tOcS8It6krJX8bEjnDJnwxiFKsz1C.3Ay"
+    out, _ = Executor(f'root.match = this.secret.compare_bcrypt("{bh}")').map_part(
+        {"secret": "there-are-many-blobs-in-the-sea"})
+    assert out == {"match": True}
+    out, _ = Executor(f'root.match = this.secret.compare_bcrypt("{bh}")').map_part(
+        {"secret": "will-i-ever-find-love"})
+    assert out == {"match": False}
+    ah = ("$argon2id$v=19$m=4096,t=3,p=1$c2FsdHktbWNzYWx0ZmFjZQ$"
+          "RMUMwgtS32/mbszd+ke4o4Ej1jFpYiUqY6MHWa69X7Y")
+    out, _ = Executor(f'root.match = this.secret.compare_argon2("{ah}")').map_part(
+        {"secret": "there-are-many-blobs-in-the-sea"})
+    assert out == {"match": True}
+    out, _ = Executor(f'root.match = this.secret.compare_argon2("{ah}")').map_part(
+        {"secret": "will-i-ever-find-love"})
+    assert out == {"match": False}
