@@ -1183,6 +1183,74 @@ def _m_parse_jwt(token, secret, alg: str) -> dict:
     return json.loads(_b64url_dec(parts[1]))
 
 
+def _m_sign_jwt_pk(claims, pem, alg_name: str) -> str:
+    """sign_jwt_rs*/es* (jwt_sign.go:113-151): PEM private key; ES uses
+    RFC 6979 deterministic nonces (functions/pki.py) so signing is
+    reproducible."""
+    from benthos_spark.functions import pki
+
+    halg = {"256": "sha256", "384": "sha384", "512": "sha512"}[alg_name[2:]]
+    header = {"alg": alg_name, "typ": "JWT"}
+    signing_input = (
+        _b64url(json.dumps(header, separators=(",", ":")).encode())
+        + "."
+        + _b64url(json.dumps(_as_object(claims), separators=(",", ":"),
+                             default=_json_default).encode())
+    )
+    try:
+        key = pki.load_private_key(_as_string(pem))
+    except ValueError as e:
+        raise BloblangError(f"{alg_name}: {e}") from e
+    if alg_name.startswith("RS"):
+        if not isinstance(key, pki.RsaPrivate):
+            raise BloblangError(f"{alg_name} requires an RSA private key")
+        sig = pki.rsa_sign(key, signing_input.encode(), halg)
+    else:
+        if not isinstance(key, pki.EcPrivate):
+            raise BloblangError(f"{alg_name} requires an EC private key")
+        r, s = pki.ecdsa_sign(key, signing_input.encode(), halg)
+        ln = pki.ec_coord_len(key.curve)
+        sig = r.to_bytes(ln, "big") + s.to_bytes(ln, "big")
+    return signing_input + "." + _b64url(sig)
+
+
+def _m_parse_jwt_pk(token, pem, alg_name: str) -> dict:
+    """parse_jwt_rs*/es* (jwt_parse.go:123-180): verify with a PEM
+    public key; rejects alg mismatch incl. the `none` attack."""
+    from benthos_spark.functions import pki
+
+    halg = {"256": "sha256", "384": "sha384", "512": "sha512"}[alg_name[2:]]
+    parts = _as_string(token).split(".")
+    if len(parts) != 3:
+        raise BloblangError("invalid JWT: expected 3 segments")
+    header = json.loads(_b64url_dec(parts[0]))
+    if header.get("alg") != alg_name:
+        raise BloblangError(
+            f"invalid JWT: algorithm mismatch ({header.get('alg')} != {alg_name})"
+        )
+    try:
+        key = pki.load_public_key(_as_string(pem))
+    except ValueError as e:
+        raise BloblangError(f"{alg_name}: {e}") from e
+    msg = f"{parts[0]}.{parts[1]}".encode()
+    sig = _b64url_dec(parts[2])
+    if alg_name.startswith("RS"):
+        if not isinstance(key, pki.RsaPublic):
+            raise BloblangError(f"{alg_name} requires an RSA public key")
+        ok = pki.rsa_verify(key, msg, sig, halg)
+    else:
+        if not isinstance(key, pki.EcPublic):
+            raise BloblangError(f"{alg_name} requires an EC public key")
+        ln = len(sig) // 2
+        ok = pki.ecdsa_verify(
+            key, msg,
+            int.from_bytes(sig[:ln], "big"), int.from_bytes(sig[ln:], "big"), halg,
+        )
+    if not ok:
+        raise BloblangError("invalid JWT: signature verification failed")
+    return json.loads(_b64url_dec(parts[1]))
+
+
 def _m_encode(v, scheme):
     data = v.encode() if isinstance(v, str) else v
     scheme = scheme.lower()
@@ -1426,6 +1494,20 @@ _METHODS = {
     "parse_jwt_hs256": lambda v, secret: _m_parse_jwt(v, secret, "sha256"),
     "parse_jwt_hs384": lambda v, secret: _m_parse_jwt(v, secret, "sha384"),
     "parse_jwt_hs512": lambda v, secret: _m_parse_jwt(v, secret, "sha512"),
+    # RS*/ES* family (jwt_sign.go:113-151, jwt_parse.go:123-180) over the
+    # from-scratch PKI (functions/pki.py) — formerly jar/lib-gated
+    "sign_jwt_rs256": lambda v, secret: _m_sign_jwt_pk(v, secret, "RS256"),
+    "sign_jwt_rs384": lambda v, secret: _m_sign_jwt_pk(v, secret, "RS384"),
+    "sign_jwt_rs512": lambda v, secret: _m_sign_jwt_pk(v, secret, "RS512"),
+    "sign_jwt_es256": lambda v, secret: _m_sign_jwt_pk(v, secret, "ES256"),
+    "sign_jwt_es384": lambda v, secret: _m_sign_jwt_pk(v, secret, "ES384"),
+    "sign_jwt_es512": lambda v, secret: _m_sign_jwt_pk(v, secret, "ES512"),
+    "parse_jwt_rs256": lambda v, secret: _m_parse_jwt_pk(v, secret, "RS256"),
+    "parse_jwt_rs384": lambda v, secret: _m_parse_jwt_pk(v, secret, "RS384"),
+    "parse_jwt_rs512": lambda v, secret: _m_parse_jwt_pk(v, secret, "RS512"),
+    "parse_jwt_es256": lambda v, secret: _m_parse_jwt_pk(v, secret, "ES256"),
+    "parse_jwt_es384": lambda v, secret: _m_parse_jwt_pk(v, secret, "ES384"),
+    "parse_jwt_es512": lambda v, secret: _m_parse_jwt_pk(v, secret, "ES512"),
     # numbers (query/methods.go + math)
     "floor": lambda v: math.floor(_as_number(v)),
     "ceil": lambda v: math.ceil(_as_number(v)),
