@@ -724,20 +724,22 @@ def _codec_pair(algorithm: str, level: int = 6):
         return _c, _d
     if algorithm == "snappy":
         try:
-            import snappy  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError(
-                "snappy codec needs python-snappy (pip install python-snappy on the cluster)"
-            ) from e
-        return snappy.compress, snappy.decompress
+            import snappy  # type: ignore  # native lib when present (faster)
+
+            return snappy.compress, snappy.decompress
+        except ImportError:
+            from benthos_spark.functions import snappy as _snappy
+
+            return _snappy.compress, _snappy.decompress
     if algorithm == "lz4":
         try:
-            import lz4.frame  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError(
-                "lz4 codec needs the lz4 package (pip install lz4 on the cluster)"
-            ) from e
-        return lz4.frame.compress, lz4.frame.decompress
+            import lz4.frame  # type: ignore  # native lib when present (faster)
+
+            return lz4.frame.compress, lz4.frame.decompress
+        except ImportError:
+            from benthos_spark.functions import lz4frame as _lz4
+
+            return _lz4.compress, _lz4.decompress
     if algorithm == "zstd":
         try:
             import zstandard  # type: ignore

@@ -535,3 +535,45 @@ def test_split_count_on_streaming_frame_rejected(spark):
     stream = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="streaming"):
         Split(count=10)(stream)
+
+
+def test_compress_snappy_lz4_pure_python_roundtrip(spark):
+    """snappy/lz4 no longer env-gated: pure-python block/frame codecs
+    (functions/snappy.py, functions/lz4frame.py) back the processors
+    when the native libs are absent."""
+    import random
+
+    from benthos_spark.operators.processors import Compress, Decompress
+
+    rng = random.Random(11)
+    payloads = [
+        b"hello world " * 50,
+        bytes(rng.randrange(256) for _ in range(2000)),
+        b"",
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload binary")
+    for alg in ("snappy", "lz4"):
+        comp = Compress(col="payload", algorithm=alg)(df)
+        out = Decompress(col="payload", algorithm=alg)(comp)
+        got = [bytes(r["payload"]) if r["payload"] is not None else None
+               for r in out.collect()]
+        assert sorted(got, key=len) == sorted(payloads, key=len), alg
+
+
+def test_snappy_handcrafted_stream_and_xxh32_vectors():
+    from benthos_spark.functions import lz4frame, snappy
+
+    # literal "ab" + 1-byte-offset copy (offset 2, len 6) -> "abababab"
+    hand = bytes([8, 1 << 2]) + b"ab" + bytes([((6 - 4) << 2) | 1, 2])
+    assert snappy.decompress(hand) == b"abababab"
+    # xxHash32 public vectors
+    assert lz4frame.xxh32(b"") == 0x02CC5D05
+    assert lz4frame.xxh32(b"a") == 0x550D7456
+    assert lz4frame.xxh32(b"abc") == 0x32D153FF
+    # lz4 frame content-checksum corruption is detected
+    z = bytearray(lz4frame.compress(b"payload " * 20))
+    z[-1] ^= 0xFF
+    import pytest as _pytest
+
+    with _pytest.raises(lz4frame.Lz4Error, match="checksum"):
+        lz4frame.decompress(bytes(z))
