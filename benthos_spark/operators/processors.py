@@ -722,6 +722,13 @@ def _codec_pair(algorithm: str, level: int = 6):
             return zlib.decompressobj(-15).decompress(b)
 
         return _c, _d
+    if algorithm == "bzip2":
+        # the reference offers bzip2 on DECOMPRESS only (Go stdlib has no
+        # writer, bloblang_encoding.go:303); python's bz2 does both —
+        # compress is a superset convenience
+        import bz2 as _bz2
+
+        return (lambda b: _bz2.compress(b, min(max(level, 1), 9))), _bz2.decompress
     if algorithm == "snappy":
         try:
             import snappy  # type: ignore  # native lib when present (faster)

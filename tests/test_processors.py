@@ -577,3 +577,16 @@ def test_snappy_handcrafted_stream_and_xxh32_vectors():
 
     with _pytest.raises(lz4frame.Lz4Error, match="checksum"):
         lz4frame.decompress(bytes(z))
+
+
+def test_decompress_bzip2(spark):
+    """bzip2 decompress parity (bloblang_encoding.go:303 — the reference
+    is decompress-only; compress here is a stdlib superset)."""
+    import bz2
+
+    from benthos_spark.operators.processors import Decompress
+
+    payloads = [bz2.compress(b"bzip2 payload " * 20)]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload binary")
+    out = Decompress(col="payload", algorithm="bzip2")(df).collect()
+    assert bytes(out[0]["payload"]) == b"bzip2 payload " * 20
