@@ -1599,6 +1599,17 @@ _METHODS = {
     # impl/crypto/bcrypt.go:26 / argon2.go:110 — from-scratch verifiers
     # (functions/bcrypt.py, functions/argon2.py; NIST/RFC-vector tested)
     "compare_bcrypt": lambda v, hashed: _m_compare_pw("bcrypt", v, hashed),
+    # impl/maxmind/bloblang_geoip.go:56-89 — from-scratch MMDB reader
+    # (functions/mmdb.py); all geoip_* methods return the raw record map
+    # (the data the geoip2 wrapper structs are decoded from)
+    "geoip_city": lambda v, path: _m_geoip(v, path),
+    "geoip_country": lambda v, path: _m_geoip(v, path),
+    "geoip_asn": lambda v, path: _m_geoip(v, path),
+    "geoip_enterprise": lambda v, path: _m_geoip(v, path),
+    "geoip_anonymous_ip": lambda v, path: _m_geoip(v, path),
+    "geoip_connection_type": lambda v, path: _m_geoip(v, path),
+    "geoip_domain": lambda v, path: _m_geoip(v, path),
+    "geoip_isp": lambda v, path: _m_geoip(v, path),
     "compare_argon2": lambda v, hashed: _m_compare_pw("argon2", v, hashed),
     "parse_duration_iso8601": _m_parse_duration_iso8601,
     "ts_sub": lambda v, other: int((_to_datetime(v) - _to_datetime(other)).total_seconds() * 1e9),
@@ -1991,3 +2002,23 @@ def _m_compare_pw(scheme: str, v, hashed) -> bool:
         return mod.compare(_as_string(v), _as_string(hashed))
     except ValueError as e:
         raise BloblangError(f"compare_{scheme}: {e}") from e
+
+
+def _m_geoip(v, path):
+    """Shared geoip_* lookup: parse the IP, search the mmdb, return the
+    record (error for malformed IPs, like the reference)."""
+    import ipaddress
+
+    from benthos_spark.functions import mmdb
+
+    s = _as_string(v)
+    try:
+        ipaddress.ip_address(s)
+    except ValueError:
+        raise BloblangError(
+            f"value {s} does not appear to be a valid v4 or v6 IP address"
+        )
+    try:
+        return mmdb.open_db(_as_string(path)).lookup(s)
+    except (OSError, mmdb.MmdbError) as e:
+        raise BloblangError(f"geoip lookup failed: {e}") from e

@@ -756,3 +756,41 @@ def test_compare_password_methods_reference_examples():
     out, _ = Executor(f'root.match = this.secret.compare_argon2("{ah}")').map_part(
         {"secret": "will-i-ever-find-love"})
     assert out == {"match": False}
+
+
+def test_geoip_methods_with_fixture_db(tmp_path):
+    """geoip_* (impl/maxmind/bloblang_geoip.go) over a from-scratch MMDB
+    reader; the fixture file is written by our minimal spec-conforming
+    writer (functions/mmdb.py)."""
+    from benthos_spark.bloblang.interp import BloblangError, Executor
+    from benthos_spark.functions import mmdb
+
+    db = str(tmp_path / "test.mmdb")
+    mmdb.build_mmdb(
+        [
+            ("81.2.69.0/24", {"country": {"iso_code": "GB"},
+                              "city": {"names": {"en": "London"}}}),
+            ("2001:db8::/32", {"country": {"iso_code": "V6"}}),
+        ],
+        db,
+    )
+    out, _ = Executor(f'root = this.ip.geoip_city("{db}")').map_part({"ip": "81.2.69.160"})
+    assert out["city"]["names"]["en"] == "London"
+    out, _ = Executor(f'root = this.ip.geoip_country("{db}")').map_part({"ip": "2001:db8::1"})
+    assert out["country"]["iso_code"] == "V6"
+    out, _ = Executor(f'root = this.ip.geoip_asn("{db}")').map_part({"ip": "8.8.8.8"})
+    assert out is None  # not in the db
+    with pytest.raises(BloblangError, match="valid v4 or v6"):
+        Executor(f'root = this.ip.geoip_city("{db}")').map_part({"ip": "not-an-ip"})
+
+
+def test_mmdb_record_sizes_and_types(tmp_path):
+    from benthos_spark.functions import mmdb
+
+    db = str(tmp_path / "types.mmdb")
+    rec = {"s": "str", "d": 1.25, "b": b"\x01\x02", "u16": 7, "u32": 70000,
+           "u64": 1 << 40, "i32": -9, "t": True, "f": False,
+           "m": {"nested": {"deep": "x"}}, "a": [1, "two", {"three": 3}]}
+    mmdb.build_mmdb([("192.0.2.0/24", rec)], db)
+    got = mmdb.Reader(db).lookup("192.0.2.55")
+    assert got == rec
