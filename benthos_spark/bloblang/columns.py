@@ -696,6 +696,10 @@ def _c_method(node: A.MethodCall, env: _Env):
         return B.ts_sub(target, col(0))
     if name == "json_path":
         return B.json_path(target, val(0))
+    if name == "parse_duration":
+        return B.parse_duration(target)
+    if name == "parse_duration_iso8601":
+        return B.parse_duration_iso8601(target)
     if name == "ts_strftime":
         if nargs > 1:
             raise UnsupportedBloblang("ts_strftime with tz")

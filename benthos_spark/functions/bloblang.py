@@ -771,3 +771,53 @@ def filepath_split_pair(col) -> Column:
     file = F.when(c.contains("/"), F.substring_index(c, "/", -1)).otherwise(c)
     dirp = c.substr(F.lit(1), F.length(c) - F.length(file))
     return F.array(dirp, file)
+
+
+def parse_duration(col) -> Column:
+    """Go time.ParseDuration → nanoseconds (bloblang_time.go
+    parse_duration): regexp-extract the (number)(unit) pairs, fold a sum
+    — all Catalyst higher-order expressions, no UDF. Invalid inputs
+    yield NULL (the interpreter raises; the Column tier is a typed
+    projection where null is the error channel)."""
+    c = F.trim(_c(col).cast("string"))
+    sign = F.when(c.startswith("-"), -1.0).otherwise(1.0)
+    body = F.regexp_replace(c, r"^[+-]", "")
+    pat = r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)"
+    nums = F.regexp_extract_all(body, F.lit(pat), 1)
+    units = F.regexp_extract_all(body, F.lit(pat), 2)
+    mult = F.create_map(
+        F.lit("ns"), F.lit(1.0), F.lit("us"), F.lit(1e3), F.lit("µs"), F.lit(1e3),
+        F.lit("ms"), F.lit(1e6), F.lit("s"), F.lit(1e9),
+        F.lit("m"), F.lit(60e9), F.lit("h"), F.lit(3600e9),
+    )
+    total = F.aggregate(
+        F.zip_with(nums, units, lambda n, u: n.cast("double") * mult[u]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # validity: the concatenated matches must reproduce the whole body
+    rebuilt = F.array_join(F.zip_with(nums, units, lambda n, u: F.concat(n, u)), "")
+    ok = (F.size(nums) > 0) & (rebuilt == body)
+    return F.when(ok, (sign * total).cast("long"))
+
+
+def parse_duration_iso8601(col) -> Column:
+    """ISO-8601 duration → nanoseconds (Gregorian year, month = year/12 —
+    the reference's fixed-unit interpretation). NULL on invalid."""
+    c = F.trim(_c(col).cast("string"))
+    pat = (r"^P(?:(\d+(?:\.\d+)?)Y)?(?:(\d+(?:\.\d+)?)M)?(?:(\d+(?:\.\d+)?)W)?"
+           r"(?:(\d+(?:\.\d+)?)D)?(?:T(?:(\d+(?:\.\d+)?)H)?(?:(\d+(?:\.\d+)?)M)?"
+           r"(?:(\d+(?:\.\d+)?)S)?)?$")
+
+    def grp(i):
+        g = F.regexp_extract(c, pat, i)
+        return F.when(g == "", 0.0).otherwise(g.cast("double"))
+
+    year_s = 365.2425 * 86400.0
+    total_s = (
+        grp(1) * year_s + grp(2) * (year_s / 12.0) + grp(3) * (7 * 86400.0)
+        + grp(4) * 86400.0 + grp(5) * 3600.0 + grp(6) * 60.0 + grp(7)
+    )
+    any_part = sum((F.regexp_extract(c, pat, i) != "").cast("int") for i in range(1, 8))
+    ok = c.rlike(pat) & (any_part > 0)
+    return F.when(ok, (total_s * 1e9).cast("long"))
