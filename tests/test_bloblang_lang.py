@@ -794,3 +794,37 @@ def test_mmdb_record_sizes_and_types(tmp_path):
     mmdb.build_mmdb([("192.0.2.0/24", rec)], db)
     got = mmdb.Reader(db).lookup("192.0.2.55")
     assert got == rec
+
+
+def test_mmdb_hypothesis_roundtrip(tmp_path):
+    """Property: any JSON-ish record written by the fixture writer reads
+    back identically through the mmdb decoder."""
+    from hypothesis import given, settings, strategies as st
+
+    from benthos_spark.functions import mmdb
+
+    scalars = st.one_of(
+        st.booleans(),
+        st.integers(min_value=-(2**31), max_value=2**63 - 1),
+        st.text(max_size=20),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.binary(max_size=16),
+    )
+    values = st.recursive(
+        scalars,
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=4),
+            st.dictionaries(st.text(min_size=1, max_size=8), kids, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.dictionaries(st.text(min_size=1, max_size=8), values, min_size=1, max_size=4))
+    def check(rec):
+        db = str(tmp_path / "h.mmdb")
+        mmdb.build_mmdb([("198.51.100.0/24", rec)], db)
+        got = mmdb.Reader(db).lookup("198.51.100.7")
+        assert got == rec
+
+    check()

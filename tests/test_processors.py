@@ -590,3 +590,30 @@ def test_decompress_bzip2(spark):
     df = spark.createDataFrame([(p,) for p in payloads], "payload binary")
     out = Decompress(col="payload", algorithm="bzip2")(df).collect()
     assert bytes(out[0]["payload"]) == b"bzip2 payload " * 20
+
+
+def test_snappy_lz4_hypothesis_roundtrip():
+    """Property: decompress(compress(x)) == x for arbitrary byte strings
+    (catches end-of-block constraints, long-match splits, literal-run
+    length encodings)."""
+    from hypothesis import given, settings, strategies as st
+
+    from benthos_spark.functions import lz4frame, snappy
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=5000))
+    def check(data):
+        assert snappy.decompress(snappy.compress(data)) == data
+        assert lz4frame.decompress(lz4frame.compress(data)) == data
+
+    check()
+
+    # adversarial repetitive shapes (long matches, overlapping copies)
+    @settings(max_examples=50, deadline=None)
+    @given(st.binary(min_size=1, max_size=8), st.integers(1, 2000))
+    def check_rep(chunk, reps):
+        data = chunk * reps
+        assert snappy.decompress(snappy.compress(data)) == data
+        assert lz4frame.decompress(lz4frame.compress(data)) == data
+
+    check_rep()
