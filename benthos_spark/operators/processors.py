@@ -749,14 +749,17 @@ def _codec_pair(algorithm: str, level: int = 6):
             return _lz4.compress, _lz4.decompress
     if algorithm == "zstd":
         try:
-            import zstandard  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError(
-                "zstd codec needs zstandard (pip install zstandard on the cluster)"
-            ) from e
-        return zstandard.ZstdCompressor(level=level).compress, (
-            lambda b: zstandard.ZstdDecompressor().decompress(b)
-        )
+            import zstandard  # type: ignore  # native lib when present (faster + real compression)
+
+            return zstandard.ZstdCompressor(level=level).compress, (
+                lambda b: zstandard.ZstdDecompressor().decompress(b)
+            )
+        except ImportError:
+            # pure-python RFC 8878: decoder is format-complete (validated
+            # against zstd-jni); encoder emits store-mode frames
+            from benthos_spark.functions import zstd as _zstd
+
+            return _zstd.compress, _zstd.decompress
     raise ValueError(f"unknown compression algorithm {algorithm!r}")
 
 
