@@ -7,16 +7,15 @@ payload as opaque bytes moved through processors
 (/root/reference/internal/message/part.go:8-11); here each modality gets
 a typed schema + vectorized kernels.
 
-The sandbox has no image/audio/video libraries (no PIL/cv2/ffmpeg), so
-the *container decode* step is stubbed two ways, clearly marked:
+Container codec status:
 
-- ``codec="raw_rgb8"`` / ``codec="raw_gray8"`` — a REAL deterministic
-  byte layout (H*W*C uint8, row-major) that the kernels genuinely decode,
-  so the Spark plumbing (schema, batch shape, partitioning, UDF
-  signatures) is executed and tested end-to-end.
-- any other codec (``jpeg``/``png``/``h264``...) raises
+- ``raw_rgb8`` / ``raw_gray8`` — a REAL deterministic byte layout
+  (H*W*C uint8, row-major).
+- ``png`` — REAL (functions/png.py, from-scratch; validated pixel-exact
+  against javax.imageio both directions).
+- lossy containers (``jpeg``/``webp``/``h264``...) raise
   ``NotImplementedError`` at the kernel boundary — swap in PIL/cv2
-  kernels on a real cluster; the Spark side is unchanged.
+  kernels on a real cluster; the Spark side is codec-agnostic.
 """
 
 from __future__ import annotations
@@ -55,10 +54,16 @@ RAW_CODECS = {"raw_rgb8": 3, "raw_gray8": 1}
 
 
 def decode_image(b: bytes, codec: str, width: int, height: int, channels: int) -> np.ndarray:
-    """Decode to an (H, W, C) uint8 array. Raw layouts are real; container
-    formats are STUBS awaiting a codec library."""
+    """Decode to an (H, W, C) uint8 array. Raw layouts and PNG are real
+    (functions/png.py — validated pixel-exact against javax.imageio);
+    lossy containers (jpeg/webp) still need PIL/cv2."""
     if codec in RAW_CODECS:
         return np.frombuffer(b, dtype=np.uint8).reshape(height, width, channels)
+    if codec == "png":
+        from benthos_spark.functions import png as _png
+
+        arr = _png.decode(b)
+        return arr if arr.ndim == 3 else arr[:, :, None]
     raise NotImplementedError(
         f"codec {codec!r}: container decode needs PIL/cv2 (not in this sandbox); "
         "plug a kernel in here — the Spark plumbing is codec-agnostic"
@@ -68,6 +73,10 @@ def decode_image(b: bytes, codec: str, width: int, height: int, channels: int) -
 def encode_image(arr: np.ndarray, codec: str) -> bytes:
     if codec in RAW_CODECS:
         return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+    if codec == "png":
+        from benthos_spark.functions import png as _png
+
+        return _png.encode(arr)
     raise NotImplementedError(f"codec {codec!r} encode not available in this sandbox")
 
 

@@ -63,3 +63,54 @@ def test_video_frame_sampling(spark):
 def test_container_codec_is_stubbed():
     with pytest.raises(NotImplementedError, match="jpeg"):
         mm.decode_image(b"\xff\xd8", "jpeg", 1, 1, 3)
+
+
+def test_png_codec_vs_imageio(spark):
+    """functions/png.py against the JVM's javax.imageio (the authoritative
+    oracle Spark already ships): pixel-exact both directions."""
+    import numpy as np
+
+    from benthos_spark.functions import png
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    img = jvm.java.awt.image.BufferedImage(23, 17, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for y in range(17):
+        for x in range(23):
+            r, g, b = (int(v) for v in arr[y, x])
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(img, "png", bos)
+    assert (png.decode(bytes(bos.toByteArray())) == arr).all()
+
+    img2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(png.encode(arr)))
+    for y in range(17):
+        for x in range(23):
+            rgb = img2.getRGB(x, y)
+            assert ((rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255) == tuple(int(v) for v in arr[y, x])
+
+
+def test_image_pipeline_png_codec(spark):
+    """The multimodal image stage decodes png payloads for real now."""
+    import numpy as np
+    import pandas as pd
+
+    from benthos_spark.functions import multimodal as mm, png
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(6):
+        arr = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+        rows.append((f"img-{i}", png.encode(arr), 10, 8, 3, "png", float(arr.mean())))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, width int, height int, channels int, codec string, want double"
+    )
+    feats = df.mapInPandas(
+        mm.image_features_map_in_pandas(["image_id", "want"]),
+        schema="image_id string, want double, " + mm.IMAGE_FEATURE_FIELDS,
+    ).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert r["img_ok"]
+        assert abs(r["mean_lum"] - r["want"]) < 0.51  # channel-mean vs flat-mean rounding
