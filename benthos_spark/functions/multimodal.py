@@ -13,7 +13,11 @@ Container codec status:
   (H*W*C uint8, row-major).
 - ``png`` — REAL (functions/png.py, from-scratch; validated pixel-exact
   against javax.imageio both directions).
-- lossy containers (``jpeg``/``webp``/``h264``...) raise
+- ``jpeg`` — REAL decode (functions/jpeg.py, from-scratch baseline
+  T.81 with libjpeg's fancy chroma upsampling; validated against
+  javax.imageio's decode of the same bytes within conforming-decoder
+  tolerance).
+- other lossy containers (``webp``/``h264``...) raise
   ``NotImplementedError`` at the kernel boundary — swap in PIL/cv2
   kernels on a real cluster; the Spark side is codec-agnostic.
 """
@@ -64,6 +68,10 @@ def decode_image(b: bytes, codec: str, width: int, height: int, channels: int) -
 
         arr = _png.decode(b)
         return arr if arr.ndim == 3 else arr[:, :, None]
+    if codec in ("jpeg", "jpg"):
+        from benthos_spark.functions import jpeg as _jpeg
+
+        return _jpeg.decode(b)
     raise NotImplementedError(
         f"codec {codec!r}: container decode needs PIL/cv2 (not in this sandbox); "
         "plug a kernel in here — the Spark plumbing is codec-agnostic"

@@ -61,8 +61,9 @@ def test_video_frame_sampling(spark):
 
 
 def test_container_codec_is_stubbed():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        mm.decode_image(b"\xff\xd8", "jpeg", 1, 1, 3)
+    """Only genuinely un-implementable containers stay gated now."""
+    with pytest.raises(NotImplementedError, match="webp"):
+        mm.decode_image(b"RIFF0000WEBP", "webp", 1, 1, 3)
 
 
 def test_png_codec_vs_imageio(spark):
@@ -114,3 +115,114 @@ def test_image_pipeline_png_codec(spark):
     for r in feats:
         assert r["img_ok"]
         assert abs(r["mean_lum"] - r["want"]) < 0.51  # channel-mean vs flat-mean rounding
+
+
+def _imageio_jpeg_encode(jvm, arr, quality=0.9):
+    BI = jvm.java.awt.image.BufferedImage
+    h, w = arr.shape[:2]
+    img = BI(w, h, BI.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in arr[y, x])
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    ImageIO = jvm.javax.imageio.ImageIO
+    writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    p = writer.getDefaultWriteParam()
+    p.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(float(quality))
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), p)
+    ios.flush()
+    return bytes(bos.toByteArray())
+
+
+def test_jpeg_decoder_vs_imageio(spark):
+    """functions/jpeg.py: baseline T.81 decode compared against
+    javax.imageio's decode of the SAME bytes — JPEG is lossy and IDCTs
+    are not bit-mandated, so conforming decoders are compared under a
+    small per-pixel tolerance."""
+    import numpy as np
+
+    from benthos_spark.functions import jpeg
+
+    jvm = spark._jvm
+    yy, xx = np.mgrid[0:40, 0:56]
+    images = {
+        "smooth": np.stack(
+            [np.clip(128 + 80 * np.sin(xx / 10.0), 0, 255),
+             np.clip(128 + 80 * np.cos(yy / 8.0), 0, 255),
+             np.clip(128 + 60 * np.sin((xx + yy) / 12.0), 0, 255)],
+            axis=-1).astype(np.uint8),
+        "wrap": np.stack([(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256],
+                         axis=-1).astype(np.uint8),
+    }
+    ImageIO = jvm.javax.imageio.ImageIO
+    for name, arr in images.items():
+        for q in (0.9, 0.5):
+            b = _imageio_jpeg_encode(jvm, arr, q)
+            ours = jpeg.decode(b)
+            img = ImageIO.read(jvm.java.io.ByteArrayInputStream(b))
+            theirs = np.zeros_like(arr)
+            for y in range(arr.shape[0]):
+                for x in range(arr.shape[1]):
+                    v = img.getRGB(x, y)
+                    theirs[y, x] = ((v >> 16) & 255, (v >> 8) & 255, v & 255)
+            diff = np.abs(ours.astype(int) - theirs.astype(int))
+            assert diff.max() <= 8 and diff.mean() < 1.0, (name, q, diff.max())
+
+
+def test_jpeg_grayscale_decode(spark):
+    import numpy as np
+
+    from benthos_spark.functions import jpeg
+
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    ImageIO = jvm.javax.imageio.ImageIO
+    yy, xx = np.mgrid[0:32, 0:40]
+    gray = np.clip(100 + 40 * np.sin(xx / 9.0) + 30 * np.cos(yy / 7.0), 0, 255).astype(np.uint8)
+    img = BI(40, 32, BI.TYPE_BYTE_GRAY)
+    raster = img.getRaster()
+    for y in range(32):
+        for x in range(40):
+            raster.setSample(x, y, 0, int(gray[y, x]))
+    writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    p = writer.getDefaultWriteParam()
+    p.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), p)
+    ios.flush()
+    b = bytes(bos.toByteArray())
+    ours = jpeg.decode(b)[:, :, 0]
+    img2 = ImageIO.read(jvm.java.io.ByteArrayInputStream(b))
+    r2 = img2.getRaster()
+    theirs = np.array([[r2.getSample(x, y, 0) for x in range(40)] for y in range(32)])
+    assert np.abs(ours.astype(int) - theirs).max() <= 1
+
+
+def test_image_pipeline_jpeg_codec(spark):
+    import numpy as np
+    import pandas as pd
+
+    from benthos_spark.functions import multimodal as mm
+
+    jvm = spark._jvm
+    yy, xx = np.mgrid[0:16, 0:24]
+    arr = np.stack([np.clip(60 + 6 * xx, 0, 255), np.clip(30 + 8 * yy, 0, 255),
+                    np.full_like(xx, 90)], axis=-1).astype(np.uint8)
+    b = _imageio_jpeg_encode(jvm, arr)
+    df = spark.createDataFrame(
+        [("j1", b, 24, 16, 3, "jpeg")],
+        "image_id string, bytes binary, width int, height int, channels int, codec string",
+    )
+    feats = df.mapInPandas(
+        mm.image_features_map_in_pandas(["image_id"]),
+        schema="image_id string, " + mm.IMAGE_FEATURE_FIELDS,
+    ).collect()
+    assert feats[0]["img_ok"]
+    assert abs(feats[0]["mean_lum"] - arr.mean()) < 2.0
