@@ -36,7 +36,7 @@ SIZES = {
     "sf0.01": {"clips": 1200, "images": 800, "videos": 200},
 }
 
-_TABLES = ("clips", "images", "videos")
+_TABLES = ("clips", "images", "videos", "images_png")
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -89,3 +89,20 @@ def ensure_gate_tables(sf_name: str) -> None:
     if not os.path.exists(p):
         ids = np.arange(sizes["videos"], dtype=np.int64)
         _write_atomic(videos_pdf(ids), p)
+    p = table_path(sf_name, "images_png")
+    if not os.path.exists(p):
+        # the same deterministic images, PNG-CONTAINER-encoded: the gate
+        # then hash-checks a real container decode (functions/png.py)
+        from benthos_spark.functions import png as _png
+
+        ids = np.arange(sizes["images"] // 4, dtype=np.int64)
+        pdf = images_pdf(ids, with_expected=True)
+        blobs = []
+        for i in range(len(pdf)):
+            arr = np.frombuffer(pdf["bytes"].iat[i], dtype=np.uint8).reshape(
+                pdf["height"].iat[i], pdf["width"].iat[i], pdf["channels"].iat[i]
+            )
+            blobs.append(_png.encode(arr))
+        pdf["bytes"] = blobs
+        pdf["codec"] = "png"
+        _write_atomic(pdf, p)

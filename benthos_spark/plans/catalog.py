@@ -2172,3 +2172,46 @@ def cdc_merge_apply_orders(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+_IMAGES_PNG_GATE = _gate.table_path("sf0.01", "images_png")
+
+
+@register(
+    "image_png_decode_rollup",
+    f"""
+    SELECT codec,
+           count(*) AS n_images,
+           round(avg(mean_lum), 4) AS avg_lum,
+           sum(n_pixels)::BIGINT AS total_pixels,
+           count(*) AS ok_images
+    FROM read_parquet('{_IMAGES_PNG_GATE}')
+    GROUP BY codec
+    """,
+)
+def image_png_decode_rollup(spark, sf_dir):
+    """Container-codec decode under the hash gate: the same
+    deterministic images PNG-encoded (datagen/gate.py) through the
+    from-scratch decoder (functions/png.py) — the oracle's `mean_lum`
+    was computed from the pixel array BEFORE PNG encoding, so the
+    rollup only matches if the container decode is pixel-exact."""
+    from benthos_spark.functions import multimodal as mm
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is not None:
+        _gate.ensure_gate_tables(sf)
+        imgs = spark.read.parquet(_gate.table_path(sf, "images_png")).select(
+            "image_id", "bytes", "width", "height", "channels", "codec"
+        )
+    else:
+        raise ValueError("image_png_decode_rollup runs at gate scales only")
+    feats = imgs.mapInPandas(
+        mm.image_features_map_in_pandas(["image_id", "codec"]),
+        schema="image_id string, codec string, " + mm.IMAGE_FEATURE_FIELDS,
+    )
+    return feats.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("mean_lum"), 4).alias("avg_lum"),
+        F.sum("n_pixels").alias("total_pixels"),
+        F.sum(F.col("img_ok").cast("long")).alias("ok_images"),
+    )
