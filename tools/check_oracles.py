@@ -6,6 +6,11 @@ order-insensitive multiset of values with columns sorted by name —
 mirroring CORRECTNESS_r{N}.json.
 
 Usage: python tools/check_oracles.py [--sf-dir DIR] [--only name1,name2]
+
+NOTE: the audio/image/video/cdc gate entries read MATERIALIZED gate
+tables whose oracle SQL hardcodes the sf0.01 paths (the driver's gate
+scale). Running with a different --sf-dir skips those entries instead
+of reporting misleading failures.
 """
 
 from __future__ import annotations
@@ -66,6 +71,14 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+
+    # gate-table oracles are pinned to sf0.01 (see module docstring)
+    if not args.sf_dir.rstrip("/").endswith("sf0.01"):
+        gate_pinned = {n for n, sql in oracles.items() if "data/gate/sf0.01" in sql}
+        if gate_pinned:
+            print(f"note: skipping {len(gate_pinned)} gate-table entries "
+                  f"(oracles pinned to sf0.01): {sorted(gate_pinned)}")
+            queries = {n: f for n, f in queries.items() if n not in gate_pinned}
 
     n_pass = n_fail = n_weak = 0
     for name, fn in queries.items():
