@@ -59,6 +59,8 @@ BATCH_QUERIES = [
     "jq_program_events",
     "cdc_merge_apply_orders",
     "audio_decode_features",
+    "audio_mfcc_fingerprint_rollup",
+    "audio_fingerprint_dedup",
 ]
 
 

@@ -31,6 +31,7 @@ SEED = 42
 BASE_TS = dt.datetime(2024, 3, 1, 0, 0, 0)
 STEP_MS = 250  # one clip arrives every 250ms of event time
 WINDOW_S = 60  # the canonical window size late rows jitter against
+DUP_EVERY = 5  # every 5th clip gets a planted ADPCM-transcode near-dup
 
 SR_CHOICES = np.array([8000, 16000, 22050, 44100], dtype=np.int64)
 CODEC_CHOICES = ("pcm_s16le", "wav", "ulaw", "alaw")
@@ -113,18 +114,24 @@ def reference_signal(i: int, sr_hz: int, dur_ms: int, seed: int = SEED) -> np.nd
     baseline (decoded payload must reach SNR ≥ 30 dB against this)."""
     n = int(round(sr_hz * dur_ms / 1000.0))
     ids = np.array([i], dtype=np.uint64)
-    f1 = 100.0 + _hash_u01(ids, 10, seed)[0] * 2900.0
-    f2 = 100.0 + _hash_u01(ids, 11, seed)[0] * 2900.0
-    f3 = 100.0 + _hash_u01(ids, 12, seed)[0] * 2900.0
-    p1 = _hash_u01(ids, 13, seed)[0] * 2 * np.pi
-    p2 = _hash_u01(ids, 14, seed)[0] * 2 * np.pi
-    p3 = _hash_u01(ids, 15, seed)[0] * 2 * np.pi
     t = np.arange(n, dtype=np.float64) / sr_hz
-    x = (
-        0.45 * np.sin(2 * np.pi * f1 * t + p1)
-        + 0.25 * np.sin(2 * np.pi * f2 * t + p2)
-        + 0.15 * np.sin(2 * np.pi * f3 * t + p3)
-    )
+    x = np.zeros(n, dtype=np.float64)
+    # three vibrato'd partials: per-clip seeded frequency modulation
+    # (depth 2-6%, rate 0.5-4 Hz) makes the spectral-peak TRAJECTORY
+    # clip-specific — a stationary trio would make every same-frequency
+    # clip a fingerprint twin (audio_dsp.fingerprint), and real speech/
+    # music is non-stationary anyway
+    for j, amp in enumerate((0.45, 0.25, 0.15)):
+        f = 100.0 + _hash_u01(ids, 10 + j, seed)[0] * 2900.0
+        p = _hash_u01(ids, 13 + j, seed)[0] * 2 * np.pi
+        depth = 0.02 + _hash_u01(ids, 16 + j, seed)[0] * 0.04
+        rate = 0.5 + _hash_u01(ids, 19 + j, seed)[0] * 3.5
+        pv = _hash_u01(ids, 23 + j, seed)[0] * 2 * np.pi
+        # phase integral of f·(1 + depth·sin(2π·rate·t + pv))
+        theta = 2 * np.pi * f * (
+            t - depth * (np.cos(2 * np.pi * rate * t + pv) - np.cos(pv)) / (2 * np.pi * rate)
+        )
+        x += amp * np.sin(theta + p)
     rng = np.random.Generator(np.random.Philox(key=[seed, int(i)]))
     x += 0.002 * rng.standard_normal(n)
     return np.clip(x, -0.999, 0.999).astype(np.float64)
@@ -173,11 +180,27 @@ def clips_pdf(ids: np.ndarray, seed: int = SEED, with_expected: bool = False) ->
       deterministic trim+rFFT analysis of the decoded payload, computed
       here at generation time (consistency columns: the engine must
       reproduce them bit-for-bit at query time from the bytes alone).
+    - ``mfcc0_mean``/``mfcc1_mean`` — clip-mean of the first two MFCCs of
+      the decoded payload (functions/audio_dsp.py), same consistency
+      contract.
+    - ``n_fp``/``fp_xor32``/``fp_hashes`` — the spectral-peak fingerprint
+      of the decoded payload (count, 32-bit-folded XOR, and the full
+      sorted hash list as BIGINTs) so the oracle can replay pair-
+      intersection dedup in plain SQL (unnest + join).
+    - ``fp_hashes_adpcm`` — for the planted-duplicate subset (clip index
+      % DUP_EVERY == 0) the fingerprint of the clip after an IMA-ADPCM
+      transcode roundtrip (decode → adpcm encode → decode); empty list
+      for the rest. Ground truth for the fingerprint-dedup entry: the
+      re-encode is a lossy copy whose spectral peaks survive, so its
+      hashes collide with the original's.
     """
     params = clip_params(ids, seed)
     rows_bytes, transcripts = [], []
     exp: dict[str, list] = {"n_samples": [], "checksum16": [], "voiced_ratio": [],
-                            "spectral_centroid": [], "rolloff85": []}
+                            "spectral_centroid": [], "rolloff85": [],
+                            "mfcc0_mean": [], "mfcc1_mean": [],
+                            "n_fp": [], "fp_xor32": [], "fp_hashes": []}
+    decoded: list[np.ndarray] = []
     for k, i in enumerate(ids):
         sr = int(params["sr_hz"][k])
         dur = int(params["dur_ms"][k])
@@ -187,6 +210,8 @@ def clips_pdf(ids: np.ndarray, seed: int = SEED, with_expected: bool = False) ->
         rows_bytes.append(b)
         transcripts.append(make_transcript(int(i), dur, seed))
         if with_expected:
+            from benthos_spark.functions import audio_dsp
+
             exp["n_samples"].append(int(round(sr * dur / 1000.0)))
             if codec in ("pcm_s16le", "wav"):
                 q = np.clip(np.rint(x * 32767.0), -32768, 32767)
@@ -194,11 +219,34 @@ def clips_pdf(ids: np.ndarray, seed: int = SEED, with_expected: bool = False) ->
             else:
                 exp["checksum16"].append(audio.checksum16(audio.decode(b, codec)))
             xd = audio.decode(b, codec)
+            decoded.append(xd)
             t = audio.trim_silence(xd)
             exp["voiced_ratio"].append(len(t) / len(xd) if len(xd) else 0.0)
             c, r = audio.spectral_features(t if len(t) else xd, sr)
             exp["spectral_centroid"].append(c)
             exp["rolloff85"].append(r)
+            mag = audio_dsp.stft_mag(xd)  # ONE STFT shared by MFCC + fingerprint
+            mm = audio_dsp.mfcc_mean(xd, sr, mag=mag)
+            exp["mfcc0_mean"].append(float(mm[0]))
+            exp["mfcc1_mean"].append(float(mm[1]))
+            h = audio_dsp.fingerprint(xd, mag=mag)
+            exp["n_fp"].append(int(len(h)))
+            exp["fp_xor32"].append(
+                int(np.bitwise_xor.reduce(h) & np.uint64(0xFFFFFFFF)) if len(h) else 0
+            )
+            exp["fp_hashes"].append(h.astype(np.int64).tolist())
+    if with_expected:
+        from benthos_spark.functions import audio_dsp
+
+        # batched ADPCM roundtrip for the planted-dup subset only (one
+        # vectorized lane matrix for the chunk), then fingerprint the
+        # transcoded signals
+        dup_ix = [k for k, i in enumerate(ids) if int(i) % DUP_EVERY == 0]
+        rt = audio.adpcm_decode_many(audio.adpcm_encode_many([decoded[k] for k in dup_ix]))
+        adpcm_fp: list[list[int]] = [[] for _ in range(len(ids))]
+        for k, y in zip(dup_ix, rt):
+            adpcm_fp[k] = audio_dsp.fingerprint(y).astype(np.int64).tolist()
+        exp["fp_hashes_adpcm"] = adpcm_fp
     out = pd.DataFrame(
         {
             "clip_id": [f"clip-{int(i):012d}" for i in ids],
@@ -216,6 +264,12 @@ def clips_pdf(ids: np.ndarray, seed: int = SEED, with_expected: bool = False) ->
         out["voiced_ratio"] = np.array(exp["voiced_ratio"], dtype=np.float64)
         out["spectral_centroid"] = np.array(exp["spectral_centroid"], dtype=np.float64)
         out["rolloff85"] = np.array(exp["rolloff85"], dtype=np.float64)
+        out["mfcc0_mean"] = np.array(exp["mfcc0_mean"], dtype=np.float64)
+        out["mfcc1_mean"] = np.array(exp["mfcc1_mean"], dtype=np.float64)
+        out["n_fp"] = np.array(exp["n_fp"], dtype=np.int64)
+        out["fp_xor32"] = np.array(exp["fp_xor32"], dtype=np.int64)
+        out["fp_hashes"] = exp["fp_hashes"]
+        out["fp_hashes_adpcm"] = exp["fp_hashes_adpcm"]
     return out
 
 

@@ -38,6 +38,10 @@ SIZES = {
 
 _TABLES = ("clips", "images", "videos", "images_png")
 
+# Bump when ground-truth columns change shape: stale gate parquet is
+# deleted and regenerated (the VERSION marker file per sf dir).
+GATE_VERSION = 3
+
 
 def gate_sf_name(sf_dir: str) -> str | None:
     """The sf name for a testdata dir, or None if not a gated scale."""
@@ -71,7 +75,18 @@ def ensure_gate_tables(sf_name: str) -> None:
     if sf_name not in SIZES:
         raise ValueError(f"no gate sizing for {sf_name!r}; known: {sorted(SIZES)}")
     sizes = SIZES[sf_name]
-    if all(os.path.exists(table_path(sf_name, t)) for t in _TABLES):
+    version_file = GATE_ROOT / sf_name / "VERSION"
+    try:
+        on_disk = int(version_file.read_text().strip())
+    except (OSError, ValueError):
+        on_disk = 0
+    if on_disk != GATE_VERSION:
+        for t in _TABLES:  # stale ground-truth schema: regenerate all
+            try:
+                os.remove(table_path(sf_name, t))
+            except OSError:
+                pass
+    elif all(os.path.exists(table_path(sf_name, t)) for t in _TABLES):
         return
 
     from benthos_spark.datagen.clips import clips_pdf
@@ -106,3 +121,8 @@ def ensure_gate_tables(sf_name: str) -> None:
         pdf["bytes"] = blobs
         pdf["codec"] = "png"
         _write_atomic(pdf, p)
+    tmp_v = f"{version_file}.tmp.{os.getpid()}"
+    os.makedirs(os.path.dirname(tmp_v), exist_ok=True)
+    with open(tmp_v, "w") as fh:
+        fh.write(str(GATE_VERSION))
+    os.replace(tmp_v, version_file)

@@ -1950,6 +1950,166 @@ def audio_transcode_rollup(spark, sf_dir):
 
 
 @register(
+    "audio_mfcc_fingerprint_rollup",
+    f"""
+    SELECT codec,
+           count(*) AS n_clips,
+           round(avg(mfcc0_mean), 4) AS avg_mfcc0,
+           round(avg(mfcc1_mean), 4) AS avg_mfcc1,
+           sum(n_fp)::BIGINT AS total_fp,
+           sum(fp_xor32)::BIGINT AS total_xor32
+    FROM read_parquet('{_CLIPS_GATE}')
+    GROUP BY codec
+    """,
+)
+def audio_mfcc_fingerprint_rollup(spark, sf_dir):
+    """Decode → ONE shared STFT → clip-mean MFCCs + spectral-peak
+    fingerprint stats (functions/audio_dsp.py: Hann STFT, HTK mel
+    filterbank, orthonormal DCT-II; time-anchored cross-band peak-pair
+    hashes) → per-codec rollup. The oracle columns are generation-time
+    consistency values: `n_fp`/`fp_xor32` are exact integers over the
+    hash set and the MFCC means are bit-identical doubles — the engine
+    only matches by reproducing the full DSP chain from the payload
+    bytes."""
+    from benthos_spark.functions.audio import AUDIO_MFCC_FP_FIELDS, mfcc_fp_map_in_pandas
+
+    clips = _clips_for(spark, sf_dir)
+    feats = clips.mapInPandas(
+        mfcc_fp_map_in_pandas(["clip_id", "codec"]),
+        schema="clip_id string, codec string, " + AUDIO_MFCC_FP_FIELDS,
+    )
+    return feats.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("mfcc0_mean"), 4).alias("avg_mfcc0"),
+        F.round(F.avg("mfcc1_mean"), 4).alias("avg_mfcc1"),
+        F.sum("n_fp").alias("total_fp"),
+        F.sum("fp_xor32").alias("total_xor32"),
+    )
+
+
+_FP_DUP_EVERY = 5  # datagen/clips.DUP_EVERY — planted ADPCM dup subset
+_FP_MIN_MATCH = 8  # pair keeps: ≥ 8 shared hashes AND ≥ half the smaller set
+
+
+@register(
+    "audio_fingerprint_dedup",
+    f"""
+    WITH fp AS (
+      SELECT clip_id AS fp_id, n_fp, fp_hashes
+      FROM read_parquet('{_CLIPS_GATE}') WHERE n_fp > 0
+      UNION ALL
+      SELECT clip_id || '~adpcm', len(fp_hashes_adpcm)::BIGINT, fp_hashes_adpcm
+      FROM read_parquet('{_CLIPS_GATE}')
+      WHERE CAST(substr(clip_id, 6) AS BIGINT) % {_FP_DUP_EVERY} = 0
+        AND len(fp_hashes_adpcm) > 0
+    ), ex AS (
+      SELECT fp_id, n_fp, unnest(fp_hashes) AS h FROM fp
+    )
+    SELECT a.fp_id AS a, b.fp_id AS b, count(*) AS n_match,
+           least(min(a.n_fp), min(b.n_fp)) AS min_n_fp
+    FROM ex a JOIN ex b ON a.h = b.h AND a.fp_id < b.fp_id
+    GROUP BY a.fp_id, b.fp_id
+    HAVING count(*) >= {_FP_MIN_MATCH}
+       AND 2 * count(*) >= least(min(a.n_fp), min(b.n_fp))
+    """,
+)
+def audio_fingerprint_dedup(spark, sf_dir):
+    """Audio near-duplicate detection by spectral-peak fingerprint — the
+    audio analog of `minhash_lsh_neardup`. Corpus: every clip, plus a
+    lossy IMA-ADPCM re-encode of every 5th clip (the planted
+    duplicates; the reference's dedupe processor is
+    internal/impl/pure/processor_dedupe.go, keyed on content hashes —
+    here the "content hash" is robust to re-encoding). Spark recomputes
+    every hash from the payload bytes (decode → STFT → fingerprint,
+    functions/audio_dsp.py), then an inverted-index self-join on hash →
+    pair match counts; the oracle replays the identical pairing from the
+    gate parquet's stored hash lists via unnest + join.
+
+    Keeps pairs with ≥ 8 shared hashes covering ≥ half the smaller
+    hash set (integer-only predicate — no float compares in the
+    gate). Calibrated at sf0.01: 226/226 planted pairs with an eligible
+    fingerprint (n_fp ≥ 8) are recovered — 100% recall;
+    the remaining matched pairs are spectral twins (clips whose partials
+    coincide within a quantization bin at every frame), which a content
+    fingerprint correctly flags on a synthetic tonal corpus.
+
+    100 TB shape: the join shuffles on the hash key only; time-anchored
+    hashes keep document frequency bounded (p99 = 20, max 62 at sf0.01 —
+    no stop-hash skew bomb), pair aggregation shuffles on (a, b). A
+    production corpus would add a df-cap filter before the self-join
+    (one extra groupBy) — documented, not needed at gate scale."""
+    from benthos_spark.functions.audio import (
+        adpcm_dup_lane_map_in_pandas,
+        mfcc_fp_map_in_pandas,
+    )
+
+    clips = _clips_for(spark, sf_dir)
+    fp_orig = clips.mapInPandas(
+        mfcc_fp_map_in_pandas(["clip_id"], with_hashes=True),
+        schema="clip_id string, mfcc0_mean double, mfcc1_mean double, "
+        "n_fp bigint, fp_xor32 bigint, fp_hashes array<bigint>",
+    ).select(F.col("clip_id").alias("fp_id"), "n_fp", "fp_hashes")
+    fp_dup = clips.mapInPandas(
+        adpcm_dup_lane_map_in_pandas(_FP_DUP_EVERY),
+        schema="fp_id string, n_fp bigint, fp_hashes array<bigint>",
+    )
+    ex = (
+        fp_orig.unionByName(fp_dup)
+        .filter(F.col("n_fp") > 0)
+        .select("fp_id", "n_fp", F.explode("fp_hashes").alias("h"))
+        .persist()  # feeds BOTH sides of the self-join: decode+STFT runs once
+    )
+    a = ex.select(F.col("fp_id").alias("a"), F.col("n_fp").alias("n_fp_a"), "h")
+    b = ex.select(F.col("fp_id").alias("b"), F.col("n_fp").alias("n_fp_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.least(F.min("n_fp_a"), F.min("n_fp_b")).alias("min_n_fp"),
+        )
+    )
+    return pairs.filter(
+        (F.col("n_match") >= _FP_MIN_MATCH) & (2 * F.col("n_match") >= F.col("min_n_fp"))
+    ).select("a", "b", "n_match", "min_n_fp")
+
+
+@register(
+    "audio_resample_sinc_rollup",
+    f"""
+    WITH c AS (
+      SELECT 2 * greatest(1, (n_samples * 16000) // sr_hz) AS out_bytes
+      FROM read_parquet('{_CLIPS_GATE}')
+    )
+    SELECT 'pcm_s16le' AS codec,
+           count(*) AS n_clips,
+           sum(out_bytes)::BIGINT AS total_bytes
+    FROM c
+    """,
+)
+def audio_resample_sinc_rollup(spark, sf_dir):
+    """Decode → anti-aliased windowed-sinc resample to 16 kHz
+    (functions/audio.resample_sinc: Hann-windowed sinc, cutoff at the
+    output Nyquist, DC-preserving kernel renormalization) → re-encode
+    pcm_s16le. The quality-path sibling of `audio_transcode_rollup`
+    (linear interp); the oracle derives expected byte sizes from the
+    sinc path's floor-division output length — pure integer arithmetic
+    over the gate parquet's `n_samples`."""
+    from benthos_spark.datagen.clips import CLIPS_SCHEMA
+    from benthos_spark.functions.audio import transcode_map_in_pandas
+
+    clips = _clips_for(spark, sf_dir)
+    out = clips.mapInPandas(
+        transcode_map_in_pandas("pcm_s16le", 16000, method="sinc"), schema=CLIPS_SCHEMA
+    )
+    return out.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.length("bytes")).alias("total_bytes"),
+    )
+
+
+@register(
     "bloblang_mapping_orders",
     """
     SELECT o_orderkey,
