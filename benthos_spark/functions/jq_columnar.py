@@ -42,7 +42,7 @@ from typing import Optional
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from benthos_spark.functions.jq_program import JqError, _tokenize
+from benthos_spark.functions.jq_program import JqError, _tokenize, split_interpolated
 
 
 class JqCompileError(JqError):
@@ -105,7 +105,7 @@ def _as_num(v: CV) -> CV:
         )
         return _num(_variant_double(v), F.to_json(v.vcol()).rlike(_INT_LEXEME), lng)
     if v.kind == "json":
-        return _num(F.try_cast(v.col, "double"), v.col.rlike(_INT_LEXEME), F.try_cast(v.col, "bigint"))
+        return _num(v.col.try_cast("double"), v.col.rlike(_INT_LEXEME), v.col.try_cast("bigint"))
     if v.kind == "null":
         return _num(F.lit(None).cast("double"), F.lit(False))
     raise JqCompileError(f"cannot use {v.kind} as number")
@@ -167,6 +167,25 @@ def _render(v: CV) -> Column:
             F.substring(js, 6, F.length(js) - 6)
         )
     return F.coalesce(F.to_json(v.vcol()), F.lit("null"))
+
+
+def _tostring_col(v: CV) -> Column:
+    """jq `tostring` semantics as a plain string Column: strings verbatim
+    (no quotes), everything else compact JSON, null → \"null\" — the
+    rendering string interpolation applies to each expr part."""
+    if v.kind == "str":
+        return F.coalesce(v.col, F.lit("null"))
+    if v.kind == "json":
+        js = F.coalesce(v.col, F.lit("null"))
+        return F.when(
+            js.startswith('"'), F.try_variant_get(F.try_parse_json(js), "$", "string")
+        ).otherwise(js)
+    if v.kind == "variant":
+        js = F.coalesce(F.to_json(v.vcol()), F.lit("null"))
+        return F.when(
+            js.startswith('"'), F.try_variant_get(v.vcol(), "$", "string")
+        ).otherwise(js)
+    return _render(v)
 
 
 _NULL_ORDER = {"null": 0, "bool": 1, "num": 2, "str": 3}
@@ -362,10 +381,13 @@ class _SubsetParser:
             return ("lit_num", float(val), "." not in val)
         if kind == "string":
             self.next()
-            s = json.loads(val)
-            if "\\(" in val:
-                raise JqCompileError("string interpolation not compiled")
-            return ("lit_str", s)
+            parts = split_interpolated(val)
+            if parts is None:
+                return ("lit_str", json.loads(val))
+            comp = []
+            for pk, p in parts:
+                comp.append(("lit", p) if pk == "lit" else ("expr", _SubsetParser(p).parse()))
+            return ("interp", comp)
         if val == "(":
             self.next()
             node = self.pipe()
@@ -492,6 +514,18 @@ def _compile(node, cur: CV, keep: Optional[Column]):
         return keep, _num(F.lit(node[1]), F.lit(node[2]), F.lit(int(node[1])))
     if tag == "lit_str":
         return keep, CV("str", col=F.lit(node[1]))
+    if tag == "interp":
+        # single-output interpolation: concat of literal chunks and
+        # tostring-rendered expr parts (generator parts never reach here —
+        # `,` is outside this parser's grammar, so they fall back)
+        cols = []
+        for pk, p in node[1]:
+            if pk == "lit":
+                cols.append(F.lit(p))
+            else:
+                _, v = _compile(p, cur, None)
+                cols.append(_tostring_col(v))
+        return keep, CV("str", col=F.concat(*cols) if cols else F.lit(""))
     if tag == "lit_bool":
         return keep, CV("bool", col=F.lit(node[1]))
     if tag == "lit_null":
@@ -581,7 +615,7 @@ def _compile(node, cur: CV, keep: Optional[Column]):
             if cur.kind == "num":
                 return keep, cur
             if cur.kind == "str":
-                return keep, _num(F.try_cast(cur.col, "double"), cur.col.rlike(_INT_LEXEME), F.try_cast(cur.col, "bigint"))
+                return keep, _num(cur.col.try_cast("double"), cur.col.rlike(_INT_LEXEME), cur.col.try_cast("bigint"))
             n = _as_num(cur)
             return keep, n
         if name == "not":

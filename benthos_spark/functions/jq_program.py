@@ -205,7 +205,20 @@ class _P:
             return _mk_const(v)
         if t[0] == "string":
             self.next()
-            return _mk_const(json.loads(t[1]))
+            parts = split_interpolated(t[1])
+            if parts is None:
+                return _mk_const(json.loads(t[1]))
+            compiled = []
+            for kind, p in parts:
+                if kind == "lit":
+                    compiled.append(("lit", p))
+                else:
+                    sub = _P(_tokenize(p))
+                    node = sub.pipe()
+                    if sub.peek()[0] != "eof":
+                        raise JqError(f"jq: trailing input in interpolation {p!r}")
+                    compiled.append(("expr", node))
+            return _mk_interp(compiled)
         if t[0] == "var":
             self.next()
             return _mk_var(t[1][1:])
@@ -301,6 +314,81 @@ class _P:
             else:
                 raise JqError("jq: expected elif/else/end")
         return _mk_if(cond, then, elifs, orelse)
+
+
+def split_interpolated(raw: str) -> list[tuple[str, str]] | None:
+    """Split a RAW double-quoted string token into jq string-interpolation
+    parts — ``[("lit", text) | ("expr", source), ...]`` — or None when the
+    literal holds no ``\\(...)`` (gojq lexer.go scanString states; the
+    reference embeds gojq via processor_jq.go:26). Nested parens balance;
+    a nested string literal inside the interpolation cannot appear here
+    because the outer tokenizer's string regex would have terminated the
+    token at its first quote (such programs fail to parse → JqError)."""
+    if "\\(" not in raw:
+        return None
+    body = raw[1:-1]
+    parts: list[tuple[str, str]] = []
+    lit: list[str] = []
+    i = 0
+
+    def flush():
+        if lit:
+            parts.append(("lit", json.loads('"' + "".join(lit) + '"')))
+            lit.clear()
+
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\":
+            nxt = body[i + 1] if i + 1 < len(body) else ""
+            if nxt == "(":
+                depth, j = 1, i + 2
+                while j < len(body):
+                    if body[j] == "(":
+                        depth += 1
+                    elif body[j] == ")":
+                        depth -= 1
+                        if not depth:
+                            break
+                    j += 1
+                if depth:
+                    raise JqError("jq: unterminated \\( string interpolation")
+                flush()
+                parts.append(("expr", body[i + 2 : j]))
+                i = j + 1
+                continue
+            lit.append(ch + nxt)
+            i += 2
+            continue
+        lit.append(ch)
+        i += 1
+    flush()
+    return parts
+
+
+def _mk_interp(parts):
+    """Interpolated string: each expr part is a full jq expression whose
+    OUTPUT STREAM multiplies the result (gojq: `"a\\(1,2)"` yields two
+    strings), rendered with tostring semantics (strings verbatim, other
+    values compact JSON)."""
+
+    def fn(v, env):
+        def rec(k, acc):
+            if k == len(parts):
+                yield acc
+                return
+            kind, p = parts[k]
+            if kind == "lit":
+                yield from rec(k + 1, acc + p)
+            else:
+                for out in p(v, env):
+                    s = out if isinstance(out, str) else json.dumps(
+                        out, separators=(",", ":"), ensure_ascii=False
+                    )
+                    yield from rec(k + 1, acc + s)
+
+        yield from rec(0, "")
+
+    return fn
 
 
 # -- node constructors -------------------------------------------------------

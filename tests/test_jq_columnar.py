@@ -83,6 +83,13 @@ PROGRAMS = [
     'has("k")',
     'has("nope")',
     'select(.k != null) | {t: (.k | type), n: has("name")}',
+    # string interpolation (single-output parts compile; tostring render)
+    r'"id-\(.k)"',
+    r'"\(.name)!"',
+    r'"\(.k)-\(.meta.depth)"',
+    r'"v=\((.k // 0) * 2)"',
+    r'select(.k != null) | {label: "k=\(.k) ok=\(.meta.ok)"}',
+    r'"name:\(.name | tostring):\(.tags | length)"',
 ]
 
 # outside the subset — must fall back, not mis-compile
@@ -96,6 +103,7 @@ FALLBACK_PROGRAMS = [
     "..|numbers",
     "$metadata.topic",
     ".a, .b",
+    r'"v=\(1,2)"',  # generator inside interpolation multiplies outputs
 ]
 
 

@@ -96,6 +96,19 @@ def test_metadata_variable():
     assert run("$metadata.topic", {}, {"topic": "t1"}) == ["t1"]
 
 
+def test_string_interpolation():
+    assert run(r'"id-\(.a)"', {"a": 5}) == ["id-5"]
+    assert run(r'"\(.a)-\(.b.c)!"', {"a": "x", "b": {"c": 2.5}}) == ["x-2.5!"]
+    # generator part multiplies the output stream (gojq semantics)
+    assert run(r'"v=\(1,2)"', None) == ["v=1", "v=2"]
+    # non-string parts render as compact JSON; escapes still decode
+    assert run(r'"j=\([.a, {k: .a}])"', {"a": 1}) == ['j=[1,{"k":1}]']
+    assert run('"esc\\n\\(.a)"', {"a": True}) == ["esc\ntrue"]
+    assert run(r'"nested \((.a + 1) * 2)"', {"a": 3}) == ["nested 8"]
+    with pytest.raises(JqError):
+        run(r'"\(.a"', {})  # unterminated interpolation
+
+
 def test_multiple_outputs_and_generators():
     assert run(".[] , .[]", [1]) == [1, 1]
     assert run("[range(2) | . * 10]", None) == [[0, 10]]
