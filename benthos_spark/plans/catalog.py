@@ -2110,6 +2110,70 @@ def audio_resample_sinc_rollup(spark, sf_dir):
 
 
 @register(
+    "content_dedupe_clips",
+    f"""
+    WITH base AS (
+      SELECT clip_id, codec, dur_ms, n_samples, checksum16
+      FROM read_parquet('{_CLIPS_GATE}')
+    ), redo AS (
+      SELECT clip_id || '~redo' AS clip_id, codec, dur_ms, n_samples, checksum16
+      FROM base
+      WHERE substr(clip_id, length(clip_id), 1) IN ('0', '4', '8')
+    ), arrivals AS (
+      SELECT * FROM base UNION ALL SELECT * FROM redo
+    )
+    SELECT codec, dur_ms, n_samples, checksum16,
+           min(clip_id) AS survivor_id,
+           count(*) AS n_arrivals
+    FROM arrivals
+    GROUP BY codec, dur_ms, n_samples, checksum16
+    """,
+)
+def content_dedupe_clips(spark, sf_dir):
+    """Exact content dedupe of redelivered binary payloads — the batch
+    twin of the streaming content-fingerprint dedupe test
+    (tests/test_streaming_fp_dedupe.py). The reference's `dedupe`
+    processor keys on a CONTENT hash (processor_dedupe.go:26; the
+    documented idiom is `key: ${! content().hash(...) }`), so an
+    at-least-once redelivery under a fresh message id is still dropped.
+    Here every clip whose id ends in 0/4/8 is redelivered with a fresh
+    id; identity is what decoding the bytes yields (codec, duration,
+    sample count, int16 checksum) — Spark recomputes all of it from the
+    payload via the Arrow decode stage, while the oracle replays the
+    identical grouping from the gate parquet's encoder-side ground-truth
+    columns. Survivor is deterministic (min clip_id ≙ first arrival in
+    the reference's ordered delivery).
+
+    100 TB shape: ONE hash shuffle on the content key — the arrival
+    count and the survivor pick are two window functions over the same
+    partitioning, so Catalyst reuses the single Exchange."""
+    from pyspark.sql.window import Window
+
+    from benthos_spark.functions.audio import AUDIO_FEATURE_FIELDS, audio_features_map_in_pandas
+
+    cols = ["clip_id", "codec", "dur_ms"]
+    clips = _clips_for(spark, sf_dir).select(*cols, "sr_hz", "bytes")
+    redo = clips.filter(F.substring("clip_id", -1, 1).isin("0", "4", "8")).withColumn(
+        "clip_id", F.concat("clip_id", F.lit("~redo"))
+    )
+    feats = clips.unionByName(redo).mapInPandas(
+        audio_features_map_in_pandas(cols),
+        schema="clip_id string, codec string, dur_ms int, " + AUDIO_FEATURE_FIELDS,
+    )
+    key = F.struct("codec", "dur_ms", "n_samples", "checksum16")
+    counted = feats.withColumn("n_arrivals", F.count(F.lit(1)).over(Window.partitionBy(key)))
+    survivors = DedupeDeterministic(key=key, pick="clip_id")(counted)
+    return survivors.select(
+        "codec",
+        "dur_ms",
+        "n_samples",
+        "checksum16",
+        F.col("clip_id").alias("survivor_id"),
+        "n_arrivals",
+    )
+
+
+@register(
     "bloblang_mapping_orders",
     """
     SELECT o_orderkey,
