@@ -1,245 +1,445 @@
-"""JMESPath → columnar compiler (subset), reusing the jq CV machinery.
+"""JMESPath → columnar compiler, reusing the jq CV machinery.
 
 The `jmespath` processor (processor_jmespath.go:25) otherwise runs the
 spec-complete interpreter per row inside Arrow batches
 (functions/jmespath_program.py). JMESPath's navigation semantics map
 cleanly onto null-safe VARIANT access (missing field → null, field on
-null → null — no errors, unlike jq), so the common shapes compile to
-pure Column expressions:
+null → null), and its projections map onto higher-order array
+functions, so the common shapes compile to pure Column expressions:
 
-- dotted identifier paths ``a.b.c`` (incl. quoted ``"weird key"``)
-- index access ``a[0]`` (non-negative literal)
-- pipes ``a.b | c``
-- multiselect hash ``{k: a.b, n: c}`` (JMESPath null-LHS rule: a null
-  current value yields null, not ``{}``)
-- multiselect list ``[a, b.c]`` (same null-LHS rule)
-- raw JSON literals ``` `…` ``` and raw strings ``'…'``
+- dotted identifier paths ``a.b.c`` (incl. quoted ``"weird key"``),
+  indexes ``a[0]`` / ``a[-1]``, pipes
+- list projections ``a[*].b`` (nested projections nest per element,
+  exactly like the rewritten interpreter / go-jmespath), object-value
+  projections ``a.*.b``, flatten ``a[].b``, slices ``a[1:3]``
+  (non-negative bounds, step 1)
+- filter projections ``a[?x > `1`].y`` with JMESPath comparison
+  semantics (ordering is numbers-only → null, equality is deep) and
+  ``&&``/``||``/``!`` truthiness
+- multiselect hash/list (null-LHS rule)
+- functions: length, contains, starts_with, ends_with, not_null,
+  to_string, to_number, abs, ceil, floor, sum, avg
 
-Everything else — projections ``a[].b``, filters ``[?x]``, functions,
-``||``/``&&`` (JMESPath truthiness differs from jq's), slices — raises
-``JmesCompileError`` and the caller falls back to the interpreter, so
-coverage is a pure optimization. The dual-backend conformance test
+Everything else — expression references, sort/sort_by/min/max/map/…,
+negative slice bounds, steps — raises ``JmesCompileError`` and the
+caller falls back to the interpreter, so coverage is a pure
+optimization. The dual-backend conformance test
 (tests/test_jmespath_columnar.py) pins the agreeing corpus.
+
+Documented divergences from the per-row interpreter (both deliberate):
+
+- where the interpreter RAISES an invalid-type error (``length(`1`)``),
+  the compiled plan yields null — a compiled projection cannot abort a
+  single message, and go-jmespath's host processor flags the message
+  rather than crashing the stream;
+- compiled object renders sort keys (variant ``to_json``) and
+  object-value projections iterate in sorted-key order, while the
+  interpreter preserves insertion order (go-jmespath's map iteration is
+  randomized, so neither order is spec-bearing).
 """
 
 from __future__ import annotations
 
 import json
-import re
+from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from benthos_spark.functions.jq_columnar import CV, _compile, _render
+from benthos_spark.functions.jmespath_program import (
+    JmesError,
+    _Parser as _ProgParser,
+    _tokenize as _prog_tokenize,
+)
+from benthos_spark.functions.jq_columnar import (
+    _INT_LEXEME,
+    CV,
+    _as_num,
+    _compile as _jq_compile,
+    _num,
+    _render,
+)
 
 
 class JmesCompileError(ValueError):
     pass
 
 
-_TOKEN = re.compile(
-    r"""
-    (?P<ws>\s+)
-  | (?P<raw>`(?:[^`\\]|\\.)*`)
-  | (?P<rawstr>'(?:[^'\\]|\\.)*')
-  | (?P<quoted>"(?:[^"\\]|\\.)*")
-  | (?P<number>-?\d+)
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>[.\[\]{}(),:|@])
-    """,
-    re.VERBOSE,
-)
+# a JSON value lexeme that denotes a number (rendered text starts with
+# a digit or minus sign; strings start with '"', containers with [/{)
+_NUM_LEXEME = r"^-?[0-9]"
 
 
-def _tokenize(src: str) -> list[tuple[str, str]]:
-    toks, pos = [], 0
-    while pos < len(src):
-        m = _TOKEN.match(src, pos)
-        if not m:
-            raise JmesCompileError(f"jmespath: char {src[pos]!r} not in compilable subset")
-        pos = m.end()
-        if m.lastgroup != "ws":
-            toks.append((m.lastgroup, m.group()))
-    toks.append(("eof", ""))
-    return toks
+@dataclass
+class _Arr:
+    """array<variant> intermediate (flatten / slice output)."""
+
+    col: Column
 
 
-class _Parser:
-    """Parses the compilable subset into jq_columnar AST tuples."""
+@dataclass
+class _Frags:
+    """A projection result: array<string> of compact-JSON fragments
+    (null fragments already dropped — spec: projections drop nulls).
+    SQL-null column ≙ the projection base was not a list."""
 
-    def __init__(self, src: str):
-        self.toks = _tokenize(src)
-        self.i = 0
-
-    def peek(self, k=0):
-        return self.toks[min(self.i + k, len(self.toks) - 1)]
-
-    def next(self):
-        t = self.toks[self.i]
-        if t[0] != "eof":
-            self.i += 1
-        return t
-
-    def expect(self, val):
-        t = self.next()
-        if t[1] != val:
-            raise JmesCompileError(f"expected {val!r}, got {t[1]!r}")
-
-    def parse(self):
-        node = self.pipe()
-        if self.peek()[0] != "eof":
-            raise JmesCompileError(f"trailing input {self.peek()[1]!r}")
-        return node
-
-    def pipe(self):
-        stages = [self.expr()]
-        while self.peek()[1] == "|":
-            self.next()
-            stages.append(self.expr())
-        return ("pipe", stages) if len(stages) > 1 else stages[0]
-
-    def expr(self):
-        node = self.primary()
-        while True:
-            t = self.peek()
-            if t[1] == ".":
-                self.next()
-                nt = self.next()
-                if nt[0] == "ident":
-                    node = ("field", node, nt[1])
-                elif nt[0] == "quoted":
-                    node = ("field", node, json.loads(nt[1]))
-                else:
-                    raise JmesCompileError(f"sub-expression {nt[1]!r} not compiled")
-            elif t[1] == "[":
-                if self.peek(1)[0] == "number" and self.peek(2)[1] == "]":
-                    self.next()
-                    idx = int(self.next()[1])
-                    self.next()
-                    if idx < 0:
-                        raise JmesCompileError("negative index not compiled")
-                    node = ("index", node, idx)
-                else:
-                    raise JmesCompileError("projection/slice/filter not compiled")
-            else:
-                return node
-
-    def primary(self):
-        kind, val = self.peek()
-        if kind == "ident":
-            self.next()
-            return ("field", ("identity",), val)
-        if kind == "quoted":
-            self.next()
-            return ("field", ("identity",), json.loads(val))
-        if val == "@":
-            self.next()
-            return ("identity",)
-        if kind == "raw":
-            self.next()
-            lit = json.loads(val[1:-1].replace("\\`", "`"))
-            return _lit_node(lit)
-        if kind == "rawstr":
-            self.next()
-            return ("lit_str", val[1:-1].replace("\\'", "'"))
-        if val == "{":
-            self.next()
-            pairs = []
-            while self.peek()[1] != "}":
-                kt = self.next()
-                if kt[0] == "ident":
-                    key = kt[1]
-                elif kt[0] == "quoted":
-                    key = json.loads(kt[1])
-                else:
-                    raise JmesCompileError(f"multiselect key {kt[1]!r} not compiled")
-                self.expect(":")
-                pairs.append((key, self.expr()))
-                if self.peek()[1] == ",":
-                    self.next()
-            self.expect("}")
-            return ("ms_hash", pairs)
-        if val == "[":
-            # bare [ at primary position is a multiselect list
-            self.next()
-            items = []
-            while self.peek()[1] != "]":
-                items.append(self.expr())
-                if self.peek()[1] == ",":
-                    self.next()
-            self.expect("]")
-            if not items:
-                raise JmesCompileError("flatten/empty-list not compiled")
-            return ("ms_list", items)
-        raise JmesCompileError(f"token {val!r} not in the compilable subset")
+    col: Column
 
 
-def _lit_node(v):
+def _elems(jv) -> Column:
+    """The value as array<variant> — null when it is not a JSON array."""
+    if isinstance(jv, _Arr):
+        return jv.col
+    if isinstance(jv, _Frags):
+        return F.transform(jv.col, lambda s: F.parse_json(s))
+    if jv.kind == "variant":
+        return F.try_variant_get(jv.vcol(), "$", "array<variant>")
+    if jv.kind == "json":
+        return F.try_variant_get(F.try_parse_json(jv.col), "$", "array<variant>")
+    # str/num/bool/null are statically not lists
+    return F.lit(None).cast("array<variant>")
+
+
+def _render_jv(jv) -> Column:
+    """Compact JSON text of the value; never SQL-null ('null' instead)."""
+    if isinstance(jv, _Arr):
+        return F.coalesce(F.to_json(jv.col), F.lit("null"))
+    if isinstance(jv, _Frags):
+        return F.coalesce(
+            F.concat(F.lit("["), F.array_join(jv.col, ","), F.lit("]")), F.lit("null")
+        )
+    return _render(jv)
+
+
+def _truthy(jv) -> Column:
+    # JMESPath truthiness: false-like = null, false, '', [], {}
+    return ~_render_jv(jv).isin("null", "false", '""', "[]", "{}")
+
+
+def _scalar_cv(jv) -> CV:
+    """A plain CV for contexts that navigate into the value."""
+    if isinstance(jv, (_Arr, _Frags)):
+        return CV.variant(F.try_parse_json(_render_jv(jv)))
+    return jv
+
+
+def _str_val(jv, rendered: Column) -> Column:
+    """The string payload when the value IS a JSON string, else null."""
+    if not isinstance(jv, (_Arr, _Frags)):
+        if jv.kind == "str":
+            return jv.col
+        if jv.kind == "variant":
+            return F.when(rendered.startswith('"'), F.try_variant_get(jv.vcol(), "$", "string"))
+    return F.when(
+        rendered.startswith('"'),
+        F.try_variant_get(F.try_parse_json(rendered), "$", "string"),
+    )
+
+
+def _cmp(op: str, l, r) -> CV:
+    """JMESPath comparison: `==`/`!=` are deep equality (numeric lane
+    keeps 1 == 1.0 and stays exact past 2^53); ordering operators are
+    valid for numbers only and yield null otherwise (spec §comparators),
+    which a filter treats as excluded."""
+    lr, rr = _render_jv(l), _render_jv(r)
+    ln, rn = lr.rlike(_NUM_LEXEME), rr.rlike(_NUM_LEXEME)
+    ld, rd = lr.try_cast("double"), rr.try_cast("double")
+    if op in ("==", "!="):
+        both_int = lr.rlike(_INT_LEXEME) & rr.rlike(_INT_LEXEME)
+        eq = (
+            F.when(both_int, lr.try_cast("decimal(38,0)") == rr.try_cast("decimal(38,0)"))
+            .when(ln & rn, ld == rd)
+            .otherwise(lr == rr)
+        )
+        return CV("bool", col=eq if op == "==" else ~eq)
+    cmps = {"<": ld < rd, "<=": ld <= rd, ">": ld > rd, ">=": ld >= rd}
+    return CV("bool", col=F.when(ln & rn, cmps[op]))
+
+
+def _project(elems: Column, cond_ast, rhs_ast) -> _Frags:
+    """Spec projection: optionally filter elements by a truthy
+    condition, apply the absorbed RHS per element, drop null results."""
+    if cond_ast is not None:
+        elems = F.filter(elems, lambda e: _truthy(_compile_jmes(cond_ast, CV.variant(e))))
+    frags = F.transform(elems, lambda e: _render_jv(_compile_jmes(rhs_ast, CV.variant(e))))
+    return _Frags(F.filter(frags, lambda f: f != F.lit("null")))
+
+
+def _lit_jv(v):
     if v is None:
-        return ("lit_null",)
+        return CV("null")
     if isinstance(v, bool):
-        return ("lit_bool", v)
+        return CV("bool", col=F.lit(v))
     if isinstance(v, (int, float)):
-        return ("lit_num", float(v), isinstance(v, int))
+        return _num(F.lit(float(v)), F.lit(isinstance(v, int)), F.lit(int(v)))
     if isinstance(v, str):
-        return ("lit_str", v)
-    raise JmesCompileError("container literal not compiled")
+        return CV("str", col=F.lit(v))
+    # container literal: sorted keys to match the variant renderer
+    return CV(
+        "json",
+        col=F.lit(json.dumps(v, separators=(",", ":"), ensure_ascii=False, sort_keys=True)),
+    )
 
 
-def _compile_jmes(node, cur: CV):
-    """JMESPath evaluation over the jq CV model. Multiselects apply the
-    null-LHS rule: a null current value yields null."""
+def _compile_jmes(node, cur):
     tag = node[0]
-    if tag in ("field", "index"):
-        # navigation shares jq's compiler (variant access is already
-        # missing/null-safe, which IS JMESPath's rule)
-        base = cur if node[1][0] == "identity" else _compile_jmes(node[1], cur)
-        if base.kind != "variant":
-            raise JmesCompileError(f"cannot navigate a {base.kind} value")
-        _, out = _compile((tag, ("identity",), node[2]), base, None)
-        return out
-    if tag in ("identity", "lit_null", "lit_bool", "lit_num", "lit_str"):
-        _, out = _compile(node, cur, None)
-        return out
-    if tag == "pipe":
-        for stage in node[1]:
-            cur = _compile_jmes(stage, cur)
+    if tag == "current":
         return cur
-    if tag in ("ms_hash", "ms_list"):
-        if cur.kind != "variant":
-            raise JmesCompileError("multiselect over non-variant")
-        parts = [F.lit("{" if tag == "ms_hash" else "[")]
-        items = node[1]
-        for i, item in enumerate(items):
+    if tag == "lit":
+        return _lit_jv(node[1])
+    if tag == "pipe":
+        return _compile_jmes(node[2], _compile_jmes(node[1], cur))
+    if tag == "field":
+        base = _compile_jmes(node[1], cur)
+        if isinstance(base, (_Arr, _Frags)):
+            return CV("null")  # a field on a list value is null
+        if base.kind == "json":
+            base = CV.variant(F.try_parse_json(base.col))
+        if base.kind != "variant":
+            return CV("null")
+        _, out = _jq_compile(("field", ("identity",), node[2]), base, None)
+        return out
+    if tag == "index":
+        arr = _elems(_compile_jmes(node[1], cur))
+        i = node[2]
+        elem = F.get(arr, i) if i >= 0 else F.get(arr, F.size(arr) + i)
+        return CV.variant(elem)
+    if tag == "slice":
+        _, base_n, a, b, step = node
+        if step not in (None, 1) or (a is not None and a < 0) or (b is not None and b < 0):
+            raise JmesCompileError("negative/stepped slice not compiled")
+        arr = _elems(_compile_jmes(base_n, cur))
+        start = a or 0
+        # length is size-derived (a huge literal overflows pos+length)
+        avail = F.greatest(F.size(arr) - F.lit(start), F.lit(0))
+        length = avail if b is None else F.least(avail, F.lit(max(0, b - start)))
+        return _Arr(F.when(arr.isNotNull(), F.slice(arr, start + 1, length)))
+    if tag == "project":
+        return _project(_elems(_compile_jmes(node[1], cur)), None, node[2])
+    if tag == "fproject":
+        return _project(_elems(_compile_jmes(node[1], cur)), node[2], node[3])
+    if tag == "vproject":
+        base = _scalar_cv(_compile_jmes(node[1], cur))
+        if base.kind == "json":
+            base = CV.variant(F.try_parse_json(base.col))
+        if base.kind != "variant":
+            return CV("null")
+        vals = F.map_values(F.try_variant_get(base.vcol(), "$", "map<string,variant>"))
+        return _project(vals, None, node[2])
+    if tag == "flatten":
+        elems = _elems(_compile_jmes(node[1], cur))
+        merged = F.flatten(
+            F.transform(
+                elems,
+                lambda e: F.coalesce(F.try_variant_get(e, "$", "array<variant>"), F.array(e)),
+            )
+        )
+        return _Arr(merged)
+    if tag == "or":
+        l, r = _compile_jmes(node[1], cur), _compile_jmes(node[2], cur)
+        return CV("json", col=F.when(_truthy(l), _render_jv(l)).otherwise(_render_jv(r)))
+    if tag == "and":
+        l, r = _compile_jmes(node[1], cur), _compile_jmes(node[2], cur)
+        return CV("json", col=F.when(_truthy(l), _render_jv(r)).otherwise(_render_jv(l)))
+    if tag == "not":
+        return CV("bool", col=~_truthy(_compile_jmes(node[1], cur)))
+    if tag == "cmp":
+        return _cmp(node[1], _compile_jmes(node[2], cur), _compile_jmes(node[3], cur))
+    if tag in ("mshash", "mslist"):
+        base = _scalar_cv(
+            _compile_jmes(node[1], cur) if node[1] != ("current",) else cur
+        )
+        if base.kind == "json":
+            base = CV.variant(F.try_parse_json(base.col))
+        if base.kind not in ("variant",):
+            raise JmesCompileError(f"multiselect over a {base.kind} value")
+        parts = [F.lit("{" if tag == "mshash" else "[")]
+        for i, item in enumerate(node[2]):
             if i:
                 parts.append(F.lit(","))
-            if tag == "ms_hash":
+            if tag == "mshash":
                 key, expr = item
                 parts.append(F.lit(json.dumps(key, ensure_ascii=False) + ":"))
             else:
                 expr = item
-            parts.append(_render(_compile_jmes(expr, cur)))
-        parts.append(F.lit("}" if tag == "ms_hash" else "]"))
+            parts.append(_render_jv(_compile_jmes(expr, base)))
+        parts.append(F.lit("}" if tag == "mshash" else "]"))
         rendered = F.concat(*parts)
-        # null-LHS rule: `{a: x}` / `[x]` on a null value is null
-        base = cur.vcol()
-        not_null = base.isNotNull() & ~F.is_variant_null(base)
+        # null-LHS rule: a multiselect over a null value is null
+        bv = base.vcol()
+        not_null = bv.isNotNull() & ~F.is_variant_null(bv)
         return CV("json", col=F.when(not_null, rendered))
+    if tag == "func":
+        return _fn(node[1], [_compile_jmes(a, cur) for a in _args(node[2])], cur)
+    raise JmesCompileError(f"node {tag!r} not compiled")
+
+
+def _args(arg_nodes):
+    for a in arg_nodes:
+        if a[0] == "expref":
+            raise JmesCompileError("expression references not compiled")
+        yield a
+
+
+def _fn(name: str, args: list, cur) -> CV:
+    """The compilable slice of the spec function library. Where the
+    interpreter raises invalid-type, these yield null (see module doc)."""
+    if name == "length" and len(args) == 1:
+        (a,) = args
+        r = _render_jv(a)
+        n = (
+            F.when(r.startswith('"'), F.length(_str_val(a, r)))
+            .when(r.startswith("["), F.size(_elems(a)))
+            .when(r.startswith("{"), F.size(F.json_object_keys(r)))
+            .cast("long")
+        )
+        return _num(n.cast("double"), F.lit(True), n)
+    if name == "contains" and len(args) == 2:
+        sub, item = args
+        sr, ir = _render_jv(sub), _render_jv(item)
+        in_str = F.when(
+            ir.startswith('"'), F.contains(_str_val(sub, sr), _str_val(item, ir))
+        ).otherwise(F.lit(False))
+        in_arr = F.exists(_elems(sub), lambda e: _cmp("==", CV.variant(e), item).col)
+        return CV(
+            "bool",
+            col=F.when(sr.startswith('"'), in_str).when(sr.startswith("["), in_arr),
+        )
+    if name in ("starts_with", "ends_with") and len(args) == 2:
+        l, r = args
+        lr, rr = _render_jv(l), _render_jv(r)
+        sl, sr = _str_val(l, lr), _str_val(r, rr)
+        op = F.startswith if name == "starts_with" else F.endswith
+        return CV("bool", col=F.when(lr.startswith('"') & rr.startswith('"'), op(sl, sr)))
+    if name == "not_null" and args:
+        chain = None
+        for a in args:
+            r = _render_jv(a)
+            chain = F.when(r != "null", r) if chain is None else chain.when(r != "null", r)
+        return CV("json", col=chain)
+    if name == "to_string" and len(args) == 1:
+        (a,) = args
+        r = _render_jv(a)
+        return CV("str", col=F.when(r.startswith('"'), _str_val(a, r)).otherwise(r))
+    if name == "to_number" and len(args) == 1:
+        (a,) = args
+        r = _render_jv(a)
+        s = _str_val(a, r)
+        d = F.when(r.rlike(_NUM_LEXEME), r.try_cast("double")).when(
+            r.startswith('"'), s.try_cast("double")
+        )
+        isint = F.when(r.rlike(_NUM_LEXEME), r.rlike(_INT_LEXEME)).when(
+            r.startswith('"'), s.rlike(_INT_LEXEME)
+        )
+        lng = F.when(r.rlike(_NUM_LEXEME), r.try_cast("bigint")).when(
+            r.startswith('"'), s.try_cast("bigint")
+        )
+        return _num(d, F.coalesce(isint, F.lit(False)), lng)
+    if name in ("abs", "ceil", "floor") and len(args) == 1:
+        n = _as_num(_scalar_cv(args[0])) if not isinstance(args[0], (_Arr, _Frags)) else None
+        if n is None:
+            return CV("null")
+        if name == "abs":
+            return _num(F.abs(n.d), n.isint, F.abs(n.l))
+        # int input: keep the exact long lane (ceil of 2^53+1 must not
+        # round through the double)
+        c = F.when(n.isint, n.l).otherwise(F.ceil(n.d) if name == "ceil" else F.floor(n.d))
+        return _num(c.cast("double"), F.lit(True), c)
+    if name in ("sum", "avg") and len(args) == 1:
+        elems = _elems(args[0])
+        all_num = F.forall(elems, lambda e: F.to_json(e).rlike(_NUM_LEXEME))
+        dbls = F.transform(elems, lambda e: F.try_variant_get(e, "$", "double"))
+        total = F.when(all_num, F.aggregate(dbls, F.lit(0.0), lambda acc, x: acc + x))
+        if name == "avg":
+            return _num(F.when(F.size(elems) > 0, total / F.size(elems)), F.lit(False))
+        all_int = F.forall(elems, lambda e: F.to_json(e).rlike(_INT_LEXEME))
+        lngs = F.transform(elems, lambda e: F.try_variant_get(e, "$", "bigint"))
+        total_l = F.aggregate(lngs, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        return _num(total, F.coalesce(all_int, F.lit(False)), total_l)
+    raise JmesCompileError(f"function {name!r} not compiled")
+
+
+_FNS = {
+    "length": 1,
+    "contains": 2,
+    "starts_with": 2,
+    "ends_with": 2,
+    "to_string": 1,
+    "to_number": 1,
+    "abs": 1,
+    "ceil": 1,
+    "floor": 1,
+    "sum": 1,
+    "avg": 1,
+}
+
+
+def _validate(node):
+    """Pure AST walk: reject unsupported nodes BEFORE any Column is
+    built (try_compile must work without an active SparkSession)."""
+    tag = node[0]
+    if tag in ("current", "lit"):
+        return
+    if tag in ("field", "flatten", "not"):
+        _validate(node[1])
+        return
+    if tag in ("pipe", "or", "and", "project", "vproject"):
+        _validate(node[1])
+        _validate(node[2])
+        return
+    if tag == "index":
+        _validate(node[1])
+        return
+    if tag == "slice":
+        _, base, a, b, step = node
+        if step not in (None, 1) or (a is not None and a < 0) or (b is not None and b < 0):
+            raise JmesCompileError("negative/stepped slice not compiled")
+        _validate(base)
+        return
+    if tag == "fproject":
+        _validate(node[1])
+        _validate(node[2])
+        _validate(node[3])
+        return
+    if tag == "cmp":
+        _validate(node[2])
+        _validate(node[3])
+        return
+    if tag in ("mshash", "mslist"):
+        _validate(node[1])
+        for item in node[2]:
+            _validate(item[1] if tag == "mshash" else item)
+        return
+    if tag == "func":
+        name, arg_nodes = node[1], node[2]
+        if name == "not_null":
+            if not arg_nodes:
+                raise JmesCompileError("not_null needs arguments")
+        elif _FNS.get(name) != len(arg_nodes):
+            raise JmesCompileError(f"function {name!r} not compiled")
+        for a in arg_nodes:
+            if a[0] == "expref":
+                raise JmesCompileError("expression references not compiled")
+            _validate(a)
+        return
     raise JmesCompileError(f"node {tag!r} not compiled")
 
 
 class CompiledJmes:
     def __init__(self, src: str):
-        self.ast = _Parser(src).parse()
+        p = _ProgParser(_prog_tokenize(src))
+        self.ast = p.pipe()
+        if p.peek()[0] != "eof":
+            raise JmesCompileError(f"trailing input {p.peek()[1]!r}")
+        _validate(self.ast)
 
     def apply(self, variant_col: Column) -> Column:
-        out = _compile_jmes(self.ast, CV.variant(variant_col))
-        return _render(out)
+        return _render_jv(_compile_jmes(self.ast, CV.variant(variant_col)))
 
 
 def try_compile(src: str) -> Optional[CompiledJmes]:
     try:
         return CompiledJmes(src)
-    except ValueError:  # JmesCompileError + malformed raw literals
+    except (JmesCompileError, JmesError, ValueError):
         return None

@@ -27,11 +27,6 @@ class JmesError(ValueError):
     pass
 
 
-# A projection is represented by wrapping the value list in _Proj.
-class _Proj(list):
-    pass
-
-
 _TOKEN = re.compile(
     r"""
     (?P<ws>\s+)
@@ -118,7 +113,16 @@ class _Parser:
             node = ("cmp", op, node, self.chain())
         return node
 
-    # chain of postfix expressions starting from a primary
+    # chain of postfix expressions starting from a primary.
+    #
+    # Projections follow the spec's parse SHAPE (jmespath.py binding
+    # powers): a `[*]`/`[?]`/`.*`/slice token creates a projection node
+    # whose RHS absorbs the REST of the postfix chain — so nested
+    # projections apply per element and yield nested lists
+    # (`a[*].b[*].c` → [[…]]), exactly like go-jmespath, which the
+    # reference embeds. Flatten (`[]`) binds LOOSER than a projection:
+    # it stops the RHS, materializes the projection built so far, merges
+    # one level, and starts a new projection.
     def chain(self):
         node = self.primary()
         while True:
@@ -141,7 +145,7 @@ class _Parser:
             return ("field", node, json.loads(t[1]))
         if t == ("op", "*"):
             self.next()
-            return ("oproj", node)
+            return ("vproject", node, self.proj_rhs())
         if t == ("op", "{"):
             return ("mshash", node, self.multiselect_hash())
         if t == ("op", "["):
@@ -152,13 +156,13 @@ class _Parser:
     def bracket(self, node):
         t = self.next()
         if t[1] == "[]":
-            return ("flatten", node)
+            return ("project", ("flatten", node), self.proj_rhs())
         if t[1] == "[*]":
-            return ("lproj", node)
+            return ("project", node, self.proj_rhs())
         if t[1] == "[?":
             cond = self.pipe()
             self.expect("]")
-            return ("filter", node, cond)
+            return ("fproject", node, cond, self.proj_rhs())
         # '[' — index, slice, or multiselect list on a fresh chain
         if self.peek()[0] == "number" or self.peek() == ("op", ":"):
             parts: list = [None, None, None]
@@ -173,10 +177,27 @@ class _Parser:
             self.expect("]")
             if idx == 0:
                 return ("index", node, parts[0])
-            return ("slice", node, parts[0], parts[1], parts[2])
+            # a slice expression creates a projection (spec §slices)
+            return ("project", ("slice", node, parts[0], parts[1], parts[2]), self.proj_rhs())
         # multiselect list [expr, expr]
         self.i -= 1
         return ("mslist", node, self.multiselect_list())
+
+    def proj_rhs(self):
+        """Absorb the projection's right-hand side: dotted fields,
+        indexes, nested projections, filters, and slices continue per
+        element; flatten, comparators, and/or, pipe, and any closing
+        token stop the projection."""
+        node = ("current",)
+        while True:
+            t = self.peek()
+            if t == ("op", "."):
+                self.next()
+                node = self.after_dot(node)
+            elif t[1] in ("[", "[?", "[*]") and t[0] == "op":
+                node = self.bracket(node)
+            else:
+                return node
 
     def multiselect_list(self):
         self.expect("[")
@@ -250,7 +271,7 @@ class _Parser:
             return self.bracket(("current",))
         if t == ("op", "*"):
             self.next()
-            return ("oproj", ("current",))
+            return ("vproject", ("current",), self.proj_rhs())
         if t == ("op", "&"):
             self.next()
             return ("expref", self.pipe())
@@ -263,11 +284,6 @@ class _Parser:
         return self.pipe()
 
 
-def _stop_proj(node_type: str) -> bool:
-    # pipe stops projections
-    return node_type == "pipe"
-
-
 class JmesProgram:
     """Compiled JMESPath expression."""
 
@@ -278,10 +294,13 @@ class JmesProgram:
             raise JmesError(f"jmespath: unexpected trailing input {p.peek()[1]!r}")
 
     def search(self, value: Any) -> Any:
-        out = self._eval(self.ast, value)
-        return list(out) if isinstance(out, _Proj) else out
+        return self._eval(self.ast, value)
 
-    # -- evaluation (projection-aware) --------------------------------------
+    # -- evaluation ----------------------------------------------------------
+    # Plain spec recursion: the projection semantics live entirely in the
+    # parse shape (projection nodes carry their absorbed RHS), so every
+    # node evaluates to a plain value and projections just map their RHS
+    # over the base, dropping null results (spec §wildcard-expressions).
     def _eval(self, node, v):
         t = node[0]
         if t == "current":
@@ -289,10 +308,7 @@ class JmesProgram:
         if t == "lit":
             return node[1]
         if t == "pipe":
-            left = self._eval(node[1], v)
-            if isinstance(left, _Proj):
-                left = list(left)
-            return self._eval(node[2], left)
+            return self._eval(node[2], self._eval(node[1], v))
         if t == "or":
             left = self._eval(node[1], v)
             return left if _is_true(left) else self._eval(node[2], v)
@@ -304,10 +320,6 @@ class JmesProgram:
         if t == "cmp":
             _, op, ln, rn = node
             a, b = self._eval(ln, v), self._eval(rn, v)
-            if isinstance(a, _Proj):
-                a = list(a)
-            if isinstance(b, _Proj):
-                b = list(b)
             if op == "==":
                 return a == b
             if op == "!=":
@@ -317,44 +329,48 @@ class JmesProgram:
             return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
         if t == "field":
             base = self._eval(node[1], v)
-            return self._project(base, lambda x: x.get(node[2]) if isinstance(x, dict) else None)
+            return base.get(node[2]) if isinstance(base, dict) else None
         if t == "index":
-            base = self._eval(node[1], v)
-            if isinstance(base, _Proj):
-                return self._project(base, lambda x: self._index(x, node[2]))
-            return self._index(base, node[2])
+            return self._index(self._eval(node[1], v), node[2])
         if t == "slice":
             base = self._eval(node[1], v)
-
-            def do_slice(x):
-                if not isinstance(x, list):
-                    return None
-                step = node[4] if node[4] is not None else 1
-                return x[node[2] : node[3] : step]
-
-            if isinstance(base, _Proj):
-                return self._project(base, do_slice)
-            sliced = do_slice(base)
-            # a slice expression creates a projection (spec §slices)
-            return _Proj(sliced) if isinstance(sliced, list) else None
-        if t == "lproj":
-            base = self._eval(node[1], v)
-            if isinstance(base, _Proj):
-                base = list(base)
             if not isinstance(base, list):
                 return None
-            return _Proj(base)
-        if t == "oproj":
+            step = node[4] if node[4] is not None else 1
+            return base[node[2] : node[3] : step]
+        if t == "project":
             base = self._eval(node[1], v)
-            if isinstance(base, _Proj):
-                base = list(base)
+            if not isinstance(base, list):
+                return None
+            out = []
+            for item in base:
+                r = self._eval(node[2], item)
+                if r is not None:
+                    out.append(r)
+            return out
+        if t == "vproject":
+            base = self._eval(node[1], v)
             if not isinstance(base, dict):
                 return None
-            return _Proj(base.values())
+            out = []
+            for item in base.values():
+                r = self._eval(node[2], item)
+                if r is not None:
+                    out.append(r)
+            return out
+        if t == "fproject":
+            base = self._eval(node[1], v)
+            if not isinstance(base, list):
+                return None
+            out = []
+            for item in base:
+                if _is_true(self._eval(node[2], item)):
+                    r = self._eval(node[3], item)
+                    if r is not None:
+                        out.append(r)
+            return out
         if t == "flatten":
             base = self._eval(node[1], v)
-            if isinstance(base, _Proj):
-                base = list(base)
             if not isinstance(base, list):
                 return None
             out = []
@@ -363,62 +379,36 @@ class JmesProgram:
                     out.extend(item)
                 else:
                     out.append(item)
-            return _Proj(out)
-        if t == "filter":
-            base = self._eval(node[1], v)
-            if isinstance(base, _Proj):
-                base = list(base)
-            if not isinstance(base, list):
-                return None
-            return _Proj([x for x in base if _is_true(self._eval(node[2], x))])
+            return out
         if t == "mslist":
             base = self._eval(node[1], v) if node[1] != ("current",) else v
-            return self._project_or_apply(
-                base, lambda x: [self._plain(e, x) for e in node[2]]
-            )
+            if base is None:
+                return None
+            return [self._eval(e, base) for e in node[2]]
         if t == "mshash":
             base = self._eval(node[1], v) if node[1] != ("current",) else v
-            return self._project_or_apply(
-                base, lambda x: {k: self._plain(e, x) for k, e in node[2]}
-            )
+            if base is None:
+                return None
+            return {k: self._eval(e, base) for k, e in node[2]}
         if t == "func":
             args = []
             for a in node[2]:
                 if a[0] == "expref":
                     args.append(("expref", a[1]))
                 else:
-                    val = self._eval(a, v)
-                    args.append(list(val) if isinstance(val, _Proj) else val)
+                    args.append(self._eval(a, v))
             return _call(node[1], args, self)
         if t == "expref":
             return ("expref", node[1])
         raise JmesError(f"jmespath: bad node {t}")
 
     def _plain(self, node, v):
-        out = self._eval(node, v)
-        return list(out) if isinstance(out, _Proj) else out
+        return self._eval(node, v)
 
     def _index(self, x, i):
         if not isinstance(x, list):
             return None
         return x[i] if -len(x) <= i < len(x) else None
-
-    def _project(self, base, fn):
-        if isinstance(base, _Proj):
-            out = _Proj()
-            for item in base:
-                r = fn(item)
-                if r is not None:
-                    out.append(list(r) if isinstance(r, _Proj) else r)
-            return out
-        return fn(base)
-
-    def _project_or_apply(self, base, fn):
-        if isinstance(base, _Proj):
-            return _Proj([fn(x) for x in base])
-        if base is None:
-            return None
-        return fn(base)
 
 
 # -- function library (spec §functions) --------------------------------------
@@ -464,7 +454,8 @@ def _call(name, args, prog: JmesProgram):
         return None
     if name == "to_string":
         v = args[0]
-        return v if isinstance(v, str) else json.dumps(v, separators=(",", ":"))
+        # raw UTF-8 like go-jmespath's json.Marshal (and the columnar tier)
+        return v if isinstance(v, str) else json.dumps(v, separators=(",", ":"), ensure_ascii=False)
     if name == "to_number":
         v = args[0]
         if isinstance(v, (int, float)) and not isinstance(v, bool):
@@ -505,14 +496,26 @@ def _call(name, args, prog: JmesProgram):
         return math.ceil(args[0])
     if name == "floor":
         return math.floor(args[0])
-    if name == "sum":
-        return sum(args[0]) if args[0] else 0
-    if name == "avg":
-        return sum(args[0]) / len(args[0]) if args[0] else None
-    if name == "max":
-        return max(args[0]) if args[0] else None
-    if name == "min":
-        return min(args[0]) if args[0] else None
+    if name in ("sum", "avg", "max", "min"):
+        v = args[0]
+        # spec: array[number] (max/min also allow array[string]);
+        # anything else is an invalid-type error, like go-jmespath
+        def _numeric(x):
+            return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+        if not isinstance(v, list):
+            raise JmesError(f"{name}: invalid type")
+        if name in ("sum", "avg"):
+            if any(not _numeric(x) for x in v):
+                raise JmesError(f"{name}: invalid type")
+            if name == "sum":
+                return sum(v) if v else 0
+            return sum(v) / len(v) if v else None
+        if v and not (all(_numeric(x) for x in v) or all(isinstance(x, str) for x in v)):
+            raise JmesError(f"{name}: invalid type")
+        if name == "max":
+            return max(v) if v else None
+        return min(v) if v else None
     if name == "sort":
         return sorted(args[0])
     if name == "sort_by":
@@ -537,7 +540,9 @@ class JmespathProcessor:
     """`jmespath` processor (processor_jmespath.go:25): the message is
     replaced by the search result; a null result leaves the message
     unchanged is NOT reference behavior — go-jmespath replaces with
-    null, so we do too. Arrow-batched via mapInPandas."""
+    null, so we do too. A per-row evaluation error (invalid-type — the
+    reference flags the message and keeps the stream alive) yields
+    null, matching the columnar tier. Arrow-batched via mapInPandas."""
 
     query: str
     col: str = "value"
@@ -577,7 +582,10 @@ class JmespathProcessor:
                 rows = []
                 for i in range(len(pdf)):
                     doc = json.loads(pdf[col].iloc[i])
-                    result = prog.search(doc)
+                    try:
+                        result = prog.search(doc)
+                    except (JmesError, TypeError, AttributeError, KeyError):
+                        result = None  # invalid-type row: flag-and-continue
                     row = {c: pdf[c].iloc[i] for c in keep}
                     # ensure_ascii=False to match the columnar renderer
                     row[out_col] = json.dumps(result, separators=(",", ":"), ensure_ascii=False)

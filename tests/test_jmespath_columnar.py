@@ -1,6 +1,8 @@
 """Dual-backend conformance for the JMESPath→columnar subset compiler:
 every compilable expression must agree with the spec-complete per-row
-interpreter over a varied document corpus."""
+interpreter over a varied document corpus. Rows where the interpreter
+raises invalid-type become null in BOTH tiers (the processor catches
+per-row errors), so the expectation here is uniform."""
 
 from __future__ import annotations
 
@@ -18,6 +20,23 @@ DOCS = [
     {"name": 'quote"inside', "tags": None, "n": 2.5},
     {"a": {"b": {"c": "str"}}, "weird key": 42, "n": 9007199254740993},
     None,
+    # projection / filter / function shapes
+    {
+        "name": "proj",
+        "tags": ["x", "x", "q"],
+        "n": 1,
+        "items": [
+            {"v": 1, "k": "a", "ys": [1, 2]},
+            {"v": 2, "k": "b", "ys": [3]},
+            {"v": "s", "k": "c"},
+            {"v": 5, "k": None, "ys": "not-a-list"},
+        ],
+        "nums": [3, 1, 2],
+        "mixed": [1.5, 2],
+        "nested": [[1, 2], [3], 4, None],
+        "obj": {"p": {"n": 1}, "q": {"n": 2}},
+    },
+    {"items": "not-a-list", "nums": [], "nested": [], "obj": {}},
 ]
 
 EXPRESSIONS = [
@@ -30,6 +49,7 @@ EXPRESSIONS = [
     "tags[0]",
     "tags[2]",
     "tags[5]",
+    "tags[-1]",
     '"weird key"',
     "a.b | c",
     "name | @",
@@ -42,18 +62,65 @@ EXPRESSIONS = [
     "`null`",
     "'raw string'",
     "{n: `1`, s: 'x'}",
-]
-
-FALLBACK = [
-    "tags[]",
-    "tags[*].x",
-    "a.*.c",
+    # projections (nested per the spec parse shape), flatten, slices
+    "tags[*]",
+    "items[*].k",
+    "items[*].ys[*]",
+    "items[*].ys[0]",
+    "items[].ys[]",
+    "nested[]",
+    "tags[0:2]",
+    "items[1:]",
+    "items[:2].k",
+    "obj.*.n",
+    "items[*].{key: k, val: v}",
+    # filters
     "tags[?@ == 'x']",
-    "length(tags)",
+    "items[?v > `1`].k",
+    "items[?v != `1`].k",
+    "items[?v >= `2` && k].k",
+    "items[?k == 'a' || k == 'c'].v",
+    "items[?!ys].k",
+    # comparators / boolean operators at top level
+    "n > `1`",
+    "n == `2.5`",
+    "name != 'alpha'",
     "a || name",
     "a && name",
-    "tags[1:2]",
+    "!a",
+    # functions
+    "length(name)",
+    "length(tags)",
+    "length(@)",
+    "length(obj)",
+    "contains(name, 'am')",
+    "contains(tags, 'x')",
+    "starts_with(name, 'G')",
+    "ends_with(name, 'a')",
+    "not_null(a, name, `3`)",
+    "to_string(n)",
+    "to_number(name)",
+    "to_number(n)",
+    "abs(n)",
+    "ceil(n)",
+    "floor(n)",
+    "sum(nums)",
+    "sum(mixed)",
+    "avg(nums)",
+    "sum(items[*].v)",
+]
+
+# outside the subset — must fall back, not mis-compile
+FALLBACK = [
     "sort(tags)",
+    "sort_by(items, &v)",
+    "max_by(items, &v)",
+    "map(&k, items)",
+    "tags[::2]",
+    "tags[-2:]",
+    "keys(obj)",
+    "min(nums)",
+    "merge(obj, `{}`)",
 ]
 
 
@@ -67,17 +134,20 @@ def test_subset_compiles():
         assert try_compile(expr) is not None, expr
 
 
+def _expected(prog, d):
+    try:
+        return json.dumps(prog.search(d), separators=(",", ":"), ensure_ascii=False)
+    except Exception:
+        return "null"  # the processor nulls invalid-type rows in both tiers
+
+
 def test_dual_backend_conformance(spark):
     rows = [(i, json.dumps(d)) for i, d in enumerate(DOCS)]
     df = spark.createDataFrame(rows, "i int, value string")
     mismatches = []
     for expr in EXPRESSIONS:
         prog = JmesProgram(expr)
-        expect = {}
-        for i, d in enumerate(DOCS):
-            expect[i] = json.dumps(
-                prog.search(d), separators=(",", ":"), ensure_ascii=False
-            )
+        expect = {i: _expected(prog, d) for i, d in enumerate(DOCS)}
         got_rows = JmespathProcessor(expr)(df).collect()
         got = {r["i"]: r["value"] for r in got_rows}
         for i in range(len(DOCS)):
@@ -113,12 +183,7 @@ def _json_equal(e, g):
 
 def test_columnar_plan_has_no_python_stage(spark):
     df = spark.createDataFrame([(1, '{"a": {"b": 5}}')], "i int, value string")
-    out = JmespathProcessor("{v: a.b}")(df)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan and "EvalPython" not in plan
-
-
-def test_interpreter_forced_path_still_works(spark):
-    df = spark.createDataFrame([(1, '{"a": {"b": 5}}')], "i int, value string")
-    out = JmespathProcessor("{v: a.b}", columnar=False)(df).collect()
-    assert out[0]["value"] == '{"v":5}'
+    for expr in ("{v: a.b}", "items[?v > `1`].k", "sum(items[*].v)"):
+        out = JmespathProcessor(expr)(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, expr

@@ -70,6 +70,47 @@ def test_pipe_stops_projection():
     assert run("people[*].first[0]", doc) == []
 
 
+def test_nested_projections():
+    # the jmespath.org tutorial example: nested [*] projections yield
+    # NESTED lists (each inner projection evaluates per outer element);
+    # [] flatten is what merges them
+    doc = {"reservations": [
+        {"instances": [{"state": "running"}, {"state": "stopped"}]},
+        {"instances": [{"state": "terminated"}, {"state": "running"}]},
+    ]}
+    assert run("reservations[*].instances[*].state", doc) == [
+        ["running", "stopped"],
+        ["terminated", "running"],
+    ]
+    assert run("reservations[].instances[].state", doc) == [
+        "running", "stopped", "terminated", "running",
+    ]
+    # a projection whose RHS dies on every element is empty, not null
+    assert run("a[*].b[*].c", {"a": [{"b": "no"}]}) == []
+
+
+def test_projection_null_dropping():
+    # identity-RHS projections drop nulls; flatten alone keeps them but
+    # the projection it creates drops them
+    assert run("[*]", [None, 1, False, "x"]) == [1, False, "x"]
+    assert run("[]", [[1, 2], [3], 4, None, [None]]) == [1, 2, 3, 4]
+
+
+def test_filter_then_flatten():
+    # flatten binds looser than a filter projection: [] applies to the
+    # materialized filter output, then re-projects
+    doc = {"a": [{"x": 2, "y": [1, 2]}, {"x": 0, "y": [3]}, {"x": 5, "y": [4]}]}
+    assert run("a[?x > `1`][].y", doc) == [[1, 2], [4]]
+    assert run("a[?x > `1`].y[]", doc) == [1, 2, 4]
+
+
+def test_slice_rhs_projection():
+    # a nested [*] inside a slice projection's RHS applies per element:
+    # dict elements are invalid for a list projection and drop
+    assert run("a[0:2][*].x", {"a": [{"x": 1}, {"x": 2}, {"x": 3}]}) == []
+    assert run("*.n", {"a": {"n": 1}, "b": {"n": 2}}) == [1, 2]
+
+
 def test_multiselect():
     doc = {"people": [{"name": "a", "age": 20, "other": "x"}, {"name": "b", "age": 30}]}
     assert run("people[*].{Name: name, Age: age}", doc) == [
