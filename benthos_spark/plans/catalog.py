@@ -2329,6 +2329,65 @@ def jq_program_events(spark, sf_dir):
 
 
 @register(
+    "jmespath_orders_digest",
+    """
+    SELECT o_custkey AS c_custkey,
+           count(*) FILTER (o_orderstatus = 'O') AS n_open,
+           coalesce(array_to_string(
+             list(o_orderkey ORDER BY o_orderkey)
+               FILTER (o_totalprice > 100000), ','), '') AS big_keys,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def jmespath_orders_digest(spark, sf_dir):
+    """`jmespath` processor (processor_jmespath.go:25) running a REAL
+    projection program — filter projections, a wildcard projection, and
+    spec functions — fully COMPILED to Column expressions
+    (functions/jmespath_columnar.py: VARIANT higher-order transforms, no
+    Python stage). Each customer's orders become one JSON document (the
+    reference's archive→query idiom), the program digests it, and the
+    result re-enters the typed plan via from_json. The oracle computes
+    the same digest relationally, so the whole JSON round-trip +
+    projection semantics must land exactly.
+
+    100 TB shape: ONE shuffle (groupBy custkey builds the documents);
+    the jmespath stage is a codegen'd projection over the grouped rows."""
+    from benthos_spark.functions.jmespath_program import JmespathProcessor
+
+    o = _t(spark, sf_dir, "orders")
+    docs = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.to_json(
+            F.struct(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("o_orderkey").alias("key"),
+                            F.col("o_totalprice").alias("price"),
+                            F.col("o_orderstatus").alias("status"),
+                        )
+                    )
+                ).alias("orders")
+            )
+        ).alias("value")
+    )
+    q = (
+        "{n_open: length(orders[?status == 'O']),"
+        " big: orders[?price > `100000`].key,"
+        " total: sum(orders[*].price)}"
+    )
+    out = JmespathProcessor(q)(docs)
+    parsed = F.from_json(F.col("value"), "n_open bigint, big array<bigint>, total double")
+    return out.select(
+        "c_custkey",
+        parsed["n_open"].alias("n_open"),
+        F.concat_ws(",", parsed["big"]).alias("big_keys"),
+        F.round(parsed["total"], 2).alias("total"),
+    )
+
+
+@register(
     "cdc_merge_apply_orders",
     """
     SELECT o_orderstatus,
