@@ -45,6 +45,92 @@ ORDER_COL = "_order"
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"
 
+# safe type-widening lattice for schema evolution (Iceberg's promotion
+# rules: integrals widen up-chain, float→double; anything else is a
+# breaking change and raises rather than corrupting state)
+_INT_CHAIN = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOAT_CHAIN = {"float": 0, "double": 1}
+
+
+def _widened(a, b):
+    """The common type a/b safely widen to, or raise ValueError."""
+    if a == b:
+        return a
+    an, bn = a.simpleString(), b.simpleString()
+    for chain in (_INT_CHAIN, _FLOAT_CHAIN):
+        if an in chain and bn in chain:
+            return a if chain[an] >= chain[bn] else b
+    raise ValueError(
+        f"cdc: incompatible schema evolution {an} vs {bn} — only integral "
+        "up-widening and float→double are supported"
+    )
+
+
+def _read_state_dirs(spark: SparkSession, dirs: Sequence[str]) -> DataFrame:
+    """Read committed bucket directories whose schemas may differ after
+    evolution. ``mergeSchema`` alone cannot WIDEN (int vs bigint footers
+    fail to merge), so directories are grouped by footer schema, each
+    group is cast to the widened union schema, and the groups union —
+    one multi-path scan per distinct schema (normally exactly one)."""
+    groups: dict[str, tuple] = {}
+    for d in dirs:
+        s = spark.read.parquet(d).schema  # footer-only, no data scan
+        groups.setdefault(s.json(), (s, []))[1].append(d)
+    if len(groups) == 1:
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    target: dict = {}
+    order: list[str] = []
+    for s, _ in groups.values():
+        for f in s.fields:
+            if f.name in target:
+                target[f.name] = _widened(target[f.name], f.dataType)
+            else:
+                target[f.name] = f.dataType
+                order.append(f.name)
+    out = None
+    for s, ds in groups.values():
+        df = spark.read.parquet(*ds)
+        have = set(df.columns)
+        cols = [
+            (F.col(n).cast(target[n]) if n in have else F.lit(None).cast(target[n])).alias(n)
+            for n in order
+        ]
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _union_widened(a: DataFrame, b: DataFrame) -> DataFrame:
+    """unionByName with missing columns nulled AND narrow columns cast
+    up the widening lattice (plain unionByName throws on int vs bigint)."""
+    target: dict = {}
+    order: list[str] = []
+    for s in (a.schema, b.schema):
+        for f in s.fields:
+            if f.name in target:
+                target[f.name] = _widened(target[f.name], f.dataType)
+            else:
+                target[f.name] = f.dataType
+                order.append(f.name)
+
+    def proj(df):
+        have = set(df.columns)
+        return df.select(
+            *[
+                (F.col(n).cast(target[n]) if n in have else F.lit(None).cast(target[n])).alias(n)
+                for n in order
+            ]
+        )
+
+    return proj(a).unionByName(proj(b))
+
+
+def _bucket_expr(pk_cols: Sequence[str], n_buckets: int):
+    """Bucket id from the pks' STRING form: hash(int 5) != hash(bigint 5),
+    so a type widening would re-home keys if the raw values were hashed —
+    the canonical string form is stable across widenings."""
+    return F.pmod(F.hash(*[F.col(c).cast("string") for c in pk_cols]), F.lit(n_buckets))
+
 
 # ---------------------------------------------------------------------------
 # changelog source
@@ -188,8 +274,7 @@ class MergeApplySink:
             .drop("__rn")
         )
         latest = latest.withColumn(
-            BUCKET_COL,
-            F.pmod(F.hash(*[F.col(f"__pk_{c}") for c in self.pk_cols]), F.lit(self.n_buckets)),
+            BUCKET_COL, _bucket_expr([f"__pk_{c}" for c in self.pk_cols], self.n_buckets)
         ).persist()
         try:
             touched = sorted(
@@ -201,9 +286,10 @@ class MergeApplySink:
                     prev_buckets[str(b)] for b in touched if str(b) in prev_buckets
                 ]
                 if dirs:
-                    # mergeSchema: bucket dirs written before a schema
-                    # evolution may lack newer columns
-                    old = spark.read.option("mergeSchema", "true").parquet(*dirs)
+                    # bucket dirs written before a schema evolution may
+                    # lack newer columns or carry narrower types —
+                    # grouped, widened, unioned (see _read_state_dirs)
+                    old = _read_state_dirs(spark, dirs)
                 else:
                     old = None
 
@@ -238,10 +324,7 @@ class MergeApplySink:
                             | (F.col(ORDER_COL) >= F.col("__ch_order"))
                         )
                         .drop("__ch_order")
-                        .withColumn(
-                            BUCKET_COL,
-                            F.pmod(F.hash(*self.pk_cols), F.lit(self.n_buckets)),
-                        )
+                        .withColumn(BUCKET_COL, _bucket_expr(self.pk_cols, self.n_buckets))
                     )
                     # a change applies only if it outranks the stored row
                     stored = old.select(
@@ -255,10 +338,10 @@ class MergeApplySink:
                         )
                         .drop("__st_order")
                     )
-                    # allowMissingColumns: schema evolution — a changelog
-                    # that grows a column merges over old state with the
-                    # new column null on historical rows (and vice versa)
-                    merged = survivors.unionByName(rows, allowMissingColumns=True)
+                    # schema evolution — a changelog that grows a column
+                    # merges over old state with the new column null on
+                    # historical rows; widened columns cast up
+                    merged = _union_widened(survivors, rows)
                 else:
                     merged = rows
 
@@ -313,7 +396,7 @@ class MergeApplySink:
         if not dirs:
             raise ValueError("no committed state")
         return (
-            spark.read.option("mergeSchema", "true").parquet(*dirs)
+            _read_state_dirs(spark, dirs)
             .filter(~F.col(DELETED_COL))
             .drop(ORDER_COL, DELETED_COL)
         )

@@ -231,6 +231,47 @@ def test_merge_apply_schema_evolution(spark, tmp_path):
     assert got[1]["name"] == "a" and got[2]["name"] == "b"
 
 
+def test_merge_apply_type_widening(spark, tmp_path):
+    """int→long evolution: old buckets store qty as int, a later
+    changelog declares it bigint with a value beyond int range — state
+    reads back widened, the merge keeps both rows, and the PK's bucket
+    assignment is stable across the widening (string-canonical hash)."""
+    sink = MergeApplySink(str(tmp_path / "state"), pk_cols=["id"], n_buckets=2)
+    d1 = str(tmp_path / "log1")
+    _write_events(d1, [
+        _event("c", 1, after={"id": 1, "name": "a", "qty": 5}),
+        _event("c", 2, after={"id": 2, "name": "b", "qty": 7}),
+    ])
+    sink(ChangelogFileSource(d1, ROW).read(spark), 0)
+    big = 9_000_000_000  # > 2^31
+    d2 = str(tmp_path / "log2")
+    _write_events(d2, [
+        _event("u", 3, after={"id": 1, "name": "a2", "qty": big}),
+        _event("c", 4, after={"id": 3, "name": "c", "qty": 1}),
+    ])
+    wide = "id bigint, name string, qty bigint"
+    sink(ChangelogFileSource(d2, wide).read(spark), 1)
+    state = sink.read_state(spark)
+    assert dict(state.dtypes)["qty"] == "bigint"
+    got = {r["id"]: r.asDict() for r in state.collect()}
+    assert got[1]["qty"] == big and got[1]["name"] == "a2"
+    assert got[2]["qty"] == 7  # untouched narrow-schema row survives
+    assert got[3]["qty"] == 1
+    # the id=1 update REPLACED the old row (same bucket despite the
+    # int→bigint pk widening) — no duplicate key anywhere
+    assert state.count() == 3
+    # a pre-widening LSN can still not regress a widened row
+    d3 = str(tmp_path / "log3")
+    _write_events(d3, [_event("u", 2, after={"id": 1, "name": "stale", "qty": 0})])
+    sink(ChangelogFileSource(d3, wide).read(spark), 2)
+    assert sink.read_state(spark).filter("id = 1").collect()[0]["name"] == "a2"
+    # incompatible narrowing (bigint → string) raises, never corrupts
+    d4 = str(tmp_path / "log4")
+    _write_events(d4, [_event("u", 9, after={"id": 1, "name": "x", "qty": "NaN"})])
+    with pytest.raises(Exception, match="incompatible schema evolution"):
+        sink(ChangelogFileSource(d4, "id bigint, name string, qty string").read(spark), 3)
+
+
 def test_merge_apply_compaction_expires_tombstones(spark, tmp_path):
     sink = MergeApplySink(str(tmp_path / "state"), pk_cols=["id"], n_buckets=2)
     d1 = str(tmp_path / "log1")
