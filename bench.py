@@ -61,6 +61,8 @@ BATCH_QUERIES = [
     "audio_decode_features",
     "audio_mfcc_fingerprint_rollup",
     "audio_fingerprint_dedup",
+    "jmespath_orders_digest",
+    "content_dedupe_clips",
 ]
 
 

@@ -213,7 +213,17 @@ class MergeApplySink:
         pk_cols: Sequence[str],
         order_col: str = "lsn",
         n_buckets: int = 16,
+        auto_compact_every: Optional[int] = None,
+        tombstone_retention: Optional[int] = None,
     ):
+        """``auto_compact_every=N`` runs :meth:`compact` from inside the
+        ``foreachBatch`` hook after every Nth committed batch — the hook
+        is serialized with the stream, and readers keep working because
+        old bucket directories are left in place and the manifest swap
+        is atomic. ``tombstone_retention`` is an ORDER-column horizon:
+        auto-compaction expires tombstones with
+        ``order < max_applied_order - retention`` (set it to at least
+        the source's replay horizon; None keeps tombstones forever)."""
         self.out_dir = out_dir
         self.data_dir = os.path.join(out_dir, "data")
         self.ledger_dir = os.path.join(out_dir, "ledger")
@@ -222,6 +232,8 @@ class MergeApplySink:
         self.pk_cols = list(pk_cols)
         self.order_col = order_col
         self.n_buckets = n_buckets
+        self.auto_compact_every = auto_compact_every
+        self.tombstone_retention = tombstone_retention
 
     # -- manifest helpers ---------------------------------------------------
     def committed_batches(self) -> list[int]:
@@ -276,7 +288,9 @@ class MergeApplySink:
         latest = latest.withColumn(
             BUCKET_COL, _bucket_expr([f"__pk_{c}" for c in self.pk_cols], self.n_buckets)
         ).persist()
+        batch_max_order = None
         try:
+            batch_max_order = latest.agg(F.max(ORDER_COL)).collect()[0][0]
             touched = sorted(
                 r[BUCKET_COL] for r in latest.select(BUCKET_COL).distinct().collect()
             )
@@ -373,7 +387,12 @@ class MergeApplySink:
         finally:
             latest.unpersist()
 
-        # 5. atomic manifest commit
+        # 5. atomic manifest commit (max_order: high-water mark of the
+        #    applied ORDER column, the tombstone-expiry reference point)
+        prev_max = prev.get("max_order")
+        max_order = max(
+            (o for o in (prev_max, batch_max_order) if o is not None), default=None
+        )
         tmp = ledger_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(
@@ -381,12 +400,21 @@ class MergeApplySink:
                     "batch_id": batch_id,
                     "committed_at": time.time(),
                     "buckets": prev_buckets,
+                    "max_order": max_order,
                 },
                 f,
             )
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, ledger_path)
+
+        # 6. scheduled maintenance: the hook is serialized with the
+        #    stream, so compacting here needs no maintenance window
+        if self.auto_compact_every and (batch_id + 1) % self.auto_compact_every == 0:
+            horizon = None
+            if self.tombstone_retention is not None and max_order is not None:
+                horizon = max_order - self.tombstone_retention
+            self.compact(spark, expire_tombstones_below=horizon)
 
     # -- read side ----------------------------------------------------------
     def read_state(self, spark: SparkSession) -> DataFrame:
@@ -414,10 +442,13 @@ class MergeApplySink:
         minimum replay horizon — an event older than that can never be
         redelivered, so its tombstone is dead weight).
 
-        Run while the stream is STOPPED (a maintenance window): the pass
-        rewrites the LATEST manifest in place (atomic tmp+rename), so a
-        resumed stream — including a replay of the last batch, which
-        skips via its ledger entry — sees the compacted snapshot.
+        Safe to run from the ``foreachBatch`` hook (``auto_compact_every``
+        does exactly that — the hook is serialized with the stream) or
+        while the stream is STOPPED: the pass rewrites the LATEST
+        manifest in place (atomic tmp+rename) and leaves prior bucket
+        directories untouched, so concurrent readers and a resumed
+        stream — including a replay of the last batch, which skips via
+        its ledger entry — see a consistent snapshot.
         Returns {bucket: rows_kept}."""
         ledger = self.committed_batches()
         if not ledger:
@@ -437,6 +468,10 @@ class MergeApplySink:
                 buckets.pop(b, None)
                 continue
             out_dir = os.path.join(self.data_dir, f"bucket={b}", f"c{latest}")
+            if os.path.abspath(d) == os.path.abspath(out_dir):
+                # already compacted at this batch — a rewrite would read
+                # and overwrite the same path
+                out_dir += f"-{uuid.uuid4().hex[:6]}"
             if os.path.exists(out_dir):
                 import shutil
 

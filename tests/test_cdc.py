@@ -231,6 +231,45 @@ def test_merge_apply_schema_evolution(spark, tmp_path):
     assert got[1]["name"] == "a" and got[2]["name"] == "b"
 
 
+def test_merge_apply_auto_compaction(spark, tmp_path):
+    """auto_compact_every triggers compaction inside the foreachBatch
+    hook: tombstones older than the retention horizon (relative to the
+    manifest's max applied LSN) are expired, fresh ones survive, and the
+    next batch applies normally against the compacted snapshot."""
+    sink = MergeApplySink(
+        str(tmp_path / "state"), pk_cols=["id"], n_buckets=2,
+        auto_compact_every=2, tombstone_retention=5,
+    )
+    d1 = str(tmp_path / "log1")
+    _write_events(d1, [
+        _event("c", 1, after={"id": 1, "name": "a", "qty": 1}),
+        _event("c", 2, after={"id": 2, "name": "b", "qty": 2}),
+        _event("d", 3, before={"id": 2, "name": "b", "qty": 2}),
+    ])
+    sink(ChangelogFileSource(d1, ROW).read(spark), 0)  # no compact yet (1st batch)
+    man = sink._manifest()
+    assert man["max_order"] == 3
+    assert spark.read.parquet(*man["buckets"].values()).filter("_deleted").count() == 1
+    d2 = str(tmp_path / "log2")
+    _write_events(d2, [
+        _event("c", 20, after={"id": 3, "name": "c", "qty": 3}),
+        _event("d", 21, before={"id": 3, "name": "c", "qty": 3}),
+    ])
+    sink(ChangelogFileSource(d2, ROW).read(spark), 1)  # 2nd batch -> auto compact
+    man = sink._manifest()
+    assert man["max_order"] == 21
+    raw = spark.read.parquet(*man["buckets"].values())
+    # id=2's tombstone (lsn 3 < 21-5) expired; id=3's (lsn 21) survives
+    tombs = [r["id"] for r in raw.filter("_deleted").collect()]
+    assert tombs == [3]
+    # late replay of the expired delete's victim cannot resurrect id=3
+    # (its tombstone is still in state), and the stream continues fine
+    d3 = str(tmp_path / "log3")
+    _write_events(d3, [_event("c", 20, after={"id": 3, "name": "zombie", "qty": 9})])
+    sink(ChangelogFileSource(d3, ROW).read(spark), 2)
+    assert sorted(r["id"] for r in sink.read_state(spark).collect()) == [1]
+
+
 def test_merge_apply_type_widening(spark, tmp_path):
     """int→long evolution: old buckets store qty as int, a later
     changelog declares it bigint with a value beyond int range — state
