@@ -1,13 +1,14 @@
-"""Pure-python baseline JPEG decoder (ITU-T T.81 sequential DCT).
+"""Pure-python JPEG decoder (ITU-T T.81): baseline AND progressive DCT.
 
 Un-gates the dominant training-data image container: the sandbox has no
-PIL/cv2, but baseline JPEG is public — marker segments, canonical
-Huffman entropy coding with byte stuffing and restart markers,
-dequantization, zig-zag, an 8x8 IDCT, chroma upsampling and the
-YCbCr→RGB transform. Supports what cameras and libjpeg emit by
-default: 8-bit baseline (SOF0), grayscale or YCbCr with 4:4:4 / 4:2:2 /
-4:2:0 sampling. Progressive (SOF2) and arithmetic coding are rejected
-with a clear error.
+PIL/cv2, but JPEG is public — marker segments, canonical Huffman
+entropy coding with byte stuffing and restart markers, dequantization,
+zig-zag, an 8x8 IDCT, chroma upsampling and the YCbCr→RGB transform.
+Supports what cameras, libjpeg, and the web emit: 8-bit baseline
+(SOF0/1) and progressive (SOF2 — spectral selection, successive
+approximation with DC/AC refinement scans and EOB runs, T.81 §G.1.2),
+grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling. Hierarchical,
+lossless, and arithmetic coding are rejected with a clear error.
 
 JPEG is lossy and the IDCT is not bit-exact across implementations, so
 validation (tests/test_multimodal.py) compares our decode of
@@ -133,6 +134,8 @@ def decode(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     width = height = None
     restart_interval = 0
+    progressive = False
+    coeffs: list[np.ndarray] | None = None  # per-comp (bh, bw, 64) zigzag
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -159,7 +162,8 @@ def decode(data: bytes) -> np.ndarray:
                 table = np.zeros(64, dtype=np.int32)
                 table[_ZIGZAG] = vals
                 qt[tq] = table.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -167,8 +171,8 @@ def decode(data: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("only baseline (SOF0/1) JPEG is supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("only baseline (SOF0/1) and progressive (SOF2) JPEG is supported")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -186,15 +190,225 @@ def decode(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cs)
-                comp["dc"] = dc_tables[tt >> 4]
-                comp["ac"] = ac_tables[tt & 0xF]
-                scan.append(comp)
-            pos += seg_len
-            return _decode_scan(
-                data, pos, width, height, comps, qt, restart_interval
+                scan.append((comp, tt))
+            if not progressive:
+                for comp, tt in scan:
+                    comp["dc"] = dc_tables[tt >> 4]
+                    comp["ac"] = ac_tables[tt & 0xF]
+                return _decode_scan(
+                    data, pos + seg_len, width, height, comps, qt, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coeffs is None:
+                coeffs = _alloc_coeffs(width, height, comps)
+            pos = _decode_prog_scan(
+                data, pos + seg_len, comps, scan, dc_tables, ac_tables,
+                coeffs, width, height, ss, se, ahal >> 4, ahal & 0xF,
+                restart_interval,
             )
+            continue
         pos += seg_len
+    if progressive and coeffs is not None:
+        return _reconstruct_progressive(comps, coeffs, qt, width, height)
     raise JpegError("no scan data found")
+
+
+def _comp_geometry(width: int, height: int, comps: list[dict]):
+    """(hmax, vmax, mcux, mcuy, per-comp block dims): `bw`/`bh` are the
+    component's own block counts (non-interleaved scans code exactly
+    those, T.81 §A.2.2); allocation uses the MCU-padded `abw`/`abh`."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    geo = []
+    for c in comps:
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        geo.append(
+            {
+                "bw": -(-cw // 8),
+                "bh": -(-ch // 8),
+                "abw": mcux * c["h"],
+                "abh": mcuy * c["v"],
+            }
+        )
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _alloc_coeffs(width, height, comps) -> list[np.ndarray]:
+    _, _, _, _, geo = _comp_geometry(width, height, comps)
+    return [np.zeros((g["abh"], g["abw"], 64), dtype=np.int32) for g in geo]
+
+
+def _decode_prog_scan(
+    data, pos, comps, scan, dc_tables, ac_tables, coeffs,
+    width, height, ss, se, ah, al, restart_interval,
+):
+    """One progressive scan (T.81 §G.1.2) into the coefficient buffers;
+    returns the byte offset of the next marker."""
+    hmax, vmax, mcux, mcuy, geo = _comp_geometry(width, height, comps)
+    br = _BitReader(data, pos)
+    count = 0
+
+    if ss == 0:  # DC scan — interleaved (multi-comp) or single-comp
+        if se != 0:
+            raise JpegError("progressive DC scan with Se != 0")
+        idxs = [comps.index(c) for c, _ in scan]
+        tables = {
+            comps.index(c): (dc_tables[tt >> 4] if ah == 0 else None) for c, tt in scan
+        }
+        preds = {i: 0 for i in idxs}
+
+        def dc_block(ci, by, bx):
+            block = coeffs[ci][by, bx]
+            if ah == 0:
+                s = br.decode_huff(tables[ci])
+                preds[ci] += _extend(br.read_bits(s), s)
+                block[0] = preds[ci] << al
+            else:  # refinement: one correction bit
+                block[0] |= br.read_bit() << al
+
+        if len(scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and count and count % restart_interval == 0:
+                        br.align_restart()
+                        preds.update({i: 0 for i in idxs})
+                    count += 1
+                    for c, _tt in scan:
+                        ci = comps.index(c)
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(ci, my * c["v"] + by, mx * c["h"] + bx)
+        else:
+            ci = idxs[0]
+            g = geo[ci]
+            for by in range(g["bh"]):
+                for bx in range(g["bw"]):
+                    if restart_interval and count and count % restart_interval == 0:
+                        br.align_restart()
+                        preds[ci] = 0
+                    count += 1
+                    dc_block(ci, by, bx)
+    else:  # AC scan — always a single component (T.81 §G.1.1.1.1)
+        if len(scan) != 1:
+            raise JpegError("progressive AC scan must be non-interleaved")
+        comp, tt = scan[0]
+        ci = comps.index(comp)
+        table = ac_tables[tt & 0xF]
+        g = geo[ci]
+        eobrun = 0
+        for by in range(g["bh"]):
+            for bx in range(g["bw"]):
+                if restart_interval and count and count % restart_interval == 0:
+                    br.align_restart()
+                    eobrun = 0
+                count += 1
+                block = coeffs[ci][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(br, block, table, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, block, table, ss, se, al, eobrun)
+
+    # advance to the next non-restart marker
+    if br.marker is not None and not (0xD0 <= br.marker <= 0xD7):
+        return br.pos - 2
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return p
+
+
+def _ac_first_block(br, block, table, ss, se, al, eobrun):
+    """First AC scan for one block: runs/sizes like baseline plus EOB
+    runs (EOBn symbols: s=0, r<15 → a run of 2^r + ext bits all-EOB
+    blocks, counting this one)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_huff(table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise JpegError("AC run overflow")
+            block[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, block, table, ss, se, al, eobrun):
+    """AC refinement (T.81 §G.1.2.3): newly nonzero coefficients arrive
+    as ±2^Al; every already-nonzero coefficient passed over appends one
+    correction bit. EOB-run blocks still carry correction bits."""
+    p1 = 1 << al
+
+    def correct(k):
+        if br.read_bit() and (block[k] & p1) == 0:
+            block[k] += p1 if block[k] > 0 else -p1
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            if block[k] != 0:
+                correct(k)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_huff(table)
+        r, s = rs >> 4, rs & 0xF
+        val = 0
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                r = 64  # sweep to Se appending correction bits only
+            # r == 15: pass over 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise JpegError("bad AC refinement code")
+            val = p1 if br.read_bit() else -p1
+        while k <= se:
+            if block[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    if val:
+                        block[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return eobrun
+
+
+def _reconstruct_progressive(comps, coeffs, qt, width, height):
+    """Dequantize + IDCT every block (vectorized einsum over all blocks
+    of a plane) and hand off to the shared upsample/color tail."""
+    planes = []
+    for c, cf in zip(comps, coeffs):
+        bh, bw, _ = cf.shape
+        nat = np.zeros((bh * bw, 64), dtype=np.float64)
+        nat[:, _ZIGZAG] = cf.reshape(-1, 64)
+        blocks = nat.reshape(bh, bw, 8, 8) * qt[c["tq"]]
+        px = np.einsum("ab,yxbc,cd->yxad", _C.T, blocks, _C) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _assemble(comps, planes, width, height)
 
 
 def _decode_scan(data, pos, width, height, comps, qt, restart_interval):
@@ -246,9 +460,15 @@ def _decode_scan(data, pos, width, height, comps, qt, restart_interval):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0: y0 + 8, x0: x0 + 8] = px
-    # upsample to full resolution and convert. 2x uses libjpeg's "fancy"
-    # triangular kernel (what ImageIO/libjpeg apply), so conforming
-    # decoders agree within rounding; other ratios use replication.
+    return _assemble(comps, planes, width, height)
+
+
+def _assemble(comps, planes, width, height):
+    """Upsample to full resolution and convert. 2x uses libjpeg's "fancy"
+    triangular kernel (what ImageIO/libjpeg apply), so conforming
+    decoders agree within rounding; other ratios use replication."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for c, plane in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]

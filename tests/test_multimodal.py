@@ -117,7 +117,7 @@ def test_image_pipeline_png_codec(spark):
         assert abs(r["mean_lum"] - r["want"]) < 0.51  # channel-mean vs flat-mean rounding
 
 
-def _imageio_jpeg_encode(jvm, arr, quality=0.9):
+def _imageio_jpeg_encode(jvm, arr, quality=0.9, progressive=False):
     BI = jvm.java.awt.image.BufferedImage
     h, w = arr.shape[:2]
     img = BI(w, h, BI.TYPE_INT_RGB)
@@ -130,6 +130,8 @@ def _imageio_jpeg_encode(jvm, arr, quality=0.9):
     p = writer.getDefaultWriteParam()
     p.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(float(quality))
+    if progressive:
+        p.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
     bos = jvm.java.io.ByteArrayOutputStream()
     ios = ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
@@ -171,6 +173,54 @@ def test_jpeg_decoder_vs_imageio(spark):
                     theirs[y, x] = ((v >> 16) & 255, (v >> 8) & 255, v & 255)
             diff = np.abs(ours.astype(int) - theirs.astype(int))
             assert diff.max() <= 8 and diff.mean() < 1.0, (name, q, diff.max())
+
+
+def test_jpeg_progressive_decode_vs_imageio(spark):
+    """SOF2 progressive decode (spectral selection + successive
+    approximation with DC/AC refinement scans and EOB runs) against
+    javax.imageio's decode of the SAME progressive bytes. The marker
+    stream is verified to actually BE progressive (SOF2 + multiple
+    SOS), so this cannot silently regress into the baseline path.
+
+    Two-level check: (a) the progressive entropy decode must be
+    COEFFICIENT-EXACT — javax writes the same quantized coefficients
+    in both modes, so our progressive decode must be bit-identical to
+    our baseline decode of the same raster/quality; (b) vs javax's
+    pixels only the usual conforming-IDCT tolerance applies (the
+    'hard' image hits max |Δ| 9 on the baseline path too)."""
+    import numpy as np
+
+    from benthos_spark.functions import jpeg
+
+    jvm = spark._jvm
+    yy, xx = np.mgrid[0:48, 0:40]
+    images = {
+        "smooth": np.stack(
+            [np.clip(128 + 80 * np.sin(xx / 9.0), 0, 255),
+             np.clip(128 + 80 * np.cos(yy / 7.0), 0, 255),
+             np.clip(128 + 60 * np.sin((xx + yy) / 11.0), 0, 255)],
+            axis=-1).astype(np.uint8),
+        "hard": np.stack([(xx * 7) % 256, (yy * 3) % 256, ((xx * yy) // 4) % 256],
+                         axis=-1).astype(np.uint8),
+    }
+    ImageIO = jvm.javax.imageio.ImageIO
+    for name, arr in images.items():
+        for q in (0.9, 0.4):
+            b = _imageio_jpeg_encode(jvm, arr, q, progressive=True)
+            assert b"\xff\xc2" in b, "encoder did not emit SOF2"
+            assert b.count(b"\xff\xda") > 1, "expected multiple scans"
+            ours = jpeg.decode(b)
+            baseline = jpeg.decode(_imageio_jpeg_encode(jvm, arr, q, progressive=False))
+            assert np.array_equal(ours, baseline), (
+                name, q, "progressive coefficients diverge from baseline")
+            img = ImageIO.read(jvm.java.io.ByteArrayInputStream(b))
+            theirs = np.zeros_like(arr)
+            for y in range(arr.shape[0]):
+                for x in range(arr.shape[1]):
+                    v = img.getRGB(x, y)
+                    theirs[y, x] = ((v >> 16) & 255, (v >> 8) & 255, v & 255)
+            diff = np.abs(ours.astype(int) - theirs.astype(int))
+            assert diff.max() <= 10 and diff.mean() < 1.0, (name, q, diff.max(), diff.mean())
 
 
 def test_jpeg_grayscale_decode(spark):
