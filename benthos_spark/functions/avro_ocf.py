@@ -206,6 +206,13 @@ def _matches(schema: Any, value: Any) -> bool:
 
 def read_ocf(data: bytes) -> tuple[Any, list[Any]]:
     """OCF bytes → (schema, records). Codecs: null, deflate."""
+    schema, records, _meta = read_ocf_with_meta(data)
+    return schema, records
+
+
+def read_ocf_with_meta(data: bytes) -> tuple[Any, list[Any], dict[str, bytes]]:
+    """OCF bytes → (schema, records, header metadata). Iceberg manifests
+    carry their table schema / partition spec in the OCF header."""
     buf = io.BytesIO(data)
     if buf.read(4) != MAGIC:
         raise AvroError("not an avro OCF (bad magic)")
@@ -232,18 +239,27 @@ def read_ocf(data: bytes) -> tuple[Any, list[Any]]:
             records.append(_decode(schema, bbuf))
         if buf.read(16) != sync:
             raise AvroError("sync marker mismatch")
-    return schema, records
+    return schema, records, meta
 
 
-def write_ocf(schema: Any, records: list[Any], codec: str = "null") -> bytes:
-    """(schema, records) → OCF bytes (test/fixture encoder)."""
+def write_ocf(
+    schema: Any,
+    records: list[Any],
+    codec: str = "null",
+    meta: dict[str, str] | None = None,
+) -> bytes:
+    """(schema, records) → OCF bytes (test/fixture encoder). ``meta``
+    adds extra header metadata entries (Iceberg manifests require
+    schema/partition-spec/format-version keys in the header)."""
     out = io.BytesIO()
     out.write(MAGIC)
-    meta = {
+    hdr = {
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
     }
-    _encode({"type": "map", "values": "bytes"}, meta, out)
+    for k, v in (meta or {}).items():
+        hdr[k] = v.encode()
+    _encode({"type": "map", "values": "bytes"}, hdr, out)
     sync = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
     out.write(sync)
     body = io.BytesIO()

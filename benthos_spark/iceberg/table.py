@@ -1,0 +1,624 @@
+"""Iceberg v2 table: create / load / append / overwrite / scan / expire.
+
+Commit protocol is the spec's file-system-tables flow (HadoopCatalog
+semantics): the table's state is ``metadata/v<N>.metadata.json``; a
+writer commits by creating ``v<N+1>`` with ``O_CREAT|O_EXCL`` — the
+filesystem arbitrates concurrent writers, the loser refreshes and
+retries (appends always merge cleanly: data files + the new manifest
+are immutable, only the manifest-list + metadata are rebuilt).
+``version-hint.text`` is a convenience pointer, updated by atomic
+rename after the version file lands.
+
+Data files are Spark-written parquet under ``data/``; per-file stats
+(record counts, sizes, column bounds for partition summaries) come
+from the parquet footers via pyarrow — no second Spark job.
+
+At 100 TB this layout is exactly how Iceberg scales: planning reads
+only manifest metadata (KBs per thousands of files), scans prune by
+partition summary, and appends never rewrite existing data or
+manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Iterable
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from benthos_spark.iceberg import manifests as M
+from benthos_spark.iceberg import schema as S
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version we raced for."""
+
+
+def _new_snapshot_id() -> int:
+    return int.from_bytes(os.urandom(8), "big") >> 1  # positive long
+
+
+_PARTITION_SOURCE_TYPES = ("string", "int", "long", "date", "boolean")
+
+
+class IcebergTable:
+    def __init__(self, location: str, metadata: dict, version: int):
+        self.location = location
+        self.metadata = metadata
+        self.version = version
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        location: str,
+        spark_schema: T.StructType,
+        partition_by: tuple[str, ...] = (),
+        properties: dict[str, str] | None = None,
+    ) -> "IcebergTable":
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        schema_json, last_col_id = S.to_iceberg_schema(spark_schema)
+        spec_fields = []
+        for i, col in enumerate(partition_by):
+            fid = S.field_id_of(schema_json, col)
+            src_type = next(f["type"] for f in schema_json["fields"] if f["id"] == fid)
+            if src_type not in _PARTITION_SOURCE_TYPES:
+                raise ValueError(
+                    f"identity partition on {col!r} ({src_type}) unsupported — "
+                    f"partition sources: {_PARTITION_SOURCE_TYPES}"
+                )
+            spec_fields.append(
+                {
+                    "name": col,
+                    "transform": "identity",
+                    "source-id": fid,
+                    "field-id": 1000 + i,
+                }
+            )
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": last_col_id,
+            "current-schema-id": 0,
+            "schemas": [schema_json],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": dict(properties or {}),
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        table = cls(location, metadata, version=0)
+        table._write_version(1, metadata)
+        table.version = 1
+        return table
+
+    @classmethod
+    def load(cls, location: str) -> "IcebergTable":
+        v = cls._latest_version(location)
+        if v == 0:
+            raise FileNotFoundError(f"no Iceberg metadata under {location}")
+        with open(cls._version_path(location, v)) as f:
+            return cls(location, json.load(f), version=v)
+
+    @classmethod
+    def exists(cls, location: str) -> bool:
+        return cls._latest_version(location) > 0
+
+    def refresh(self) -> "IcebergTable":
+        latest = self._latest_version(self.location)
+        if latest != self.version:
+            with open(self._version_path(self.location, latest)) as f:
+                self.metadata = json.load(f)
+            self.version = latest
+        return self
+
+    # -- metadata helpers --------------------------------------------------
+
+    @staticmethod
+    def _version_path(location: str, v: int) -> str:
+        return os.path.join(location, "metadata", f"v{v}.metadata.json")
+
+    @staticmethod
+    def _latest_version(location: str) -> int:
+        mdir = os.path.join(location, "metadata")
+        hint = os.path.join(mdir, "version-hint.text")
+        best = 0
+        if os.path.exists(hint):
+            try:
+                with open(hint) as f:
+                    best = int(f.read().strip())
+            except ValueError:
+                best = 0
+        # the hint lags if a writer crashed between version file and hint
+        v = best + 1
+        while os.path.exists(IcebergTable._version_path(location, v)):
+            best = v
+            v += 1
+        if best == 0:
+            return 0
+        return best
+
+    @property
+    def schema_json(self) -> dict:
+        sid = self.metadata["current-schema-id"]
+        return next(s for s in self.metadata["schemas"] if s["schema-id"] == sid)
+
+    @property
+    def spark_schema(self) -> T.StructType:
+        return S.to_spark_schema(self.schema_json)
+
+    @property
+    def partition_spec(self) -> list[dict]:
+        sid = self.metadata["default-spec-id"]
+        return next(
+            s for s in self.metadata["partition-specs"] if s["spec-id"] == sid
+        )["fields"]
+
+    @property
+    def partition_cols(self) -> list[str]:
+        return [f["name"] for f in self.partition_spec]
+
+    def current_snapshot(self) -> dict | None:
+        sid = self.metadata.get("current-snapshot-id", -1)
+        if sid in (-1, None):
+            return None
+        return next(s for s in self.metadata["snapshots"] if s["snapshot-id"] == sid)
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        return next(
+            s for s in self.metadata["snapshots"] if s["snapshot-id"] == snapshot_id
+        )
+
+    def history(self) -> list[dict]:
+        return list(self.metadata["snapshot-log"])
+
+    # -- write path --------------------------------------------------------
+
+    def _partition_avro_fields(self) -> list[dict]:
+        fields = []
+        for pf in self.partition_spec:
+            src = next(
+                f for f in self.schema_json["fields"] if f["id"] == pf["source-id"]
+            )
+            avro_type = {
+                "string": "string",
+                "int": "int",
+                "long": "long",
+                "date": {"type": "int", "logicalType": "date"},
+                "boolean": "boolean",
+            }[src["type"]]
+            fields.append(
+                {
+                    "name": pf["name"],
+                    "type": ["null", avro_type],
+                    "default": None,
+                    "field-id": pf["field-id"],
+                }
+            )
+        return fields
+
+    def _stage_data_files(self, df: DataFrame) -> tuple[str, list[dict]]:
+        """Write ``df`` as parquet under data/<uuid>/ and return
+        (staging root, per-file info dicts). Stats come from the
+        parquet footers (pyarrow) — local metadata reads, no Spark
+        job."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        stage_id = uuid.uuid4().hex
+        stage = os.path.join(self.location, "_staging", stage_id)
+        writer = df.write.mode("overwrite")
+        pcols = self.partition_cols
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(stage)
+        src_types = {
+            f["name"]: f["type"]
+            for f in self.schema_json["fields"]
+            if isinstance(f["type"], str)
+        }
+        infos: list[dict] = []
+        for root, _dirs, files in os.walk(stage):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                staged = os.path.join(root, name)
+                rel = os.path.relpath(root, stage)
+                # final layout: data/<part=X>/<stageid>-<name> — hive
+                # partition dirs sit directly under data/ so one
+                # basePath read re-attaches partition columns across
+                # every snapshot's files
+                final_dir = (
+                    os.path.join(self.location, "data", rel)
+                    if rel != "."
+                    else os.path.join(self.location, "data")
+                )
+                os.makedirs(final_dir, exist_ok=True)
+                path = os.path.join(final_dir, f"{stage_id}-{name}")
+                os.rename(staged, path)
+                meta = pq.ParquetFile(path).metadata
+                partition: dict[str, Any] = {}
+                if rel != ".":
+                    for seg in rel.split(os.sep):
+                        col, _, raw = seg.partition("=")
+                        raw = unquote(raw)
+                        t = src_types.get(col, "string")
+                        if raw == "__HIVE_DEFAULT_PARTITION__":
+                            partition[col] = None
+                        elif t in ("int", "long"):
+                            partition[col] = int(raw)
+                        elif t == "boolean":
+                            partition[col] = raw == "true"
+                        elif t == "date":
+                            import datetime
+
+                            partition[col] = (
+                                datetime.date.fromisoformat(raw)
+                                - datetime.date(1970, 1, 1)
+                            ).days
+                        else:
+                            partition[col] = raw
+                infos.append(
+                    {
+                        "path": path,
+                        "rows": meta.num_rows,
+                        "size": os.path.getsize(path),
+                        "partition": partition,
+                    }
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return stage, infos
+
+    def _build_manifest(
+        self, infos: list[dict], snapshot_id: int, sequence_number: int
+    ) -> dict:
+        """Write one manifest for the added files; returns its
+        manifest_file record for the manifest list."""
+        pfields = self._partition_avro_fields()
+        entries = []
+        for info in infos:
+            entries.append(
+                {
+                    "status": M.STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": sequence_number,
+                    "file_sequence_number": sequence_number,
+                    "data_file": {
+                        "content": M.CONTENT_DATA,
+                        "file_path": info["path"],
+                        "file_format": "PARQUET",
+                        "partition": info["partition"],
+                        "record_count": info["rows"],
+                        "file_size_in_bytes": info["size"],
+                        "column_sizes": None,
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "nan_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "key_metadata": None,
+                        "split_offsets": None,
+                        "equality_ids": None,
+                        "sort_order_id": None,
+                    },
+                }
+            )
+        mpath = os.path.join(
+            self.location, "metadata", f"{uuid.uuid4().hex}-m0.avro"
+        )
+        mlen = M.write_manifest(
+            mpath,
+            entries,
+            pfields,
+            schema_json=self.schema_json,
+            partition_spec_json=self.partition_spec,
+            partition_spec_id=self.metadata["default-spec-id"],
+        )
+        # partition field summaries for scan pruning
+        summaries = None
+        spec = self.partition_spec
+        if spec:
+            summaries = []
+            for pf in spec:
+                src_type = next(
+                    f["type"]
+                    for f in self.schema_json["fields"]
+                    if f["id"] == pf["source-id"]
+                )
+                vals = [i["partition"].get(pf["name"]) for i in infos]
+                non_null = [v for v in vals if v is not None]
+                summaries.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": False,
+                        "lower_bound": M.encode_bound(min(non_null), src_type)
+                        if non_null
+                        else None,
+                        "upper_bound": M.encode_bound(max(non_null), src_type)
+                        if non_null
+                        else None,
+                    }
+                )
+        return {
+            "manifest_path": mpath,
+            "manifest_length": mlen,
+            "partition_spec_id": self.metadata["default-spec-id"],
+            "content": 0,
+            "sequence_number": sequence_number,
+            "min_sequence_number": sequence_number,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(infos),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(i["rows"] for i in infos),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": summaries,
+            "key_metadata": None,
+        }
+
+    def _commit_snapshot(
+        self,
+        infos: list[dict],
+        *,
+        operation: str,
+        summary_extra: dict[str, str],
+        carry_parent_manifests: bool,
+    ) -> int:
+        """Builds manifest + manifest list + snapshot + metadata, then
+        races the version file. On conflict: refresh + rebuild (the
+        data files are immutable and stay valid) and retry — snapshot
+        id and sequence number are assigned per attempt so the manifest
+        is written with its FINAL ids."""
+        added_rows = sum(i["rows"] for i in infos)
+        added_files = len(infos)
+        for _attempt in range(20):
+            self.refresh()
+            parent = self.current_snapshot()
+            snapshot_id = _new_snapshot_id()
+            seq = self.metadata["last-sequence-number"] + 1
+            new_manifest = self._build_manifest(infos, snapshot_id, seq)
+            prior = []
+            if carry_parent_manifests and parent is not None:
+                prior = M.read_manifest_list(parent["manifest-list"])
+            mlist_path = os.path.join(
+                self.location,
+                "metadata",
+                f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro",
+            )
+            M.write_manifest_list(
+                mlist_path,
+                [new_manifest] + prior,
+                snapshot_id=snapshot_id,
+                parent_snapshot_id=parent["snapshot-id"] if parent else None,
+                sequence_number=seq,
+            )
+            total_rows = added_rows + sum(
+                m["added_rows_count"] + m["existing_rows_count"] - m["deleted_rows_count"]
+                for m in prior
+            )
+            total_files = added_files + sum(
+                m["added_files_count"] + m["existing_files_count"] - m["deleted_files_count"]
+                for m in prior
+            )
+            snapshot = {
+                "snapshot-id": snapshot_id,
+                **({"parent-snapshot-id": parent["snapshot-id"]} if parent else {}),
+                "sequence-number": seq,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": mlist_path,
+                "schema-id": self.metadata["current-schema-id"],
+                "summary": {
+                    "operation": operation,
+                    "added-data-files": str(added_files),
+                    "added-records": str(added_rows),
+                    "total-records": str(total_rows),
+                    "total-data-files": str(total_files),
+                    **summary_extra,
+                },
+            }
+            meta = dict(self.metadata)
+            meta["last-sequence-number"] = seq
+            meta["last-updated-ms"] = snapshot["timestamp-ms"]
+            meta["current-snapshot-id"] = snapshot_id
+            meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+            meta["snapshot-log"] = list(meta["snapshot-log"]) + [
+                {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+            ]
+            meta["metadata-log"] = list(meta["metadata-log"]) + [
+                {
+                    "timestamp-ms": self.metadata["last-updated-ms"],
+                    "metadata-file": self._version_path(self.location, self.version),
+                }
+            ]
+            try:
+                self._write_version(self.version + 1, meta)
+            except CommitConflict:
+                os.unlink(mlist_path)
+                os.unlink(new_manifest["manifest_path"])
+                continue
+            self.metadata = meta
+            self.version += 1
+            return snapshot_id
+        raise CommitConflict("lost the version race 20 times")
+
+    def _write_version(self, v: int, metadata: dict) -> None:
+        path = self._version_path(self.location, v)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError as e:
+            raise CommitConflict(f"{path} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(metadata, f)
+            f.flush()
+            os.fsync(f.fileno())
+        hint = os.path.join(self.location, "metadata", "version-hint.text")
+        tmp = hint + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.rename(tmp, hint)
+
+    def append(self, df: DataFrame, summary: dict[str, str] | None = None) -> int:
+        """Commit ``df`` as a new append snapshot; returns snapshot id."""
+        df = df.select([F.col(f.name) for f in self.spark_schema.fields])
+        _stage, infos = self._stage_data_files(df)
+        return self._commit_snapshot(
+            infos,
+            operation="append",
+            summary_extra=dict(summary or {}),
+            carry_parent_manifests=True,
+        )
+
+    def overwrite(self, df: DataFrame, summary: dict[str, str] | None = None) -> int:
+        """Replace the table's contents with ``df`` (full-table
+        overwrite: the new manifest list simply stops referencing the
+        prior manifests — their files become unreachable and are
+        reclaimed by :meth:`expire_snapshots`)."""
+        df = df.select([F.col(f.name) for f in self.spark_schema.fields])
+        _stage, infos = self._stage_data_files(df)
+        return self._commit_snapshot(
+            infos,
+            operation="overwrite",
+            summary_extra=dict(summary or {}),
+            carry_parent_manifests=False,
+        )
+
+    # -- read path ---------------------------------------------------------
+
+    def _resolve_snapshot(self, snapshot_id: int | None, as_of_ms: int | None) -> dict | None:
+        if snapshot_id is not None:
+            return self.snapshot(snapshot_id)
+        if as_of_ms is not None:
+            eligible = [e for e in self.metadata["snapshot-log"] if e["timestamp-ms"] <= as_of_ms]
+            if not eligible:
+                return None
+            return self.snapshot(eligible[-1]["snapshot-id"])
+        return self.current_snapshot()
+
+    def live_files(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> list[dict]:
+        """data_file records reachable from the chosen snapshot."""
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return []
+        out = []
+        for mf in M.read_manifest_list(snap["manifest-list"]):
+            for entry in M.read_manifest(mf["manifest_path"]):
+                if entry["status"] != M.STATUS_DELETED:
+                    out.append(entry["data_file"])
+        return out
+
+    def added_files(self, snapshot_id: int) -> list[dict]:
+        """data_file records ADDED by exactly this snapshot — the
+        incremental-scan unit the streaming source consumes."""
+        snap = self.snapshot(snapshot_id)
+        out = []
+        for mf in M.read_manifest_list(snap["manifest-list"]):
+            if mf["added_snapshot_id"] != snapshot_id:
+                continue
+            for entry in M.read_manifest(mf["manifest_path"]):
+                if entry["status"] == M.STATUS_ADDED:
+                    out.append(entry["data_file"])
+        return out
+
+    def _df_for_files(self, spark: SparkSession, files: list[dict]) -> DataFrame:
+        schema = self.spark_schema
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [f["file_path"] for f in files]
+        reader = spark.read
+        if self.partition_cols:
+            # identity-partitioned files are laid out hive-style; basePath
+            # re-attaches the partition columns Spark stripped on write
+            base = os.path.join(self.location, "data")
+            reader = reader.option("basePath", base)
+        df = reader.parquet(*paths)
+        return df.select(
+            [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> DataFrame:
+        return self._df_for_files(spark, self.live_files(snapshot_id, as_of_ms))
+
+    def incremental_scan(
+        self, spark: SparkSession, after_snapshot_id: int | None, until_snapshot_id: int
+    ) -> DataFrame:
+        """Rows appended by snapshots in (after, until]."""
+        files: list[dict] = []
+        for sid in self.snapshots_between(after_snapshot_id, until_snapshot_id):
+            files.extend(self.added_files(sid))
+        return self._df_for_files(spark, files)
+
+    def snapshots_between(
+        self, after_snapshot_id: int | None, until_snapshot_id: int
+    ) -> list[int]:
+        """Snapshot ids in commit order, exclusive of ``after``."""
+        ordered = [e["snapshot-id"] for e in self.metadata["snapshot-log"]]
+        start = 0 if after_snapshot_id is None else ordered.index(after_snapshot_id) + 1
+        end = ordered.index(until_snapshot_id) + 1
+        return ordered[start:end]
+
+    # -- maintenance -------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and delete
+        files only they referenced. Returns deleted paths."""
+        self.refresh()
+        snaps = sorted(self.metadata["snapshots"], key=lambda s: s["sequence-number"])
+        if len(snaps) <= keep_last:
+            return []
+        keep = snaps[-keep_last:]
+        drop = snaps[:-keep_last]
+        keep_data: set[str] = set()
+        keep_manifests: set[str] = set()
+        for s in keep:
+            for mf in M.read_manifest_list(s["manifest-list"]):
+                keep_manifests.add(mf["manifest_path"])
+                for e in M.read_manifest(mf["manifest_path"]):
+                    keep_data.add(e["data_file"]["file_path"])
+        deleted: list[str] = []
+        for s in drop:
+            for mf in M.read_manifest_list(s["manifest-list"]):
+                if mf["manifest_path"] not in keep_manifests:
+                    for e in M.read_manifest(mf["manifest_path"]):
+                        p = e["data_file"]["file_path"]
+                        if p not in keep_data and os.path.exists(p):
+                            os.unlink(p)
+                            deleted.append(p)
+                    os.unlink(mf["manifest_path"])
+                    deleted.append(mf["manifest_path"])
+            os.unlink(s["manifest-list"])
+            deleted.append(s["manifest-list"])
+        keep_ids = {s["snapshot-id"] for s in keep}
+        meta = dict(self.metadata)
+        meta["snapshots"] = [s for s in self.metadata["snapshots"] if s["snapshot-id"] in keep_ids]
+        meta["snapshot-log"] = [
+            e for e in self.metadata["snapshot-log"] if e["snapshot-id"] in keep_ids
+        ]
+        self._write_version(self.version + 1, meta)
+        self.metadata = meta
+        self.version += 1
+        return deleted

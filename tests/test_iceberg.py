@@ -1,0 +1,259 @@
+"""From-scratch Iceberg v2 table format (benthos_spark/iceberg/).
+
+The interop bar: manifests and manifest lists we write must parse with
+the REAL Java Avro reader on Spark's classpath (org.apache.avro) —
+field names, unions, nested records, int-keyed map encodings and all —
+and the metadata JSON must carry the spec's required v2 fields.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.iceberg import CommitConflict, IcebergTable
+from benthos_spark.iceberg import manifests as M
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="bs_iceberg_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _sample_df(spark, n=100, offset=0):
+    return spark.range(n).select(
+        (F.col("id") + offset).alias("k"),
+        (F.col("id") % 3).cast("int").alias("part"),
+        F.concat(F.lit("v"), F.col("id") + offset).alias("val"),
+    )
+
+
+def test_roundtrip_unpartitioned(spark, tmpdir):
+    df = _sample_df(spark)
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    t.append(df)
+    out = t.scan(spark)
+    # parquet scans come back nullable regardless of writer nullability
+    assert out.schema.simpleString() == df.schema.simpleString()
+    assert sorted(r.k for r in out.collect()) == list(range(100))
+
+
+def test_roundtrip_partitioned_and_metadata_shape(spark, tmpdir):
+    df = _sample_df(spark)
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("part",))
+    t.append(df)
+    t.append(_sample_df(spark, offset=100))
+    out = t.scan(spark)
+    assert out.count() == 200
+    got = {r.k: (r.part, r.val) for r in out.collect()}
+    assert got[5] == (2, "v5") and got[105] == (2, "v105")
+
+    # spec-required v2 metadata fields
+    meta = IcebergTable.load(tmpdir + "/t").metadata
+    for key in (
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "last-column-id", "schemas", "current-schema-id", "partition-specs",
+        "default-spec-id", "last-partition-id", "snapshots", "snapshot-log",
+    ):
+        assert key in meta, key
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 2
+    snap = [s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]][0]
+    assert snap["summary"]["operation"] == "append"
+    assert snap["summary"]["total-records"] == "200"
+    assert snap["sequence-number"] == 2
+    # identity partition spec with spec field-ids from 1000
+    spec = meta["partition-specs"][0]["fields"]
+    assert spec == [
+        {"name": "part", "transform": "identity", "source-id": 2, "field-id": 1000}
+    ]
+
+
+def test_manifests_parse_with_real_java_avro(spark, tmpdir):
+    """Our pure-python Avro manifests read back via
+    org.apache.avro.file.DataFileReader + GenericDatumReader — the
+    stock Java Avro stack every Iceberg implementation links."""
+    df = _sample_df(spark)
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("part",))
+    sid = t.append(df)
+    snap = t.snapshot(sid)
+
+    jvm = spark._jvm
+
+    def java_read(path):
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        records = []
+        while reader.hasNext():
+            records.append(reader.next())
+        metadata = {k: bytes(reader.getMeta(k)) for k in list(reader.getMetaKeys())}
+        reader.close()
+        return records, metadata
+
+    # manifest list
+    mlist_records, mlist_meta = java_read(snap["manifest-list"])
+    assert mlist_meta[b"format-version".decode()] == b"2"
+    assert int(mlist_meta["snapshot-id"].decode()) == sid
+    assert len(mlist_records) == 1
+    jmf = mlist_records[0]
+    assert str(jmf.get("manifest_path").toString())
+    assert int(str(jmf.get("added_rows_count"))) == 100
+    assert int(str(jmf.get("added_snapshot_id"))) == sid
+
+    # manifest entries
+    mpath = str(jmf.get("manifest_path").toString())
+    entries, mmeta = java_read(mpath)
+    assert mmeta["format-version"] == b"2"
+    assert json.loads(mmeta["partition-spec"].decode())[0]["transform"] == "identity"
+    assert len(entries) >= 3  # one per partition value at least
+    total = 0
+    for e in entries:
+        assert int(str(e.get("status"))) == M.STATUS_ADDED
+        datafile = e.get("data_file")
+        assert str(datafile.get("file_format").toString()) == "PARQUET"
+        total += int(str(datafile.get("record_count")))
+        part = datafile.get("partition")
+        assert int(str(part.get("part"))) in (0, 1, 2)
+    assert total == 100
+
+
+def test_time_travel_and_incremental(spark, tmpdir):
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema)
+    s1 = t.append(_sample_df(spark, 50))
+    s2 = t.append(_sample_df(spark, 30, offset=50))
+    s3 = t.append(_sample_df(spark, 20, offset=80))
+    assert t.scan(spark).count() == 100
+    assert t.scan(spark, snapshot_id=s1).count() == 50
+    assert t.scan(spark, snapshot_id=s2).count() == 80
+    assert t.snapshots_between(None, s3) == [s1, s2, s3]
+    inc = t.incremental_scan(spark, s1, s3)
+    assert sorted(r.k for r in inc.collect()) == list(range(50, 100))
+    # as-of timestamp resolves through the snapshot log
+    ts2 = t.snapshot(s2)["timestamp-ms"]
+    assert t.scan(spark, as_of_ms=ts2).count() == 80
+
+
+def test_overwrite_and_expire(spark, tmpdir):
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema)
+    t.append(_sample_df(spark, 100))
+    t.overwrite(_sample_df(spark, 10, offset=500))
+    assert t.scan(spark).count() == 10
+    assert t.current_snapshot()["summary"]["operation"] == "overwrite"
+    n_files_before = sum(1 for _ in _walk_files(tmpdir + "/t/data"))
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted  # the first snapshot's files are unreachable
+    n_files_after = sum(1 for _ in _walk_files(tmpdir + "/t/data"))
+    assert n_files_after < n_files_before
+    assert IcebergTable.load(tmpdir + "/t").scan(spark).count() == 10
+
+
+def _walk_files(root):
+    for r, _d, files in os.walk(root):
+        for f in files:
+            yield os.path.join(r, f)
+
+
+def test_concurrent_commit_conflict_retries(spark, tmpdir):
+    """Two handles on the same table racing appends: the filesystem
+    (O_EXCL on the version file) arbitrates; the loser refreshes and
+    lands on the next version — both snapshots survive."""
+    df = _sample_df(spark, 10)
+    a = IcebergTable.create(tmpdir + "/t", df.schema)
+    b = IcebergTable.load(tmpdir + "/t")
+    a.append(df)
+    # b's view is stale (version 1); its append must retry onto v3
+    b.append(_sample_df(spark, 5, offset=100))
+    final = IcebergTable.load(tmpdir + "/t")
+    assert final.scan(spark).count() == 15
+    assert len(final.metadata["snapshots"]) == 2
+    assert final.metadata["last-sequence-number"] == 2
+
+
+def test_version_race_is_atomic(spark, tmpdir):
+    df = _sample_df(spark, 5)
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    # simulate a competing writer having claimed v2
+    with open(tmpdir + "/t/metadata/v2.metadata.json", "w") as f:
+        json.dump(t.metadata, f)
+    with pytest.raises(CommitConflict):
+        t._write_version(2, t.metadata)
+    # append still succeeds by skipping to v3
+    t.append(df)
+    assert t.version == 3
+
+
+def test_partition_pruning_reaches_scan(spark, tmpdir):
+    """A filter on the identity-partition column must become a
+    PartitionFilter (prunes files) — not a post-scan filter."""
+    df = _sample_df(spark, 300)
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("part",))
+    t.append(df)
+    q = t.scan(spark).filter(F.col("part") == 1)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "part" in plan.split("PartitionFilters:")[1][:120]
+    assert q.count() == 100
+
+
+def test_schema_json_nested_roundtrip(spark):
+    from pyspark.sql import types as T
+
+    from benthos_spark.iceberg import schema as S
+
+    st = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.ArrayType(T.StringType(), True), True),
+            T.StructField(
+                "c",
+                T.StructType(
+                    [
+                        T.StructField("x", T.DoubleType(), True),
+                        T.StructField("y", T.BinaryType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("d", T.MapType(T.StringType(), T.IntegerType()), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    sj, last_id = S.to_iceberg_schema(st)
+    # ids unique and dense
+    ids = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    ids.append(f["id"])
+                    walk(f["type"])
+            elif t.get("type") == "list":
+                ids.append(t["element-id"])
+                walk(t["element"])
+            elif t.get("type") == "map":
+                ids.append(t["key-id"])
+                ids.append(t["value-id"])
+                walk(t["key"])
+                walk(t["value"])
+
+    walk({"type": "struct", "fields": sj["fields"]})
+    assert sorted(ids) == list(range(1, last_id + 1))
+    assert S.to_spark_schema(sj) == st
+
+
+def test_bound_encoding_roundtrip():
+    cases = [
+        (42, "int"), (-7, "long"), (3.5, "double"), (1.25, "float"),
+        ("héllo", "string"), (True, "boolean"), (b"\x00\x01", "binary"),
+    ]
+    for v, t in cases:
+        assert M.decode_bound(M.encode_bound(v, t), t) == v
