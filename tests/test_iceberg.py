@@ -257,3 +257,99 @@ def test_bound_encoding_roundtrip():
     ]
     for v, t in cases:
         assert M.decode_bound(M.encode_bound(v, t), t) == v
+
+
+# -- exactly-once streaming sink over native Iceberg tables ----------------
+
+
+def _clips_pipeline(src_dir, max_files=None):
+    from benthos_spark.datagen.clips import CLIPS_SCHEMA
+    from benthos_spark.operators.windows import WindowAgg
+    from benthos_spark.sources.readers import ParquetSource
+    from benthos_spark.streaming.pipeline import Pipeline
+
+    return Pipeline(
+        source=ParquetSource(
+            src_dir, streaming=True, schema=CLIPS_SCHEMA, max_files_per_trigger=max_files
+        ),
+        processors=[
+            WindowAgg(
+                ts_col="event_ts",
+                size="1 minute",
+                lateness="30 seconds",
+                group_cols=["codec"],
+                aggs={"n_clips": F.count(F.lit(1))},
+            )
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def iceberg_clips_src(spark, tmp_path_factory):
+    from benthos_spark.datagen.clips import write_clips, write_sentinel
+
+    d = str(tmp_path_factory.mktemp("iceberg_clips"))
+    write_clips(spark, d, 300, files=6)
+    write_sentinel(spark, d)
+    return d
+
+
+def test_exactly_once_iceberg_sink_end_to_end(spark, iceberg_clips_src, tmp_path):
+    from benthos_spark.datagen.clips import SENTINEL_CODEC
+    from benthos_spark.sinks.iceberg import ExactlyOnceIcebergSink
+    from benthos_spark.streaming.pipeline import run_to_completion
+
+    tbl = str(tmp_path / "tbl")
+    sink = ExactlyOnceIcebergSink(tbl, lineage_cols=("window_start",), partition_by=("codec",))
+    q = _clips_pipeline(iceberg_clips_src).start(
+        spark, sink, checkpoint=str(tmp_path / "ckpt"), trigger_once=True
+    )
+    run_to_completion(q)
+
+    out = sink.read_committed(spark).filter(F.col("codec") != SENTINEL_CODEC)
+    assert out.agg(F.sum("n_clips")).collect()[0][0] == 300
+    assert out.groupBy("window_start", "codec").count().filter("count > 1").count() == 0
+    lineage = sink.lineage()
+    assert lineage and all(e["partitions"] for e in lineage if e["rows"])
+    # snapshots are the ledger: every committed batch id appears once
+    ids = [e["batch_id"] for e in lineage]
+    assert len(ids) == len(set(ids))
+
+    # replaying an already-committed batch id must be a no-op
+    t = IcebergTable.load(tbl)
+    n_snaps = len(t.metadata["snapshots"])
+    sink(sink.read_committed(spark).limit(1), lineage[0]["batch_id"])
+    assert len(IcebergTable.load(tbl).metadata["snapshots"]) == n_snaps
+
+
+def test_kill_resume_exactly_once_iceberg(spark, iceberg_clips_src, tmp_path):
+    import time as _time
+
+    from benthos_spark.datagen.clips import SENTINEL_CODEC
+    from benthos_spark.sinks.iceberg import ExactlyOnceIcebergSink
+    from benthos_spark.streaming.pipeline import run_to_completion
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sink = ExactlyOnceIcebergSink(tbl, partition_by=("codec",))
+
+    q = _clips_pipeline(iceberg_clips_src, max_files=1).start(
+        spark, sink, checkpoint=ckpt, processing_time="200 milliseconds"
+    )
+    deadline = _time.time() + 120
+    while not IcebergTable.exists(tbl) and _time.time() < deadline:
+        _time.sleep(0.2)
+    q.stop()
+    assert IcebergTable.exists(tbl), "no snapshot committed before the kill"
+
+    q2 = _clips_pipeline(iceberg_clips_src, max_files=1).start(
+        spark, sink, checkpoint=ckpt, trigger_once=True
+    )
+    run_to_completion(q2, timeout_s=300)
+
+    out = sink.read_committed(spark).filter(F.col("codec") != SENTINEL_CODEC)
+    # exactly-once: totals bounded by the watermark oracle window and no
+    # (window, codec) key is ever emitted twice
+    total = out.agg(F.sum("n_clips")).collect()[0][0]
+    assert total is not None and total <= 300
+    assert out.groupBy("window_start", "codec").count().filter("count > 1").count() == 0
