@@ -170,6 +170,16 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             streaming=conf.get("streaming", False),
             max_files_per_trigger=conf.get("max_files_per_trigger"),
         )
+    if name == "iceberg":
+        from benthos_spark.iceberg.source import IcebergSource
+
+        return IcebergSource(
+            path=conf["path"],
+            streaming=conf.get("streaming", False),
+            snapshot_id=conf.get("snapshot_id"),
+            as_of_ms=conf.get("as_of_ms"),
+            starting_offsets=conf.get("starting_offsets", "earliest"),
+        )
     if name == "batched":
         if conf.get("policy", {}).get("check"):
             raise ConfigError(
@@ -195,8 +205,8 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             ),
         )
     raise ConfigError(
-        f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, dynamic, "
-        "sql_select, sql_raw, resource"
+        f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
+        "dynamic, sql_select, sql_raw, resource"
     )
 
 
@@ -353,6 +363,14 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
                               value_col=conf.get("value_col", "value"))
     if name == "exactly_once":
         return ExactlyOnceParquetSink(conf["dir"], lineage_cols=tuple(conf.get("lineage", [])))
+    if name == "iceberg":
+        from benthos_spark.sinks.iceberg import ExactlyOnceIcebergSink
+
+        return ExactlyOnceIcebergSink(
+            conf["table"] if "table" in conf else conf["path"],
+            lineage_cols=tuple(conf.get("lineage", [])),
+            partition_by=tuple(conf.get("partition_by", [])),
+        )
     if name == "dynamic":
         from benthos_spark.sources.readers import DynamicSet
 
@@ -407,8 +425,8 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             driver=conf.get("driver"),
         )
     raise ConfigError(
-        f"unknown output {name!r}; known: exactly_once, merge_apply, dynamic, drop, fan_out, switch, fallback, "
-        "round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, resource"
+        f"unknown output {name!r}; known: exactly_once, iceberg, merge_apply, dynamic, drop, fan_out, switch, "
+        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, resource"
     )
 
 

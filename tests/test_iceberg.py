@@ -353,3 +353,163 @@ def test_kill_resume_exactly_once_iceberg(spark, iceberg_clips_src, tmp_path):
     total = out.agg(F.sum("n_clips")).collect()[0][0]
     assert total is not None and total <= 300
     assert out.groupBy("window_start", "codec").count().filter("count > 1").count() == 0
+
+
+# -- Python DataSource: batch + incremental streaming ----------------------
+
+
+def test_python_datasource_batch_parity(spark, tmpdir):
+    from benthos_spark.iceberg.source import register
+
+    df = _sample_df(spark, 120)
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("part",))
+    t.append(df)
+    register(spark)
+    got = spark.read.format("benthos_iceberg").option("path", tmpdir + "/t").load()
+    assert got.schema.simpleString() == t.scan(spark).schema.simpleString()
+    assert sorted(r.k for r in got.collect()) == list(range(120))
+    # partition values re-attached correctly in the arrow path
+    assert got.filter(F.col("part") == 2).count() == 40
+
+
+def test_streaming_source_incremental_and_resume(spark, tmpdir):
+    """Sequence-number offsets: a running stream picks up snapshots
+    appended AFTER it started; a restart from the checkpoint consumes
+    only snapshots it has not yet covered."""
+    import time as _time
+
+    from benthos_spark.iceberg.source import IcebergSource
+
+    loc = tmpdir + "/t"
+    out_dir, ckpt = tmpdir + "/out", tmpdir + "/ckpt"
+    df = _sample_df(spark, 50)
+    t = IcebergTable.create(loc, df.schema, partition_by=("part",))
+    t.append(df)
+
+    q = (
+        IcebergSource(loc, streaming=True)
+        .read(spark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(out_dir).count() >= 50:
+                    break
+            except Exception:
+                pass
+            _time.sleep(0.5)
+        t.append(_sample_df(spark, 50, offset=50))  # mid-stream append
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.read.parquet(out_dir).count() >= 100:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert spark.read.parquet(out_dir).count() == 100
+
+    # offline append, then resume from the same checkpoint
+    t.append(_sample_df(spark, 25, offset=100))
+    q2 = (
+        IcebergSource(loc, streaming=True)
+        .read(spark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 125  # no re-reads, no gaps
+    assert sorted(r.k for r in got.select("k").collect()) == list(range(125))
+
+
+def test_iceberg_to_iceberg_pipeline(spark, tmpdir):
+    """The north-star loop: Structured Streaming FROM an Iceberg table
+    of clips, through the processor chain, INTO an exactly-once
+    Iceberg sink."""
+    from benthos_spark.datagen.clips import CLIPS_SCHEMA, SENTINEL_CODEC, write_clips, write_sentinel
+    from benthos_spark.iceberg.source import IcebergSource
+    from benthos_spark.operators.windows import WindowAgg
+    from benthos_spark.sinks.iceberg import ExactlyOnceIcebergSink
+    from benthos_spark.streaming.pipeline import Pipeline, run_to_completion
+
+    # stage clips INTO a source Iceberg table
+    staging = tmpdir + "/clips_parquet"
+    write_clips(spark, staging, 200, files=4)
+    write_sentinel(spark, staging)
+    src_tbl = IcebergTable.create(
+        tmpdir + "/src_tbl", spark.read.parquet(staging).schema
+    )
+    src_tbl.append(spark.read.parquet(staging))
+
+    pipe = Pipeline(
+        source=IcebergSource(tmpdir + "/src_tbl", streaming=True),
+        processors=[
+            WindowAgg(
+                ts_col="event_ts",
+                size="1 minute",
+                lateness="30 seconds",
+                group_cols=["codec"],
+                aggs={"n_clips": F.count(F.lit(1))},
+            )
+        ],
+    )
+    sink = ExactlyOnceIcebergSink(tmpdir + "/dst_tbl", partition_by=("codec",))
+    # availableNow over a Python data source skips the final no-data
+    # micro-batch that flushes watermarked windows (see source.py) — a
+    # processing-time trigger runs it, so poll until the flush lands.
+    import time as _time
+
+    q = pipe.start(
+        spark, sink, checkpoint=tmpdir + "/ckpt", processing_time="200 milliseconds"
+    )
+    try:
+        total = 0
+        deadline = _time.time() + 120
+        while total < 200 and _time.time() < deadline:
+            _time.sleep(0.5)
+            if not IcebergTable.exists(tmpdir + "/dst_tbl"):
+                continue
+            got = sink.read_committed(spark).filter(F.col("codec") != SENTINEL_CODEC)
+            total = got.agg(F.sum("n_clips")).collect()[0][0] or 0
+    finally:
+        q.stop()
+
+    out = sink.read_committed(spark).filter(F.col("codec") != SENTINEL_CODEC)
+    assert out.agg(F.sum("n_clips")).collect()[0][0] == 200
+    assert out.groupBy("window_start", "codec").count().filter("count > 1").count() == 0
+
+
+def test_config_iceberg_input_output(spark, tmpdir):
+    """YAML config wiring: iceberg input (batch) -> iceberg output."""
+    import yaml
+
+    from benthos_spark.config import compile_config
+
+    df = _sample_df(spark, 40)
+    t = IcebergTable.create(tmpdir + "/in", df.schema)
+    t.append(df)
+    conf = yaml.safe_load(
+        f"""
+input:
+  iceberg: {{path: {tmpdir}/in}}
+pipeline:
+  processors:
+    - mutation: {{k2: "k * 2"}}
+output:
+  iceberg: {{path: {tmpdir}/out}}
+"""
+    )
+    pipe, sink = compile_config(conf)
+    sink(pipe.run_batch(spark), 0)
+    got = sink.read_committed(spark)
+    assert got.count() == 40
+    assert got.agg(F.max("k2")).collect()[0][0] == 78
