@@ -96,6 +96,65 @@ def run_flagship_streaming(spark, workdir: str) -> tuple[float, float, int]:
     return datagen_sec, stream_sec, exec_sec, N_CLIPS
 
 
+def run_flagship_iceberg(spark, workdir: str) -> tuple[float, float, float, int]:
+    """The BASELINE metric's literal shape: clips streamed FROM an
+    Iceberg table (sequence-number offsets, Arrow-native python data
+    source) → vectorized decode → windowed agg → exactly-once Iceberg
+    sink. Returns (datagen_sec, stream_sec, exec_sec, n_clips)."""
+    import pyspark.sql.functions as F
+
+    from benthos_spark.datagen.clips import SENTINEL_CODEC, write_clips, write_sentinel
+    from benthos_spark.iceberg import IcebergTable
+    from benthos_spark.iceberg.source import IcebergSource
+    from benthos_spark.sinks.iceberg import ExactlyOnceIcebergSink
+    from benthos_spark.streaming.pipeline import Pipeline
+    from tests.test_flagship_streaming import AudioFeatures, _flagship_pipeline
+
+    staging = os.path.join(workdir, "clips_parquet")
+    t0 = time.time()
+    write_clips(spark, staging, N_CLIPS, files=max(8, spark.sparkContext.defaultParallelism))
+    write_sentinel(spark, staging)
+    src_tbl = IcebergTable.create(
+        os.path.join(workdir, "src_tbl"), spark.read.parquet(staging).schema
+    )
+    src_tbl.append(spark.read.parquet(staging))
+    datagen_sec = time.time() - t0
+
+    # same processor chain as the parquet flagship, different ends
+    pipe = Pipeline(
+        source=IcebergSource(os.path.join(workdir, "src_tbl"), streaming=True),
+        processors=_flagship_pipeline(staging).processors,
+    )
+    sink = ExactlyOnceIcebergSink(
+        os.path.join(workdir, "dst_tbl"), lineage_cols=("window_start",)
+    )
+    t0 = time.time()
+    q = pipe.start(
+        spark,
+        sink,
+        checkpoint=os.path.join(workdir, "ckpt"),
+        processing_time="100 milliseconds",  # availableNow skips the
+        # python-source no-data flush batch; poll totals instead
+    )
+    expected = N_CLIPS
+    total = 0
+    deadline = time.time() + 1800
+    while total < expected and time.time() < deadline:
+        time.sleep(0.25)
+        if not IcebergTable.exists(os.path.join(workdir, "dst_tbl")):
+            continue
+        got = sink.read_committed(spark).filter(F.col("codec") != SENTINEL_CODEC)
+        total = got.agg(F.sum("n_clips")).collect()[0][0] or 0
+    stream_sec = time.time() - t0
+    q.stop()
+    exec_ms = sum(
+        p.durationMs["triggerExecution"] for p in q.recentProgress if p.numInputRows > 0
+    )
+    exec_sec = max(exec_ms / 1000.0, 1e-6)
+    assert total == expected, (total, expected)
+    return datagen_sec, stream_sec, exec_sec, N_CLIPS
+
+
 def main() -> None:
     from benthos_spark.plans import catalog
     from benthos_spark.session import get_spark
@@ -139,6 +198,15 @@ def main() -> None:
     datagen_sec, stream_sec, exec_sec, n_clips = best
     timings["flagship_streaming_e2e"] = round(stream_sec, 3)
 
+    # iceberg-ends flagship (single run; exec_sec already excludes the
+    # poll-loop and no-data batches)
+    workdir = tempfile.mkdtemp(prefix="benthos_bench_ice_")
+    try:
+        ice_datagen, ice_stream, ice_exec, ice_clips = run_flagship_iceberg(spark, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    timings["flagship_iceberg_e2e"] = round(ice_stream, 3)
+
     total = time.time() - total0
     print(
         json.dumps(
@@ -150,7 +218,9 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "clips_per_sec": round(n_clips / exec_sec, 2),
                 "clips_per_sec_wall": round(n_clips / stream_sec, 2),
+                "clips_per_sec_iceberg": round(ice_clips / ice_exec, 2),
                 "flagship_exec_sec": round(exec_sec, 3),
+                "flagship_iceberg_exec_sec": round(ice_exec, 3),
                 "n_clips": n_clips,
                 "clips_datagen_sec": round(datagen_sec, 3),
                 "cores": spark.sparkContext.defaultParallelism,

@@ -287,10 +287,16 @@ class IcebergTable:
         return stage, infos
 
     def _build_manifest(
-        self, infos: list[dict], snapshot_id: int, sequence_number: int
+        self,
+        infos: list[dict],
+        snapshot_id: int,
+        sequence_number: int,
+        content: int = M.CONTENT_DATA,
     ) -> dict:
         """Write one manifest for the added files; returns its
-        manifest_file record for the manifest list."""
+        manifest_file record for the manifest list. ``content``
+        distinguishes data manifests from (position-)delete manifests
+        (spec: manifest_file.content 0/1, data_file.content 0/1/2)."""
         pfields = self._partition_avro_fields()
         entries = []
         for info in infos:
@@ -301,7 +307,7 @@ class IcebergTable:
                     "sequence_number": sequence_number,
                     "file_sequence_number": sequence_number,
                     "data_file": {
-                        "content": M.CONTENT_DATA,
+                        "content": content,
                         "file_path": info["path"],
                         "file_format": "PARQUET",
                         "partition": info["partition"],
@@ -334,7 +340,7 @@ class IcebergTable:
         # partition field summaries for scan pruning
         summaries = None
         spec = self.partition_spec
-        if spec:
+        if spec and content == M.CONTENT_DATA:
             summaries = []
             for pf in spec:
                 src_type = next(
@@ -360,7 +366,7 @@ class IcebergTable:
             "manifest_path": mpath,
             "manifest_length": mlen,
             "partition_spec_id": self.metadata["default-spec-id"],
-            "content": 0,
+            "content": 0 if content == M.CONTENT_DATA else 1,
             "sequence_number": sequence_number,
             "min_sequence_number": sequence_number,
             "added_snapshot_id": snapshot_id,
@@ -381,6 +387,7 @@ class IcebergTable:
         operation: str,
         summary_extra: dict[str, str],
         carry_parent_manifests: bool,
+        content: int = M.CONTENT_DATA,
     ) -> int:
         """Builds manifest + manifest list + snapshot + metadata, then
         races the version file. On conflict: refresh + rebuild (the
@@ -394,7 +401,7 @@ class IcebergTable:
             parent = self.current_snapshot()
             snapshot_id = _new_snapshot_id()
             seq = self.metadata["last-sequence-number"] + 1
-            new_manifest = self._build_manifest(infos, snapshot_id, seq)
+            new_manifest = self._build_manifest(infos, snapshot_id, seq, content)
             prior = []
             if carry_parent_manifests and parent is not None:
                 prior = M.read_manifest_list(parent["manifest-list"])
@@ -410,13 +417,15 @@ class IcebergTable:
                 parent_snapshot_id=parent["snapshot-id"] if parent else None,
                 sequence_number=seq,
             )
-            total_rows = added_rows + sum(
+            is_data = content == M.CONTENT_DATA
+            prior_data = [m for m in prior if m["content"] == 0]
+            total_rows = (added_rows if is_data else 0) + sum(
                 m["added_rows_count"] + m["existing_rows_count"] - m["deleted_rows_count"]
-                for m in prior
+                for m in prior_data
             )
-            total_files = added_files + sum(
+            total_files = (added_files if is_data else 0) + sum(
                 m["added_files_count"] + m["existing_files_count"] - m["deleted_files_count"]
-                for m in prior
+                for m in prior_data
             )
             snapshot = {
                 "snapshot-id": snapshot_id,
@@ -427,8 +436,8 @@ class IcebergTable:
                 "schema-id": self.metadata["current-schema-id"],
                 "summary": {
                     "operation": operation,
-                    "added-data-files": str(added_files),
-                    "added-records": str(added_rows),
+                    "added-data-files" if is_data else "added-delete-files": str(added_files),
+                    "added-records" if is_data else "added-position-deletes": str(added_rows),
                     "total-records": str(total_rows),
                     "total-data-files": str(total_files),
                     **summary_extra,
@@ -512,34 +521,56 @@ class IcebergTable:
             return self.snapshot(eligible[-1]["snapshot-id"])
         return self.current_snapshot()
 
+    def _live_entries(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> tuple[list[dict], list[dict]]:
+        """(data files, position-delete files) reachable from the
+        chosen snapshot."""
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return [], []
+        data, deletes = [], []
+        for mf in M.read_manifest_list(snap["manifest-list"]):
+            for entry in M.read_manifest(mf["manifest_path"]):
+                if entry["status"] == M.STATUS_DELETED:
+                    continue
+                f = entry["data_file"]
+                (data if f["content"] == M.CONTENT_DATA else deletes).append(f)
+        return data, deletes
+
     def live_files(
         self, snapshot_id: int | None = None, as_of_ms: int | None = None
     ) -> list[dict]:
-        """data_file records reachable from the chosen snapshot."""
-        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
-        if snap is None:
-            return []
-        out = []
-        for mf in M.read_manifest_list(snap["manifest-list"]):
-            for entry in M.read_manifest(mf["manifest_path"]):
-                if entry["status"] != M.STATUS_DELETED:
-                    out.append(entry["data_file"])
-        return out
+        """Live DATA file records (position-delete files excluded)."""
+        return self._live_entries(snapshot_id, as_of_ms)[0]
 
     def added_files(self, snapshot_id: int) -> list[dict]:
-        """data_file records ADDED by exactly this snapshot — the
-        incremental-scan unit the streaming source consumes."""
+        """DATA file records ADDED by exactly this snapshot — the
+        incremental-scan unit the streaming source consumes. Position
+        deletes are not streamed (a retraction has no append-stream
+        representation; consumers needing them read snapshots)."""
         snap = self.snapshot(snapshot_id)
         out = []
         for mf in M.read_manifest_list(snap["manifest-list"]):
-            if mf["added_snapshot_id"] != snapshot_id:
+            if mf["added_snapshot_id"] != snapshot_id or mf["content"] != 0:
                 continue
             for entry in M.read_manifest(mf["manifest_path"]):
                 if entry["status"] == M.STATUS_ADDED:
                     out.append(entry["data_file"])
         return out
 
-    def _df_for_files(self, spark: SparkSession, files: list[dict]) -> DataFrame:
+    # file-URI scheme Spark's _metadata.file_path prepends on local fs
+    @staticmethod
+    def _norm_path_col(c):
+        return F.regexp_replace(c, "^file:/+", "/")
+
+    def _df_for_files(
+        self,
+        spark: SparkSession,
+        files: list[dict],
+        delete_files: list[dict] | None = None,
+        with_meta: bool = False,
+    ) -> DataFrame:
         schema = self.spark_schema
         if not files:
             return spark.createDataFrame([], schema)
@@ -551,9 +582,31 @@ class IcebergTable:
             base = os.path.join(self.location, "data")
             reader = reader.option("basePath", base)
         df = reader.parquet(*paths)
-        return df.select(
-            [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-        )
+        need_meta = with_meta or bool(delete_files)
+        if need_meta:
+            df = df.withColumns(
+                {
+                    "_bs_file": self._norm_path_col(F.col("_metadata.file_path")),
+                    "_bs_pos": F.col("_metadata.row_index"),
+                }
+            )
+        if delete_files:
+            # merge-on-read: anti-join rows tombstoned by position-delete
+            # files (file_path, pos) — path-keyed, so files appended
+            # after the delete snapshot are untouched by construction
+            dd = spark.read.parquet(*[f["file_path"] for f in delete_files]).select(
+                self._norm_path_col(F.col("file_path")).alias("_del_file"),
+                F.col("pos").alias("_del_pos"),
+            )
+            df = df.join(
+                dd,
+                (df["_bs_file"] == dd["_del_file"]) & (df["_bs_pos"] == dd["_del_pos"]),
+                "left_anti",
+            )
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        if with_meta:
+            cols += [F.col("_bs_file"), F.col("_bs_pos")]
+        return df.select(cols)
 
     def scan(
         self,
@@ -561,7 +614,69 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
     ) -> DataFrame:
-        return self._df_for_files(spark, self.live_files(snapshot_id, as_of_ms))
+        data, deletes = self._live_entries(snapshot_id, as_of_ms)
+        return self._df_for_files(spark, data, delete_files=deletes)
+
+    def delete_where(self, spark: SparkSession, condition) -> int | None:
+        """Row-level delete as a v2 POSITION-DELETE snapshot
+        (merge-on-read): matching live rows are recorded as
+        ``(file_path, pos)`` tombstones in a parquet delete file under a
+        content=1 manifest — no data file is rewritten, the spec's
+        "Position Delete Files" flow. Returns the snapshot id, or None
+        when nothing matched. Deviation noted: the spec's reserved
+        parquet field-ids (2147483546/2147483545) are not stamped into
+        the footer (Spark's writer can't), but names and types match.
+
+        Scans apply tombstones with a key-shuffled left-anti join on
+        (file, pos) — at 100 TB that join shuffles only the delete set
+        against the scanned partitions, which is exactly how Iceberg
+        merge-on-read reads cost out."""
+        import shutil as _shutil
+
+        import pyarrow.parquet as pq
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        self.refresh()
+        data, deletes = self._live_entries()
+        live = self._df_for_files(spark, data, delete_files=deletes, with_meta=True)
+        hits = (
+            live.filter(cond)
+            .select(
+                F.col("_bs_file").alias("file_path"), F.col("_bs_pos").alias("pos")
+            )
+            .orderBy("file_path", "pos")  # spec: sorted by file_path, pos
+        )
+        stage_id = uuid.uuid4().hex
+        stage = os.path.join(self.location, "_staging", stage_id)
+        hits.coalesce(1).write.mode("overwrite").parquet(stage)
+        infos: list[dict] = []
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            staged = os.path.join(stage, name)
+            meta = pq.ParquetFile(staged).metadata
+            if meta.num_rows == 0:
+                continue
+            final = os.path.join(self.location, "data", f"{stage_id}-delete-{name}")
+            os.rename(staged, final)
+            infos.append(
+                {
+                    "path": final,
+                    "rows": meta.num_rows,
+                    "size": os.path.getsize(final),
+                    "partition": {},
+                }
+            )
+        _shutil.rmtree(stage, ignore_errors=True)
+        if not infos:
+            return None
+        return self._commit_snapshot(
+            infos,
+            operation="delete",
+            summary_extra={},
+            carry_parent_manifests=True,
+            content=M.CONTENT_POSITION_DELETES,
+        )
 
     def incremental_scan(
         self, spark: SparkSession, after_snapshot_id: int | None, until_snapshot_id: int

@@ -2498,3 +2498,101 @@ def image_png_decode_rollup(spark, sf_dir):
         F.sum("n_pixels").alias("total_pixels"),
         F.sum(F.col("img_ok").cast("long")).alias("ok_images"),
     )
+
+
+@register(
+    "iceberg_roundtrip_orders",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_roundtrip_orders(spark, sf_dir):
+    """From-scratch Iceberg v2 round trip (benthos_spark/iceberg/): two
+    append snapshots of disjoint orders slices into a status-partitioned
+    table — pure-python metadata JSON + Avro manifests + atomic version
+    commits — then a snapshot scan back through the manifest planner.
+    The DuckDB oracle computes the same aggregate straight from orders,
+    so manifest bookkeeping, partition attachment, and the scan must all
+    land exactly. North rule: 'over Iceberg tables' — this is the table
+    format itself under the hash gate."""
+    import shutil
+    import tempfile
+
+    from benthos_spark.iceberg import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="bs_iceberg_gate_")
+    try:
+        t = IcebergTable.create(
+            tmp + "/t", o.schema, partition_by=("o_orderstatus",)
+        )
+        t.append(o.filter(F.col("o_orderkey") % 4 == 0))
+        t.append(o.filter(F.col("o_orderkey") % 4 == 1))
+        out = (
+            t.scan(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                F.countDistinct("o_orderpriority").alias("n_priorities"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "iceberg_delete_where_orders",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_live,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 8 = 0 AND o_orderkey % 80 <> 40
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_delete_where_orders(spark, sf_dir):
+    """Iceberg v2 merge-on-read: append an orders slice, then
+    delete_where writes POSITION-DELETE tombstones (file_path, pos)
+    under a content=1 manifest — no data-file rewrite — and the scan
+    applies them with a left-anti join keyed by Spark's
+    _metadata.row_index. The oracle states the surviving predicate in
+    closed form, so tombstone bookkeeping must land exactly."""
+    import shutil
+    import tempfile
+
+    from benthos_spark.iceberg import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="bs_iceberg_del_")
+    try:
+        t = IcebergTable.create(tmp + "/t", o.schema, partition_by=("o_orderstatus",))
+        t.append(o.filter(F.col("o_orderkey") % 8 == 0))
+        t.delete_where(spark, "o_orderkey % 80 = 40")
+        out = (
+            t.scan(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -513,3 +513,66 @@ output:
     got = sink.read_committed(spark)
     assert got.count() == 40
     assert got.agg(F.max("k2")).collect()[0][0] == 78
+
+
+# -- v2 position deletes (merge-on-read) -----------------------------------
+
+
+def test_position_delete_where(spark, tmpdir):
+    df = _sample_df(spark, 100)
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("part",))
+    s1 = t.append(df)
+    sd = t.delete_where(spark, "k % 10 = 3")
+    assert sd is not None
+    assert t.current_snapshot()["summary"]["operation"] == "delete"
+    assert t.current_snapshot()["summary"]["added-position-deletes"] == "10"
+
+    out = t.scan(spark)
+    assert out.count() == 90
+    assert out.filter("k % 10 = 3").count() == 0
+    # time travel BEFORE the delete still sees every row
+    assert t.scan(spark, snapshot_id=s1).count() == 100
+
+    # appends after the delete are untouched (path-keyed tombstones)
+    t.append(df.withColumn("k", F.col("k") + 100))
+    out2 = t.scan(spark)
+    assert out2.count() == 190
+    assert out2.filter("k = 103").count() == 1
+
+    # no-match delete is a no-op commit-wise
+    n = len(t.metadata["snapshots"])
+    assert t.delete_where(spark, "k = -42") is None
+    assert len(t.metadata["snapshots"]) == n
+
+    # deletes stack
+    t.delete_where(spark, "k >= 190")
+    assert t.scan(spark).count() == 180
+
+
+def test_position_delete_manifest_shape(spark, tmpdir):
+    """The delete snapshot's manifest list must mark the delete
+    manifest content=1 and its entries data_file.content=1, parseable
+    by the real Java Avro reader like everything else."""
+    df = _sample_df(spark, 60)
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    t.append(df)
+    t.delete_where(spark, "k < 10")
+    snap = t.current_snapshot()
+    mfs = M.read_manifest_list(snap["manifest-list"])
+    by_content = {m["content"] for m in mfs}
+    assert by_content == {0, 1}
+    delete_mf = next(m for m in mfs if m["content"] == 1)
+    entries = M.read_manifest(delete_mf["manifest_path"])
+    assert all(e["data_file"]["content"] == M.CONTENT_POSITION_DELETES for e in entries)
+    assert sum(e["data_file"]["record_count"] for e in entries) == 10
+    # the delete file itself is (file_path, pos) parquet, sorted
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(entries[0]["data_file"]["file_path"])
+    assert tbl.column_names == ["file_path", "pos"]
+    pos = tbl.column("pos").to_pylist()
+    fp = tbl.column("file_path").to_pylist()
+    assert sorted(zip(fp, pos)) == list(zip(fp, pos))
+
+    # streaming source never re-emits tombstoned snapshots as data
+    assert t.added_files(snap["snapshot-id"]) == []
