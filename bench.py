@@ -110,20 +110,27 @@ def run_flagship_iceberg(spark, workdir: str) -> tuple[float, float, float, int]
     from benthos_spark.streaming.pipeline import Pipeline
     from tests.test_flagship_streaming import AudioFeatures, _flagship_pipeline
 
-    staging = os.path.join(workdir, "clips_parquet")
+    from benthos_spark.datagen.clips import generate_clips
+
     t0 = time.time()
-    write_clips(spark, staging, N_CLIPS, files=max(8, spark.sparkContext.defaultParallelism))
-    write_sentinel(spark, staging)
-    src_tbl = IcebergTable.create(
-        os.path.join(workdir, "src_tbl"), spark.read.parquet(staging).schema
+    # append the generated frame DIRECTLY — one write, no parquet
+    # staging copy (the Iceberg staging write IS the materialization)
+    clips_df = generate_clips(
+        spark, N_CLIPS, partitions=max(8, spark.sparkContext.defaultParallelism)
     )
-    src_tbl.append(spark.read.parquet(staging))
+    src_tbl = IcebergTable.create(os.path.join(workdir, "src_tbl"), clips_df.schema)
+    src_tbl.append(clips_df)
+    # sentinel row as its own snapshot (pushes the watermark on bounded
+    # input, exactly like write_sentinel for the parquet flagship)
+    sent_dir = os.path.join(workdir, "sentinel")
+    write_sentinel(spark, sent_dir)
+    src_tbl.append(spark.read.schema(clips_df.schema).parquet(sent_dir))
     datagen_sec = time.time() - t0
 
     # same processor chain as the parquet flagship, different ends
     pipe = Pipeline(
         source=IcebergSource(os.path.join(workdir, "src_tbl"), streaming=True),
-        processors=_flagship_pipeline(staging).processors,
+        processors=_flagship_pipeline(sent_dir).processors,
     )
     sink = ExactlyOnceIcebergSink(
         os.path.join(workdir, "dst_tbl"), lineage_cols=("window_start",)
@@ -138,11 +145,20 @@ def run_flagship_iceberg(spark, workdir: str) -> tuple[float, float, float, int]
     )
     expected = N_CLIPS
     total = 0
+    seen_version = -1
+    dst = os.path.join(workdir, "dst_tbl")
     deadline = time.time() + 1800
     while total < expected and time.time() < deadline:
         time.sleep(0.25)
-        if not IcebergTable.exists(os.path.join(workdir, "dst_tbl")):
+        if not IcebergTable.exists(dst):
             continue
+        # only run the (Spark) totals job when a NEW snapshot landed —
+        # the version probe is a pure-python metadata read, so the poll
+        # loop never competes with the stream for executors
+        t = IcebergTable.load(dst)
+        if t.version == seen_version:
+            continue
+        seen_version = t.version
         got = sink.read_committed(spark).filter(F.col("codec") != SENTINEL_CODEC)
         total = got.agg(F.sum("n_clips")).collect()[0][0] or 0
     stream_sec = time.time() - t0

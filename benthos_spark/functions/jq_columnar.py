@@ -8,17 +8,27 @@ compiles the *common program subset* straight onto Spark VARIANT /
 Column expressions so `JqProcessor` stays JVM-side for the shapes real
 pipelines use:
 
-- field paths ``.a.b[0]`` (with ``?``), identity ``.``
+- field paths ``.a.b[0]`` (with ``?``), identity ``.``, slices
+  ``.[2:5]`` / ``.[:n]`` / ``.[n:]`` over arrays and strings
 - literals, object ``{k: e}`` and array ``[e, ...]`` construction
 - arithmetic ``+ - * / %``, comparisons, ``and``/``or``, ``//``
 - ``select(cond)`` as a pipe stage (compiles to a relational filter)
 - ``if .. then .. elif .. else .. end``, ``map(f)``, ``floor``/``ceil``,
   ``tostring``/``tonumber``, ``not``, ``length``, ``type``,
-  ``has("key")``
+  ``has("key")``, ``abs``/``fabs``, ``first``/``last``, ``add``,
+  ``min``/``max`` (numeric arrays)
+- variable bindings ``EXPR as $x | BODY`` and ``$x`` references
+- ``reduce .[] as $x (INIT; UPDATE)`` — compiled to ``F.aggregate`` with
+  the accumulator carried as compact JSON (re-parsed per step with
+  ``try_parse_json``), so int-ness survives the loop via the lexeme
+- string methods with literal args: ``ltrimstr``/``rtrimstr``/
+  ``startswith``/``endswith``/``split``/``join``/``test``/
+  ``ascii_downcase``/``ascii_upcase``
 
-Anything else (generators, slices, variables, reduce, recursion, ``$metadata``)
-raises ``JqCompileError`` and the caller falls back to the interpreter,
-so coverage is a pure optimization, never a semantics change. Number
+Anything else (bare generators, recursion, ``$__loc__``, non-literal
+string-function args) raises ``JqCompileError`` and the caller falls
+back to the interpreter, so coverage is a pure optimization, never a
+semantics change. Number
 int-ness is tracked per row (jq ints must render ``6``, floats ``6.0``)
 via the variant's own JSON lexeme. Known divergences from the
 interpreter, pinned by the dual-backend conformance test
@@ -29,7 +39,12 @@ interpreter, pinned by the dual-backend conformance test
 - object key order: variant ``to_json`` emits keys sorted, the
   interpreter preserves input order — JSON-equivalent output bytes;
 - float rendering: very large/small doubles use Java notation
-  (``1.0E20``) rather than Python's (``1e+20``).
+  (``1.0E20``) rather than Python's (``1e+20``);
+- ``test()`` compiles to Java regex (``rlike``) while the interpreter
+  uses Python ``re`` — identical for the common syntax, divergent on
+  exotic escapes (jq itself uses a third engine, Oniguruma);
+- ``min``/``max`` compile for numeric arrays only; arrays of other
+  types yield null (the interpreter orders them jq-style).
 """
 
 from __future__ import annotations
@@ -240,7 +255,14 @@ def _arith(a: CV, b: CV, op: str) -> CV:
     na, nb = _as_num(a), _as_num(b)
     if op in ("+", "-", "*"):
         d = {"+": na.d + nb.d, "-": na.d - nb.d, "*": na.d * nb.d}[op]
-        lng = {"+": na.l + nb.l, "-": na.l - nb.l, "*": na.l * nb.l}[op]
+        # try_* keeps int64 overflow from hard-failing under ANSI mode;
+        # an overflowed long lane renders null (documented leniency —
+        # the interpreter promotes to Python bigint there)
+        lng = {
+            "+": F.try_add(na.l, nb.l),
+            "-": F.try_subtract(na.l, nb.l),
+            "*": F.try_multiply(na.l, nb.l),
+        }[op]
         return _num(d, na.isint & nb.isint, lng)
     if op == "/":
         # jq/Python: true division, always float (interpreter errors on /0;
@@ -288,10 +310,27 @@ class _SubsetParser:
         return node
 
     def pipe(self):
-        stages = [self.alt()]
+        first = self.alt()
+        if self.peek()[1] == "as":
+            self.next()
+            vt = self.next()
+            if vt[0] != "var":
+                raise JqCompileError("as requires a $variable pattern")
+            self.expect("|")
+            return ("bind", first, vt[1][1:], self.pipe())
+        stages = [first]
         while self.peek()[1] == "|":
             self.next()
-            stages.append(self.alt())
+            nxt = self.alt()
+            if self.peek()[1] == "as":
+                self.next()
+                vt = self.next()
+                if vt[0] != "var":
+                    raise JqCompileError("as requires a $variable pattern")
+                self.expect("|")
+                stages.append(("bind", nxt, vt[1][1:], self.pipe()))
+                break
+            stages.append(nxt)
         return ("pipe", stages) if len(stages) > 1 else stages[0]
 
     def alt(self):
@@ -351,8 +390,31 @@ class _SubsetParser:
                 node = ("field", node, t[1][1:])
             elif t[1] == "[":
                 self.next()
+                if self.peek()[1] == "]":  # .[] iteration (reduce-source only)
+                    self.next()
+                    node = ("iterate", node)
+                    continue
+                if self.peek()[1] == ":":  # .[:n] slice
+                    self.next()
+                    hi = self.next()
+                    if hi[0] != "number" or self.peek()[1] != "]":
+                        raise JqCompileError("only literal slice bounds compile")
+                    self.next()
+                    node = ("slice", node, None, int(hi[1]))
+                    continue
                 idx = self.next()
-                if idx[0] == "number" and self.peek()[1] == "]":
+                if idx[0] == "number" and self.peek()[1] == ":":  # .[a:b] / .[a:]
+                    self.next()
+                    if self.peek()[1] == "]":
+                        self.next()
+                        node = ("slice", node, int(idx[1]), None)
+                        continue
+                    hi = self.next()
+                    if hi[0] != "number" or self.peek()[1] != "]":
+                        raise JqCompileError("only literal slice bounds compile")
+                    self.next()
+                    node = ("slice", node, int(idx[1]), int(hi[1]))
+                elif idx[0] == "number" and self.peek()[1] == "]":
                     self.next()
                     node = ("index", node, int(idx[1]))
                 elif idx[0] == "string" and self.peek()[1] == "]":
@@ -423,6 +485,9 @@ class _SubsetParser:
                     self.next()
             self.expect("}")
             return ("object", pairs)
+        if kind == "var":
+            self.next()
+            return ("var", val[1:])
         if kind == "ident":
             return self.ident_primary()
         raise JqCompileError(f"token {val!r} not in the compilable subset")
@@ -456,7 +521,25 @@ class _SubsetParser:
             arg = self.pipe()
             self.expect(")")
             return (name, arg)
-        if name in ("floor", "ceil", "tostring", "tonumber", "not", "length", "type"):
+        if name == "reduce":
+            src = self.postfix()
+            if src[0] != "iterate":
+                raise JqCompileError("reduce compiles over .[] / .path[] sources only")
+            self.expect("as")
+            vt = self.next()
+            if vt[0] != "var":
+                raise JqCompileError("reduce requires a $variable pattern")
+            self.expect("(")
+            init = self.pipe()
+            self.expect(";")
+            update = self.pipe()
+            self.expect(")")
+            return ("reduce", src[1], vt[1][1:], init, update)
+        if name in (
+            "floor", "ceil", "tostring", "tonumber", "not", "length", "type",
+            "abs", "fabs", "first", "last", "add", "min", "max",
+            "ascii_downcase", "ascii_upcase",
+        ):
             return ("call0", name)
         if name == "has":
             self.expect("(")
@@ -465,6 +548,16 @@ class _SubsetParser:
                 raise JqCompileError("has() compiles with a literal string key only")
             self.expect(")")
             return ("has", json.loads(kt[1]))
+        if name in ("ltrimstr", "rtrimstr", "startswith", "endswith", "split", "join", "test"):
+            self.expect("(")
+            kt = self.next()
+            if kt[0] != "string":
+                raise JqCompileError(f"{name}() compiles with a literal string arg only")
+            parts = split_interpolated(kt[1])
+            if parts is not None:
+                raise JqCompileError(f"{name}() with interpolation not compiled")
+            self.expect(")")
+            return ("call1s", name, json.loads(kt[1]))
         raise JqCompileError(f"function {name!r} not compiled")
 
 
@@ -473,12 +566,118 @@ class _SubsetParser:
 # ---------------------------------------------------------------------------
 
 
+def _string_view(cv: CV) -> Column:
+    """Column of the value AS a string, SQL-null when it isn't a JSON
+    string (jq would error; we're documented-lenient)."""
+    if cv.kind == "str":
+        return cv.col
+    if cv.kind == "variant":
+        c = cv.vcol()
+        js = F.coalesce(F.to_json(c), F.lit("null"))
+        return F.when(js.startswith('"'), F.try_variant_get(c, "$", "string"))
+    return F.lit(None).cast("string")
+
+
+def _json_quote(col: Column) -> Column:
+    """String column → its compact-JSON string literal (escaped)."""
+    return F.regexp_extract(
+        F.to_json(F.struct(col.alias("s"))), r'^\{"s":(.*)\}$', 1
+    )
+
+
+# lexical $variable scope during compilation (single-threaded per
+# program; lambdas capture the bound Columns eagerly)
+_ENV: list[dict] = []
+
+
+def _lookup_var(name: str) -> CV:
+    for frame in reversed(_ENV):
+        if name in frame:
+            return frame[name]
+    raise JqCompileError(f"${name} is not defined (metadata vars not compiled)")
+
+
 def _compile(node, cur: CV, keep: Optional[Column]):
     """Returns (keep, CV). `select` stages narrow keep; everything else
     maps the current value."""
     tag = node[0]
     if tag == "identity":
         return keep, cur
+    if tag == "var":
+        return keep, _lookup_var(node[1])
+    if tag == "bind":
+        keep, bound = _compile(node[1], cur, keep)
+        _ENV.append({node[2]: bound})
+        try:
+            return _compile(node[3], cur, keep)
+        finally:
+            _ENV.pop()
+    if tag == "iterate":
+        raise JqCompileError("bare .[] generators not compiled (reduce-source only)")
+    if tag == "reduce":
+        # fold over an array with the accumulator carried as compact
+        # JSON: each step re-parses with try_parse_json, runs the
+        # compiled update (where `.` = acc, $x = the element), and
+        # re-renders — int-ness survives via the lexeme. Stays fully
+        # JVM-side (higher-order F.aggregate), no Python.
+        _, base = _compile(node[1], cur, None)
+        if base.kind != "variant":
+            raise JqCompileError("reduce source must be a variant array")
+        if node[3][0] != "lit_num":
+            # numeric init ⇒ any non-numeric element errors the
+            # interpreter too, so the compiled null stays inside the
+            # documented leniency; string/object folds must interpret
+            raise JqCompileError("reduce compiles with a numeric literal init only")
+        arr = F.try_variant_get(base.vcol(), "$", "array<variant>")
+        _, init = _compile(node[3], cur, None)
+        update_node = node[4]
+        var_name = node[2]
+
+        def step(acc, x):
+            _ENV.append({var_name: CV.variant(x)})
+            try:
+                _, out = _compile(
+                    update_node, CV.variant(F.try_parse_json(acc)), None
+                )
+            finally:
+                _ENV.pop()
+            return _render(out)
+
+        folded = F.aggregate(arr, _render(init), step)
+        # null / non-array source iterates to nothing → the init value
+        # survives untouched (matches the interpreter's silent-empty
+        # iteration; jq proper errors — documented leniency)
+        return keep, CV("json", col=F.when(arr.isNotNull(), folded).otherwise(_render(init)))
+    if tag == "slice":
+        _, base = _compile(node[1], cur, None)
+        lo = node[2] or 0
+        if lo < 0 or (node[3] is not None and node[3] < 0):
+            raise JqCompileError("negative slice bounds not compiled")
+        if base.kind == "str":
+            ln = (F.lit(node[3]) - lo) if node[3] is not None else F.length(base.col)
+            return keep, CV("str", col=F.substring(base.col, lo + 1, F.greatest(ln, F.lit(0))))
+        if base.kind != "variant":
+            raise JqCompileError(f"cannot slice {base.kind}")
+        c = base.vcol()
+        js = F.coalesce(F.to_json(c), F.lit("null"))
+        arr = F.try_variant_get(c, "$", "array<variant>")
+        ln = (F.lit(node[3]) - lo) if node[3] is not None else F.size(arr)
+        sliced = F.slice(arr, lo + 1, F.greatest(ln, F.lit(0)))
+        arr_js = F.concat(
+            F.lit("["),
+            F.array_join(F.transform(sliced, lambda x: _render(CV.variant(x))), ","),
+            F.lit("]"),
+        )
+        s = F.try_variant_get(c, "$", "string")
+        sln = (F.lit(node[3]) - lo) if node[3] is not None else F.length(s)
+        str_js = F.to_json(F.struct(F.substring(s, lo + 1, F.greatest(sln, F.lit(0))).alias("s")))
+        str_js = F.regexp_extract(str_js, r'^\{"s":(.*)\}$', 1)
+        out = (
+            F.when(js.startswith("["), arr_js)
+            .when(js.startswith('"'), str_js)
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return keep, CV("json", col=out)
     if tag == "pipe":
         for stage in node[1]:
             keep, cur = _compile(stage, cur, keep)
@@ -664,6 +863,120 @@ def _compile(node, cur: CV, keep: Optional[Column]):
                 .otherwise(n.cast("double"))
             )
             return keep, _num(d, isint, F.coalesce(n, d.cast("long")))
+        if name in ("ascii_downcase", "ascii_upcase"):
+            s = _string_view(cur)
+            fn = F.lower if name == "ascii_downcase" else F.upper
+            return keep, CV("str", col=fn(s))
+        if name in ("abs", "fabs"):
+            # both int-preserving: jq has one number type and prints
+            # integral doubles without a fraction; the interpreter's
+            # Python abs() keeps ints too
+            n = _as_num(cur)
+            return keep, _num(F.abs(n.d), n.isint, F.abs(n.l))
+        if name in ("first", "last"):
+            if cur.kind != "variant":
+                raise JqCompileError(f"{name} over non-variant")
+            arr = F.try_variant_get(cur.vcol(), "$", "array<variant>")
+            elem = F.try_element_at(arr, F.lit(1 if name == "first" else -1))
+            return keep, CV.variant(elem)
+        if name in ("add", "min", "max"):
+            if cur.kind != "variant":
+                raise JqCompileError(f"{name} over non-variant")
+            c = cur.vcol()
+            arr_v = F.try_variant_get(c, "$", "array<variant>")
+            lex = F.transform(arr_v, lambda x: F.coalesce(F.to_json(x), F.lit("null")))
+            all_num = F.forall(lex, lambda s: s.rlike(r"^-?[0-9.eE+\-]+$"))
+            all_int = F.forall(lex, lambda s: s.rlike(_INT_LEXEME))
+            all_str = F.forall(lex, lambda s: s.startswith('"'))
+            arr_d = F.try_variant_get(c, "$", "array<double>")
+            arr_l = F.try_variant_get(c, "$", "array<bigint>")
+            arr_s = F.try_variant_get(c, "$", "array<string>")
+            empty = F.size(arr_v) == 0
+            if name == "add":
+                d = F.aggregate(arr_d, F.lit(0.0), lambda a, x: a + x)
+                ln = F.aggregate(arr_l, F.lit(0).cast("long"), lambda a, x: a + x)
+                s = F.aggregate(arr_s, F.lit(""), lambda a, x: F.concat(a, x))
+            else:
+                fn = F.array_min if name == "min" else F.array_max
+                d, ln, s = fn(arr_d), fn(arr_l), fn(arr_s)
+            ok_num = arr_v.isNotNull() & ~empty & all_num
+            ok_str = arr_v.isNotNull() & ~empty & all_str
+            if name == "add":
+                res_isint = all_int
+            else:
+                # min/max return an ELEMENT: int-ness comes from the
+                # winning element's lexeme, not the whole array (the
+                # max of [10, 2.25] is the int 10)
+                pairs = F.zip_with(
+                    arr_d, lex, lambda dv, s_: F.struct(dv.alias("d"), s_.alias("s"))
+                )
+                res_isint = F.exists(
+                    pairs, lambda p: (p["d"] == d) & p["s"].rlike(_INT_LEXEME)
+                )
+                # exact long lane only holds for all-int arrays (mixed
+                # arrays fail the array<bigint> cast); fall back to the
+                # double-derived long for mixed winners
+                ln = F.when(all_int, ln).otherwise(d.cast("long"))
+            # numeric and all-string arrays; [] -> null like jq; mixed/
+            # object element types -> null (documented lenient divergence)
+            num_cv = _num(F.when(ok_num, d), F.when(ok_num, res_isint), F.when(ok_num, ln))
+            out = (
+                F.when(ok_num, _render(num_cv))
+                .when(ok_str, _json_quote(s))
+                .otherwise(F.lit(None).cast("string"))
+            )
+            return keep, CV("json", col=out)
+        raise JqCompileError(f"builtin {name!r} not compiled")
+    if tag == "call1s":
+        name, arg = node[1], node[2]
+        if name in ("ascii_downcase", "ascii_upcase"):
+            raise JqCompileError("case functions take no args")
+        s = _string_view(cur)
+        if name in ("startswith", "endswith"):
+            fn = (lambda c: c.startswith(arg)) if name == "startswith" else (
+                lambda c: c.endswith(arg)
+            )
+            return keep, CV("bool", col=F.when(s.isNotNull(), fn(s)))
+        if name == "test":
+            # Java regex vs the interpreter's Python `re` — see module
+            # docstring for the documented divergence surface
+            return keep, CV("bool", col=F.when(s.isNotNull(), s.rlike(arg)))
+        if name == "ltrimstr" or name == "rtrimstr":
+            if name == "ltrimstr":
+                stripped = F.when(
+                    s.startswith(arg), F.substring(s, len(arg) + 1, F.length(s))
+                ).otherwise(s)
+            else:
+                stripped = F.when(
+                    s.endswith(arg),
+                    F.substring(s, 1, F.length(s) - len(arg)),
+                ).otherwise(s)
+            # jq: non-string input passes through UNCHANGED
+            passthrough = _render(cur)
+            out = F.when(s.isNotNull(), _json_quote(stripped)).otherwise(passthrough)
+            return keep, CV("json", col=out)
+        if name == "split":
+            quoted = "\\Q" + arg.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+            parts = F.split(s, quoted, -1)
+            return keep, CV(
+                "json", col=F.when(s.isNotNull(), F.to_json(parts))
+            )
+        if name == "join":
+            if cur.kind != "variant":
+                raise JqCompileError("join over non-variant")
+            arr = F.try_variant_get(cur.vcol(), "$", "array<variant>")
+
+            def render_elem(x):
+                js = F.coalesce(F.to_json(x), F.lit("null"))
+                return (
+                    F.when(js == "null", F.lit(""))
+                    .when(js.startswith('"'), F.try_variant_get(x, "$", "string"))
+                    .otherwise(js)
+                )
+
+            joined = F.array_join(F.transform(arr, render_elem), arg)
+            return keep, CV("str", col=F.when(arr.isNotNull(), joined))
+        raise JqCompileError(f"string function {name!r} not compiled")
     if tag == "has":
         if cur.kind != "variant":
             raise JqCompileError("has over non-variant")
@@ -681,11 +994,77 @@ def _compile(node, cur: CV, keep: Optional[Column]):
     raise JqCompileError(f"node {tag!r} not compiled")
 
 
+def _validate(node, scope: frozenset):
+    """Symbolic compilability walk (no SparkSession needed): rejects
+    bare generators, unbound $variables, and non-numeric reduce inits
+    at try_compile time so apply() cannot surprise the processor."""
+    tag = node[0]
+    if tag in ("identity", "lit_num", "lit_str", "lit_bool", "lit_null"):
+        return
+    if tag == "var":
+        if node[1] not in scope:
+            raise JqCompileError(f"${node[1]} is not defined")
+        return
+    if tag == "bind":
+        _validate(node[1], scope)
+        _validate(node[3], scope | {node[2]})
+        return
+    if tag == "iterate":
+        raise JqCompileError("bare .[] generators not compiled")
+    if tag == "reduce":
+        _validate(node[1], scope)
+        if node[3][0] != "lit_num":
+            raise JqCompileError("reduce compiles with a numeric literal init only")
+        _validate(node[3], scope)
+        _validate(node[4], scope | {node[2]})
+        return
+    if tag == "pipe":
+        for stage in node[1]:
+            _validate(stage, scope)
+        return
+    if tag == "interp":
+        for pk, p in node[1]:
+            if pk != "lit":
+                _validate(p, scope)
+        return
+    if tag in ("field", "index", "neg", "select", "map", "call0", "has", "call1s"):
+        if tag in ("field", "index") and isinstance(node[1], tuple):
+            _validate(node[1], scope)
+        if tag in ("neg", "select", "map"):
+            _validate(node[1], scope)
+        return
+    if tag == "slice":
+        _validate(node[1], scope)
+        return
+    if tag in ("arith", "cmp"):
+        _validate(node[2], scope)
+        _validate(node[3], scope)
+        return
+    if tag in ("and", "or", "alt"):
+        _validate(node[1], scope)
+        _validate(node[2], scope)
+        return
+    if tag == "if":
+        _validate(node[1], scope)
+        _validate(node[2], scope)
+        for c, t in node[3]:
+            _validate(c, scope)
+            _validate(t, scope)
+        _validate(node[4], scope)
+        return
+    if tag in ("array", "object"):
+        for item in node[1]:
+            _validate(item if tag == "array" else item[1], scope)
+        return
+    raise JqCompileError(f"node {tag!r} not compiled")
+
+
 class CompiledJq:
     """A jq program compiled to Column expressions over one variant input."""
 
     def __init__(self, src: str):
         self.ast = _SubsetParser(src).parse()
+        _validate(self.ast, frozenset())
 
     def apply(self, variant_col: Column) -> tuple[Optional[Column], Column]:
         """(keep predicate or None, rendered compact-JSON output column)."""

@@ -42,7 +42,7 @@ _TOKEN = re.compile(
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<field>\.[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>==|!=|<=|>=|\|\||//|and\b|or\b|[.\[\](){}|,:?<>=+\-*/%])
+  | (?P<op>==|!=|<=|>=|\|\||//|and\b|or\b|[.\[\](){}|,:;?<>=+\-*/%])
     """,
     re.VERBOSE,
 )
@@ -100,6 +100,17 @@ class _P:
 
     def comma(self):
         node = self.alt()
+        if self.peek() == ("ident", "as"):
+            # EXPR as $x | BODY — generator binding (jq manual "Variable
+            # / Symbolic Binding Operator"): body runs once per value of
+            # EXPR with the ORIGINAL input as `.`
+            self.next()
+            vt = self.next()
+            if vt[0] != "var":
+                raise JqError("jq: `as` requires a $variable pattern")
+            self.expect("|")
+            body = self.pipe()
+            return _mk_bind(node, vt[1][1:], body)
         while self.peek() == ("op", ","):
             self.next()
             rhs = self.alt()
@@ -167,6 +178,11 @@ class _P:
                 if self.peek() == ("op", "]"):
                     self.next()
                     node = _mk_pipe(node, _ITERATE)
+                elif self.peek() == ("op", ":"):  # .[:n] slice
+                    self.next()
+                    hi = self.pipe()
+                    self.expect("]")
+                    node = _mk_slice(node, _mk_const(0), hi)
                 else:
                     idx = self.pipe()
                     if self.peek() == ("op", ":"):
@@ -250,6 +266,21 @@ class _P:
             if name == "empty":
                 self.next()
                 return _EMPTY
+            if name == "reduce":
+                self.next()
+                src = self.postfix()
+                if self.peek() != ("ident", "as"):
+                    raise JqError("jq: reduce requires `as $var`")
+                self.next()
+                vt = self.next()
+                if vt[0] != "var":
+                    raise JqError("jq: reduce requires a $variable pattern")
+                self.expect("(")
+                init = self.pipe()
+                self.expect(";")
+                update = self.pipe()
+                self.expect(")")
+                return _mk_reduce(src, vt[1][1:], init, update)
             self.next()
             args = []
             if self.peek() == ("op", "("):
@@ -520,6 +551,36 @@ def _mk_var(name):
     return fn
 
 
+def _mk_bind(expr, name, body):
+    def fn(v, env):
+        for bound in expr(v, env):
+            yield from body(v, {**env, name: bound})
+
+    return fn
+
+
+def _mk_reduce(src, name, init, update):
+    """jq reduce: fold `update` over the source generator; if update
+    yields several values only the LAST is kept, and an empty update
+    erases the reduction (jq manual semantics)."""
+
+    def fn(v, env):
+        for acc in init(v, env):
+            dead = False
+            for x in src(v, env):
+                last = _SENTINEL = object()
+                for out in update(acc, {**env, name: x}):
+                    last = out
+                if last is _SENTINEL:
+                    dead = True
+                    break
+                acc = last
+            if not dead:
+                yield acc
+
+    return fn
+
+
 def _mk_neg(node):
     def fn(v, env):
         for x in node(v, env):
@@ -756,6 +817,9 @@ def _mk_func(name, args):
         if name in ("floor", "ceil", "sqrt", "fabs"):
             yield {"floor": math.floor, "ceil": math.ceil, "sqrt": math.sqrt, "fabs": abs}[name](v)
             return
+        if name == "abs":  # jq 1.7: int-preserving absolute value
+            yield abs(v)
+            return
         if name == "min":
             yield None if not v else min(v)
             return
@@ -936,8 +1000,13 @@ class JqProcessor:
 
             compiled = try_compile(self.query)
             if compiled is not None:
-                v = F.parse_json(F.col(self.col).cast("string"))
-                keep, rendered = compiled.apply(v)
+                try:
+                    v = F.parse_json(F.col(self.col).cast("string"))
+                    keep, rendered = compiled.apply(v)
+                except JqError:
+                    # apply-time type rejections (e.g. indexing a
+                    # literal) — the interpreter is always the fallback
+                    return self._interpret(df)
                 out = df if keep is None else df.filter(keep)
                 out_col = self.out_col or self.col
                 out = out.withColumn(out_col, rendered)

@@ -13,15 +13,15 @@ from benthos_spark.functions.jq_columnar import JqCompileError, try_compile
 from benthos_spark.functions.jq_program import JqProcessor, JqProgram
 
 DOCS = [
-    {"k": 7, "name": "alpha", "tags": ["a", "b"], "meta": {"depth": 2, "ok": True}},
-    {"k": 52, "name": "beta", "tags": [], "meta": {"depth": 0, "ok": False}},
-    {"k": 0, "name": "", "tags": ["x"], "meta": {"depth": -3, "ok": True}},
-    {"k": -13, "name": "Gamma δelta", "tags": ["q", "r", "s"], "meta": {"depth": 11, "ok": False}},
-    {"k": 2.5, "name": "float-k", "tags": ["z"], "meta": {"depth": 1, "ok": True}},
-    {"name": "no-k at all", "tags": ["t"], "meta": {"depth": 4, "ok": True}},
-    {"k": 100, "name": 'quote"inside', "tags": ["a"], "meta": {"depth": 7, "ok": False}},
+    {"k": 7, "name": "alpha", "tags": ["a", "b"], "meta": {"depth": 2, "ok": True}, "nums": [1, 2, 3]},
+    {"k": 52, "name": "beta", "tags": [], "meta": {"depth": 0, "ok": False}, "nums": []},
+    {"k": 0, "name": "", "tags": ["x"], "meta": {"depth": -3, "ok": True}, "nums": [5]},
+    {"k": -13, "name": "Gamma δelta", "tags": ["q", "r", "s"], "meta": {"depth": 11, "ok": False}, "nums": [-4, 0, 9, 2]},
+    {"k": 2.5, "name": "float-k", "tags": ["z"], "meta": {"depth": 1, "ok": True}, "nums": [0.5, 1.5]},
+    {"name": "no-k at all", "tags": ["t"], "meta": {"depth": 4, "ok": True}, "nums": [10, 2.25]},
+    {"k": 100, "name": 'quote"inside', "tags": ["a"], "meta": {"depth": 7, "ok": False}, "nums": [7, 7, 7]},
     {"k": 31, "name": None, "tags": None, "meta": {}},
-    {"k": 9007199254740993, "name": "big", "tags": ["big"], "meta": {"depth": 5, "ok": True}},
+    {"k": 9007199254740993, "name": "big", "tags": ["big"], "meta": {"depth": 5, "ok": True}, "nums": [2, 9007199254740993]},
 ]
 
 # Programs inside the compilable subset: interpreter is the truth bar.
@@ -90,6 +90,40 @@ PROGRAMS = [
     r'"v=\((.k // 0) * 2)"',
     r'select(.k != null) | {label: "k=\(.k) ok=\(.meta.ok)"}',
     r'"name:\(.name | tostring):\(.tags | length)"',
+    # round-3 additions: variables, reduce, slices, string/array builtins
+    ".k as $v | $v",
+    ". as $x | $x.k",
+    ".k as $v | {orig: $v, plus: (($v // 0) + 1)}",
+    ".meta.depth as $d | select($d != null) | $d * 2",
+    ".nums | reduce .[] as $x (0; . + $x)",
+    ".nums | reduce .[] as $x (1; . * $x)",
+    "reduce .nums[] as $x (0; . + $x)",
+    ".nums | reduce .[] as $x (0; . + ($x * 2))",
+    ".nums | add",
+    ".nums | min",
+    ".nums | max",
+    ".tags | add",
+    ".tags | min",
+    ".nums | first",
+    ".nums | last",
+    ".tags | first",
+    ".nums[1:3]",
+    ".nums[:2]",
+    ".nums[1:]",
+    ".name[1:3]",
+    "select(.k != null) | .k | abs",
+    "select(.k != null) | -.k | fabs",
+    ".name | ascii_downcase",
+    ".name | ascii_upcase",
+    '.name | ltrimstr("a")',
+    '.name | rtrimstr("a")',
+    '.name | startswith("b")',
+    '.name | endswith("a")',
+    '.name | split("e")',
+    '.tags | join("-")',
+    '.name | test("^[a-z]+$")',
+    '.tags | join(",") | ascii_upcase',
+    'select(.k != null) | {sum: (.nums | add), top: (.nums | max)}',
 ]
 
 # outside the subset — must fall back, not mis-compile
@@ -97,8 +131,9 @@ FALLBACK_PROGRAMS = [
     "has(.k)",
     ".[]",
     ".tags[]",
-    "reduce .[] as $x (0; . + $x)",
-    ".k as $v | $v",
+    # string-init reduce concatenates in the interpreter — must NOT
+    # compile (the columnar fold is numeric-init only)
+    'reduce .[] as $x (""; . + $x)',
     "to_entries",
     "..|numbers",
     "$metadata.topic",
