@@ -72,6 +72,10 @@ def decode_image(b: bytes, codec: str, width: int, height: int, channels: int) -
         from benthos_spark.functions import jpeg as _jpeg
 
         return _jpeg.decode(b)
+    if codec == "gif":
+        from benthos_spark.functions import gif as _gif
+
+        return _gif.decode(b)
     raise NotImplementedError(
         f"codec {codec!r}: container decode needs PIL/cv2 (not in this sandbox); "
         "plug a kernel in here — the Spark plumbing is codec-agnostic"
@@ -85,6 +89,10 @@ def encode_image(arr: np.ndarray, codec: str) -> bytes:
         from benthos_spark.functions import png as _png
 
         return _png.encode(arr)
+    if codec == "gif":
+        from benthos_spark.functions import gif as _gif
+
+        return _gif.encode(arr)
     raise NotImplementedError(f"codec {codec!r} encode not available in this sandbox")
 
 

@@ -276,3 +276,127 @@ def test_image_pipeline_jpeg_codec(spark):
     ).collect()
     assert feats[0]["img_ok"]
     assert abs(feats[0]["mean_lum"] - arr.mean()) < 2.0
+
+
+def test_gif_decode_vs_imageio(spark):
+    """functions/gif.py: decode of javax.imageio-written GIF bytes must
+    be pixel-exact vs javax's own decode of the same bytes (GIF is
+    lossless given a palette — no tolerance needed)."""
+    import numpy as np
+
+    from benthos_spark.functions import gif
+
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    ImageIO = jvm.javax.imageio.ImageIO
+    yy, xx = np.mgrid[0:37, 0:51]
+    # palette-friendly image (few distinct colors)
+    arr = np.stack(
+        [(xx // 8 * 40) % 256, (yy // 6 * 60) % 256, ((xx + yy) // 9 * 50) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    img = BI(51, 37, BI.TYPE_INT_RGB)
+    for y in range(37):
+        for x in range(51):
+            r, g, b = (int(v) for v in arr[y, x])
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert ImageIO.write(img, "gif", bos)
+    data = bytes(bos.toByteArray())
+    assert data[:6] in (b"GIF87a", b"GIF89a")
+
+    ours = gif.decode(data)
+    jimg = ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+    theirs = np.zeros_like(arr)
+    for y in range(37):
+        for x in range(51):
+            v = jimg.getRGB(x, y)
+            theirs[y, x] = ((v >> 16) & 255, (v >> 8) & 255, v & 255)
+    assert np.array_equal(ours, theirs)
+
+
+def test_gif_encode_read_back_by_imageio(spark):
+    """Our GIF89a encoder's bytes must decode pixel-exact through
+    javax.imageio (real LZW, real palette)."""
+    import numpy as np
+
+    from benthos_spark.functions import gif
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+    yy, xx = np.mgrid[0:29, 0:43]
+    arr = np.stack(
+        [(xx * 32) % 256 // 64 * 64, (yy * 24) % 256 // 32 * 32, ((xx * yy) % 5) * 50],
+        axis=-1,
+    ).astype(np.uint8)
+    data = gif.encode(arr)
+    jimg = ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+    assert jimg is not None, "javax could not parse our GIF"
+    theirs = np.zeros_like(arr)
+    for y in range(29):
+        for x in range(43):
+            v = jimg.getRGB(x, y)
+            theirs[y, x] = ((v >> 16) & 255, (v >> 8) & 255, v & 255)
+    assert np.array_equal(arr, theirs)
+    # and through the multimodal kernel dispatch
+    from benthos_spark.functions.multimodal import decode_image
+
+    assert np.array_equal(decode_image(data, "gif", 43, 29, 3), arr)
+
+
+def test_gif_interlace_and_animation():
+    """Interlaced row order and multi-frame composition (89a disposal):
+    hand-assembled streams against the spec's four-pass layout."""
+    import struct
+
+    import numpy as np
+
+    from benthos_spark.functions import gif
+    from benthos_spark.functions.gif import _INTERLACE_PASSES, _lzw_encode
+
+    h, w = 16, 8
+    rows = np.arange(h, dtype=np.uint8)[:, None].repeat(w, axis=1) % 4
+    # build a 2-color-table interlaced GIF by writing rows in pass order
+    pass_order = [r for start, step in _INTERLACE_PASSES for r in range(start, h, step)]
+    shuffled = rows[pass_order]
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)
+    pal = np.array([[0, 0, 0], [85, 85, 85], [170, 170, 170], [255, 255, 255]], dtype=np.uint8)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(2)
+    lzw = _lzw_encode(2, shuffled.tobytes())
+    for i in range(0, len(lzw), 255):
+        out.append(len(lzw[i: i + 255]))
+        out += lzw[i: i + 255]
+    out.append(0)
+    out += b"\x3b"
+    dec = gif.decode(bytes(out))
+    assert np.array_equal(dec, pal[rows])
+
+    # two frames: second overwrites a 4x4 region at (2,2) with color 3
+    out2 = bytearray()
+    out2 += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)
+    out2 += pal.tobytes()
+    for frame_idx in range(2):
+        if frame_idx == 0:
+            left, top, fw, fh = 0, 0, w, h
+            px = rows.tobytes()
+        else:
+            left, top, fw, fh = 2, 2, 4, 4
+            px = bytes([3] * 16)
+        out2 += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, no transparency
+        out2 += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        out2.append(2)
+        lzw = _lzw_encode(2, px)
+        for i in range(0, len(lzw), 255):
+            out2.append(len(lzw[i: i + 255]))
+            out2 += lzw[i: i + 255]
+        out2.append(0)
+    out2 += b"\x3b"
+    frames = gif.decode_frames(bytes(out2))
+    assert len(frames) == 2
+    assert np.array_equal(frames[0][:, :, :3], pal[rows])
+    expected = pal[rows].copy()
+    expected[2:6, 2:6] = pal[3]
+    assert np.array_equal(frames[1][:, :, :3], expected)
