@@ -575,7 +575,10 @@ class IcebergTable:
         if not files:
             return spark.createDataFrame([], schema)
         paths = [f["file_path"] for f in files]
-        reader = spark.read
+        # explicit schema: files written under EARLIER schemas null-fill
+        # added columns and upcast widened ones (int->long etc.) at scan,
+        # which is exactly Iceberg's read-time evolution contract
+        reader = spark.read.schema(schema)
         if self.partition_cols:
             # identity-partitioned files are laid out hive-style; basePath
             # re-attaches the partition columns Spark stripped on write
@@ -695,6 +698,65 @@ class IcebergTable:
         start = 0 if after_snapshot_id is None else ordered.index(after_snapshot_id) + 1
         end = ordered.index(until_snapshot_id) + 1
         return ordered[start:end]
+
+    # -- schema evolution --------------------------------------------------
+
+    _WIDEN = {("int", "long"), ("float", "double")}  # spec type promotion
+
+    def evolve_schema(self, new_spark_schema) -> int:
+        """Evolve to ``new_spark_schema`` under Iceberg's rules: columns
+        are tracked by FIELD-ID, so existing names keep their ids,
+        added columns get fresh ids, and type changes are legal only
+        along the spec's promotion lattice (int→long, float→double).
+        Dropping columns is rejected here (use a view) — the engine's
+        CDC layer has the same policy. Metadata-only commit (no
+        snapshot); old data files null-fill added columns and promote
+        widened ones at scan time. Returns the new schema-id."""
+        old = self.schema_json
+        by_name = {f["name"]: f for f in old["fields"]}
+        next_id = self.metadata["last-column-id"] + 1
+        fields = []
+        new_json, _ = S.to_iceberg_schema(new_spark_schema)
+        seen = set()
+        for nf in new_json["fields"]:
+            name = nf["name"]
+            seen.add(name)
+            if name in by_name:
+                of = by_name[name]
+                if nf["type"] != of["type"]:
+                    if not isinstance(of["type"], str) or (
+                        of["type"], nf["type"]
+                    ) not in self._WIDEN:
+                        raise ValueError(
+                            f"illegal type change for {name!r}: "
+                            f"{of['type']} -> {nf['type']} (promotions: int→long, float→double)"
+                        )
+                fields.append({**of, "type": nf["type"]})
+            else:
+                if not isinstance(nf["type"], str):
+                    # nested additions would need a recursive re-id pass
+                    raise ValueError(f"only primitive columns can be added ({name!r})")
+                fields.append({**nf, "id": next_id})
+                next_id += 1
+        missing = [n for n in by_name if n not in seen]
+        if missing:
+            raise ValueError(f"schema evolution cannot drop columns: {missing}")
+        new_sid = max(s["schema-id"] for s in self.metadata["schemas"]) + 1
+        schema = {"type": "struct", "schema-id": new_sid, "fields": fields}
+        for _ in range(20):
+            self.refresh()
+            meta = dict(self.metadata)
+            meta["schemas"] = list(meta["schemas"]) + [schema]
+            meta["current-schema-id"] = new_sid
+            meta["last-column-id"] = max(meta["last-column-id"], next_id - 1)
+            try:
+                self._write_version(self.version + 1, meta)
+            except CommitConflict:
+                continue
+            self.metadata = meta
+            self.version += 1
+            return new_sid
+        raise CommitConflict("lost the version race 20 times")
 
     # -- maintenance -------------------------------------------------------
 

@@ -576,3 +576,63 @@ def test_position_delete_manifest_shape(spark, tmpdir):
 
     # streaming source never re-emits tombstoned snapshots as data
     assert t.added_files(snap["snapshot-id"]) == []
+
+
+# -- schema evolution ------------------------------------------------------
+
+
+def test_schema_evolution_add_and_widen(spark, tmpdir):
+    from pyspark.sql import types as T
+
+    df = _sample_df(spark, 40)  # k long, part int, val string
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("part",))
+    t.append(df)
+
+    evolved = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.LongType()),  # int -> long widen
+            T.StructField("val", T.StringType()),
+            T.StructField("score", T.DoubleType()),  # added
+        ]
+    )
+    sid = t.evolve_schema(evolved)
+    assert t.metadata["current-schema-id"] == sid
+    # ids preserved by name; the added column got a FRESH id
+    ids = {f["name"]: f["id"] for f in t.schema_json["fields"]}
+    assert ids["k"] == 1 and ids["part"] == 2 and ids["val"] == 3
+    assert ids["score"] == 4
+    assert t.schema_json["fields"][1]["type"] == "long"
+
+    # old files scan under the NEW schema: nulls + upcast
+    out = t.scan(spark)
+    assert out.schema["part"].dataType == T.LongType()
+    assert out.schema["score"].dataType == T.DoubleType()
+    assert out.filter(F.col("score").isNull()).count() == 40
+
+    # new appends carry the new column; mixed-schema scan unions cleanly
+    new_rows = _sample_df(spark, 10, offset=100).withColumn(
+        "part", F.col("part").cast("long")
+    ).withColumn("score", F.lit(0.5))
+    t.append(new_rows)
+    out2 = t.scan(spark)
+    assert out2.count() == 50
+    assert out2.filter(F.col("score").isNotNull()).count() == 10
+    assert out2.filter("part = 1").count() > 0  # partition still prunes/attaches
+
+    # illegal changes fail loudly
+    import pytest as _pytest
+
+    bad_drop = T.StructType([T.StructField("k", T.LongType())])
+    with _pytest.raises(ValueError, match="drop"):
+        t.evolve_schema(bad_drop)
+    bad_narrow = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("part", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    with _pytest.raises(ValueError, match="illegal type change"):
+        t.evolve_schema(bad_narrow)
