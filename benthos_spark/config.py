@@ -381,6 +381,14 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         if selected is None:
             raise ConfigError("dynamic output: no outputs registered")
         return R.DynamicSink(reg, selected=selected)
+    if name == "iceberg_merge_apply":
+        from benthos_spark.sinks.iceberg import IcebergMergeApplySink
+
+        return IcebergMergeApplySink(
+            table_path=conf["table"] if "table" in conf else conf["path"],
+            pk_cols=tuple(conf["pk"]),
+            order_col=conf.get("order_col", "lsn"),
+        )
     if name == "merge_apply":
         from benthos_spark.operators.cdc import MergeApplySink
 
@@ -425,7 +433,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             driver=conf.get("driver"),
         )
     raise ConfigError(
-        f"unknown output {name!r}; known: exactly_once, iceberg, merge_apply, dynamic, drop, fan_out, switch, "
+        f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, resource"
     )
 

@@ -388,20 +388,27 @@ class IcebergTable:
         summary_extra: dict[str, str],
         carry_parent_manifests: bool,
         content: int = M.CONTENT_DATA,
+        extra_parts: list[tuple[list[dict], int]] | None = None,
     ) -> int:
-        """Builds manifest + manifest list + snapshot + metadata, then
-        races the version file. On conflict: refresh + rebuild (the
-        data files are immutable and stay valid) and retry — snapshot
-        id and sequence number are assigned per attempt so the manifest
-        is written with its FINAL ids."""
-        added_rows = sum(i["rows"] for i in infos)
-        added_files = len(infos)
+        """Builds manifest(s) + manifest list + snapshot + metadata,
+        then races the version file. On conflict: refresh + rebuild
+        (the data files are immutable and stay valid) and retry —
+        snapshot id and sequence number are assigned per attempt so
+        manifests are written with their FINAL ids. ``extra_parts``
+        adds further manifests (e.g. a position-delete manifest next
+        to a data manifest) inside the SAME atomic snapshot — the
+        MERGE shape: upserts and tombstones commit or vanish together."""
+        parts = [(infos, content)] + list(extra_parts or [])
         for _attempt in range(20):
             self.refresh()
             parent = self.current_snapshot()
             snapshot_id = _new_snapshot_id()
             seq = self.metadata["last-sequence-number"] + 1
-            new_manifest = self._build_manifest(infos, snapshot_id, seq, content)
+            new_manifests = [
+                self._build_manifest(p_infos, snapshot_id, seq, p_content)
+                for p_infos, p_content in parts
+                if p_infos
+            ]
             prior = []
             if carry_parent_manifests and parent is not None:
                 prior = M.read_manifest_list(parent["manifest-list"])
@@ -412,21 +419,46 @@ class IcebergTable:
             )
             M.write_manifest_list(
                 mlist_path,
-                [new_manifest] + prior,
+                new_manifests + prior,
                 snapshot_id=snapshot_id,
                 parent_snapshot_id=parent["snapshot-id"] if parent else None,
                 sequence_number=seq,
             )
-            is_data = content == M.CONTENT_DATA
+            data_rows = sum(
+                sum(i["rows"] for i in p_infos)
+                for p_infos, p_content in parts
+                if p_content == M.CONTENT_DATA
+            )
+            data_files = sum(
+                len(p_infos) for p_infos, p_content in parts if p_content == M.CONTENT_DATA
+            )
+            del_rows = sum(
+                sum(i["rows"] for i in p_infos)
+                for p_infos, p_content in parts
+                if p_content != M.CONTENT_DATA
+            )
+            del_files = sum(
+                len(p_infos) for p_infos, p_content in parts if p_content != M.CONTENT_DATA
+            )
             prior_data = [m for m in prior if m["content"] == 0]
-            total_rows = (added_rows if is_data else 0) + sum(
+            total_rows = data_rows + sum(
                 m["added_rows_count"] + m["existing_rows_count"] - m["deleted_rows_count"]
                 for m in prior_data
             )
-            total_files = (added_files if is_data else 0) + sum(
+            total_files = data_files + sum(
                 m["added_files_count"] + m["existing_files_count"] - m["deleted_files_count"]
                 for m in prior_data
             )
+            summary = {"operation": operation}
+            if data_files:
+                summary["added-data-files"] = str(data_files)
+                summary["added-records"] = str(data_rows)
+            if del_files:
+                summary["added-delete-files"] = str(del_files)
+                summary["added-position-deletes"] = str(del_rows)
+            summary["total-records"] = str(total_rows)
+            summary["total-data-files"] = str(total_files)
+            summary.update(summary_extra)
             snapshot = {
                 "snapshot-id": snapshot_id,
                 **({"parent-snapshot-id": parent["snapshot-id"]} if parent else {}),
@@ -434,14 +466,7 @@ class IcebergTable:
                 "timestamp-ms": int(time.time() * 1000),
                 "manifest-list": mlist_path,
                 "schema-id": self.metadata["current-schema-id"],
-                "summary": {
-                    "operation": operation,
-                    "added-data-files" if is_data else "added-delete-files": str(added_files),
-                    "added-records" if is_data else "added-position-deletes": str(added_rows),
-                    "total-records": str(total_rows),
-                    "total-data-files": str(total_files),
-                    **summary_extra,
-                },
+                "summary": summary,
             }
             meta = dict(self.metadata)
             meta["last-sequence-number"] = seq
@@ -461,7 +486,8 @@ class IcebergTable:
                 self._write_version(self.version + 1, meta)
             except CommitConflict:
                 os.unlink(mlist_path)
-                os.unlink(new_manifest["manifest_path"])
+                for m in new_manifests:
+                    os.unlink(m["manifest_path"])
                 continue
             self.metadata = meta
             self.version += 1
@@ -573,7 +599,15 @@ class IcebergTable:
     ) -> DataFrame:
         schema = self.spark_schema
         if not files:
-            return spark.createDataFrame([], schema)
+            empty = spark.createDataFrame([], schema)
+            if with_meta:
+                empty = empty.withColumns(
+                    {
+                        "_bs_file": F.lit(None).cast("string"),
+                        "_bs_pos": F.lit(None).cast("long"),
+                    }
+                )
+            return empty
         paths = [f["file_path"] for f in files]
         # explicit schema: files written under EARLIER schemas null-fill
         # added columns and upcast widened ones (int->long etc.) at scan,
@@ -634,21 +668,31 @@ class IcebergTable:
         (file, pos) — at 100 TB that join shuffles only the delete set
         against the scanned partitions, which is exactly how Iceberg
         merge-on-read reads cost out."""
-        import shutil as _shutil
-
-        import pyarrow.parquet as pq
-
         cond = F.expr(condition) if isinstance(condition, str) else condition
         self.refresh()
         data, deletes = self._live_entries()
         live = self._df_for_files(spark, data, delete_files=deletes, with_meta=True)
-        hits = (
-            live.filter(cond)
-            .select(
-                F.col("_bs_file").alias("file_path"), F.col("_bs_pos").alias("pos")
-            )
-            .orderBy("file_path", "pos")  # spec: sorted by file_path, pos
+        infos = self._stage_tombstones(live.filter(cond))
+        if not infos:
+            return None
+        return self._commit_snapshot(
+            infos,
+            operation="delete",
+            summary_extra={},
+            carry_parent_manifests=True,
+            content=M.CONTENT_POSITION_DELETES,
         )
+
+    def _stage_tombstones(self, hit_rows: DataFrame) -> list[dict]:
+        """Write (file_path, pos) position-delete parquet for the given
+        with-meta rows; returns file infos (empty when nothing hit)."""
+        import shutil as _shutil
+
+        import pyarrow.parquet as pq
+
+        hits = hit_rows.select(
+            F.col("_bs_file").alias("file_path"), F.col("_bs_pos").alias("pos")
+        ).orderBy("file_path", "pos")  # spec: sorted by file_path, pos
         stage_id = uuid.uuid4().hex
         stage = os.path.join(self.location, "_staging", stage_id)
         hits.coalesce(1).write.mode("overwrite").parquet(stage)
@@ -671,14 +715,39 @@ class IcebergTable:
                 }
             )
         _shutil.rmtree(stage, ignore_errors=True)
-        if not infos:
-            return None
+        return infos
+
+    def merge_rows(
+        self,
+        spark: SparkSession,
+        append_df: DataFrame,
+        delete_keys: DataFrame,
+        on: list[str],
+        summary: dict[str, str] | None = None,
+    ) -> int:
+        """Atomic MERGE: position-delete every live row whose ``on``
+        columns match a row of ``delete_keys``, and append
+        ``append_df`` — ONE snapshot carrying both the delete manifest
+        and the data manifest, so upserts and their tombstones commit
+        (or vanish on crash) together. This is the upsert primitive the
+        CDC merge-apply sink builds on.
+
+        At scale the semi-join shuffles only the key set against the
+        scanned partitions; the appended files never rewrite existing
+        data (merge-on-read)."""
+        self.refresh()
+        data, deletes = self._live_entries()
+        live = self._df_for_files(spark, data, delete_files=deletes, with_meta=True)
+        hits = live.join(delete_keys, on=on, how="left_semi")
+        del_infos = self._stage_tombstones(hits)
+        append_df = append_df.select([F.col(f.name) for f in self.spark_schema.fields])
+        _stage, data_infos = self._stage_data_files(append_df)
         return self._commit_snapshot(
-            infos,
-            operation="delete",
-            summary_extra={},
+            data_infos,
+            operation="overwrite",
+            summary_extra=dict(summary or {}),
             carry_parent_manifests=True,
-            content=M.CONTENT_POSITION_DELETES,
+            extra_parts=[(del_infos, M.CONTENT_POSITION_DELETES)],
         )
 
     def incremental_scan(

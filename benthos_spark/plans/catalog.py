@@ -2596,3 +2596,66 @@ def iceberg_delete_where_orders(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "cdc_iceberg_merge_orders",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_live,
+           round(sum(o_totalprice
+                     + CASE WHEN o_orderkey % 10 IN (6, 7, 8) THEN 1000 ELSE 0 END),
+                 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 9
+    GROUP BY o_orderstatus
+    """,
+)
+def cdc_iceberg_merge_orders(spark, sf_dir):
+    """The pg_stream → LAKEHOUSE path: the same deterministic orders
+    changelog as `cdc_merge_apply_orders`, applied through
+    IcebergMergeApplySink — every batch is ONE atomic Iceberg snapshot
+    carrying both position-delete tombstones and the merged winners,
+    stamped with the batch id. Same closed-form DuckDB oracle, so the
+    upsert/delete/tombstone bookkeeping must land exactly on the
+    Iceberg read path too."""
+    import shutil
+    import tempfile
+
+    from benthos_spark.sinks.iceberg import IcebergMergeApplySink
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    row = F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+    h = F.col("o_orderkey") % 10
+    inserts = o.select(
+        F.lit("c").alias("op"), (F.col("o_orderkey") * 2).alias("lsn"),
+        row.alias("after"), row.alias("before"),
+    )
+    updates = o.filter(h.isin(6, 7, 8)).select(
+        F.lit("u").alias("op"), (F.col("o_orderkey") * 2 + 1).alias("lsn"),
+        F.struct(
+            F.col("o_orderkey"), F.col("o_orderstatus"),
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        ).alias("after"),
+        row.alias("before"),
+    )
+    deletes = o.filter(h == 9).select(
+        F.lit("d").alias("op"), (F.col("o_orderkey") * 2 + 1).alias("lsn"),
+        F.lit(None).cast("struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>").alias("after"),
+        row.alias("before"),
+    )
+    changelog = inserts.unionByName(updates).unionByName(deletes)
+
+    tmp = tempfile.mkdtemp(prefix="bs_cdc_ice_")
+    try:
+        sink = IcebergMergeApplySink(tmp + "/t", pk_cols=("o_orderkey",))
+        sink(changelog, 0)
+        out = sink.read_state(spark).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

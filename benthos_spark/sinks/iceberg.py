@@ -170,3 +170,123 @@ class ExactlyOnceIcebergSink:
                     }
                 )
         return out
+
+
+class IcebergMergeApplySink:
+    """CDC merge-apply ONTO an Iceberg table — the fork's ``pg_stream``
+    → lakehouse story (/root/reference/internal/impl/postgres_cdc/
+    input.go:184) over our from-scratch v2 tables.
+
+    Input batches carry the changelog shape of
+    :class:`~benthos_spark.operators.cdc.MergeApplySink`: ``op``
+    ('c'/'u'/'r' upsert, 'd' delete), an ordering column (default
+    ``lsn``), and ``after``/``before`` row structs.
+
+    State model: table rows are the row fields + ``_deleted`` +
+    ``_order``. Deletes become TOMBSTONE rows (not silent drops) —
+    change streams are only per-key ordered, so an insert can ARRIVE
+    after the delete that kills it; the tombstone's order guard stops
+    the resurrection, exactly like the parquet MergeApplySink.
+
+    Per batch, ONE atomic Iceberg snapshot (via
+    :meth:`IcebergTable.merge_rows`) carries both the position-delete
+    manifest (old versions of touched keys) and the data manifest (the
+    merged winners) — stamped with the batch id for exactly-once. A
+    crash between staging and commit leaves only unreachable files.
+
+    Maintenance: ``expire_tombstones(horizon)`` position-deletes
+    tombstones older than the source's replay horizon;
+    ``expire_snapshots`` reclaims files.
+    """
+
+    DELETED_COL = "_deleted"
+    ORDER_COL = "_order"
+
+    def __init__(self, table_path: str, pk_cols: tuple[str, ...], order_col: str = "lsn"):
+        self.table = table_path
+        self.pk_cols = list(pk_cols)
+        self.order_col = order_col
+
+    def _ensure_table(self, batch_df: DataFrame) -> IcebergTable:
+        if IcebergTable.exists(self.table):
+            return IcebergTable.load(self.table)
+        from pyspark.sql import types as T
+
+        row_t = batch_df.schema["after"].dataType
+        fields = list(row_t.fields) + [
+            T.StructField(self.DELETED_COL, T.BooleanType()),
+            T.StructField(self.ORDER_COL, T.LongType()),
+        ]
+        return IcebergTable.create(self.table, T.StructType(fields))
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        t = self._ensure_table(df)
+        committed = {
+            int(s["summary"][BATCH_PROP])
+            for s in t.metadata["snapshots"]
+            if BATCH_PROP in s["summary"]
+        }
+        if batch_id in committed:
+            return  # replayed batch — exactly-once skip
+
+        from pyspark.sql.window import Window
+
+        row_fields = [f.name for f in df.schema["after"].dataType.fields]
+        non_pk = [c for c in row_fields if c not in self.pk_cols]
+        pk_exprs = [
+            F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+            for c in self.pk_cols
+        ]
+        events = df.select(
+            *pk_exprs,
+            *[F.col(f"after.{c}").alias(c) for c in non_pk],
+            (F.col("op") == "d").alias(self.DELETED_COL),
+            F.col(self.order_col).cast("long").alias(self.ORDER_COL),
+        )
+        keys = events.select(*self.pk_cols).distinct().persist()
+        try:
+            # old rows for touched keys only (semi-join bounds the read)
+            old = t.scan(spark).join(keys, on=self.pk_cols, how="left_semi")
+            # winner per key = highest order among old row + batch events
+            merged = old.unionByName(events)
+            w = Window.partitionBy(*self.pk_cols).orderBy(
+                F.col(self.ORDER_COL).desc()
+            )
+            winners = (
+                merged.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            # one snapshot: tombstone the old versions, append winners
+            t.merge_rows(
+                spark,
+                winners,
+                delete_keys=keys,
+                on=self.pk_cols,
+                summary={BATCH_PROP: str(batch_id)},
+            )
+        finally:
+            keys.unpersist()
+
+    # -- read side ---------------------------------------------------------
+
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        """Live rows (tombstones filtered, bookkeeping columns dropped)."""
+        t = IcebergTable.load(self.table)
+        return (
+            t.scan(spark)
+            .filter(~F.col(self.DELETED_COL))
+            .drop(self.DELETED_COL, self.ORDER_COL)
+        )
+
+    # -- maintenance -------------------------------------------------------
+
+    def expire_tombstones(self, spark: SparkSession, below_order: int) -> int | None:
+        """Position-delete tombstone rows older than the source's
+        replay horizon (they can no longer guard anything)."""
+        t = IcebergTable.load(self.table)
+        return t.delete_where(
+            spark,
+            F.col(self.DELETED_COL) & (F.col(self.ORDER_COL) < F.lit(below_order)),
+        )

@@ -636,3 +636,87 @@ def test_schema_evolution_add_and_widen(spark, tmpdir):
     )
     with _pytest.raises(ValueError, match="illegal type change"):
         t.evolve_schema(bad_narrow)
+
+
+# -- CDC merge-apply onto Iceberg ------------------------------------------
+
+
+def _changelog(spark, rows):
+    """rows: (op, lsn, after_dict_or_None, before_dict_or_None)"""
+    from pyspark.sql import types as T
+
+    row_t = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("after", row_t),
+            T.StructField("before", row_t),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_iceberg_merge_apply_upserts_deletes(spark, tmpdir):
+    from benthos_spark.sinks.iceberg import IcebergMergeApplySink
+
+    sink = IcebergMergeApplySink(tmpdir + "/t", pk_cols=("id",))
+    b0 = _changelog(
+        spark,
+        [
+            ("c", 10, (1, "new", 5.0), None),
+            ("c", 11, (2, "new", 7.0), None),
+            ("c", 12, (3, "new", 1.0), None),
+        ],
+    )
+    sink(b0, 0)
+    b1 = _changelog(
+        spark,
+        [
+            ("u", 20, (1, "paid", 6.0), (1, "new", 5.0)),
+            ("d", 21, None, (2, "new", 7.0)),
+            ("c", 22, (4, "new", 9.0), None),
+        ],
+    )
+    sink(b1, 1)
+    got = {r["id"]: (r["status"], r["amount"]) for r in sink.read_state(spark).collect()}
+    assert got == {1: ("paid", 6.0), 3: ("new", 1.0), 4: ("new", 9.0)}
+
+    # replayed batch is a no-op (atomic snapshot is batch-id-stamped)
+    t = IcebergTable.load(tmpdir + "/t")
+    n = len(t.metadata["snapshots"])
+    sink(b1, 1)
+    assert len(IcebergTable.load(tmpdir + "/t").metadata["snapshots"]) == n
+
+    # each merge batch is ONE snapshot carrying deletes + data together
+    snap = IcebergTable.load(tmpdir + "/t").current_snapshot()
+    assert "added-data-files" in snap["summary"]
+    assert "added-delete-files" in snap["summary"]
+
+
+def test_iceberg_merge_apply_tombstone_guard(spark, tmpdir):
+    """A delete's order guard must stop a LATER-arriving insert with a
+    LOWER lsn from resurrecting the key (cross-batch out-of-order)."""
+    from benthos_spark.sinks.iceberg import IcebergMergeApplySink
+
+    sink = IcebergMergeApplySink(tmpdir + "/t", pk_cols=("id",))
+    sink(_changelog(spark, [("d", 50, None, (9, "x", 0.0))]), 0)  # delete first
+    sink(_changelog(spark, [("c", 40, (9, "late", 3.0), None)]), 1)  # stale insert
+    assert sink.read_state(spark).filter("id = 9").count() == 0
+
+    # a genuinely newer insert DOES take the key back
+    sink(_changelog(spark, [("c", 60, (9, "back", 4.0), None)]), 2)
+    rows = sink.read_state(spark).filter("id = 9").collect()
+    assert len(rows) == 1 and rows[0]["status"] == "back"
+
+    # tombstone expiry: horizon past the delete's lsn removes it
+    sink.expire_tombstones(spark, below_order=1000)
+    t = IcebergTable.load(tmpdir + "/t")
+    live_all = t.scan(spark)
+    assert live_all.filter("_deleted").count() == 0
