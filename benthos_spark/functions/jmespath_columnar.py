@@ -18,7 +18,8 @@ functions, so the common shapes compile to pure Column expressions:
   ``&&``/``||``/``!`` truthiness
 - multiselect hash/list (null-LHS rule)
 - functions: length, contains, starts_with, ends_with, not_null,
-  to_string, to_number, abs, ceil, floor, sum, avg
+  to_string, to_number, abs, ceil, floor, sum, avg, min, max, reverse,
+  keys, join, type, to_array
 
 Everything else — expression references, sort/sort_by/min/max/map/…,
 negative slice bounds, steps — raises ``JmesCompileError`` and the
@@ -33,9 +34,12 @@ Documented divergences from the per-row interpreter (both deliberate):
   single message, and go-jmespath's host processor flags the message
   rather than crashing the stream;
 - compiled object renders sort keys (variant ``to_json``) and
-  object-value projections iterate in sorted-key order, while the
-  interpreter preserves insertion order (go-jmespath's map iteration is
-  randomized, so neither order is spec-bearing).
+  object-value projections — and ``keys()`` — iterate in sorted-key
+  order, while the interpreter preserves insertion order
+  (go-jmespath's map iteration is randomized, so neither order is
+  spec-bearing);
+- ``min``/``max``/``join`` yield null where the interpreter raises on
+  mixed-type arrays (same lenient-error rule as above).
 """
 
 from __future__ import annotations
@@ -357,7 +361,101 @@ def _fn(name: str, args: list, cur) -> CV:
         lngs = F.transform(elems, lambda e: F.try_variant_get(e, "$", "bigint"))
         total_l = F.aggregate(lngs, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
         return _num(total, F.coalesce(all_int, F.lit(False)), total_l)
+    if name in ("min", "max") and len(args) == 1:
+        elems = _elems(args[0])
+        lex = F.transform(elems, lambda e: F.coalesce(F.to_json(e), F.lit("null")))
+        all_num = F.forall(lex, lambda s: s.rlike(_NUM_LEXEME))
+        all_str = F.forall(lex, lambda s: s.startswith('"'))
+        fn = F.array_min if name == "min" else F.array_max
+        dbls = F.transform(elems, lambda e: F.try_variant_get(e, "$", "double"))
+        strs = F.transform(elems, lambda e: F.try_variant_get(e, "$", "string"))
+        d = fn(dbls)
+        # winner's int-ness from its own lexeme (min of [10, 2.5] is 2.5)
+        win_int = F.exists(
+            F.zip_with(dbls, lex, lambda dv, s: F.struct(dv.alias("d"), s.alias("s"))),
+            lambda p: (p["d"] == d) & p["s"].rlike(_INT_LEXEME),
+        )
+        num_js = F.when(win_int, d.cast("long").cast("string")).otherwise(
+            d.cast("string")
+        )
+        out = (
+            F.when((F.size(elems) > 0) & all_num, num_js)
+            .when((F.size(elems) > 0) & all_str, _json_quote_str(fn(strs)))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return CV("json", col=out)
+    if name == "reverse" and len(args) == 1:
+        (a,) = args
+        r = _render_jv(a)
+        elems = _elems(a)
+        arr_js = F.concat(
+            F.lit("["),
+            F.array_join(
+                F.reverse(F.transform(elems, lambda e: F.coalesce(F.to_json(e), F.lit("null")))),
+                ",",
+            ),
+            F.lit("]"),
+        )
+        str_js = _json_quote_str(F.reverse(_str_val(a, r)))
+        return CV(
+            "json",
+            col=F.when(r.startswith("["), arr_js).when(r.startswith('"'), str_js),
+        )
+    if name == "keys" and len(args) == 1:
+        (a,) = args
+        r = _render_jv(a)
+        ks = F.json_object_keys(r)  # insertion order from the JSON text
+        out = F.concat(
+            F.lit("["), F.array_join(F.transform(ks, _json_quote_str), ","), F.lit("]")
+        )
+        return CV("json", col=F.when(r.startswith("{"), out))
+    if name == "join" and len(args) == 2:
+        glue, arr = args
+        gr = _render_jv(glue)
+        g = _str_val(glue, gr)
+        elems = _elems(arr)
+        all_str = F.forall(
+            elems, lambda e: F.coalesce(F.to_json(e), F.lit("null")).startswith('"')
+        )
+        acc = F.aggregate(
+            F.transform(elems, lambda e: F.try_variant_get(e, "$", "string")),
+            F.lit(None).cast("string"),
+            lambda a_, x: F.when(a_.isNull(), x).otherwise(F.concat(a_, g, x)),
+        )
+        return CV(
+            "str",
+            col=F.when(
+                gr.startswith('"') & all_str & elems.isNotNull(),
+                F.coalesce(acc, F.lit("")),
+            ),
+        )
+    if name == "type" and len(args) == 1:
+        r = _render_jv(args[0])
+        t = (
+            F.when(r == "null", "null")
+            .when((r == "true") | (r == "false"), "boolean")
+            .when(r.startswith('"'), "string")
+            .when(r.startswith("["), "array")
+            .when(r.startswith("{"), "object")
+            .otherwise("number")
+        )
+        return CV("str", col=t)
+    if name == "to_array" and len(args) == 1:
+        # spec: arrays pass through; ANY other value (null included)
+        # wraps into a one-element array
+        r = _render_jv(args[0])
+        out = F.when(r.startswith("["), r).otherwise(
+            F.concat(F.lit("["), r, F.lit("]"))
+        )
+        return CV("json", col=out)
     raise JmesCompileError(f"function {name!r} not compiled")
+
+
+def _json_quote_str(col: Column) -> Column:
+    """String column → JSON string literal (escaped)."""
+    return F.regexp_extract(
+        F.to_json(F.struct(col.alias("s"))), r'^\{"s":(.*)\}$', 1
+    )
 
 
 _FNS = {
@@ -372,6 +470,13 @@ _FNS = {
     "floor": 1,
     "sum": 1,
     "avg": 1,
+    "min": 1,
+    "max": 1,
+    "reverse": 1,
+    "keys": 1,
+    "join": 2,
+    "type": 1,
+    "to_array": 1,
 }
 
 

@@ -829,6 +829,49 @@ class IcebergTable:
 
     # -- maintenance -------------------------------------------------------
 
+    def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
+        """Reclaim crash leftovers: files under ``data/`` and Avro
+        manifests under ``metadata/`` that NO snapshot references, plus
+        abandoned ``_staging/`` dirs — but only when older than the
+        grace period, so an in-flight commit's freshly staged files are
+        never swept. Version files and the hint are always kept.
+        Returns deleted paths."""
+        import shutil as _shutil
+
+        self.refresh()
+        referenced: set[str] = set()
+        for s in self.metadata["snapshots"]:
+            referenced.add(s["manifest-list"])
+            for mf in M.read_manifest_list(s["manifest-list"]):
+                referenced.add(mf["manifest_path"])
+                for e in M.read_manifest(mf["manifest_path"]):
+                    referenced.add(e["data_file"]["file_path"])
+        cutoff = time.time() - older_than_s
+        deleted: list[str] = []
+        data_root = os.path.join(self.location, "data")
+        for root, _dirs, files in os.walk(data_root):
+            for name in files:
+                p = os.path.join(root, name)
+                if p not in referenced and os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
+                    deleted.append(p)
+        mdir = os.path.join(self.location, "metadata")
+        for name in os.listdir(mdir):
+            if not name.endswith(".avro"):
+                continue  # version JSONs + hint are never orphans
+            p = os.path.join(mdir, name)
+            if p not in referenced and os.path.getmtime(p) < cutoff:
+                os.unlink(p)
+                deleted.append(p)
+        staging = os.path.join(self.location, "_staging")
+        if os.path.isdir(staging):
+            for name in os.listdir(staging):
+                p = os.path.join(staging, name)
+                if os.path.getmtime(p) < cutoff:
+                    _shutil.rmtree(p, ignore_errors=True)
+                    deleted.append(p)
+        return deleted
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete
         files only they referenced. Returns deleted paths."""

@@ -720,3 +720,29 @@ def test_iceberg_merge_apply_tombstone_guard(spark, tmpdir):
     t = IcebergTable.load(tmpdir + "/t")
     live_all = t.scan(spark)
     assert live_all.filter("_deleted").count() == 0
+
+
+def test_remove_orphans(spark, tmpdir):
+    """Crash leftovers (unreferenced data files, manifests, staging
+    dirs) are reclaimed; live files and version metadata survive."""
+    import os as _os
+
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema)
+    t.append(_sample_df(spark, 50))
+    # simulate a crash between staging and commit
+    orphan = tmpdir + "/t/data/deadbeef-orphan.parquet"
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    _os.makedirs(tmpdir + "/t/_staging/zzz", exist_ok=True)
+    with open(tmpdir + "/t/metadata/feedface-m0.avro", "wb") as f:
+        f.write(b"orphan manifest")
+
+    kept = t.remove_orphans(older_than_s=10)  # inside grace: nothing swept
+    assert kept == []
+    deleted = t.remove_orphans(older_than_s=0)
+    assert orphan in deleted
+    assert any("_staging" in p for p in deleted)
+    assert any(p.endswith("feedface-m0.avro") for p in deleted)
+    # table still fully readable; version files intact
+    assert t.scan(spark).count() == 50
+    assert _os.path.exists(tmpdir + "/t/metadata/version-hint.text")

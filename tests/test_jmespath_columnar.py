@@ -108,6 +108,27 @@ EXPRESSIONS = [
     "sum(mixed)",
     "avg(nums)",
     "sum(items[*].v)",
+    # round-3 second-wave additions
+    "min(nums)",
+    "max(nums)",
+    "min(tags)",
+    "max(tags)",
+    "min(mixed)",
+    "reverse(tags)",
+    "reverse(name)",
+    "reverse(nums)",
+    "keys(obj)",
+    "join('-', tags)",
+    "join(', ', tags)",
+    "type(n)",
+    "type(name)",
+    "type(tags)",
+    "type(obj)",
+    "type(missing)",
+    "to_array(n)",
+    "to_array(tags)",
+    "to_array(missing)",
+    "max(items[*].v)",
 ]
 
 # outside the subset — must fall back, not mis-compile
@@ -118,8 +139,6 @@ FALLBACK = [
     "map(&k, items)",
     "tags[::2]",
     "tags[-2:]",
-    "keys(obj)",
-    "min(nums)",
     "merge(obj, `{}`)",
 ]
 
