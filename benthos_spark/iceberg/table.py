@@ -104,7 +104,13 @@ class IcebergTable:
             "metadata-log": [],
         }
         table = cls(location, metadata, version=0)
-        table._write_version(1, metadata)
+        try:
+            table._write_version(1, metadata)
+        except CommitConflict:
+            # a concurrent creator won the v1 race — adopt its table
+            # (create is idempotent for same-schema callers, which is
+            # the foreachBatch first-micro-batch pattern)
+            return cls.load(location)
         table.version = 1
         return table
 
@@ -768,6 +774,19 @@ class IcebergTable:
         end = ordered.index(until_snapshot_id) + 1
         return ordered[start:end]
 
+    def compact(self, spark: SparkSession, summary: dict[str, str] | None = None) -> int:
+        """Major compaction: rewrite the table as one overwrite snapshot
+        of its current live rows — folds accumulated position-delete
+        files back into plain data files and coalesces small files.
+        Time travel to pre-compaction snapshots keeps working until
+        :meth:`expire_snapshots` reclaims them. Run in a maintenance
+        window; concurrent appends race the version file as usual (the
+        loser retries onto the compacted base)."""
+        self.refresh()
+        return self.overwrite(
+            self.scan(spark), summary={"benthos-spark.compaction": "true", **(summary or {})}
+        )
+
     # -- schema evolution --------------------------------------------------
 
     _WIDEN = {("int", "long"), ("float", "double")}  # spec type promotion
@@ -889,16 +908,22 @@ class IcebergTable:
                 for e in M.read_manifest(mf["manifest_path"]):
                     keep_data.add(e["data_file"]["file_path"])
         deleted: list[str] = []
+        # appends carry parent manifests BY REFERENCE, so several dropped
+        # snapshots usually share manifests — collect the union first,
+        # process each manifest exactly once, delete afterwards
+        drop_manifests: set[str] = set()
         for s in drop:
             for mf in M.read_manifest_list(s["manifest-list"]):
-                if mf["manifest_path"] not in keep_manifests:
-                    for e in M.read_manifest(mf["manifest_path"]):
-                        p = e["data_file"]["file_path"]
-                        if p not in keep_data and os.path.exists(p):
-                            os.unlink(p)
-                            deleted.append(p)
-                    os.unlink(mf["manifest_path"])
-                    deleted.append(mf["manifest_path"])
+                drop_manifests.add(mf["manifest_path"])
+        for mpath in sorted(drop_manifests - keep_manifests):
+            for e in M.read_manifest(mpath):
+                p = e["data_file"]["file_path"]
+                if p not in keep_data and os.path.exists(p):
+                    os.unlink(p)
+                    deleted.append(p)
+            os.unlink(mpath)
+            deleted.append(mpath)
+        for s in drop:
             os.unlink(s["manifest-list"])
             deleted.append(s["manifest-list"])
         keep_ids = {s["snapshot-id"] for s in keep}

@@ -746,3 +746,29 @@ def test_remove_orphans(spark, tmpdir):
     # table still fully readable; version files intact
     assert t.scan(spark).count() == 50
     assert _os.path.exists(tmpdir + "/t/metadata/version-hint.text")
+
+
+def test_compact_folds_deletes(spark, tmpdir):
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema, partition_by=("part",))
+    t.append(_sample_df(spark, 60))
+    t.append(_sample_df(spark, 40, offset=60))
+    t.delete_where(spark, "k % 7 = 0")
+    expect = sorted(r.k for r in t.scan(spark).collect())
+    t.compact(spark)
+    # post-compaction: no delete files remain live, content identical
+    data, deletes = t._live_entries()
+    assert deletes == []
+    assert sorted(r.k for r in t.scan(spark).collect()) == expect
+    assert t.current_snapshot()["summary"]["benthos-spark.compaction"] == "true"
+    # expiry then reclaims the pre-compaction generation
+    assert t.expire_snapshots(keep_last=1)
+    assert sorted(r.k for r in t.scan(spark).collect()) == expect
+
+
+def test_create_race_adopts_winner(spark, tmpdir):
+    df = _sample_df(spark, 5)
+    a = IcebergTable.create(tmpdir + "/t", df.schema)
+    b = IcebergTable.create(tmpdir + "/t", df.schema)  # racing creator
+    assert b.metadata["table-uuid"] == a.metadata["table-uuid"]
+    b.append(df)
+    assert IcebergTable.load(tmpdir + "/t").scan(spark).count() == 5
