@@ -68,18 +68,33 @@ def _read_file_as_arrow(part: IcebergFilePartition) -> Iterator[Any]:
     spark_schema = _St.fromJson(json.loads(part.schema_json))
     target = to_arrow_schema(spark_schema)
     table = pq.read_table(part.file_path)
+    same_shape = (
+        not part.partition_values
+        and table.schema.names == target.names
+        and all(
+            table.schema.field(i).type == target.field(i).type
+            for i in range(len(target))
+        )
+    )
+    if same_shape:
+        # fast path: names and types already match (metadata/nullability
+        # differences don't matter to Spark) — hand the batches over
+        # without any copy/cast
+        yield from table.to_batches()
+        return
     n = table.num_rows
     cols = []
     for fld in target:
         if fld.name in table.column_names:
-            cols.append(table.column(fld.name).cast(fld.type))
+            c = table.column(fld.name)
+            cols.append(c if c.type == fld.type else c.cast(fld.type))
         elif fld.name in part.partition_values:
             v = part.partition_values[fld.name]
             cols.append(pa.array([v] * n).cast(fld.type))
         else:
             cols.append(pa.nulls(n, fld.type))
     out = pa.table(dict(zip([f.name for f in target], cols)), schema=target)
-    yield from out.to_batches(max_chunksize=8192)
+    yield from out.to_batches()
 
 
 def _decode_partition(data_file: dict, tbl: IcebergTable) -> dict:
