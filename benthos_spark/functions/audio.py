@@ -283,12 +283,29 @@ def adpcm_decode_many(payloads: list[bytes]) -> list[np.ndarray]:
     return out
 
 
+def encode_flac(x: np.ndarray, sr_hz: int) -> bytes:
+    from benthos_spark.functions import flac as _flac
+
+    q = np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int16)
+    return _flac.encode(q, sr_hz)
+
+
+def decode_flac(b: bytes) -> np.ndarray:
+    from benthos_spark.functions import flac as _flac
+
+    samples, _sr = _flac.decode(b)
+    if samples.ndim == 2:  # stereo clips: downmix to the mono contract
+        samples = samples.mean(axis=1)
+    return samples.astype(np.float32) / 32767.0
+
+
 _ENCODERS = {
     "pcm_s16le": lambda x, sr: encode_pcm16(x),
     "wav": encode_wav,
     "ulaw": lambda x, sr: encode_ulaw(x),
     "alaw": lambda x, sr: encode_alaw(x),
     "adpcm_ima": lambda x, sr: encode_adpcm_ima(x),
+    "flac": encode_flac,
 }
 _DECODERS = {
     "pcm_s16le": decode_pcm16,
@@ -296,6 +313,7 @@ _DECODERS = {
     "ulaw": decode_ulaw,
     "alaw": decode_alaw,
     "adpcm_ima": decode_adpcm_ima,
+    "flac": decode_flac,
 }
 
 

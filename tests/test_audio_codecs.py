@@ -88,3 +88,194 @@ def test_audio_analysis_stage(spark):
         assert r["voiced_ratio"] > 0.8
         assert 50 < r["spectral_centroid"] < 6000
         assert r["trimmed_ms"] <= r["dur_ms"] + 40
+
+
+# -- FLAC (functions/flac.py) ----------------------------------------------
+
+
+def _flac_signals():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    yield "silence", np.zeros(5000, dtype=np.int16)
+    yield "const", np.full(4096, -1234, dtype=np.int16)
+    yield "sine", (10000 * np.sin(np.arange(9000) * 0.03)).astype(np.int16)
+    yield "noise", rng.integers(-32768, 32768, 7777).astype(np.int16)
+    yield "ramp", np.arange(-3000, 3000, dtype=np.int16)
+    yield "tiny", np.array([1, -1, 5], dtype=np.int16)
+    yield "mix", (8000 * np.sin(np.arange(12000) * 0.01) + rng.normal(0, 200, 12000)).astype(np.int16)
+
+
+def test_flac_roundtrip_bit_exact():
+    import numpy as np
+
+    from benthos_spark.functions import flac
+
+    for name, x in _flac_signals():
+        b = flac.encode(x, 16000)
+        y, sr = flac.decode(b)
+        assert sr == 16000
+        assert np.array_equal(x.astype(np.int32), y), name
+        # compressible signals actually compress
+        if name in ("silence", "const", "ramp", "sine"):
+            assert len(b) < 2 * len(x) / 2, name
+
+
+def test_flac_integrity_channels():
+    """CRC-8 (header), CRC-16 (frame), and STREAMINFO MD5 are three
+    independent tamper channels — corrupting any region is caught."""
+    import numpy as np
+    import pytest as _pytest
+
+    from benthos_spark.functions import flac
+
+    x = (9000 * np.sin(np.arange(6000) * 0.02)).astype(np.int16)
+    good = bytearray(flac.encode(x, 8000))
+    frame_start = good.index(b"\xff\xf8", 4)
+
+    # flip a bit in the frame HEADER -> CRC-8 (or sync) failure
+    bad = bytearray(good)
+    bad[frame_start + 3] ^= 0x04
+    with _pytest.raises(flac.FlacError):
+        flac.decode(bytes(bad))
+
+    # flip a bit deep in the frame BODY -> CRC-16 failure
+    bad = bytearray(good)
+    bad[frame_start + 60] ^= 0x01
+    with _pytest.raises(flac.FlacError):
+        flac.decode(bytes(bad))
+
+    # alter the STREAMINFO MD5 -> decoded-sample digest mismatch
+    bad = bytearray(good)
+    bad[8 + 18] ^= 0xFF  # first md5 byte inside STREAMINFO
+    with _pytest.raises(flac.FlacError, match="MD5"):
+        flac.decode(bytes(bad))
+
+
+def test_flac_decodes_lpc_subframe():
+    """Hand-assembled LPC subframe (order 2, shift 5): the decoder's
+    prediction loop must reproduce the signal the residuals encode."""
+    import struct
+
+    import numpy as np
+
+    from benthos_spark.functions import flac
+    from benthos_spark.functions.flac import _BitWriter, crc8, crc16
+
+    # target signal and LPC model
+    n = 64
+    coefs = [51, -25]  # Q5: pred = (51*x[i-1] - 25*x[i-2]) >> 5
+    shift = 5
+    sig = [100, 103]
+    rng = np.random.default_rng(3)
+    residuals = rng.integers(-8, 8, n - 2).tolist()
+    for e in residuals:
+        pred = (coefs[0] * sig[-1] + coefs[1] * sig[-2]) >> shift
+        sig.append(pred + e)
+
+    bw = _BitWriter()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 2)
+    bw.write(7, 4)   # block size: 16-bit value follows
+    bw.write(0, 4)   # sr from streaminfo
+    bw.write(0, 4)   # mono
+    bw.write(4, 3)   # 16 bps
+    bw.write(0, 1)
+    bw.write(0, 8)   # frame 0 (utf8)
+    bw.write(n - 1, 16)
+    bw.align()
+    hdr = bytes(bw.out)
+    bw.write(crc8(hdr), 8)
+    # subframe: LPC order 2 -> type 0b100001
+    bw.write(0, 1)
+    bw.write(32 + (2 - 1), 6)
+    bw.write(0, 1)  # no wasted bits
+    for w in sig[:2]:
+        bw.write(w & 0xFFFF, 16)
+    bw.write(15 - 1, 4)      # precision 15 (code 14)
+    bw.write(shift, 5)
+    for c in coefs:
+        bw.write(c & 0x7FFF, 15)
+    bw.write(0, 2)  # rice method 0
+    bw.write(0, 4)  # partition order 0
+    bw.write(4, 4)  # rice param 4
+    for e in residuals:
+        u = (abs(int(e)) << 1) - (1 if e < 0 else 0)
+        bw.write_unary(u >> 4)
+        bw.write(u & 15, 4)
+    bw.align()
+    body = bytes(bw.out)
+    frame = body + struct.pack(">H", crc16(body))
+
+    streaminfo = bytearray(34)
+    struct.pack_into(">HH", streaminfo, 0, n, n)
+    si = (8000 << 44) | (0 << 41) | (15 << 36) | n
+    streaminfo[10:18] = si.to_bytes(8, "big")
+    # md5 zeros = unverified (spec allows unknown)
+    data = b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(streaminfo) + frame
+    y, sr = flac.decode(data)
+    assert sr == 8000
+    assert y.tolist() == sig
+
+
+def test_flac_decodes_mid_side_stereo():
+    """Hand-assembled mid/side stereo frame: decorrelation must invert
+    exactly (mid = (l+r)>>1 with the side's low bit, side = l-r)."""
+    import struct
+
+    import numpy as np
+
+    from benthos_spark.functions import flac
+    from benthos_spark.functions.flac import _BitWriter, crc8, crc16
+
+    n = 16
+    left = [10, -5, 300, 0, 7, 7, -100, 50, 1, 2, 3, 4, -4, -3, -2, -1]
+    right = [3, -5, 299, 1, 7, 0, 100, -50, 0, 2, 2, 4, 4, -3, 2, -1]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    side = [l - r for l, r in zip(left, right)]
+
+    bw = _BitWriter()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 2)
+    bw.write(7, 4)
+    bw.write(0, 4)
+    bw.write(10, 4)  # mid/side
+    bw.write(4, 3)
+    bw.write(0, 1)
+    bw.write(0, 8)
+    bw.write(n - 1, 16)
+    bw.align()
+    bw.write(crc8(bytes(bw.out)), 8)
+    for vals, bps in ((mid, 16), (side, 17)):  # side gets +1 bit
+        bw.write(0, 1)
+        bw.write(1, 6)  # VERBATIM
+        bw.write(0, 1)
+        for v in vals:
+            bw.write(v & ((1 << bps) - 1), bps)
+    bw.align()
+    body = bytes(bw.out)
+    frame = body + struct.pack(">H", crc16(body))
+
+    streaminfo = bytearray(34)
+    struct.pack_into(">HH", streaminfo, 0, n, n)
+    si = (8000 << 44) | (1 << 41) | (15 << 36) | n
+    streaminfo[10:18] = si.to_bytes(8, "big")
+    data = b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(streaminfo) + frame
+    y, sr = flac.decode(data)
+    assert y.shape == (n, 2)
+    assert y[:, 0].tolist() == left
+    assert y[:, 1].tolist() == right
+
+
+def test_flac_through_audio_kernel():
+    """codec='flac' works through the engine's audio encode/decode
+    contract (float [-1,1] mono)."""
+    import numpy as np
+
+    from benthos_spark.functions import audio
+
+    x = (0.4 * np.sin(np.arange(8000) * 0.05)).astype(np.float32)
+    b = audio.encode(x, "flac", 16000)
+    y = audio.decode(b, "flac")
+    assert y.shape == x.shape
+    assert audio.snr_db(x, y) >= 40  # 16-bit quantization only
