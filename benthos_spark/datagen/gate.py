@@ -36,11 +36,11 @@ SIZES = {
     "sf0.01": {"clips": 1200, "images": 800, "videos": 200},
 }
 
-_TABLES = ("clips", "images", "videos", "images_png")
+_TABLES = ("clips", "images", "videos", "images_png", "clips_flac")
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 3
+GATE_VERSION = 4
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -121,6 +121,36 @@ def ensure_gate_tables(sf_name: str) -> None:
         pdf["bytes"] = blobs
         pdf["codec"] = "png"
         _write_atomic(pdf, p)
+    p = table_path(sf_name, "clips_flac")
+    if not os.path.exists(p):
+        # the deterministic reference signals, FLAC-CONTAINER-encoded:
+        # checksum16/n_samples are computed from the PRE-ENCODE int16
+        # samples, so the gate only matches on a real lossless decode
+        import pandas as pd
+
+        from benthos_spark.datagen.clips import clip_params, reference_signal
+        from benthos_spark.functions import flac as _flac
+
+        ids = np.arange(sizes["clips"] // 8, dtype=np.int64)
+        params = clip_params(ids)
+        rows = []
+        for i in ids:
+            sr = int(params["sr_hz"][i])
+            dur = int(params["dur_ms"][i])
+            sig = reference_signal(int(i), sr, dur)
+            q = np.clip(np.rint(sig * 32767.0), -32768, 32767).astype(np.int16)
+            rows.append(
+                {
+                    "clip_id": f"flac-{i:010d}",
+                    "bytes": _flac.encode(q, sr),
+                    "sr_hz": np.int32(sr),
+                    "dur_ms": np.int32(dur),
+                    "codec": "flac",
+                    "n_samples": np.int64(len(q)),
+                    "checksum16": np.int64(int(q.astype(np.int64).sum())),
+                }
+            )
+        _write_atomic(pd.DataFrame(rows), p)
     tmp_v = f"{version_file}.tmp.{os.getpid()}"
     os.makedirs(os.path.dirname(tmp_v), exist_ok=True)
     with open(tmp_v, "w") as fh:

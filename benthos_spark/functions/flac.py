@@ -160,7 +160,8 @@ def _encode_utf8_number(n: int) -> bytes:
     # widths: 2 bytes→11 bits, 3→16, 4→21, 5→26, 6→31, 7→36
     widths = {2: 11, 3: 16, 4: 21, 5: 26, 6: 31, 7: 36}
     nbytes = next(k for k, w in widths.items() if bits <= w)
-    prefix = (0xFF << (8 - nbytes - 1)) & 0xFF if nbytes < 7 else 0xFE
+    # nbytes leading ones then a zero (110xxxxx for 2 bytes, etc.)
+    prefix = (0xFF << (8 - nbytes)) & 0xFF
     first_bits = 8 - nbytes - 1 if nbytes < 7 else 0
     shift = 6 * (nbytes - 1)
     out.append(prefix | ((n >> shift) & ((1 << first_bits) - 1)))

@@ -2659,3 +2659,45 @@ def cdc_iceberg_merge_orders(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+_CLIPS_FLAC_GATE = _gate.table_path("sf0.01", "clips_flac")
+
+
+@register(
+    "audio_flac_decode_rollup",
+    f"""
+    SELECT codec,
+           count(*) AS n_clips,
+           sum(n_samples)::BIGINT AS total_samples,
+           sum(checksum16)::BIGINT AS total_checksum16,
+           count(*) AS ok_clips
+    FROM read_parquet('{_CLIPS_FLAC_GATE}')
+    GROUP BY codec
+    """,
+)
+def audio_flac_decode_rollup(spark, sf_dir):
+    """From-scratch FLAC container decode (functions/flac.py) under the
+    hash gate: the gate parquet's `checksum16` is the PRE-ENCODE int16
+    sample sum, so the rollup only matches if the Rice/fixed-predictor
+    decode reproduces every sample bit-exactly (FLAC is lossless — the
+    strictest oracle any codec entry has)."""
+    from benthos_spark.functions.audio import AUDIO_FEATURE_FIELDS, audio_features_map_in_pandas
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_flac_decode_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    clips = spark.read.parquet(_gate.table_path(sf, "clips_flac")).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    )
+    feats = clips.mapInPandas(
+        audio_features_map_in_pandas(["clip_id", "codec"]),
+        schema="clip_id string, codec string, " + AUDIO_FEATURE_FIELDS,
+    )
+    return feats.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum("checksum16").alias("total_checksum16"),
+        F.sum(F.col("clip_ok").cast("long")).alias("ok_clips"),
+    )

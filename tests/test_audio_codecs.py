@@ -279,3 +279,19 @@ def test_flac_through_audio_kernel():
     y = audio.decode(b, "flac")
     assert y.shape == x.shape
     assert audio.snr_db(x, y) >= 40  # 16-bit quantization only
+
+
+def test_flac_long_stream_multibyte_frame_numbers():
+    """>128 frames forces multi-byte UTF-8-coded frame numbers (the
+    regression that broke clip 61 of the gate table)."""
+    import numpy as np
+
+    from benthos_spark.functions import flac
+    from benthos_spark.functions.flac import _BitReader, _encode_utf8_number, _read_utf8_number
+
+    for n in (127, 128, 2047, 2048, 65535, 1 << 20, 1 << 31, (1 << 36) - 1):
+        assert _read_utf8_number(_BitReader(_encode_utf8_number(n))) == n
+
+    x = (5000 * np.sin(np.arange(4096 * 130 + 17) * 0.013)).astype(np.int16)
+    y, sr = flac.decode(flac.encode(x, 44100))
+    assert np.array_equal(x.astype(np.int32), y)
