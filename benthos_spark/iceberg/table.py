@@ -46,6 +46,38 @@ def _new_snapshot_id() -> int:
 
 _PARTITION_SOURCE_TYPES = ("string", "int", "long", "date", "boolean")
 
+_TIME_TRANSFORMS = ("year", "month", "day", "hour")
+
+
+def _parse_partition_spec(spec: str) -> tuple[str, str]:
+    """'col' → (identity, col); 'day(col)' → (day, col)."""
+    spec = spec.strip()
+    if "(" in spec:
+        transform, _, rest = spec.partition("(")
+        transform = transform.strip().lower()
+        col = rest.rstrip(")").strip()
+        if transform not in _TIME_TRANSFORMS:
+            raise ValueError(
+                f"unsupported partition transform {transform!r}; "
+                f"supported: identity, {', '.join(_TIME_TRANSFORMS)}"
+            )
+        return transform, col
+    return "identity", spec
+
+
+def _transform_col(transform: str, col):
+    """The spec's time-transform values: ordinals since 1970 (years /
+    months / days / hours) as ints."""
+    if transform == "year":
+        return (F.year(col) - F.lit(1970)).cast("int")
+    if transform == "month":
+        return ((F.year(col) - 1970) * 12 + F.month(col) - 1).cast("int")
+    if transform == "day":
+        return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("int")
+    if transform == "hour":
+        return F.floor(F.unix_timestamp(col) / 3600).cast("int")
+    raise ValueError(transform)
+
 
 class IcebergTable:
     def __init__(self, location: str, metadata: dict, version: int):
@@ -67,18 +99,28 @@ class IcebergTable:
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         schema_json, last_col_id = S.to_iceberg_schema(spark_schema)
         spec_fields = []
-        for i, col in enumerate(partition_by):
+        for i, spec in enumerate(partition_by):
+            transform, col = _parse_partition_spec(spec)
             fid = S.field_id_of(schema_json, col)
             src_type = next(f["type"] for f in schema_json["fields"] if f["id"] == fid)
-            if src_type not in _PARTITION_SOURCE_TYPES:
-                raise ValueError(
-                    f"identity partition on {col!r} ({src_type}) unsupported — "
-                    f"partition sources: {_PARTITION_SOURCE_TYPES}"
-                )
+            if transform == "identity":
+                if src_type not in _PARTITION_SOURCE_TYPES:
+                    raise ValueError(
+                        f"identity partition on {col!r} ({src_type}) unsupported — "
+                        f"partition sources: {_PARTITION_SOURCE_TYPES}"
+                    )
+                name = col
+            else:  # time transforms (spec "Partition Transforms")
+                if src_type not in ("timestamp", "timestamptz", "date"):
+                    raise ValueError(
+                        f"{transform}() partition needs a timestamp/date source, "
+                        f"got {col!r} ({src_type})"
+                    )
+                name = f"{col}_{transform}"
             spec_fields.append(
                 {
-                    "name": col,
-                    "transform": "identity",
+                    "name": name,
+                    "transform": transform,
                     "source-id": fid,
                     "field-id": 1000 + i,
                 }
@@ -180,6 +222,20 @@ class IcebergTable:
     def partition_cols(self) -> list[str]:
         return [f["name"] for f in self.partition_spec]
 
+    def _partition_value_type(self, pf: dict) -> str:
+        """The Iceberg type of a partition FIELD's values (identity →
+        source type; time transforms → int ordinals)."""
+        if pf["transform"] == "identity":
+            return next(
+                f["type"] for f in self.schema_json["fields"] if f["id"] == pf["source-id"]
+            )
+        return "int"
+
+    def _source_col_name(self, source_id: int) -> str:
+        return next(
+            f["name"] for f in self.schema_json["fields"] if f["id"] == source_id
+        )
+
     def current_snapshot(self) -> dict | None:
         sid = self.metadata.get("current-snapshot-id", -1)
         if sid in (-1, None):
@@ -199,16 +255,17 @@ class IcebergTable:
     def _partition_avro_fields(self) -> list[dict]:
         fields = []
         for pf in self.partition_spec:
-            src = next(
-                f for f in self.schema_json["fields"] if f["id"] == pf["source-id"]
-            )
-            avro_type = {
-                "string": "string",
-                "int": "int",
-                "long": "long",
-                "date": {"type": "int", "logicalType": "date"},
-                "boolean": "boolean",
-            }[src["type"]]
+            vtype = self._partition_value_type(pf)
+            if pf["transform"] == "day":
+                avro_type: Any = {"type": "int", "logicalType": "date"}
+            else:
+                avro_type = {
+                    "string": "string",
+                    "int": "int",
+                    "long": "long",
+                    "date": {"type": "int", "logicalType": "date"},
+                    "boolean": "boolean",
+                }[vtype]
             fields.append(
                 {
                     "name": pf["name"],
@@ -230,15 +287,24 @@ class IcebergTable:
 
         stage_id = uuid.uuid4().hex
         stage = os.path.join(self.location, "_staging", stage_id)
+        # derived (time-transform) partition columns exist only as hive
+        # dirs — Spark strips partitionBy columns from the files, so the
+        # SOURCE timestamp column stays in the data as the spec requires
+        for pf in self.partition_spec:
+            if pf["transform"] != "identity":
+                df = df.withColumn(
+                    pf["name"],
+                    _transform_col(
+                        pf["transform"], F.col(self._source_col_name(pf["source-id"]))
+                    ),
+                )
         writer = df.write.mode("overwrite")
         pcols = self.partition_cols
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(stage)
         src_types = {
-            f["name"]: f["type"]
-            for f in self.schema_json["fields"]
-            if isinstance(f["type"], str)
+            pf["name"]: self._partition_value_type(pf) for pf in self.partition_spec
         }
         infos: list[dict] = []
         for root, _dirs, files in os.walk(stage):
@@ -349,11 +415,7 @@ class IcebergTable:
         if spec and content == M.CONTENT_DATA:
             summaries = []
             for pf in spec:
-                src_type = next(
-                    f["type"]
-                    for f in self.schema_json["fields"]
-                    if f["id"] == pf["source-id"]
-                )
+                src_type = self._partition_value_type(pf)
                 vals = [i["partition"].get(pf["name"]) for i in infos]
                 non_null = [v for v in vals if v is not None]
                 summaries.append(

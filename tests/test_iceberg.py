@@ -772,3 +772,52 @@ def test_create_race_adopts_winner(spark, tmpdir):
     assert b.metadata["table-uuid"] == a.metadata["table-uuid"]
     b.append(df)
     assert IcebergTable.load(tmpdir + "/t").scan(spark).count() == 5
+
+
+def test_time_transform_partitioning(spark, tmpdir):
+    """day()/hour() partition transforms: hive dirs carry epoch
+    ordinals, the source timestamp column stays IN the data files, and
+    manifests record int partition values per the spec's transform
+    table."""
+    from pyspark.sql import types as T
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.expr("timestamp'2026-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600)")).alias("ts"),
+    )
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("day(ts)",))
+    t.append(df)
+    spec = t.partition_spec
+    assert spec[0]["transform"] == "day" and spec[0]["name"] == "ts_day"
+
+    out = t.scan(spark)
+    assert out.count() == 200
+    assert out.schema.fieldNames() == ["k", "ts"]  # no derived col leaks
+    # ts survives inside the files (not stripped like identity partitions)
+    assert out.filter("ts = timestamp'2026-03-01 05:00:00'").count() == 1
+
+    # manifest partition values are epoch-day ints covering the range
+    import datetime
+
+    days = set()
+    for f in t.live_files():
+        days.add(f["partition"]["ts_day"])
+    d0 = (datetime.date(2026, 3, 1) - datetime.date(1970, 1, 1)).days
+    assert min(days) == d0
+    assert max(days) == d0 + (200 * 3600) // 86400
+
+    # multi-level: identity + hour transform together
+    df2 = df.withColumn("part", (F.col("k") % 2).cast("int"))
+    t2 = IcebergTable.create(
+        tmpdir + "/t2", df2.schema, partition_by=("part", "hour(ts)")
+    )
+    t2.append(df2)
+    out2 = t2.scan(spark)
+    assert out2.count() == 200
+    assert out2.filter("part = 1").count() == 100
+    hours = {f["partition"]["ts_hour"] for f in t2.live_files()}
+    assert len(hours) == 200  # one distinct hour per row
+
+    # deletes + merge still work over transform-partitioned tables
+    t.delete_where(spark, "k < 10")
+    assert t.scan(spark).count() == 190
