@@ -28,6 +28,7 @@ import uuid
 from typing import Any, Iterable
 from urllib.parse import unquote
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -50,24 +51,33 @@ _TIME_TRANSFORMS = ("year", "month", "day", "hour")
 
 
 def _parse_partition_spec(spec: str) -> tuple[str, str]:
-    """'col' → (identity, col); 'day(col)' → (day, col)."""
+    """'col' → (identity, col); 'day(col)' → (day, col);
+    'bucket(16, col)' → (bucket[16], col)."""
     spec = spec.strip()
     if "(" in spec:
         transform, _, rest = spec.partition("(")
         transform = transform.strip().lower()
-        col = rest.rstrip(")").strip()
+        body = rest.rstrip(")").strip()
+        if transform == "bucket":
+            n_str, _, col = body.partition(",")
+            n = int(n_str.strip())
+            if n <= 0 or not col.strip():
+                raise ValueError("bucket(N, col) needs N > 0 and a column")
+            return f"bucket[{n}]", col.strip()
         if transform not in _TIME_TRANSFORMS:
             raise ValueError(
                 f"unsupported partition transform {transform!r}; "
-                f"supported: identity, {', '.join(_TIME_TRANSFORMS)}"
+                f"supported: identity, bucket, {', '.join(_TIME_TRANSFORMS)}"
             )
-        return transform, col
+        return transform, body
     return "identity", spec
 
 
-def _transform_col(transform: str, col):
+def _transform_col(transform: str, col, source_type: str = "long"):
     """The spec's time-transform values: ordinals since 1970 (years /
-    months / days / hours) as ints."""
+    months / days / hours) as ints; bucket[N] is the Appendix-B Murmur3
+    bucket (computed in an Arrow-vectorized pandas UDF — write path
+    only)."""
     if transform == "year":
         return (F.year(col) - F.lit(1970)).cast("int")
     if transform == "month":
@@ -76,7 +86,44 @@ def _transform_col(transform: str, col):
         return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("int")
     if transform == "hour":
         return F.floor(F.unix_timestamp(col) / 3600).cast("int")
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket["): -1])
+        return _bucket_udf(source_type, n)(col)
     raise ValueError(transform)
+
+
+def _bucket_udf(source_type: str, n: int):
+    from pyspark.sql.functions import pandas_udf
+
+    from benthos_spark.iceberg import bucketing as B
+
+    if source_type in ("int", "long"):
+
+        @pandas_udf("int")
+        def fn(s: pd.Series) -> pd.Series:
+            import numpy as _np
+
+            return pd.Series(B.bucket_longs(s.to_numpy(dtype=_np.int64), n))
+
+        return fn
+    if source_type in ("timestamp", "timestamptz"):
+
+        @pandas_udf("int")
+        def fn(s: pd.Series) -> pd.Series:
+            import numpy as _np
+
+            micros = s.astype("datetime64[us]").astype(_np.int64)
+            return pd.Series(B.bucket_longs(micros, n))
+
+        return fn
+    if source_type in ("string", "binary"):
+
+        @pandas_udf("int")
+        def fn(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: B.bucket_value(v, source_type, n)).astype("int32")
+
+        return fn
+    raise ValueError(f"bucket transform unsupported for {source_type}")
 
 
 class IcebergTable:
@@ -110,6 +157,12 @@ class IcebergTable:
                         f"partition sources: {_PARTITION_SOURCE_TYPES}"
                     )
                 name = col
+            elif transform.startswith("bucket["):
+                if src_type not in ("int", "long", "string", "binary", "timestamp", "timestamptz", "date"):
+                    raise ValueError(
+                        f"bucket partition unsupported for {col!r} ({src_type})"
+                    )
+                name = f"{col}_bucket"
             else:  # time transforms (spec "Partition Transforms")
                 if src_type not in ("timestamp", "timestamptz", "date"):
                     raise ValueError(
@@ -292,11 +345,15 @@ class IcebergTable:
         # SOURCE timestamp column stays in the data as the spec requires
         for pf in self.partition_spec:
             if pf["transform"] != "identity":
+                src_name = self._source_col_name(pf["source-id"])
+                src_type = next(
+                    f["type"]
+                    for f in self.schema_json["fields"]
+                    if f["id"] == pf["source-id"]
+                )
                 df = df.withColumn(
                     pf["name"],
-                    _transform_col(
-                        pf["transform"], F.col(self._source_col_name(pf["source-id"]))
-                    ),
+                    _transform_col(pf["transform"], F.col(src_name), src_type),
                 )
         writer = df.write.mode("overwrite")
         pcols = self.partition_cols

@@ -821,3 +821,50 @@ def test_time_transform_partitioning(spark, tmpdir):
     # deletes + merge still work over transform-partitioned tables
     t.delete_where(spark, "k < 10")
     assert t.scan(spark).count() == 190
+
+
+def test_bucket_transform_partitioning(spark, tmpdir):
+    """bucket(N, col) per spec Appendix B: Murmur3 seed-0 bucket values
+    in the hive dirs and manifests; every row's bucket matches the
+    reference hash (long 34 -> 2017239379, 'iceberg' -> 1210000089,
+    0x00010203 -> -188683207 pinned separately in the unit vectors)."""
+    import numpy as np
+
+    from benthos_spark.iceberg.bucketing import bucket_longs, bucket_value, murmur3_32, murmur3_32_longs
+
+    # spec Appendix B published reference hashes
+    assert int(murmur3_32_longs(np.array([34]), 0)[0]) == 2017239379
+    assert murmur3_32(b"iceberg", 0) == 1210000089
+    assert murmur3_32(bytes([0, 1, 2, 3]), 0) == -188683207
+
+    df = _sample_df(spark, 300)
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("bucket(8, k)",))
+    t.append(df)
+    assert t.partition_spec[0]["transform"] == "bucket[8]"
+    out = t.scan(spark)
+    assert sorted(r.k for r in out.collect()) == list(range(300))
+    # manifest bucket values agree with the reference transform
+    expect = {int(k): int(b) for k, b in zip(range(300), bucket_longs(np.arange(300), 8))}
+    for f in t.live_files():
+        assert 0 <= f["partition"]["k_bucket"] < 8
+    # spot-check: rows land in the file whose dir matches their bucket
+    got = (
+        t._df_for_files(spark, t.live_files(), with_meta=True)
+        .select("k", "_bs_file")
+        .collect()
+    )
+    for r in got:
+        assert f"k_bucket={expect[r['k']]}/" in r["_bs_file"], (r["k"], r["_bs_file"])
+
+    # string buckets through the same path
+    t2 = IcebergTable.create(tmpdir + "/t2", df.schema, partition_by=("bucket(4, val)",))
+    t2.append(df)
+    assert t2.scan(spark).count() == 300
+    for f in t2.live_files():
+        assert 0 <= f["partition"]["val_bucket"] < 4
+    r0 = next(f for f in t2.live_files())
+    # recompute one bucket from a value inside that file
+    import pyarrow.parquet as pq
+
+    sample_val = pq.read_table(r0["file_path"]).column("val")[0].as_py()
+    assert bucket_value(sample_val, "string", 4) == r0["partition"]["val_bucket"]
