@@ -410,10 +410,82 @@ class IcebergTable:
                         "rows": meta.num_rows,
                         "size": os.path.getsize(path),
                         "partition": partition,
+                        **self._footer_stats(meta),
                     }
                 )
         shutil.rmtree(stage, ignore_errors=True)
         return stage, infos
+
+    def _footer_stats(self, meta) -> dict:
+        """Per-column stats from the parquet footer (no Spark job):
+        value/null counts and spec-encoded lower/upper bounds for the
+        primitive columns — the metadata a planner (ours or any Iceberg
+        reader) uses for file skipping at scale."""
+        by_name = {
+            f["name"]: f
+            for f in self.schema_json["fields"]
+            if isinstance(f["type"], str)
+        }
+        value_counts: dict[int, int] = {}
+        null_counts: dict[int, int] = {}
+        lowers: dict[int, bytes] = {}
+        uppers: dict[int, bytes] = {}
+        mins: dict[int, Any] = {}
+        maxs: dict[int, Any] = {}
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                name = col.path_in_schema
+                f = by_name.get(name)
+                if f is None:
+                    continue
+                fid = f["id"]
+                value_counts[fid] = value_counts.get(fid, 0) + col.num_values
+                st = col.statistics
+                if st is None:
+                    continue
+                if st.null_count is not None:
+                    null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+                if not st.has_min_max or f["type"] == "binary":
+                    continue
+                try:
+                    lo, hi = st.min, st.max
+                except Exception:
+                    continue
+                if lo is None or hi is None:
+                    continue
+                if fid not in mins or lo < mins[fid]:
+                    mins[fid] = lo
+                if fid not in maxs or hi > maxs[fid]:
+                    maxs[fid] = hi
+        for fid, lo in mins.items():
+            t = next(f["type"] for f in self.schema_json["fields"] if f["id"] == fid)
+            try:
+                if t in ("timestamp", "timestamptz"):
+                    # pyarrow returns datetimes; spec encodes micros
+                    lo_us = int(lo.timestamp() * 1_000_000)
+                    hi_us = int(maxs[fid].timestamp() * 1_000_000)
+                    lowers[fid] = M.encode_bound(lo_us, "long")
+                    uppers[fid] = M.encode_bound(hi_us, "long")
+                elif t == "date":
+                    import datetime
+
+                    epoch = datetime.date(1970, 1, 1)
+                    lowers[fid] = M.encode_bound((lo - epoch).days, "date")
+                    uppers[fid] = M.encode_bound((maxs[fid] - epoch).days, "date")
+                else:
+                    lowers[fid] = M.encode_bound(lo, t)
+                    uppers[fid] = M.encode_bound(maxs[fid], t)
+            except (ValueError, TypeError, AttributeError):
+                continue
+        as_kv = lambda d: [{"key": k, "value": v} for k, v in sorted(d.items())] or None  # noqa: E731
+        return {
+            "value_counts": as_kv(value_counts),
+            "null_value_counts": as_kv(null_counts),
+            "lower_bounds": as_kv(lowers),
+            "upper_bounds": as_kv(uppers),
+        }
 
     def _build_manifest(
         self,
@@ -443,11 +515,11 @@ class IcebergTable:
                         "record_count": info["rows"],
                         "file_size_in_bytes": info["size"],
                         "column_sizes": None,
-                        "value_counts": None,
-                        "null_value_counts": None,
+                        "value_counts": info.get("value_counts"),
+                        "null_value_counts": info.get("null_value_counts"),
                         "nan_value_counts": None,
-                        "lower_bounds": None,
-                        "upper_bounds": None,
+                        "lower_bounds": info.get("lower_bounds"),
+                        "upper_bounds": info.get("upper_bounds"),
                         "key_metadata": None,
                         "split_offsets": None,
                         "equality_ids": None,

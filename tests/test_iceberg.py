@@ -868,3 +868,38 @@ def test_bucket_transform_partitioning(spark, tmpdir):
 
     sample_val = pq.read_table(r0["file_path"]).column("val")[0].as_py()
     assert bucket_value(sample_val, "string", 4) == r0["partition"]["val_bucket"]
+
+
+def test_manifest_column_stats(spark, tmpdir):
+    """Data-file entries carry footer-derived value/null counts and
+    spec-encoded lower/upper bounds by FIELD-ID — the file-skipping
+    metadata any Iceberg planner reads."""
+    df = _sample_df(spark, 100).withColumn(
+        "maybe", F.when(F.col("k") % 4 == 0, F.col("k")).cast("long")
+    )
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    t.append(df.coalesce(1))
+    [entry] = M.read_manifest(
+        M.read_manifest_list(t.current_snapshot()["manifest-list"])[0]["manifest_path"]
+    )
+    f = entry["data_file"]
+    vc = {kv["key"]: kv["value"] for kv in f["value_counts"]}
+    assert vc[1] == 100  # k
+    nulls = {kv["key"]: kv["value"] for kv in f["null_value_counts"]}
+    assert nulls.get(4, 0) == 75  # 'maybe' is null for k%4 != 0
+    lo = {kv["key"]: kv["value"] for kv in f["lower_bounds"]}
+    hi = {kv["key"]: kv["value"] for kv in f["upper_bounds"]}
+    assert M.decode_bound(lo[1], "long") == 0
+    assert M.decode_bound(hi[1], "long") == 99
+    assert M.decode_bound(lo[3], "string") == "v0"  # lexicographic min of val
+    # java avro still parses the stats maps (int-keyed map encoding)
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(
+            M.read_manifest_list(t.current_snapshot()["manifest-list"])[0]["manifest_path"]
+        ),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    rec = reader.next()
+    reader.close()
+    assert rec.get("data_file").get("value_counts") is not None
