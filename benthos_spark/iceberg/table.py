@@ -126,6 +126,55 @@ def _bucket_udf(source_type: str, n: int):
     raise ValueError(f"bucket transform unsupported for {source_type}")
 
 
+import re as _re
+
+_CONJUNCT = _re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|==|=|<|>)\s*(.+?)\s*$"
+)
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, Any]]:
+    """`a >= 3 AND name = 'x'` → [(a, >=, 3), (name, =, x)]. Returns []
+    (skip nothing) when any part is outside the simple shape — pruning
+    must stay conservative."""
+    out = []
+    for part in _re.split(r"(?i)\s+and\s+", where.strip()):
+        m = _CONJUNCT.match(part)
+        if not m:
+            return []
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if lit.startswith("'") and lit.endswith("'") and len(lit) >= 2:
+            val: Any = lit[1:-1]
+        else:
+            try:
+                val = int(lit)
+            except ValueError:
+                try:
+                    val = float(lit)
+                except ValueError:
+                    return []
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _range_may_match(lo, hi, op: str, lit) -> bool:
+    """Can any value in [lo, hi] satisfy `value op lit`?"""
+    try:
+        if op == "=":
+            return lo <= lit <= hi
+        if op == "<":
+            return lo < lit
+        if op == "<=":
+            return lo <= lit
+        if op == ">":
+            return hi > lit
+        if op == ">=":
+            return hi >= lit
+    except TypeError:
+        return True  # incomparable types: never skip
+    return True
+
+
 class IcebergTable:
     def __init__(self, location: str, metadata: dict, version: int):
         self.location = location
@@ -847,9 +896,57 @@ class IcebergTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
+        where: str | None = None,
     ) -> DataFrame:
+        """``where`` is applied BOTH as metadata-level file skipping
+        (simple `col op literal` conjuncts tested against the
+        manifests' column bounds and identity-partition values — files
+        that cannot contain a match never reach Spark) and as the
+        residual row filter. Unparseable predicates skip nothing and
+        filter everything — never a correctness change."""
         data, deletes = self._live_entries(snapshot_id, as_of_ms)
-        return self._df_for_files(spark, data, delete_files=deletes)
+        if where:
+            data = self.plan_files(where, files=data)
+        df = self._df_for_files(spark, data, delete_files=deletes)
+        return df.filter(where) if where else df
+
+    def plan_files(self, where: str, files: list[dict] | None = None) -> list[dict]:
+        """The data files a scan with ``where`` must read (metadata-only
+        pruning by column bounds + identity partition values)."""
+        if files is None:
+            files = self.live_files()
+        conjuncts = _parse_conjuncts(where)
+        if not conjuncts:
+            return files
+        fields = {f["name"]: f for f in self.schema_json["fields"] if isinstance(f["type"], str)}
+        identity_parts = {
+            pf["name"] for pf in self.partition_spec if pf["transform"] == "identity"
+        }
+        out = []
+        for df_rec in files:
+            keep = True
+            for col, op, lit in conjuncts:
+                f = fields.get(col)
+                if f is None:
+                    continue
+                lo = hi = None
+                if col in identity_parts and (df_rec.get("partition") or {}).get(col) is not None:
+                    lo = hi = df_rec["partition"][col]
+                else:
+                    lob = {kv["key"]: kv["value"] for kv in (df_rec.get("lower_bounds") or [])}
+                    hib = {kv["key"]: kv["value"] for kv in (df_rec.get("upper_bounds") or [])}
+                    if f["id"] in lob:
+                        t = "long" if f["type"] in ("timestamp", "timestamptz") else f["type"]
+                        lo = M.decode_bound(lob[f["id"]], t)
+                        hi = M.decode_bound(hib[f["id"]], t)
+                if lo is None:
+                    continue  # no stats: cannot skip
+                if not _range_may_match(lo, hi, op, lit):
+                    keep = False
+                    break
+            if keep:
+                out.append(df_rec)
+        return out
 
     def delete_where(self, spark: SparkSession, condition) -> int | None:
         """Row-level delete as a v2 POSITION-DELETE snapshot

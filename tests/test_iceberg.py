@@ -903,3 +903,35 @@ def test_manifest_column_stats(spark, tmpdir):
     rec = reader.next()
     reader.close()
     assert rec.get("data_file").get("value_counts") is not None
+
+
+def test_scan_file_skipping(spark, tmpdir):
+    """scan(where=...) prunes files at the METADATA level: appends with
+    disjoint key ranges produce files a bounds test excludes before
+    Spark ever lists them, and the result still equals a full filter."""
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema)
+    t.append(_sample_df(spark, 100).coalesce(1))            # k in [0, 99]
+    t.append(_sample_df(spark, 100, offset=1000).coalesce(1))  # [1000, 1099]
+    t.append(_sample_df(spark, 100, offset=5000).coalesce(1))  # [5000, 5099]
+    assert len(t.live_files()) == 3
+
+    assert len(t.plan_files("k >= 1000")) == 2
+    assert len(t.plan_files("k > 1099")) == 1
+    assert len(t.plan_files("k = 5050")) == 1
+    assert len(t.plan_files("k >= 1000 AND k < 2000")) == 1
+    assert len(t.plan_files("val = 'v5'")) == 1  # string bounds prune too
+    # unparseable predicate: conservative (no skipping)
+    assert len(t.plan_files("k % 2 = 0")) == 3
+
+    got = sorted(r.k for r in t.scan(spark, where="k >= 1000 AND k < 2000").collect())
+    assert got == list(range(1000, 1100))
+    # residual filtering still applies within the surviving file
+    assert t.scan(spark, where="k = 5050").count() == 1
+    assert t.scan(spark, where="k % 10 = 3").count() == 30
+
+    # identity partition values prune when bounds are absent
+    t2 = IcebergTable.create(tmpdir + "/t2", _sample_df(spark).schema, partition_by=("part",))
+    t2.append(_sample_df(spark, 90))
+    files_p1 = t2.plan_files("part = 1")
+    assert files_p1 and all(f["partition"]["part"] == 1 for f in files_p1)
+    assert t2.scan(spark, where="part = 1").count() == 30
