@@ -179,6 +179,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             snapshot_id=conf.get("snapshot_id"),
             as_of_ms=conf.get("as_of_ms"),
             starting_offsets=conf.get("starting_offsets", "earliest"),
+            where=conf.get("where"),
         )
     if name == "batched":
         if conf.get("policy", {}).get("check"):

@@ -233,17 +233,25 @@ class IcebergSource:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         starting_offsets: str = "earliest",
+        where: str | None = None,
     ):
+        """``where`` (batch only): pushed into metadata-level file
+        skipping via :meth:`IcebergTable.scan` — files whose bounds
+        cannot match never reach Spark."""
         self.path = path
         self.streaming = streaming
         self.snapshot_id = snapshot_id
         self.as_of_ms = as_of_ms
         self.starting_offsets = starting_offsets
+        self.where = where
 
     def read(self, spark):
         if not self.streaming:
             return IcebergTable.load(self.path).scan(
-                spark, snapshot_id=self.snapshot_id, as_of_ms=self.as_of_ms
+                spark,
+                snapshot_id=self.snapshot_id,
+                as_of_ms=self.as_of_ms,
+                where=self.where,
             )
         register(spark)
         reader = (
