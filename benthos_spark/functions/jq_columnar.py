@@ -538,7 +538,7 @@ class _SubsetParser:
         if name in (
             "floor", "ceil", "tostring", "tonumber", "not", "length", "type",
             "abs", "fabs", "first", "last", "add", "min", "max",
-            "ascii_downcase", "ascii_upcase",
+            "ascii_downcase", "ascii_upcase", "keys", "sort", "unique", "reverse",
         ):
             return ("call0", name)
         if name == "has":
@@ -796,6 +796,13 @@ def _compile(node, cur: CV, keep: Optional[Column]):
         return keep, CV("json", col=F.when(arr.isNotNull(), rendered))
     if tag == "call0":
         name = node[1]
+        if cur.kind == "json" and name in (
+            "first", "last", "add", "min", "max", "keys", "sort", "unique",
+            "reverse", "length", "type", "tostring", "tonumber",
+        ):
+            # rendered intermediates (sort/unique/map/if outputs) re-enter
+            # the variant lane so builtin chains stay columnar
+            cur = CV.variant(F.try_parse_json(cur.col))
         if name in ("floor", "ceil"):
             n = _as_num(cur)
             fn = F.floor if name == "floor" else F.ceil
@@ -923,6 +930,85 @@ def _compile(node, cur: CV, keep: Optional[Column]):
             out = (
                 F.when(ok_num, _render(num_cv))
                 .when(ok_str, _json_quote(s))
+                .otherwise(F.lit(None).cast("string"))
+            )
+            return keep, CV("json", col=out)
+        if name == "keys":
+            # jq keys is SORTED (unlike jmespath) — matches the variant
+            # renderer's key order exactly, so both tiers agree
+            if cur.kind != "variant":
+                raise JqCompileError("keys over non-variant")
+            js = F.coalesce(F.to_json(cur.vcol()), F.lit("null"))
+            ks = F.array_sort(F.json_object_keys(js))
+            out = F.concat(
+                F.lit("["), F.array_join(F.transform(ks, _json_quote), ","), F.lit("]")
+            )
+            return keep, CV("json", col=F.when(js.startswith("{"), out))
+        if name == "reverse":
+            if cur.kind == "str":
+                return keep, CV("str", col=F.reverse(cur.col))
+            if cur.kind != "variant":
+                raise JqCompileError("reverse over non-variant")
+            c = cur.vcol()
+            js = F.coalesce(F.to_json(c), F.lit("null"))
+            arr = F.try_variant_get(c, "$", "array<variant>")
+            arr_js = F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.reverse(F.transform(arr, lambda x: _render(CV.variant(x)))), ","
+                ),
+                F.lit("]"),
+            )
+            s = F.try_variant_get(c, "$", "string")
+            return keep, CV(
+                "json",
+                col=F.when(js.startswith("["), arr_js).when(
+                    js.startswith('"'), _json_quote(F.reverse(s))
+                ),
+            )
+        if name in ("sort", "unique"):
+            # jq sorts the result for BOTH; compile for all-number or
+            # all-string arrays (mixed types need jq's total order —
+            # interpreter fallback). The sort permutes the ORIGINAL
+            # LEXEMES with a value comparator, so big ints past 2^53
+            # keep their exact digits and 6 vs 6.0 render unchanged.
+            if cur.kind != "variant":
+                raise JqCompileError(f"{name} over non-variant")
+            c = cur.vcol()
+            arr_v = F.try_variant_get(c, "$", "array<variant>")
+            lex = F.transform(arr_v, lambda x: F.coalesce(F.to_json(x), F.lit("null")))
+            all_num = F.forall(lex, lambda s_: s_.rlike(r"^-?[0-9.eE+\-]+$"))
+            all_str = F.forall(lex, lambda s_: s_.startswith('"'))
+
+            def cmp(x, y):
+                xd, yd = x.try_cast("double"), y.try_cast("double")
+                num_cmp = F.when(xd < yd, -1).when(xd > yd, 1).otherwise(0)
+                # quoted lexemes order like their contents for
+                # escape-free strings; numeric lexemes use value order
+                return F.when(
+                    xd.isNotNull() & yd.isNotNull(), num_cmp
+                ).otherwise(F.when(x < y, -1).when(x > y, 1).otherwise(0))
+
+            sorted_lex = F.array_sort(lex, cmp)
+            if name == "unique":
+                # drop adjacent value-duplicates post-sort (1 and 1.0
+                # are the same jq value even with distinct lexemes)
+                def keep_first(x, i):
+                    prev = F.element_at(sorted_lex, i)  # 1-based = previous
+                    xd, pd_ = x.try_cast("double"), prev.try_cast("double")
+                    same = F.when(
+                        xd.isNotNull() & pd_.isNotNull(), xd == pd_
+                    ).otherwise(x == prev)
+                    return (i == 0) | ~same
+
+                sorted_lex = F.filter(sorted_lex, keep_first)
+            body = F.concat(
+                F.lit("["), F.array_join(sorted_lex, ","), F.lit("]")
+            )
+            empty_arr = F.size(arr_v) == 0
+            out = (
+                F.when(arr_v.isNotNull() & empty_arr, F.lit("[]"))
+                .when(arr_v.isNotNull() & (all_num | all_str), body)
                 .otherwise(F.lit(None).cast("string"))
             )
             return keep, CV("json", col=out)

@@ -841,8 +841,12 @@ def _mk_func(name, args):
             yield [[e for _, e in grp] for _, grp in itertools.groupby(keyed, key=lambda kv: kv[0])]
             return
         if name == "unique":
+            # jq: sort by the TOTAL VALUE ORDER (like sort), then drop
+            # adjacent duplicates — [10, 2.25] must yield [2.25, 10]
+            import functools
+
             seen, out = set(), []
-            for e in sorted(v, key=lambda x: json.dumps(x, sort_keys=True, default=str)):
+            for e in sorted(v, key=functools.cmp_to_key(_jq_cmp)):
                 k = json.dumps(e, sort_keys=True, default=str)
                 if k not in seen:
                     seen.add(k)

@@ -124,6 +124,16 @@ PROGRAMS = [
     '.name | test("^[a-z]+$")',
     '.tags | join(",") | ascii_upcase',
     'select(.k != null) | {sum: (.nums | add), top: (.nums | max)}',
+    ".meta | keys",
+    ".nums | sort",
+    ".tags | sort",
+    ".nums | unique",
+    ".tags | unique",
+    ".nums | reverse",
+    ".tags | reverse",
+    ".name | reverse",
+    ".nums | sort | first",
+    ".tags | unique | length",
 ]
 
 # outside the subset — must fall back, not mis-compile
