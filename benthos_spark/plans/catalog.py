@@ -2701,3 +2701,12 @@ def audio_flac_decode_rollup(spark, sf_dir):
         F.sum("checksum16").alias("total_checksum16"),
         F.sum(F.col("clip_ok").cast("long")).alias("ok_clips"),
     )
+
+
+# =====================================================================
+# Extension packs registered at import time (each module calls
+# ``register`` on import; the import sits at the END of this file so
+# the partially-initialized module already exposes ``register``/``_t``).
+# =====================================================================
+
+from benthos_spark.plans import tpch_ext  # noqa: E402,F401  (registers q7..q22)
