@@ -2710,3 +2710,4 @@ def audio_flac_decode_rollup(spark, sf_dir):
 # =====================================================================
 
 from benthos_spark.plans import tpch_ext  # noqa: E402,F401  (registers q7..q22)
+from benthos_spark.plans import cep_entries  # noqa: E402,F401  (registers cep_*)

@@ -1,0 +1,217 @@
+"""CEP pattern matching (operators/cep.py): strict sequences, relaxed
+funnels, and the streaming NFA — streaming output must equal the batch
+FunnelMatch on the same input (the engine-wide batch/stream parity bar).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.operators.cep import FunnelMatch, SequenceMatch, funnel_with_state
+from benthos_spark.streaming.pipeline import run_to_completion
+
+EV_SCHEMA = "user_id long, event_id long, ts timestamp, event_type string"
+
+
+def _mk(spark, rows):
+    data = [
+        (uid, eid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec), sym)
+        for uid, eid, sec, sym in rows
+    ]
+    return spark.createDataFrame(data, EV_SCHEMA)
+
+
+def test_funnel_greedy_binding(spark):
+    """Each step binds the EARLIEST qualifying event; intervening
+    non-matching events are skipped."""
+    df = _mk(
+        spark,
+        [
+            (1, 1, 0, "A"),
+            (1, 2, 10, "X"),   # ignored
+            (1, 3, 20, "B"),   # earliest B → bound
+            (1, 4, 30, "B"),   # later B → not bound
+            (1, 5, 40, "C"),
+        ],
+    )
+    m = FunnelMatch(
+        key_cols=["user_id"], ts_col="ts", id_col="event_id",
+        steps=[("a", F.col("event_type") == "A"),
+               ("b", F.col("event_type") == "B"),
+               ("c", F.col("event_type") == "C")],
+        within="1 hour",
+    )
+    rows = m(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a_id, r.b_id, r.c_id) == (1, 3, 5)
+    assert r.duration_ms == 40_000
+
+
+def test_funnel_within_is_greedy_not_backtracking(spark):
+    """If the greedy chain busts the budget, the anchor does NOT retry a
+    later (faster-finishing) candidate — funnel semantics."""
+    df = _mk(
+        spark,
+        [
+            (1, 1, 0, "A"),
+            (1, 2, 10, "B"),      # greedy binds here…
+            (1, 3, 5000, "C"),    # …but C is 5000s later: busts 1h? no — 5000s > 3600s busts
+        ],
+    )
+    m = FunnelMatch(
+        key_cols=["user_id"], ts_col="ts", id_col="event_id",
+        steps=[("a", F.col("event_type") == "A"), ("b", F.col("event_type") == "B"),
+               ("c", F.col("event_type") == "C")],
+        within="1 hour",
+    )
+    assert m(df).count() == 0
+
+
+def test_funnel_every_anchor_emits(spark):
+    """Two anchors sharing later steps both complete (overlap allowed)."""
+    df = _mk(spark, [(1, 1, 0, "A"), (1, 2, 5, "A"), (1, 3, 10, "B")])
+    m = FunnelMatch(
+        key_cols=["user_id"], ts_col="ts", id_col="event_id",
+        steps=[("a", F.col("event_type") == "A"), ("b", F.col("event_type") == "B")],
+        within="1 hour",
+    )
+    got = sorted((r.a_id, r.b_id) for r in m(df).collect())
+    assert got == [(1, 3), (2, 3)]
+
+
+def test_funnel_keys_isolated(spark):
+    """Steps never cross key boundaries."""
+    df = _mk(spark, [(1, 1, 0, "A"), (2, 2, 10, "B")])
+    m = FunnelMatch(
+        key_cols=["user_id"], ts_col="ts", id_col="event_id",
+        steps=[("a", F.col("event_type") == "A"), ("b", F.col("event_type") == "B")],
+        within="1 hour",
+    )
+    assert m(df).count() == 0
+
+
+def test_strict_requires_contiguity(spark):
+    """An intervening event breaks a strict match (but not a funnel)."""
+    rows = [(1, 1, 0, "A"), (1, 2, 10, "X"), (1, 3, 20, "B"),
+            (1, 10, 100, "A"), (1, 11, 110, "B")]
+    df = _mk(spark, rows)
+    m = SequenceMatch(
+        key_cols=["user_id"], ts_col="ts", id_col="event_id",
+        symbol_col="event_type", symbols=["A", "B"], within="1 hour",
+    )
+    got = [(r.step1_id, r.step2_id) for r in m(df).collect()]
+    assert got == [(10, 11)]
+
+
+def test_strict_within_budget(spark):
+    df = _mk(spark, [(1, 1, 0, "A"), (1, 2, 7200, "B")])
+    m = SequenceMatch(
+        key_cols=["user_id"], ts_col="ts", id_col="event_id",
+        symbol_col="event_type", symbols=["A", "B"], within="1 hour",
+    )
+    assert m(df).count() == 0
+
+
+def test_single_window_plan(spark):
+    """Both matchers plan exactly ONE Exchange (the keyed shuffle) — the
+    100-TB cost profile claimed in the module docstring."""
+    df = _mk(spark, [(1, 1, 0, "A"), (1, 2, 10, "B")])
+    for m in (
+        FunnelMatch(key_cols=["user_id"], ts_col="ts", id_col="event_id",
+                    steps=[("a", F.col("event_type") == "A"),
+                           ("b", F.col("event_type") == "B")], within="1 hour"),
+        SequenceMatch(key_cols=["user_id"], ts_col="ts", id_col="event_id",
+                      symbol_col="event_type", symbols=["A", "B"], within="1 hour"),
+    ):
+        plan = m(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+        assert "Python" not in plan
+
+
+@pytest.mark.usefixtures("spark")
+class TestStreamingFunnel:
+    SYMS = ["signup", "click", "purchase"]
+
+    def _batch_reference(self, spark, df):
+        m = FunnelMatch(
+            key_cols=["user_id"], ts_col="ts", id_col="event_id",
+            steps=[(s, F.col("event_type") == s) for s in self.SYMS],
+            within="1 hour",
+        )
+        return sorted(
+            (r.user_id, r.signup_id, r.click_id, r.purchase_id) for r in m(df).collect()
+        )
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """Multi-micro-batch streaming run (files arrive out of event-time
+        order) emits exactly the batch matches once the sentinel advances
+        the watermark past every buffered event."""
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        eid = 0
+        for uid in range(6):
+            t = 0
+            for _ in range(40):
+                t += rng.randint(10, 600)
+                eid += 1
+                rows.append((uid, eid, t, rng.choice(self.SYMS + ["noise"])))
+        df = _mk(spark, rows)
+        want = self._batch_reference(spark, df)
+
+        src = str(tmp_path / "src")
+        # Four FLAT single files (FileStreamSource does not recurse into
+        # per-write parquet dirs), deliberately NOT time-ordered within
+        # the stream; the sentinel must arrive LAST (batches are ordered
+        # by modification time) so stamp strictly increasing mtimes.
+        import glob
+        import os
+        import shutil
+
+        os.makedirs(src)
+        # Chronological thirds (so nothing falls behind the watermark
+        # between batches) with row order scrambled WITHIN each chunk —
+        # the intra-batch disorder the NFA's (ts, id) sort must absorb.
+        ordered = sorted(rows, key=lambda r: r[2])
+        cut = len(ordered) // 3
+        chunks = [ordered[:cut], ordered[cut : 2 * cut], ordered[2 * cut :]]
+        for chunk in chunks:
+            rng.shuffle(chunk)
+        chunks.append([(99, 10**6, 10**7, "_sentinel")])  # NFA flush sentinel
+        t0 = 1_700_000_000
+        for i, chunk in enumerate(chunks):
+            tmp_dir = str(tmp_path / f"w{i}")
+            _mk(spark, chunk).coalesce(1).write.parquet(tmp_dir)
+            part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+            dst = f"{src}/f{i}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "10 seconds")
+        )
+        out = funnel_with_state(stream, self.SYMS, within="1 hour")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q, timeout_s=300)
+        got_df = spark.read.parquet(str(tmp_path / "out"))
+        got = sorted(
+            (r.user_id, r.step_ids[0], r.step_ids[1], r.step_ids[2])
+            for r in got_df.collect()
+        )
+        assert got == want
+        assert want, "reference produced no matches — test data too thin"
