@@ -571,7 +571,7 @@ class IcebergTable:
                         "upper_bounds": info.get("upper_bounds"),
                         "key_metadata": None,
                         "split_offsets": None,
-                        "equality_ids": None,
+                        "equality_ids": info.get("equality_ids"),
                         "sort_order_id": None,
                     },
                 }
@@ -807,6 +807,13 @@ class IcebergTable:
                 if entry["status"] == M.STATUS_DELETED:
                     continue
                 f = entry["data_file"]
+                # data sequence number: needed to scope equality deletes
+                # (spec: they apply to files with STRICTLY SMALLER seq)
+                f["_seq"] = (
+                    entry["sequence_number"]
+                    if entry.get("sequence_number") is not None
+                    else mf["sequence_number"]
+                )
                 (data if f["content"] == M.CONTENT_DATA else deletes).append(f)
         return data, deletes
 
@@ -865,6 +872,8 @@ class IcebergTable:
             base = os.path.join(self.location, "data")
             reader = reader.option("basePath", base)
         df = reader.parquet(*paths)
+        pos_deletes = [f for f in (delete_files or []) if f["content"] != M.CONTENT_EQUALITY_DELETES]
+        eq_deletes = [f for f in (delete_files or []) if f["content"] == M.CONTENT_EQUALITY_DELETES]
         need_meta = with_meta or bool(delete_files)
         if need_meta:
             df = df.withColumns(
@@ -873,11 +882,11 @@ class IcebergTable:
                     "_bs_pos": F.col("_metadata.row_index"),
                 }
             )
-        if delete_files:
+        if pos_deletes:
             # merge-on-read: anti-join rows tombstoned by position-delete
             # files (file_path, pos) — path-keyed, so files appended
             # after the delete snapshot are untouched by construction
-            dd = spark.read.parquet(*[f["file_path"] for f in delete_files]).select(
+            dd = spark.read.parquet(*[f["file_path"] for f in pos_deletes]).select(
                 self._norm_path_col(F.col("file_path")).alias("_del_file"),
                 F.col("pos").alias("_del_pos"),
             )
@@ -886,10 +895,152 @@ class IcebergTable:
                 (df["_bs_file"] == dd["_del_file"]) & (df["_bs_pos"] == dd["_del_pos"]),
                 "left_anti",
             )
+        if eq_deletes:
+            df = self._apply_equality_deletes(spark, df, files, eq_deletes)
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         if with_meta:
             cols += [F.col("_bs_file"), F.col("_bs_pos")]
         return df.select(cols)
+
+    def _apply_equality_deletes(
+        self, spark: SparkSession, df: DataFrame, files: list[dict], eq_deletes: list[dict]
+    ) -> DataFrame:
+        """Merge-on-read application of v2 EQUALITY deletes (spec
+        "Equality Delete Files"): a row is dead iff some delete file
+        with a STRICTLY GREATER data sequence number carries its key
+        tuple. Implementation: rows learn their file's sequence number
+        through a broadcast (file_path → seq) map — manifest-sized, not
+        data-sized — each delete-key multiset aggregates to (key → max
+        delete seq), and one key-shuffled left join per distinct
+        equality_ids set filters `max_del_seq <= row_seq` survivors.
+        Nulls in key columns match nulls (spec equality semantics), so
+        the join condition uses null-safe equality. At 100 TB the only
+        data-sized cost is the key-column shuffle of the scanned rows —
+        the same profile as Iceberg's own merge-on-read readers."""
+        id2name = {f["id"]: f["name"] for f in self.schema_json["fields"]}
+        seq_map = spark.createDataFrame(
+            [(f["file_path"], f.get("_seq", 0)) for f in files],
+            "_sm_file string, _bs_seq long",
+        ).withColumn("_sm_file", self._norm_path_col(F.col("_sm_file")))
+        df = df.join(F.broadcast(seq_map), df["_bs_file"] == seq_map["_sm_file"], "left").drop(
+            "_sm_file"
+        )
+        groups: dict[tuple[int, ...], list[dict]] = {}
+        for f in eq_deletes:
+            groups.setdefault(tuple(f["equality_ids"] or ()), []).append(f)
+        for eq_ids, dfiles in groups.items():
+            if not eq_ids:
+                continue
+            key_cols = [id2name[i] for i in eq_ids]
+            dseq = spark.createDataFrame(
+                [(f["file_path"], f.get("_seq", 0)) for f in dfiles],
+                "_dm_file string, _eq_seq long",
+            ).withColumn("_dm_file", self._norm_path_col(F.col("_dm_file")))
+            dd = (
+                spark.read.parquet(*[f["file_path"] for f in dfiles])
+                .withColumn("_dm_file", self._norm_path_col(F.col("_metadata.file_path")))
+                .join(F.broadcast(dseq), "_dm_file")
+                .groupBy(*[F.col(c).alias(f"_eqk_{c}") for c in key_cols])
+                .agg(F.max("_eq_seq").alias("_eq_max_seq"))
+            )
+            cond = None
+            for c in key_cols:
+                clause = df[c].eqNullSafe(dd[f"_eqk_{c}"])
+                cond = clause if cond is None else (cond & clause)
+            df = (
+                df.join(dd, cond, "left")
+                .filter(F.col("_eq_max_seq").isNull() | (F.col("_eq_max_seq") <= F.col("_bs_seq")))
+                .drop("_eq_max_seq", *[f"_eqk_{c}" for c in key_cols])
+            )
+        return df.drop("_bs_seq")
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        on: list[str],
+        summary: dict[str, str] | None = None,
+    ) -> int:
+        """CDC-style upsert via v2 EQUALITY deletes: commit ONE snapshot
+        carrying (a) an equality-delete file of ``df``'s distinct key
+        tuples and (b) ``df`` as new data files. The delete and the new
+        data share a sequence number, and equality deletes only apply to
+        files with strictly smaller sequence numbers — so prior versions
+        of the keys die and the new rows survive, atomically.
+
+        Unlike :meth:`merge_rows` (position deletes), this never reads
+        the live table at write time — the write cost is O(batch), which
+        is what makes it the streaming-upsert primitive (Flink's Iceberg
+        CDC writer uses the same shape)."""
+        self.refresh()
+        df = df.select([F.col(f.name) for f in self.spark_schema.fields])
+        eq_infos = self._stage_eq_delete_files(df.select(*on).distinct(), on)
+        _stage, data_infos = self._stage_data_files(df)
+        return self._commit_snapshot(
+            data_infos,
+            operation="overwrite",
+            summary_extra=dict(summary or {}),
+            carry_parent_manifests=True,
+            extra_parts=[(eq_infos, M.CONTENT_EQUALITY_DELETES)],
+        )
+
+    def equality_delete(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        on: list[str],
+        summary: dict[str, str] | None = None,
+    ) -> int | None:
+        """Pure key-tuple delete (no new data): one equality-delete
+        snapshot. Returns the snapshot id, or None for an empty key set."""
+        self.refresh()
+        eq_infos = self._stage_eq_delete_files(keys_df.select(*on).distinct(), on)
+        if not eq_infos:
+            return None
+        return self._commit_snapshot(
+            [],
+            operation="delete",
+            summary_extra=dict(summary or {}),
+            carry_parent_manifests=True,
+            extra_parts=[(eq_infos, M.CONTENT_EQUALITY_DELETES)],
+        )
+
+    def _stage_eq_delete_files(self, keys_df: DataFrame, on: list[str]) -> list[dict]:
+        """Write the key tuples as a parquet equality-delete file and
+        return its info records (tagged with the key field-ids)."""
+        import shutil as _shutil
+
+        import pyarrow.parquet as pq
+
+        name2id = {f["name"]: f["id"] for f in self.schema_json["fields"]}
+        missing = [c for c in on if c not in name2id]
+        if missing:
+            raise ValueError(f"equality-delete keys not in schema: {missing}")
+        eq_ids = [name2id[c] for c in on]
+        stage_id = uuid.uuid4().hex
+        stage = os.path.join(self.location, "_staging", stage_id)
+        keys_df.orderBy(*on).coalesce(1).write.mode("overwrite").parquet(stage)
+        infos: list[dict] = []
+        for fname in sorted(os.listdir(stage)):
+            if not fname.endswith(".parquet"):
+                continue
+            staged = os.path.join(stage, fname)
+            meta = pq.ParquetFile(staged).metadata
+            if meta.num_rows == 0:
+                continue
+            final = os.path.join(self.location, "data", f"{stage_id}-eq-delete-{fname}")
+            os.rename(staged, final)
+            infos.append(
+                {
+                    "path": final,
+                    "rows": meta.num_rows,
+                    "size": os.path.getsize(final),
+                    "partition": {},
+                    "equality_ids": eq_ids,
+                }
+            )
+        _shutil.rmtree(stage, ignore_errors=True)
+        return infos
 
     def scan(
         self,

@@ -2711,3 +2711,69 @@ def audio_flac_decode_rollup(spark, sf_dir):
 
 from benthos_spark.plans import tpch_ext  # noqa: E402,F401  (registers q7..q22)
 from benthos_spark.plans import cep_entries  # noqa: E402,F401  (registers cep_*)
+
+
+@register(
+    "iceberg_upsert_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    up AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT * FROM up
+      UNION ALL
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM up)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_upsert_orders(spark, sf_dir):
+    """v2 EQUALITY-delete upsert (iceberg/table.py upsert): append an
+    orders slice, then upsert a key set that half-overlaps it (doubled
+    price, status 'U') — one snapshot carrying the equality-delete file
+    + the new data files, no read of live data at write time (the
+    streaming-CDC write shape; Flink's Iceberg upsert writer works the
+    same way). The oracle replays the upsert relationally: replaced
+    keys must vanish, new keys must appear, survivors keep their rows.
+    Sums aggregate in DECIMAL so engine summation order can't flip the
+    rounded total."""
+    import shutil
+    import tempfile
+
+    from benthos_spark.iceberg import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="bs_iceberg_upsert_")
+    try:
+        t = IcebergTable.create(tmp + "/t", o.schema)
+        t.append(o.filter(F.col("o_orderkey") % 4 == 0))
+        up = o.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        t.upsert(spark, up, on=["o_orderkey"])
+        out = (
+            t.scan(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -935,3 +935,97 @@ def test_scan_file_skipping(spark, tmpdir):
     files_p1 = t2.plan_files("part = 1")
     assert files_p1 and all(f["partition"]["part"] == 1 for f in files_p1)
     assert t2.scan(spark, where="part = 1").count() == 30
+
+
+# ---------------------------------------------------------------------
+# v2 EQUALITY deletes (upsert / equality_delete)
+# ---------------------------------------------------------------------
+
+
+def test_upsert_replaces_keys_and_adds_new(spark, tmpdir):
+    df = _sample_df(spark, 100)
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("part",))
+    s1 = t.append(df)
+    up = _sample_df(spark, 10, offset=95).withColumn("val", F.lit("UP"))
+    t.upsert(spark, up, on=["k"])
+    out = t.scan(spark)
+    assert out.count() == 105  # 100 - 5 replaced + 10 upserts ∩ 5 new
+    assert out.filter("val = 'UP'").count() == 10
+    assert out.filter("k = 97 AND val <> 'UP'").count() == 0
+    # time travel BEFORE the upsert sees the original rows
+    assert t.scan(spark, snapshot_id=s1).filter("val = 'UP'").count() == 0
+
+
+def test_upsert_new_rows_survive_their_own_delete(spark, tmpdir):
+    """The equality delete and its data share one sequence number, and
+    deletes apply only to STRICTLY SMALLER seqs (spec): the batch's own
+    rows must not be deleted even though their keys are in the file."""
+    df = _sample_df(spark, 5)
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    t.upsert(spark, df, on=["k"])  # upsert into an EMPTY table
+    assert t.scan(spark).count() == 5
+
+
+def test_upserts_stack_latest_wins(spark, tmpdir):
+    df = _sample_df(spark, 20)
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    t.append(df)
+    t.upsert(spark, _sample_df(spark, 20).withColumn("val", F.lit("A")), on=["k"])
+    t.upsert(spark, _sample_df(spark, 10).withColumn("val", F.lit("B")), on=["k"])
+    vals = {r.k: r.val for r in t.scan(spark).collect()}
+    assert len(vals) == 20
+    assert all(v == "B" for k, v in vals.items() if k < 10)
+    assert all(v == "A" for k, v in vals.items() if k >= 10)
+
+
+def test_equality_delete_pure_and_mixed_with_position(spark, tmpdir):
+    df = _sample_df(spark, 50)
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    t.append(df)
+    sid = t.equality_delete(spark, spark.range(10).select(F.col("id").alias("k")), on=["k"])
+    assert sid is not None
+    assert t.scan(spark).count() == 40
+    # position delete stacks on top of the equality delete
+    t.delete_where(spark, "k >= 45")
+    assert t.scan(spark).count() == 35
+    # appends AFTER the equality delete resurrect nothing but are visible
+    t.append(_sample_df(spark, 5))  # keys 0..4 again, later seq
+    assert t.scan(spark).count() == 40
+    assert t.scan(spark).filter("k = 2").count() == 1
+    # empty key set is a no-op
+    n = len(t.metadata["snapshots"])
+    assert t.equality_delete(spark, spark.range(0).select(F.col("id").alias("k")), on=["k"]) is None
+    assert len(t.metadata["snapshots"]) == n
+
+
+def test_equality_delete_manifest_shape(spark, tmpdir):
+    """Equality-delete entries: manifest_file.content=1,
+    data_file.content=2, equality_ids = the key field-ids."""
+    from benthos_spark.iceberg import manifests as M
+
+    df = _sample_df(spark, 10)
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    t.append(df)
+    t.upsert(spark, _sample_df(spark, 3), on=["k"])
+    snap = t.current_snapshot()
+    mfs = M.read_manifest_list(snap["manifest-list"])
+    eq_mfs = [m for m in mfs if m["added_snapshot_id"] == snap["snapshot-id"] and m["content"] == 1]
+    assert eq_mfs, "no delete-content manifest in the upsert snapshot"
+    entries = [e for m in eq_mfs for e in M.read_manifest(m["manifest_path"])]
+    eq_entries = [e for e in entries if e["data_file"]["content"] == M.CONTENT_EQUALITY_DELETES]
+    assert eq_entries
+    k_id = {f["name"]: f["id"] for f in t.schema_json["fields"]}["k"]
+    assert eq_entries[0]["data_file"]["equality_ids"] == [k_id]
+
+
+def test_compact_folds_equality_deletes(spark, tmpdir):
+    df = _sample_df(spark, 30)
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    t.append(df)
+    t.upsert(spark, _sample_df(spark, 10).withColumn("val", F.lit("U")), on=["k"])
+    t.compact(spark)
+    _, deletes = t._live_entries()
+    assert deletes == []  # folded away
+    out = t.scan(spark)
+    assert out.count() == 30
+    assert out.filter("val = 'U'").count() == 10
