@@ -197,15 +197,43 @@ class IcebergMergeApplySink:
     Maintenance: ``expire_tombstones(horizon)`` position-deletes
     tombstones older than the source's replay horizon;
     ``expire_snapshots`` reclaims files.
+
+    Write modes:
+
+    - ``mode='position'`` (default): :meth:`IcebergTable.merge_rows` —
+      position-deletes the old versions, which requires a second pass
+      over the live rows to learn their (file, pos).
+    - ``mode='equality'``: :meth:`IcebergTable.upsert` — the old
+      versions die by an EQUALITY-delete file of the touched keys, so
+      the write side never scans live data. Combined with
+      ``assume_ordered=True`` (the source delivers each key's changes in
+      order across batches — Debezium/pg_stream's per-key guarantee,
+      postgres_cdc/input.go:184), the old-row read disappears entirely
+      and each batch costs O(batch): the Flink-style streaming upsert
+      writer. With ``assume_ordered=False`` the order guard still reads
+      old rows for touched keys (semi-join-bounded) before writing.
     """
 
     DELETED_COL = "_deleted"
     ORDER_COL = "_order"
 
-    def __init__(self, table_path: str, pk_cols: tuple[str, ...], order_col: str = "lsn"):
+    def __init__(
+        self,
+        table_path: str,
+        pk_cols: tuple[str, ...],
+        order_col: str = "lsn",
+        mode: str = "position",
+        assume_ordered: bool = False,
+    ):
+        if mode not in ("position", "equality"):
+            raise ValueError(f"unknown merge mode: {mode!r}")
+        if assume_ordered and mode != "equality":
+            raise ValueError("assume_ordered requires mode='equality'")
         self.table = table_path
         self.pk_cols = list(pk_cols)
         self.order_col = order_col
+        self.mode = mode
+        self.assume_ordered = assume_ordered
 
     def _ensure_table(self, batch_df: DataFrame) -> IcebergTable:
         if IcebergTable.exists(self.table):
@@ -246,10 +274,15 @@ class IcebergMergeApplySink:
         )
         keys = events.select(*self.pk_cols).distinct().persist()
         try:
-            # old rows for touched keys only (semi-join bounds the read)
-            old = t.scan(spark).join(keys, on=self.pk_cols, how="left_semi")
-            # winner per key = highest order among old row + batch events
-            merged = old.unionByName(events)
+            if self.assume_ordered:
+                # per-key-ordered delivery: the batch's own latest row IS
+                # the winner — no old-row read at all, O(batch) writes
+                merged = events
+            else:
+                # old rows for touched keys only (semi-join bounds the read)
+                old = t.scan(spark).join(keys, on=self.pk_cols, how="left_semi")
+                # winner per key = highest order among old row + batch events
+                merged = old.unionByName(events)
             w = Window.partitionBy(*self.pk_cols).orderBy(
                 F.col(self.ORDER_COL).desc()
             )
@@ -258,14 +291,24 @@ class IcebergMergeApplySink:
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-            # one snapshot: tombstone the old versions, append winners
-            t.merge_rows(
-                spark,
-                winners,
-                delete_keys=keys,
-                on=self.pk_cols,
-                summary={BATCH_PROP: str(batch_id)},
-            )
+            if self.mode == "equality":
+                # one snapshot: equality-delete the touched keys, append
+                # winners — old versions die by key, write never scans
+                t.upsert(
+                    spark,
+                    winners,
+                    on=self.pk_cols,
+                    summary={BATCH_PROP: str(batch_id)},
+                )
+            else:
+                # one snapshot: position-tombstone old versions, append
+                t.merge_rows(
+                    spark,
+                    winners,
+                    delete_keys=keys,
+                    on=self.pk_cols,
+                    summary={BATCH_PROP: str(batch_id)},
+                )
         finally:
             keys.unpersist()
 

@@ -1029,3 +1029,52 @@ def test_compact_folds_equality_deletes(spark, tmpdir):
     out = t.scan(spark)
     assert out.count() == 30
     assert out.filter("val = 'U'").count() == 10
+
+
+def test_iceberg_merge_apply_equality_mode(spark, tmpdir):
+    """mode='equality' reproduces the position-mode state exactly; with
+    assume_ordered the write plan never scans the live table."""
+    from benthos_spark.sinks.iceberg import IcebergMergeApplySink
+
+    batches = [
+        _changelog(spark, [
+            ("c", 10, (1, "new", 5.0), None),
+            ("c", 11, (2, "new", 7.0), None),
+            ("c", 12, (3, "new", 1.0), None),
+        ]),
+        _changelog(spark, [
+            ("u", 20, (1, "paid", 6.0), (1, "new", 5.0)),
+            ("d", 21, None, (2, "new", 7.0)),
+            ("c", 22, (4, "new", 9.0), None),
+            ("u", 23, (4, "hot", 9.5), (4, "new", 9.0)),  # two ops, one key, one batch
+        ]),
+    ]
+    want = {1: ("paid", 6.0), 3: ("new", 1.0), 4: ("hot", 9.5)}
+    for kwargs, sub in [
+        (dict(mode="equality"), "eq"),
+        (dict(mode="equality", assume_ordered=True), "eqo"),
+    ]:
+        sink = IcebergMergeApplySink(tmpdir + f"/{sub}", pk_cols=("id",), **kwargs)
+        for i, b in enumerate(batches):
+            sink(b, i)
+        got = {r["id"]: (r["status"], r["amount"]) for r in sink.read_state(spark).collect()}
+        assert got == want, (sub, got)
+        # replay skip still holds
+        t = IcebergTable.load(tmpdir + f"/{sub}")
+        n = len(t.metadata["snapshots"])
+        sink(batches[1], 1)
+        assert len(IcebergTable.load(tmpdir + f"/{sub}").metadata["snapshots"]) == n
+
+    # out-of-order tombstone guard works in equality mode too (without
+    # assume_ordered: the guard needs the old-row read)
+    sink = IcebergMergeApplySink(tmpdir + "/g", pk_cols=("id",), mode="equality")
+    sink(_changelog(spark, [("d", 50, None, (9, "x", 0.0))]), 0)
+    sink(_changelog(spark, [("c", 40, (9, "late", 3.0), None)]), 1)
+    assert sink.read_state(spark).filter("id = 9").count() == 0
+
+    # bad configs are rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        IcebergMergeApplySink(tmpdir + "/x", pk_cols=("id",), mode="bogus")
+    with _pytest.raises(ValueError):
+        IcebergMergeApplySink(tmpdir + "/y", pk_cols=("id",), assume_ordered=True)
