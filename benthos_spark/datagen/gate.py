@@ -36,11 +36,11 @@ SIZES = {
     "sf0.01": {"clips": 1200, "images": 800, "videos": 200},
 }
 
-_TABLES = ("clips", "images", "videos", "images_png", "clips_flac")
+_TABLES = ("clips", "images", "videos", "images_png", "clips_flac", "clips_lufs")
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 4
+GATE_VERSION = 5
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -148,6 +148,44 @@ def ensure_gate_tables(sf_name: str) -> None:
                     "codec": "flac",
                     "n_samples": np.int64(len(q)),
                     "checksum16": np.int64(int(q.astype(np.int64).sum())),
+                }
+            )
+        _write_atomic(pd.DataFrame(rows), p)
+    p = table_path(sf_name, "clips_lufs")
+    if not os.path.exists(p):
+        # BS.1770 loudness ground truth: the gen side encodes the
+        # reference signal, DECODES it back, and measures LUFS through
+        # the same float path the query-side kernel uses — so the gate
+        # matches only if decode + K-weighting + gating reproduce the
+        # stored value bit-for-bit before the 4dp rounding.
+        import pandas as pd
+
+        from benthos_spark.datagen.clips import clip_params, reference_signal
+        from benthos_spark.functions import audio as A
+        from benthos_spark.functions import loudness as L
+
+        ids = np.arange(sizes["clips"] // 6, dtype=np.int64)
+        params = clip_params(ids)
+        rows = []
+        for i in ids:
+            sr = int(params["sr_hz"][i])
+            dur = int(params["dur_ms"][i])
+            codec = "wav" if i % 2 == 0 else "pcm_s16le"
+            sig = reference_signal(int(i), sr, dur)
+            b = A.encode(sig, codec, sr)
+            x = np.asarray(A.decode(b, codec), dtype=np.float64)
+            li = float(np.round(L.integrated_lufs(x, sr), 4))
+            lm = float(np.round(L.momentary_max_lufs(x, sr), 4))
+            assert np.isfinite(li) and np.isfinite(lm), f"silent gate clip {i}"
+            rows.append(
+                {
+                    "clip_id": f"lufs-{i:010d}",
+                    "bytes": b,
+                    "sr_hz": np.int32(sr),
+                    "dur_ms": np.int32(dur),
+                    "codec": codec,
+                    "lufs_i": li,
+                    "lufs_mmax": lm,
                 }
             )
         _write_atomic(pd.DataFrame(rows), p)

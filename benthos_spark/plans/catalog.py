@@ -2777,3 +2777,53 @@ def iceberg_upsert_orders(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+_CLIPS_LUFS_GATE = _gate.table_path("sf0.01", "clips_lufs")
+
+
+@register(
+    "audio_loudness_rollup",
+    f"""
+    SELECT codec,
+           count(*) AS n_clips,
+           CAST(round(sum(CAST(lufs_i AS DECIMAL(18,8))), 4) AS DOUBLE) AS total_lufs,
+           CAST(round(sum(CAST(lufs_mmax AS DECIMAL(18,8))), 4) AS DOUBLE) AS total_mmax,
+           CAST(round(min(lufs_i), 4) AS DOUBLE) AS min_lufs
+    FROM read_parquet('{_CLIPS_LUFS_GATE}')
+    GROUP BY codec
+    """,
+)
+def audio_loudness_rollup(spark, sf_dir):
+    """BS.1770-4 integrated + max-momentary loudness over the clips_lufs
+    gate table (functions/loudness.py): the kernel decodes each payload
+    and re-measures LUFS through K-weighting + gated integration; the
+    stored ground truth was produced by the same float64 path at
+    generation time, so the hash matches only on a bit-exact decode +
+    DSP reproduction (4dp rounding happens in numpy on BOTH sides; the
+    cross-engine aggregation sums DECIMAL so order can't flip it).
+    Loudness filtering is the audio analog of text_quality_docs for a
+    training-data pipeline. Arrow mapInPandas, no per-row Python."""
+    from benthos_spark.functions.loudness import loudness_map_in_pandas
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_loudness_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    clips = spark.read.parquet(_gate.table_path(sf, "clips_lufs")).select(
+        "clip_id", "bytes", "sr_hz", "codec"
+    )
+    measured = clips.mapInPandas(
+        loudness_map_in_pandas(["clip_id", "codec"]),
+        schema="clip_id string, codec string, lufs_i double, lufs_mmax double",
+    )
+    return measured.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.sum(F.col("lufs_i").cast("decimal(18,8)")), 4)
+        .cast("double")
+        .alias("total_lufs"),
+        F.round(F.sum(F.col("lufs_mmax").cast("decimal(18,8)")), 4)
+        .cast("double")
+        .alias("total_mmax"),
+        F.round(F.min("lufs_i"), 4).cast("double").alias("min_lufs"),
+    )
