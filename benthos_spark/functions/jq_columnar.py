@@ -25,10 +25,20 @@ pipelines use:
   ``startswith``/``endswith``/``split``/``join``/``test``/
   ``ascii_downcase``/``ascii_upcase``
 
-Anything else (bare generators, recursion, ``$__loc__``, non-literal
-string-function args) raises ``JqCompileError`` and the caller falls
-back to the interpreter, so coverage is a pure optimization, never a
-semantics change. Number
+- bare generators ``.items[]`` / ``.a[].b`` / ``.[]`` as pipe stages and
+  inside ``[...]`` collection — compiled to higher-order array exprs
+  (filter/transform/flatten) with the program-level stream semantics
+  (0 outputs filter the message, 1 output is the value, n outputs
+  become an array, per processor_jq.go's gojq result collection)
+
+Anything else (recursion, ``$__loc__``, comma stream concatenation,
+generators in binary-operand position, non-literal string-function
+args) raises ``JqCompileError`` and the caller falls back to the
+interpreter, so coverage is a pure optimization, never a semantics
+change. Numbers render with gojq normalization: integral floats in the
+exact double range print as integers (``0.5*2`` → ``1``) — both
+backends share the rule (``normalize_numbers`` in jq_program.py), which
+also makes the variant render→parse round-trip lossless. Number
 int-ness is tracked per row (jq ints must render ``6``, floats ``6.0``)
 via the variant's own JSON lexeme. Known divergences from the
 interpreter, pinned by the dual-backend conformance test
@@ -44,7 +54,12 @@ interpreter, pinned by the dual-backend conformance test
   uses Python ``re`` — identical for the common syntax, divergent on
   exotic escapes (jq itself uses a third engine, Oniguruma);
 - ``min``/``max`` compile for numeric arrays only; arrays of other
-  types yield null (the interpreter orders them jq-style).
+  types yield null (the interpreter orders them jq-style);
+- compiled ``.[]`` over an OBJECT yields values in sorted-key order
+  (like every compiled object iteration); the interpreter preserves
+  document order. Arrays iterate in document order in both;
+- iterating null / scalars yields the empty stream (message filtered)
+  instead of erroring.
 """
 
 from __future__ import annotations
@@ -171,8 +186,15 @@ def _render(v: CV) -> Column:
     if v.kind == "bool":
         return F.when(v.col.isNull(), "null").when(v.col, "true").otherwise("false")
     if v.kind == "num":
+        # gojq number normalization (render boundary): integral floats
+        # in the exact double-int range print as integers — matches
+        # normalize_numbers() in the interpreter and the variant
+        # round-trip (parse_json("1.0") → to_json "1")
+        integral = (v.d == F.floor(v.d)) & (F.abs(v.d) <= F.lit(2.0**53))
         return F.coalesce(
-            F.when(v.isint, v.l.cast("string")).otherwise(v.d.cast("string")),
+            F.when(v.isint, v.l.cast("string"))
+            .when(integral, v.d.cast("long").cast("string"))
+            .otherwise(v.d.cast("string")),
             F.lit("null"),
         )
     if v.kind == "str":
@@ -201,6 +223,33 @@ def _tostring_col(v: CV) -> Column:
             js.startswith('"'), F.try_variant_get(v.vcol(), "$", "string")
         ).otherwise(js)
     return _render(v)
+
+
+def _empty_varr() -> Column:
+    """A typed empty array<variant> literal (there is no castable empty
+    array literal for variant, so filter a 1-element one to nothing)."""
+    return F.filter(F.array(F.try_parse_json(F.lit("null"))), lambda _: F.lit(False))
+
+
+def _elements_of(vc: Column) -> Column:
+    """jq ``.[]`` element stream of one variant value as array<variant>:
+    arrays yield elements in document order; objects yield values in
+    SORTED key order (all compiled object iteration is sorted —
+    documented divergence, the interpreter preserves document order);
+    null / scalars yield the empty stream (lenient — jq errors)."""
+    arr = F.try_variant_get(vc, "$", "array<variant>")
+    objvals = F.map_values(F.try_variant_get(vc, "$", "map<string, variant>"))
+    return F.coalesce(arr, objvals, _empty_varr())
+
+
+def _node_has_iterate(x) -> bool:
+    """Does this AST subtree contain a bare ``iterate`` node? (``reduce``
+    strips its source's iterate at parse time, so it never matches.)"""
+    if isinstance(x, (tuple, list)):
+        if isinstance(x, tuple) and x and x[0] == "iterate":
+            return True
+        return any(_node_has_iterate(c) for c in x)
+    return False
 
 
 _NULL_ORDER = {"null": 0, "bool": 1, "num": 2, "str": 3}
@@ -310,7 +359,7 @@ class _SubsetParser:
         return node
 
     def pipe(self):
-        first = self.alt()
+        first = self.comma_level()
         if self.peek()[1] == "as":
             self.next()
             vt = self.next()
@@ -321,7 +370,7 @@ class _SubsetParser:
         stages = [first]
         while self.peek()[1] == "|":
             self.next()
-            nxt = self.alt()
+            nxt = self.comma_level()
             if self.peek()[1] == "as":
                 self.next()
                 vt = self.next()
@@ -332,6 +381,15 @@ class _SubsetParser:
                 break
             stages.append(nxt)
         return ("pipe", stages) if len(stages) > 1 else stages[0]
+
+    def comma_level(self):
+        # jq: `,` concatenates output streams and binds looser than
+        # everything except `|`
+        items = [self.alt()]
+        while self.peek()[1] == ",":
+            self.next()
+            items.append(self.alt())
+        return ("comma", items) if len(items) > 1 else items[0]
 
     def alt(self):
         node = self.or_()
@@ -459,10 +517,10 @@ class _SubsetParser:
             self.next()
             items = []
             if self.peek()[1] != "]":
-                items.append(self.alt())
+                items.append(self.pipe())
                 while self.peek()[1] == ",":
                     self.next()
-                    items.append(self.alt())
+                    items.append(self.pipe())
             self.expect("]")
             return ("array", items)
         if val == "{":
@@ -613,7 +671,9 @@ def _compile(node, cur: CV, keep: Optional[Column]):
         finally:
             _ENV.pop()
     if tag == "iterate":
-        raise JqCompileError("bare .[] generators not compiled (reduce-source only)")
+        raise JqCompileError("bare .[] generators compile only in pipe stages / array items")
+    if tag == "comma":
+        raise JqCompileError("`,` stream concatenation compiles only in stream positions")
     if tag == "reduce":
         # fold over an array with the accumulator carried as compact
         # JSON: each step re-parses with try_parse_json, runs the
@@ -764,14 +824,29 @@ def _compile(node, cur: CV, keep: Optional[Column]):
         _, e = _compile(node[4], cur, None)
         return keep, CV("json", col=expr.otherwise(_render(e)))
     if tag == "array":
-        parts = [F.lit("[")]
-        for i, item in enumerate(node[1]):
-            if i:
-                parts.append(F.lit(","))
-            _, v = _compile(item, cur, None)
-            parts.append(_render(v))
-        parts.append(F.lit("]"))
-        return keep, CV("json", col=F.concat(*parts))
+        # [...] collects each item's OUTPUT STREAM (0..n values per
+        # item): a bare generator contributes its elements, a select()
+        # that fails contributes nothing — per-item string arrays are
+        # concatenated then joined so commas land only between values
+        item_arrs = []
+        for item in node[1]:
+            k2, cv2, elems = _stream_eval(item, cur, None)
+            if elems is not None:
+                arr_s = F.transform(elems, lambda e: _render(CV.variant(e)))
+            else:
+                arr_s = F.array(_render(cv2))
+            if k2 is not None:
+                arr_s = F.when(F.coalesce(k2, F.lit(False)), arr_s).otherwise(
+                    F.array().cast("array<string>")
+                )
+            item_arrs.append(arr_s)
+        if not item_arrs:
+            return keep, CV("json", col=F.lit("[]"))
+        all_outs = F.concat(*item_arrs) if len(item_arrs) > 1 else item_arrs[0]
+        return keep, CV(
+            "json",
+            col=F.concat(F.lit("["), F.array_join(all_outs, ","), F.lit("]")),
+        )
     if tag == "object":
         parts = [F.lit("{")]
         for i, (key, vnode) in enumerate(node[1]):
@@ -785,15 +860,14 @@ def _compile(node, cur: CV, keep: Optional[Column]):
     if tag == "map":
         if cur.kind != "variant":
             raise JqCompileError("map over non-variant")
+        # map(f) ≡ [.[] | f] — the stream machinery gives element-level
+        # select() filtering and nested-generator flattening for free;
+        # the null-guard keeps the documented leniency (map over
+        # null / non-array → JSON null, not an error)
         arr = F.try_variant_get(cur.vcol(), "$", "array<variant>")
-        fnode = node[1]
-
-        def body(elem):
-            _, v = _compile(fnode, CV.variant(elem), None)
-            return _render(v)
-
-        rendered = F.concat(F.lit("["), F.array_join(F.transform(arr, body), ","), F.lit("]"))
-        return keep, CV("json", col=F.when(arr.isNotNull(), rendered))
+        desugared = ("array", [("pipe", [("iterate", ("identity",)), node[1]])])
+        keep, out = _compile(desugared, cur, keep)
+        return keep, CV("json", col=F.when(arr.isNotNull(), out.col))
     if tag == "call0":
         name = node[1]
         if cur.kind == "json" and name in (
@@ -1080,9 +1154,123 @@ def _compile(node, cur: CV, keep: Optional[Column]):
     raise JqCompileError(f"node {tag!r} not compiled")
 
 
-def _validate(node, scope: frozenset):
+def _to_variant(v: CV) -> Column:
+    """Any compiled value as a variant Column (render→re-parse keeps the
+    number lexeme, so int-ness survives the round-trip)."""
+    if v.kind == "variant":
+        return v.vcol()
+    return F.try_parse_json(_render(v))
+
+
+def _stream_eval(node, cur: CV, keep: Optional[Column]):
+    """Compile an expression that may produce a multi-output stream
+    (bare ``.[]`` generators as pipe stages or inside postfix chains).
+    Returns ``(keep, cv, elems)`` — exactly one of cv/elems is set;
+    ``elems`` is a Column of array<variant> holding the output stream
+    in order. jq's stream semantics at the program level: 0 outputs
+    filter the message, 1 output is the value, n outputs become an
+    array (processor_jq.go:26 — gojq result collection)."""
+    tag = node[0]
+    if tag == "pipe":
+        elems = None
+        for st in node[1]:
+            if elems is None:
+                keep, cv, elems = _stream_eval(st, cur, keep)
+                if elems is None:
+                    cur = cv
+                continue
+            # NB: single-arg closures via factories — a second default
+            # parameter would make PySpark's HOF arity sniffing pass the
+            # element INDEX into it
+            if st[0] == "select":
+                elems = F.filter(elems, _el_keep_fn(st))
+            elif _node_has_iterate(st) or st[0] == "comma":
+                elems = F.flatten(F.transform(elems, _el_stream_fn(st)))
+            else:
+                # a parenthesized sub-pipe may bury a select() — filter
+                # on the stage's keep before mapping
+                if _node_has_select(st):
+                    elems = F.filter(elems, _el_keep_fn(st))
+                elems = F.transform(elems, _el_map_fn(st))
+        return keep, (cur if elems is None else None), elems
+    if tag == "bind":
+        keep, bound = _compile(node[1], cur, keep)
+        _ENV.append({node[2]: bound})
+        try:
+            return _stream_eval(node[3], cur, keep)
+        finally:
+            _ENV.pop()
+    if tag == "iterate":
+        keep, cv, elems = _stream_eval(node[1], cur, keep)
+        if elems is None:
+            return keep, None, _elements_of(_to_variant(cv))
+        # nested generator: flatten (elements_of never yields null)
+        return keep, None, F.flatten(F.transform(elems, _elements_of))
+    if tag == "comma":
+        # `,` concatenates the items' output streams in order
+        arrs = []
+        for item in node[1]:
+            k2, cv2, el2 = _stream_eval(item, cur, None)
+            if el2 is None:
+                el2 = F.array(_to_variant(cv2))
+            if k2 is not None:
+                el2 = F.when(F.coalesce(k2, F.lit(False)), el2).otherwise(_empty_varr())
+            arrs.append(F.coalesce(el2, _empty_varr()))
+        return keep, None, F.concat(*arrs)
+    if tag in ("field", "index", "slice") and _node_has_iterate(node[1]):
+        # the BASE is a stream — navigate each element (.a[].b)
+        keep, _, elems = _stream_eval(node[1], cur, keep)
+        rebuilt = (tag, ("identity",)) + tuple(node[2:])
+        return keep, None, F.transform(elems, _el_map_fn(rebuilt))
+    k, v = _compile(node, cur, keep)
+    return k, v, None
+
+
+def _el_keep_fn(st):
+    """Element-level keep predicate for a stage whose compile yields a
+    keep (select, or a sub-pipe burying one)."""
+
+    def el_keep(e):
+        k2, _ = _compile(st, CV.variant(e), None)
+        return F.lit(True) if k2 is None else F.coalesce(k2, F.lit(False))
+
+    return el_keep
+
+
+def _el_map_fn(st):
+    def el_map(e):
+        _, v2 = _compile(st, CV.variant(e), None)
+        return _to_variant(v2)
+
+    return el_map
+
+
+def _el_stream_fn(st):
+    """Element → its output stream (for a nested-generator stage)."""
+
+    def el_stream(e):
+        k2, cv2, el2 = _stream_eval(st, CV.variant(e), None)
+        if el2 is None:
+            el2 = F.array(_to_variant(cv2))
+        if k2 is not None:
+            el2 = F.when(F.coalesce(k2, F.lit(False)), el2).otherwise(_empty_varr())
+        return F.coalesce(el2, _empty_varr())
+
+    return el_stream
+
+
+def _node_has_select(x) -> bool:
+    if isinstance(x, (tuple, list)):
+        if isinstance(x, tuple) and x and x[0] == "select":
+            return True
+        return any(_node_has_select(c) for c in x)
+    return False
+
+
+def _validate(node, scope: frozenset, stream_ok: bool = False):
     """Symbolic compilability walk (no SparkSession needed): rejects
-    bare generators, unbound $variables, and non-numeric reduce inits
+    bare generators outside stream positions (pipe stages, array items,
+    generator bases), unbound $variables, and non-numeric reduce inits
     at try_compile time so apply() cannot surprise the processor."""
     tag = node[0]
     if tag in ("identity", "lit_num", "lit_str", "lit_bool", "lit_null"):
@@ -1093,10 +1281,23 @@ def _validate(node, scope: frozenset):
         return
     if tag == "bind":
         _validate(node[1], scope)
-        _validate(node[3], scope | {node[2]})
+        _validate(node[3], scope | {node[2]}, stream_ok)
         return
     if tag == "iterate":
-        raise JqCompileError("bare .[] generators not compiled")
+        if not stream_ok:
+            raise JqCompileError(
+                "bare .[] generators compile only in pipe stages / array items"
+            )
+        _validate(node[1], scope, True)
+        return
+    if tag == "comma":
+        if not stream_ok:
+            raise JqCompileError(
+                "`,` stream concatenation compiles only in stream positions"
+            )
+        for item in node[1]:
+            _validate(item, scope, True)
+        return
     if tag == "reduce":
         _validate(node[1], scope)
         if node[3][0] != "lit_num":
@@ -1106,7 +1307,7 @@ def _validate(node, scope: frozenset):
         return
     if tag == "pipe":
         for stage in node[1]:
-            _validate(stage, scope)
+            _validate(stage, scope, stream_ok)
         return
     if tag == "interp":
         for pk, p in node[1]:
@@ -1115,12 +1316,16 @@ def _validate(node, scope: frozenset):
         return
     if tag in ("field", "index", "neg", "select", "map", "call0", "has", "call1s"):
         if tag in ("field", "index") and isinstance(node[1], tuple):
-            _validate(node[1], scope)
-        if tag in ("neg", "select", "map"):
+            # a stream base is navigable per element (.a[].b)
+            _validate(node[1], scope, stream_ok)
+        if tag == "map":
+            # map(f) desugars to [.[] | f] — the body is a stream stage
+            _validate(node[1], scope, True)
+        elif tag in ("neg", "select"):
             _validate(node[1], scope)
         return
     if tag == "slice":
-        _validate(node[1], scope)
+        _validate(node[1], scope, stream_ok)
         return
     if tag in ("arith", "cmp"):
         _validate(node[2], scope)
@@ -1138,9 +1343,13 @@ def _validate(node, scope: frozenset):
             _validate(t, scope)
         _validate(node[4], scope)
         return
-    if tag in ("array", "object"):
+    if tag == "array":
         for item in node[1]:
-            _validate(item if tag == "array" else item[1], scope)
+            _validate(item, scope, True)
+        return
+    if tag == "object":
+        for item in node[1]:
+            _validate(item[1], scope)
         return
     raise JqCompileError(f"node {tag!r} not compiled")
 
@@ -1150,12 +1359,25 @@ class CompiledJq:
 
     def __init__(self, src: str):
         self.ast = _SubsetParser(src).parse()
-        _validate(self.ast, frozenset())
+        _validate(self.ast, frozenset(), True)
 
     def apply(self, variant_col: Column) -> tuple[Optional[Column], Column]:
-        """(keep predicate or None, rendered compact-JSON output column)."""
-        keep, out = _compile(self.ast, CV.variant(variant_col), None)
-        return keep, _render(out)
+        """(keep predicate or None, rendered compact-JSON output column).
+
+        Program-level stream semantics match the interpreter
+        (processor_jq.go:26): no output filters the message, one output
+        is the value itself, multiple outputs become an array."""
+        keep, cv, elems = _stream_eval(self.ast, CV.variant(variant_col), None)
+        if elems is None:
+            return keep, _render(cv)
+        outs = F.transform(elems, lambda e: _render(CV.variant(e)))
+        n = F.size(outs)
+        nonempty = n > 0
+        keep = nonempty if keep is None else (F.coalesce(keep, F.lit(False)) & nonempty)
+        rendered = F.when(n == 1, F.element_at(outs, 1)).otherwise(
+            F.concat(F.lit("["), F.array_join(outs, ","), F.lit("]"))
+        )
+        return keep, rendered
 
 
 def try_compile(src: str) -> Optional[CompiledJq]:

@@ -32,6 +32,28 @@ class JqError(ValueError):
     pass
 
 
+def normalize_numbers(v):
+    """gojq number normalization at render boundaries: integral floats
+    inside the exact double-int range print as integers (gojq's JSON
+    encoder — the reference embeds gojq, processor_jq.go:26 — prints
+    0.5*2 as 1, not 1.0). Applied to every stringified output so both
+    backends and the columnar variant round-trip agree."""
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, float) and v.is_integer() and abs(v) <= 2**53:
+        return int(v)
+    if isinstance(v, list):
+        return [normalize_numbers(x) for x in v]
+    if isinstance(v, dict):
+        return {k: normalize_numbers(x) for k, x in v.items()}
+    return v
+
+
+def render_json(v, **kw) -> str:
+    kw.setdefault("separators", (",", ":"))
+    return json.dumps(normalize_numbers(v), **kw)
+
+
 # -- tokenizer ---------------------------------------------------------------
 
 _TOKEN = re.compile(
@@ -412,9 +434,7 @@ def _mk_interp(parts):
                 yield from rec(k + 1, acc + p)
             else:
                 for out in p(v, env):
-                    s = out if isinstance(out, str) else json.dumps(
-                        out, separators=(",", ":"), ensure_ascii=False
-                    )
+                    s = out if isinstance(out, str) else render_json(out, ensure_ascii=False)
                     yield from rec(k + 1, acc + s)
 
         yield from rec(0, "")
@@ -872,7 +892,7 @@ def _mk_func(name, args):
             return
         if name == "join":
             sep = _one(args[0], v, env)
-            yield sep.join("" if e is None else (e if isinstance(e, str) else json.dumps(e)) for e in v)
+            yield sep.join("" if e is None else (e if isinstance(e, str) else render_json(e)) for e in v)
             return
         if name == "split":
             yield v.split(_one(args[0], v, env))
@@ -901,7 +921,7 @@ def _mk_func(name, args):
             yield v.upper()
             return
         if name == "tostring":
-            yield v if isinstance(v, str) else json.dumps(v, separators=(",", ":"))
+            yield v if isinstance(v, str) else render_json(v)
             return
         if name == "tonumber":
             if isinstance(v, (int, float)) and not isinstance(v, bool):
@@ -958,7 +978,7 @@ def _mk_func(name, args):
         if name == "error":
             raise JqError(str(_one(args[0], v, env)) if args else str(v))
         if name == "tojson":
-            yield json.dumps(v, separators=(",", ":"))
+            yield render_json(v)
             return
         if name == "fromjson":
             yield json.loads(v)
@@ -1044,7 +1064,7 @@ class JqProcessor:
                     row = {c: pdf[c].iloc[i] for c in keep_cols}
                     # ensure_ascii=False to match the columnar renderer
                     # (Spark to_json emits raw UTF-8, not \uXXXX escapes)
-                    row[out_col] = json.dumps(result, separators=(",", ":"), ensure_ascii=False)
+                    row[out_col] = render_json(result, ensure_ascii=False)
                     rows.append(row)
                 yield pd.DataFrame(rows) if rows else pd.DataFrame({c: [] for c in out_fields})
 

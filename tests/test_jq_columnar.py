@@ -134,21 +134,40 @@ PROGRAMS = [
     ".name | reverse",
     ".nums | sort | first",
     ".tags | unique | length",
+    # bare generators: 0 outputs filter, 1 output is the value, n
+    # outputs collect into an array (processor_jq.go semantics)
+    ".tags[]",
+    ".nums[]",
+    ".nums[] | . * 2",
+    '.tags[] | select(. != "a")',
+    "[.nums[] | select(. > 1)]",
+    "[.nums[] | select(. > 1) | . * 10] | add",
+    "{first_tag: .tags[0], all: [.tags[]]}",
+    "[.nums[], .k]",
+    "select(.k != null) | .nums[] | . + 1",
+    ".meta[]",  # object iteration (sorted keys == insertion order here)
+    ".nums[] | tostring",
+    "[.tags[] | ascii_upcase]",
+    ".nums[0:2][]",
+    # `,` stream concatenation
+    ".k, .name",
+    ".nums[], .k",
+    "[.k, .name]",
+    ".tags[], \"end\"",
+    "(.k, .meta.depth) | select(. != null)",
 ]
 
 # outside the subset — must fall back, not mis-compile
 FALLBACK_PROGRAMS = [
     "has(.k)",
-    ".[]",
-    ".tags[]",
     # string-init reduce concatenates in the interpreter — must NOT
     # compile (the columnar fold is numeric-init only)
     'reduce .[] as $x (""; . + $x)',
     "to_entries",
     "..|numbers",
     "$metadata.topic",
-    ".a, .b",
     r'"v=\(1,2)"',  # generator inside interpolation multiplies outputs
+    "{a: (1, 2)}",  # comma in object-value position multiplies outputs
 ]
 
 
@@ -175,7 +194,11 @@ def _interp_rows(prog, docs):
             out[i] = None  # filtered
         else:
             r = res[0] if len(res) == 1 else res
-            out[i] = json.dumps(r, separators=(",", ":"), ensure_ascii=False)
+            # render through the interpreter's own boundary (gojq
+            # number normalization included)
+            from benthos_spark.functions.jq_program import render_json
+
+            out[i] = render_json(r, ensure_ascii=False)
     return out
 
 
@@ -229,6 +252,44 @@ def _json_equal(e, g):
 def test_columnar_plan_has_no_python_stage(spark):
     df = spark.createDataFrame([(1, '{"k": 5}')], "i int, value string")
     out = JqProcessor('select(.k != null) | {k: .k, dbl: (.k * 2)}')(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_object_iteration_order_divergence_pinned(spark):
+    """Compiled `.[]` over an OBJECT yields values in sorted-key order
+    (all compiled object iteration is sorted — same as keys()); the
+    interpreter preserves document order. Same value SET, different
+    order — the divergence is documented in the module docstring."""
+    doc = '{"b":2,"a":1,"c":3}'
+    df = spark.createDataFrame([(1, doc)], "i int, value string")
+    got = JqProcessor(".[]")(df).collect()[0]["value"]
+    assert json.loads(got) == [1, 2, 3]  # sorted by key a,b,c
+    interp = JqProgram(".[]").run(json.loads(doc))
+    assert interp == [2, 1, 3]  # document order
+
+
+def test_generator_empty_stream_filters_message(spark):
+    df = spark.createDataFrame(
+        [(1, '{"tags":["x"]}'), (2, '{"tags":[]}'), (3, '{"k":1}')],
+        "i int, value string",
+    )
+    out = JqProcessor(".tags[]")(df).collect()
+    assert [r["i"] for r in out] == [1]
+    assert out[0]["value"] == '"x"'
+
+
+def test_select_inside_array_collects_nothing(spark):
+    # regression: the pre-stream array compiler dropped the select keep
+    # and emitted the value unconditionally
+    df = spark.createDataFrame([(1, '{"a":1}'), (2, '{"a":2}')], "i int, value string")
+    out = {r["i"]: r["value"] for r in JqProcessor("[select(.a > 1)]")(df).collect()}
+    assert out == {1: "[]", 2: '[{"a":2}]'}
+
+
+def test_generator_plan_has_no_python_stage(spark):
+    df = spark.createDataFrame([(1, '{"items":[{"a":1}]}')], "i int, value string")
+    out = JqProcessor(".items[] | select(.a > 0) | {id: .a}")(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan and "BatchEvalPython" not in plan
 
