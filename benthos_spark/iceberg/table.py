@@ -246,6 +246,7 @@ class IcebergTable:
             "snapshots": [],
             "snapshot-log": [],
             "metadata-log": [],
+            "refs": {},
         }
         table = cls(location, metadata, version=0)
         try:
@@ -635,6 +636,7 @@ class IcebergTable:
         carry_parent_manifests: bool,
         content: int = M.CONTENT_DATA,
         extra_parts: list[tuple[list[dict], int]] | None = None,
+        branch: str = "main",
     ) -> int:
         """Builds manifest(s) + manifest list + snapshot + metadata,
         then races the version file. On conflict: refresh + rebuild
@@ -647,7 +649,15 @@ class IcebergTable:
         parts = [(infos, content)] + list(extra_parts or [])
         for _attempt in range(20):
             self.refresh()
-            parent = self.current_snapshot()
+            if branch == "main":
+                parent = self.current_snapshot()
+            else:
+                r = self.metadata.get("refs", {}).get(branch)
+                if r is None:
+                    raise KeyError(f"unknown branch {branch!r} (create_branch first)")
+                if r["type"] != "branch":
+                    raise ValueError(f"ref {branch!r} is a tag — tags are immutable")
+                parent = self.snapshot(r["snapshot-id"])
             snapshot_id = _new_snapshot_id()
             seq = self.metadata["last-sequence-number"] + 1
             new_manifests = [
@@ -717,11 +727,17 @@ class IcebergTable:
             meta = dict(self.metadata)
             meta["last-sequence-number"] = seq
             meta["last-updated-ms"] = snapshot["timestamp-ms"]
-            meta["current-snapshot-id"] = snapshot_id
             meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
-            meta["snapshot-log"] = list(meta["snapshot-log"]) + [
-                {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
-            ]
+            refs = dict(meta.get("refs", {}))
+            refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+            meta["refs"] = refs
+            if branch == "main":
+                # the main branch mirrors current-snapshot-id and the
+                # snapshot-log (spec: writers maintain refs.main)
+                meta["current-snapshot-id"] = snapshot_id
+                meta["snapshot-log"] = list(meta["snapshot-log"]) + [
+                    {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+                ]
             meta["metadata-log"] = list(meta["metadata-log"]) + [
                 {
                     "timestamp-ms": self.metadata["last-updated-ms"],
@@ -756,7 +772,12 @@ class IcebergTable:
             f.write(str(v))
         os.rename(tmp, hint)
 
-    def append(self, df: DataFrame, summary: dict[str, str] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict[str, str] | None = None,
+        branch: str = "main",
+    ) -> int:
         """Commit ``df`` as a new append snapshot; returns snapshot id."""
         df = df.select([F.col(f.name) for f in self.spark_schema.fields])
         _stage, infos = self._stage_data_files(df)
@@ -765,6 +786,7 @@ class IcebergTable:
             operation="append",
             summary_extra=dict(summary or {}),
             carry_parent_manifests=True,
+            branch=branch,
         )
 
     def overwrite(self, df: DataFrame, summary: dict[str, str] | None = None) -> int:
@@ -783,7 +805,19 @@ class IcebergTable:
 
     # -- read path ---------------------------------------------------------
 
-    def _resolve_snapshot(self, snapshot_id: int | None, as_of_ms: int | None) -> dict | None:
+    def _resolve_snapshot(
+        self,
+        snapshot_id: int | None,
+        as_of_ms: int | None,
+        ref: str | None = None,
+    ) -> dict | None:
+        if ref is not None:
+            if ref == "main":
+                return self.current_snapshot()
+            r = self.metadata.get("refs", {}).get(ref)
+            if r is None:
+                raise KeyError(f"unknown ref {ref!r}")
+            return self.snapshot(r["snapshot-id"])
         if snapshot_id is not None:
             return self.snapshot(snapshot_id)
         if as_of_ms is not None:
@@ -793,12 +827,222 @@ class IcebergTable:
             return self.snapshot(eligible[-1]["snapshot-id"])
         return self.current_snapshot()
 
+    # -- snapshot refs (spec "Snapshot References": tags & branches) --------
+
+    @property
+    def refs(self) -> dict:
+        return dict(self.metadata.get("refs", {}))
+
+    def _commit_metadata(self, mutate) -> None:
+        """Metadata-only commit (no new snapshot): refresh → mutate →
+        race the version file, retrying on conflict. ``mutate`` gets a
+        SHALLOW copy of current metadata and returns the new dict."""
+        for _attempt in range(20):
+            self.refresh()
+            meta = mutate(dict(self.metadata))
+            try:
+                self._write_version(self.version + 1, meta)
+            except CommitConflict:
+                continue
+            self.metadata = meta
+            self.version += 1
+            return
+        raise CommitConflict("lost the version race 20 times (metadata commit)")
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Pin a snapshot under an immutable name (audit / reproducible
+        reads): ``scan(ref=name)`` reads it forever; expire_snapshots
+        never drops a ref-pinned snapshot."""
+        self._set_ref(name, snapshot_id, "tag")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Independent line of history starting at ``snapshot_id`` (or
+        the current snapshot): ``append(..., branch=name)`` advances the
+        ref without touching main's current-snapshot-id."""
+        self._set_ref(name, snapshot_id, "branch")
+
+    def _set_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
+        if name == "main":
+            raise ValueError("'main' is maintained implicitly by commits")
+
+        def mutate(meta: dict) -> dict:
+            sid = snapshot_id
+            if sid is None:
+                cur = self.current_snapshot()
+                if cur is None:
+                    raise ValueError("table has no snapshot to reference")
+                sid = cur["snapshot-id"]
+            else:
+                self.snapshot(sid)  # must exist
+            refs = dict(meta.get("refs", {}))
+            existing = refs.get(name)
+            if existing is not None and existing["type"] == "tag":
+                raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+            refs[name] = {"snapshot-id": sid, "type": kind}
+            meta["refs"] = refs
+            return meta
+
+        self._commit_metadata(mutate)
+
+    # -- metadata tables (Iceberg's inspection tables: tbl$snapshots…) ------
+
+    def metadata_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Iceberg-style inspection tables as DataFrames — the core
+        columns of `SELECT * FROM tbl.<name>`: ``snapshots``,
+        ``history``, ``refs``, ``manifests``, ``files``,
+        ``delete_files``, ``partitions``. Metadata-only (no data files
+        are read), so each is a handful of driver rows even on a table
+        with millions of files — planning stays O(manifests)."""
+        import datetime as _dt
+
+        self.refresh()
+
+        def ts(ms: int):
+            return _dt.datetime.fromtimestamp(ms / 1000.0, tz=_dt.timezone.utc).replace(
+                tzinfo=None
+            )
+
+        if name == "snapshots":
+            rows = [
+                (
+                    ts(s["timestamp-ms"]),
+                    s["snapshot-id"],
+                    s.get("parent-snapshot-id"),
+                    s["summary"].get("operation"),
+                    s["manifest-list"],
+                    {k: str(v) for k, v in s["summary"].items()},
+                )
+                for s in sorted(self.metadata["snapshots"], key=lambda x: x["sequence-number"])
+            ]
+            return spark.createDataFrame(
+                rows,
+                "committed_at timestamp, snapshot_id long, parent_id long, "
+                "operation string, manifest_list string, summary map<string,string>",
+            )
+        if name == "history":
+            ancestors: set[int] = set()
+            cur = self.current_snapshot()
+            while cur is not None:
+                ancestors.add(cur["snapshot-id"])
+                pid = cur.get("parent-snapshot-id")
+                cur = None
+                if pid is not None:
+                    try:
+                        cur = self.snapshot(pid)
+                    except Exception:
+                        cur = None
+            rows = [
+                (ts(e["timestamp-ms"]), e["snapshot-id"], e["snapshot-id"] in ancestors)
+                for e in self.metadata["snapshot-log"]
+            ]
+            return spark.createDataFrame(
+                rows,
+                "made_current_at timestamp, snapshot_id long, is_current_ancestor boolean",
+            )
+        if name == "refs":
+            rows = [
+                (rname, r["type"], r["snapshot-id"])
+                for rname, r in sorted(self.metadata.get("refs", {}).items())
+            ]
+            return spark.createDataFrame(rows, "name string, type string, snapshot_id long")
+        if name == "manifests":
+            snap = self.current_snapshot()
+            mfs = M.read_manifest_list(snap["manifest-list"]) if snap else []
+            rows = [
+                (
+                    m["content"],
+                    m["manifest_path"],
+                    m["manifest_length"],
+                    m["partition_spec_id"],
+                    m["added_snapshot_id"],
+                    m["added_files_count"],
+                    m["existing_files_count"],
+                    m["deleted_files_count"],
+                    m["added_rows_count"],
+                    m["existing_rows_count"],
+                    m["deleted_rows_count"],
+                )
+                for m in mfs
+            ]
+            return spark.createDataFrame(
+                rows,
+                "content int, path string, length long, partition_spec_id int, "
+                "added_snapshot_id long, added_data_files_count int, "
+                "existing_data_files_count int, deleted_data_files_count int, "
+                "added_rows_count long, existing_rows_count long, deleted_rows_count long",
+            )
+        if name in ("files", "delete_files"):
+            data, deletes = self._live_entries()
+            files = data if name == "files" else deletes
+            rows = [
+                (
+                    f["content"],
+                    f["file_path"],
+                    f["file_format"],
+                    f["record_count"],
+                    f["file_size_in_bytes"],
+                    {
+                        k: (None if v is None else str(v))
+                        for k, v in (f.get("partition") or {}).items()
+                    },
+                )
+                for f in files
+            ]
+            return spark.createDataFrame(
+                rows,
+                "content int, file_path string, file_format string, "
+                "record_count long, file_size_in_bytes long, partition map<string,string>",
+            )
+        if name == "partitions":
+            data, _ = self._live_entries()
+            agg: dict[tuple, list] = {}
+            for f in data:
+                part = tuple(
+                    sorted(
+                        (k, None if v is None else str(v))
+                        for k, v in (f.get("partition") or {}).items()
+                    )
+                )
+                a = agg.setdefault(part, [0, 0, 0])
+                a[0] += f["record_count"]
+                a[1] += 1
+                a[2] += f["file_size_in_bytes"]
+            rows = [
+                (dict(part), cnt[0], cnt[1], cnt[2]) for part, cnt in sorted(agg.items())
+            ]
+            return spark.createDataFrame(
+                rows,
+                "partition map<string,string>, record_count long, "
+                "file_count int, total_size_in_bytes long",
+            )
+        raise ValueError(
+            f"unknown metadata table {name!r}: snapshots, history, refs, "
+            "manifests, files, delete_files, partitions"
+        )
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop 'main'")
+
+        def mutate(meta: dict) -> dict:
+            refs = dict(meta.get("refs", {}))
+            if name not in refs:
+                raise KeyError(f"unknown ref {name!r}")
+            del refs[name]
+            meta["refs"] = refs
+            return meta
+
+        self._commit_metadata(mutate)
+
     def _live_entries(
-        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        ref: str | None = None,
     ) -> tuple[list[dict], list[dict]]:
         """(data files, position-delete files) reachable from the
         chosen snapshot."""
-        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms, ref=ref)
         if snap is None:
             return [], []
         data, deletes = [], []
@@ -1048,6 +1292,7 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         where: str | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """``where`` is applied BOTH as metadata-level file skipping
         (simple `col op literal` conjuncts tested against the
@@ -1055,7 +1300,7 @@ class IcebergTable:
         that cannot contain a match never reach Spark) and as the
         residual row filter. Unparseable predicates skip nothing and
         filter everything — never a correctness change."""
-        data, deletes = self._live_entries(snapshot_id, as_of_ms)
+        data, deletes = self._live_entries(snapshot_id, as_of_ms, ref=ref)
         if where:
             data = self.plan_files(where, files=data)
         df = self._df_for_files(spark, data, delete_files=deletes)
@@ -1337,8 +1582,14 @@ class IcebergTable:
         snaps = sorted(self.metadata["snapshots"], key=lambda s: s["sequence-number"])
         if len(snaps) <= keep_last:
             return []
-        keep = snaps[-keep_last:]
-        drop = snaps[:-keep_last]
+        # ref-pinned snapshots (tags and branch heads) never expire
+        pinned = {
+            r["snapshot-id"] for r in self.metadata.get("refs", {}).values()
+        }
+        keep = snaps[-keep_last:] + [
+            s for s in snaps[:-keep_last] if s["snapshot-id"] in pinned
+        ]
+        drop = [s for s in snaps[:-keep_last] if s["snapshot-id"] not in pinned]
         keep_data: set[str] = set()
         keep_manifests: set[str] = set()
         for s in keep:

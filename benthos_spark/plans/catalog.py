@@ -2827,3 +2827,70 @@ def audio_loudness_rollup(spark, sf_dir):
         .alias("total_mmax"),
         F.round(F.min("lufs_i"), 4).cast("double").alias("min_lufs"),
     )
+
+
+@register(
+    "iceberg_refs_meta_orders",
+    """
+    WITH a AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+         b AS (SELECT * FROM orders WHERE o_orderkey % 4 = 1),
+         c AS (SELECT * FROM orders WHERE o_orderkey % 4 = 2)
+    SELECT 'fix' AS ref, o_orderstatus, count(*) AS n_orders
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'main' AS ref, o_orderstatus, count(*) AS n_orders
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v1' AS ref, o_orderstatus, count(*) AS n_orders
+    FROM a GROUP BY o_orderstatus
+    """,
+)
+def iceberg_refs_meta_orders(spark, sf_dir):
+    """Snapshot refs (spec "Snapshot References") + metadata tables on
+    the from-scratch Iceberg implementation: append slice A, pin tag
+    `v1`, append slice B, fork branch `fix` and branch-append slice C —
+    then read `v1` and `fix` back via ref scans while `main`'s counts
+    come from the PARTITIONS METADATA TABLE (pure manifest arithmetic,
+    no data read). The DuckDB oracle recomputes all three lineages from
+    the raw slices, so ref resolution, branch isolation (main must NOT
+    see C), and manifest record_count bookkeeping are all hash-gated."""
+    import shutil
+    import tempfile
+
+    from benthos_spark.iceberg import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    tmp = tempfile.mkdtemp(prefix="bs_iceberg_refs_")
+    try:
+        t = IcebergTable.create(tmp + "/t", o.schema, partition_by=("o_orderstatus",))
+        t.append(o.filter(F.col("o_orderkey") % 4 == 0))
+        t.create_tag("v1")
+        t.append(o.filter(F.col("o_orderkey") % 4 == 1))
+        t.create_branch("fix")
+        t.append(o.filter(F.col("o_orderkey") % 4 == 2), branch="fix")
+
+        main = t.metadata_table(spark, "partitions").select(
+            F.lit("main").alias("ref"),
+            F.col("partition")["o_orderstatus"].alias("o_orderstatus"),
+            F.col("record_count").alias("n_orders"),
+        )
+        v1 = (
+            t.scan(spark, ref="v1")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .select(F.lit("v1").alias("ref"), "o_orderstatus", "n_orders")
+        )
+        fix = (
+            t.scan(spark, ref="fix")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .select(F.lit("fix").alias("ref"), "o_orderstatus", "n_orders")
+        )
+        out = fix.unionByName(main).unionByName(v1)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -1078,3 +1078,83 @@ def test_iceberg_merge_apply_equality_mode(spark, tmpdir):
         IcebergMergeApplySink(tmpdir + "/x", pk_cols=("id",), mode="bogus")
     with _pytest.raises(ValueError):
         IcebergMergeApplySink(tmpdir + "/y", pk_cols=("id",), assume_ordered=True)
+
+
+# -- snapshot refs (tags & branches) + metadata tables -----------------------
+
+
+def test_refs_tag_branch_and_expire_retention(spark, tmpdir):
+    df = _sample_df(spark, 30)
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("part",))
+    t.append(df)
+    t.create_tag("v1")
+    t.append(_sample_df(spark, 10, offset=100))
+    t.create_branch("dev")
+    t.append(_sample_df(spark, 5, offset=200), branch="dev")
+
+    # main is unaffected by the branch write; the tag is frozen
+    assert t.scan(spark).count() == 40
+    assert t.scan(spark, ref="v1").count() == 30
+    assert t.scan(spark, ref="dev").count() == 45
+    assert t.refs["v1"]["type"] == "tag"
+    assert t.refs["dev"]["type"] == "branch"
+    assert t.refs["main"]["snapshot-id"] == t.current_snapshot()["snapshot-id"]
+
+    # tags are immutable; main is reserved; unknown refs raise
+    with pytest.raises(ValueError):
+        t.create_tag("v1")
+    with pytest.raises(ValueError):
+        t.create_branch("main")
+    with pytest.raises(KeyError):
+        t.scan(spark, ref="nope")
+    with pytest.raises(KeyError):
+        t.append(df, branch="undeclared")
+    with pytest.raises(ValueError):
+        t.append(df, branch="v1")  # writing to a tag
+
+    # expire keeps ref-pinned snapshots readable
+    t.expire_snapshots(keep_last=1)
+    assert t.scan(spark, ref="v1").count() == 30
+    assert t.scan(spark, ref="dev").count() == 45
+    assert t.scan(spark).count() == 40
+
+    t.drop_ref("dev")
+    assert "dev" not in t.refs
+    with pytest.raises(ValueError):
+        t.drop_ref("main")
+
+
+def test_metadata_tables(spark, tmpdir):
+    df = _sample_df(spark, 30)
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("part",))
+    t.append(df)
+    t.create_tag("v1")
+    t.append(_sample_df(spark, 10, offset=100))
+
+    snaps = t.metadata_table(spark, "snapshots").collect()
+    assert [r.operation for r in snaps] == ["append", "append"]
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+    assert int(snaps[1].summary["total-records"]) == 40
+
+    hist = t.metadata_table(spark, "history").collect()
+    assert len(hist) == 2 and all(r.is_current_ancestor for r in hist)
+
+    refs = {r.name: r for r in t.metadata_table(spark, "refs").collect()}
+    assert refs["v1"].type == "tag" and refs["main"].type == "branch"
+    assert refs["main"].snapshot_id == t.current_snapshot()["snapshot-id"]
+
+    mans = t.metadata_table(spark, "manifests").collect()
+    assert sum(m.added_rows_count for m in mans) == 40
+    assert all(m.content == 0 for m in mans)
+
+    files = t.metadata_table(spark, "files")
+    assert files.agg(F.sum("record_count")).collect()[0][0] == 40
+    parts = {
+        r.partition["part"]: r.record_count
+        for r in t.metadata_table(spark, "partitions").collect()
+    }
+    assert parts == {"0": 14, "1": 13, "2": 13}
+    assert t.metadata_table(spark, "delete_files").count() == 0
+
+    with pytest.raises(ValueError):
+        t.metadata_table(spark, "bogus")
