@@ -324,6 +324,26 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             return JmespathProcessor(conf)
         return JmespathProcessor(conf["query"], col=conf.get("col", "value"),
                                  out_col=conf.get("out_col"))
+    if name == "loudness_gate":
+        from benthos_spark.operators.audio import LoudnessGate
+
+        return LoudnessGate(
+            min_lufs=conf.get("min_lufs"),
+            max_lufs=conf.get("max_lufs"),
+            drop_measures=conf.get("drop_measures", False),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
+    if name == "loudness_measure":
+        from benthos_spark.operators.audio import LoudnessMeasure
+
+        conf = conf or {}
+        return LoudnessMeasure(
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelect
 
@@ -340,7 +360,8 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
     raise ConfigError(
         f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
-        "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath"
+        "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
+        "loudness_gate, loudness_measure"
     )
 
 

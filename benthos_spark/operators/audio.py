@@ -1,0 +1,87 @@
+"""Audio processors for the streaming engine.
+
+The reference treats audio payloads as opaque parts flowing through
+processor chains (internal/message/part.go payload + Bloblang stages);
+a training-data pipeline over clips needs first-class audio gates the
+way text pipelines need quality filters. ``LoudnessGate`` is the audio
+analog of the text quality score (plans/catalog.py text_quality_docs):
+decode each clip, measure BS.1770-4 loudness (functions/loudness.py),
+and drop clips outside the target range — the standard corpus-hygiene
+cut for ASR/TTS training data (near-silent or clipping-hot clips).
+
+Both stages are stateless Arrow ``mapInPandas`` kernels over the
+standard clip schema (clip_id, bytes, sr_hz, dur_ms, codec, …), so they
+are streaming-safe, scale linearly with input partitions, and never
+shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from benthos_spark.operators.processors import Processor
+
+
+@dataclass
+class LoudnessMeasure(Processor):
+    """Append ``lufs_i`` (integrated) and ``lufs_mmax`` (max momentary)
+    BS.1770-4 loudness columns by decoding the payload per row inside an
+    Arrow batch. Column names are configurable; everything else passes
+    through unchanged (including the payload bytes)."""
+
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from benthos_spark.functions.loudness import loudness_map_in_pandas
+
+        renames = {self.bytes_col: "bytes", self.codec_col: "codec", self.sr_col: "sr_hz"}
+        work = df
+        for src, dst in renames.items():
+            if src != dst:
+                work = work.withColumnRenamed(src, dst)
+        passthrough = list(work.columns)
+        schema = (
+            ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in work.schema.fields)
+            + ", lufs_i double, lufs_mmax double"
+        )
+        out = work.mapInPandas(loudness_map_in_pandas(passthrough), schema=schema)
+        for src, dst in renames.items():
+            if src != dst:
+                out = out.withColumnRenamed(dst, src)
+        return out
+
+
+@dataclass
+class LoudnessGate(Processor):
+    """Filter clips to a loudness range: keep ``min_lufs <= lufs_i <=
+    max_lufs`` (either bound optional). ``drop_measures=True`` removes
+    the measurement columns afterwards so the payload schema is
+    unchanged — a pure gate."""
+
+    min_lufs: float | None = None
+    max_lufs: float | None = None
+    drop_measures: bool = False
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __post_init__(self):
+        if self.min_lufs is None and self.max_lufs is None:
+            raise ValueError("loudness_gate needs min_lufs and/or max_lufs")
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        out = LoudnessMeasure(self.bytes_col, self.codec_col, self.sr_col)(df)
+        cond = F.lit(True)
+        if self.min_lufs is not None:
+            cond = cond & (F.col("lufs_i") >= F.lit(float(self.min_lufs)))
+        if self.max_lufs is not None:
+            cond = cond & (F.col("lufs_i") <= F.lit(float(self.max_lufs)))
+        out = out.filter(cond)
+        if self.drop_measures:
+            out = out.drop("lufs_i", "lufs_mmax")
+        return out
