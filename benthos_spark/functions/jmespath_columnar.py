@@ -19,13 +19,20 @@ functions, so the common shapes compile to pure Column expressions:
 - multiselect hash/list (null-LHS rule)
 - functions: length, contains, starts_with, ends_with, not_null,
   to_string, to_number, abs, ceil, floor, sum, avg, min, max, reverse,
-  keys, join, type, to_array
+  keys, join, type, to_array, sort
+- expression-reference family: ``sort_by``/``min_by``/``max_by`` with a
+  compiled ``&body`` key (array_sort comparator / aggregate fold —
+  keys must be all-number or all-string per the spec, anything else
+  yields null where the interpreter raises), and ``map(&expr, arr)``
+  (null results KEPT, unlike projections)
 
-Everything else — expression references, sort/sort_by/min/max/map/…,
-negative slice bounds, steps — raises ``JmesCompileError`` and the
-caller falls back to the interpreter, so coverage is a pure
-optimization. The dual-backend conformance test
-(tests/test_jmespath_columnar.py) pins the agreeing corpus.
+Everything else — ``merge``, negative slice bounds, steps, exprefs in
+other functions — raises ``JmesCompileError`` and the caller falls
+back to the interpreter, so coverage is a pure optimization. The
+dual-backend conformance test (tests/test_jmespath_columnar.py) pins
+the agreeing corpus. Numbers render with Go ``encoding/json``
+normalization (integral floats print as integers — go-jmespath's
+marshal; shared with the jq tier's gojq rule).
 
 Documented divergences from the per-row interpreter (both deliberate):
 
@@ -275,8 +282,100 @@ def _compile_jmes(node, cur):
         not_null = bv.isNotNull() & ~F.is_variant_null(bv)
         return CV("json", col=F.when(not_null, rendered))
     if tag == "func":
-        return _fn(node[1], [_compile_jmes(a, cur) for a in _args(node[2])], cur)
+        name, arg_nodes = node[1], node[2]
+        # expression-reference family: the &body compiles per element
+        if (
+            name in ("sort_by", "min_by", "max_by")
+            and len(arg_nodes) == 2
+            and arg_nodes[1][0] == "expref"
+        ):
+            return _by_family(name, _compile_jmes(arg_nodes[0], cur), arg_nodes[1][1])
+        if name == "map" and len(arg_nodes) == 2 and arg_nodes[0][0] == "expref":
+            return _map_expref(arg_nodes[0][1], _compile_jmes(arg_nodes[1], cur))
+        if name == "sort" and len(arg_nodes) == 1:
+            # sort(a) ≡ sort_by(a, &@)
+            return _by_family("sort_by", _compile_jmes(arg_nodes[0], cur), ("current",))
+        return _fn(name, [_compile_jmes(a, cur) for a in _args(arg_nodes)], cur)
     raise JmesCompileError(f"node {tag!r} not compiled")
+
+
+def _ord3(a: Column, b: Column) -> Column:
+    return F.when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
+
+
+def _key_lanes(body, e: Column):
+    """Per-element sort key: (rendered lexeme, numeric lane, string
+    lane) of the &body applied to the element."""
+    kv = _compile_jmes(body, CV.variant(e))
+    r = F.coalesce(_render_jv(kv), F.lit("null"))
+    return (
+        r,
+        F.when(r.rlike(_NUM_LEXEME), r.try_cast("double")),
+        F.when(r.startswith('"'), _str_val(kv, r)),
+    )
+
+
+def _by_family(name: str, arrcv, body) -> CV:
+    """sort_by / min_by / max_by with a compiled &expression key. Spec:
+    keys must be ALL numbers or ALL strings — the interpreter raises on
+    anything else, the compiled plan yields null (lenient-error rule).
+    Ties keep first occurrence (Python min/max + stable sort parity)."""
+    arr = _elems(arrcv)
+    all_num = F.forall(arr, lambda e: _key_lanes(body, e)[0].rlike(_NUM_LEXEME))
+    all_str = F.forall(arr, lambda e: _key_lanes(body, e)[0].startswith('"'))
+    valid = arr.isNotNull() & (all_num | all_str)
+    if name == "sort_by":
+
+        def cmp(le, re_):
+            _, ln_, ls = _key_lanes(body, le)
+            _, rn, rs = _key_lanes(body, re_)
+            return (
+                F.when(ln_.isNotNull() & rn.isNotNull(), _ord3(ln_, rn))
+                .when(ls.isNotNull() & rs.isNotNull(), _ord3(ls, rs))
+                .otherwise(F.lit(0))
+            )
+
+        out_arr = F.array_sort(arr, cmp)
+        rendered = F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(out_arr, lambda e: F.coalesce(F.to_json(e), F.lit("null"))),
+                ",",
+            ),
+            F.lit("]"),
+        )
+        return CV("json", col=F.when(valid, rendered))
+    take_lt = name == "min_by"
+
+    def step(acc, x):
+        _, xn, xs = _key_lanes(body, x)
+        _, an, as_ = _key_lanes(body, acc)
+        if take_lt:
+            better = (xn.isNotNull() & an.isNotNull() & (xn < an)) | (
+                xs.isNotNull() & as_.isNotNull() & (xs < as_)
+            )
+        else:
+            better = (xn.isNotNull() & an.isNotNull() & (xn > an)) | (
+                xs.isNotNull() & as_.isNotNull() & (xs > as_)
+            )
+        return F.when(better, x).otherwise(acc)
+
+    best = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))), F.get(arr, 0), step
+    )
+    nonempty = valid & (F.size(arr) > 0)
+    return CV("json", col=F.when(nonempty, F.coalesce(F.to_json(best), F.lit("null"))))
+
+
+def _map_expref(body, arrcv) -> CV:
+    """map(&expr, array): unlike projections, null results are KEPT."""
+    arr = _elems(arrcv)
+
+    def b(e):
+        return F.coalesce(_render_jv(_compile_jmes(body, CV.variant(e))), F.lit("null"))
+
+    rendered = F.concat(F.lit("["), F.array_join(F.transform(arr, b), ","), F.lit("]"))
+    return CV("json", col=F.when(arr.isNotNull(), rendered))
 
 
 def _args(arg_nodes):
@@ -518,6 +617,21 @@ def _validate(node):
         return
     if tag == "func":
         name, arg_nodes = node[1], node[2]
+        if (
+            name in ("sort_by", "min_by", "max_by")
+            and len(arg_nodes) == 2
+            and arg_nodes[1][0] == "expref"
+        ):
+            _validate(arg_nodes[0])
+            _validate(arg_nodes[1][1])
+            return
+        if name == "map" and len(arg_nodes) == 2 and arg_nodes[0][0] == "expref":
+            _validate(arg_nodes[0][1])
+            _validate(arg_nodes[1])
+            return
+        if name == "sort" and len(arg_nodes) == 1:
+            _validate(arg_nodes[0])
+            return
         if name == "not_null":
             if not arg_nodes:
                 raise JmesCompileError("not_null needs arguments")

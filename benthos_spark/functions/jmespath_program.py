@@ -455,7 +455,14 @@ def _call(name, args, prog: JmesProgram):
     if name == "to_string":
         v = args[0]
         # raw UTF-8 like go-jmespath's json.Marshal (and the columnar tier)
-        return v if isinstance(v, str) else json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        if isinstance(v, str):
+            return v
+        from benthos_spark.functions.jq_program import render_json
+
+        # go-jmespath marshals through encoding/json, whose float64
+        # encoder prints integral floats without the trailing .0 — the
+        # same normalization gojq applies (shared helper)
+        return render_json(v, ensure_ascii=False)
     if name == "to_number":
         v = args[0]
         if isinstance(v, (int, float)) and not isinstance(v, bool):
@@ -525,6 +532,8 @@ def _call(name, args, prog: JmesProgram):
     if name == "min_by":
         return min(args[0], key=expref_fn(args[1]), default=None)
     if name == "map":
+        if not isinstance(args[1], list):
+            raise JmesError("map() requires an array (invalid-type)")
         fn = expref_fn(args[0])
         return [fn(x) for x in args[1]]
     if name == "merge":
@@ -588,7 +597,9 @@ class JmespathProcessor:
                         result = None  # invalid-type row: flag-and-continue
                     row = {c: pdf[c].iloc[i] for c in keep}
                     # ensure_ascii=False to match the columnar renderer
-                    row[out_col] = json.dumps(result, separators=(",", ":"), ensure_ascii=False)
+                    from benthos_spark.functions.jq_program import render_json
+
+                    row[out_col] = render_json(result, ensure_ascii=False)
                     rows.append(row)
                 yield pd.DataFrame(rows) if rows else pd.DataFrame({c: [] for c in out_fields})
 

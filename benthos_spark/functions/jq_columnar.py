@@ -597,8 +597,18 @@ class _SubsetParser:
             "floor", "ceil", "tostring", "tonumber", "not", "length", "type",
             "abs", "fabs", "first", "last", "add", "min", "max",
             "ascii_downcase", "ascii_upcase", "keys", "sort", "unique", "reverse",
+            "to_entries", "from_entries",
         ):
             return ("call0", name)
+        if name == "with_entries":
+            # with_entries(f) ≡ to_entries | map(f) | from_entries
+            self.expect("(")
+            f = self.pipe()
+            self.expect(")")
+            return (
+                "pipe",
+                [("call0", "to_entries"), ("map", f), ("call0", "from_entries")],
+            )
         if name == "has":
             self.expect("(")
             kt = self.next()
@@ -858,6 +868,10 @@ def _compile(node, cur: CV, keep: Optional[Column]):
         parts.append(F.lit("}"))
         return keep, CV("json", col=F.concat(*parts))
     if tag == "map":
+        if cur.kind == "json":
+            # rendered intermediate (to_entries/sort/… output) re-enters
+            # the variant lane
+            cur = CV.variant(F.try_parse_json(cur.col))
         if cur.kind != "variant":
             raise JqCompileError("map over non-variant")
         # map(f) ≡ [.[] | f] — the stream machinery gives element-level
@@ -873,10 +887,56 @@ def _compile(node, cur: CV, keep: Optional[Column]):
         if cur.kind == "json" and name in (
             "first", "last", "add", "min", "max", "keys", "sort", "unique",
             "reverse", "length", "type", "tostring", "tonumber",
+            "to_entries", "from_entries",
         ):
             # rendered intermediates (sort/unique/map/if outputs) re-enter
             # the variant lane so builtin chains stay columnar
             cur = CV.variant(F.try_parse_json(cur.col))
+        if name == "to_entries":
+            # object → [{key, value}…] in sorted-key order (compiled
+            # object iteration is sorted — documented divergence)
+            if cur.kind != "variant":
+                raise JqCompileError("to_entries over non-variant")
+            m = F.try_variant_get(cur.vcol(), "$", "map<string, variant>")
+            ents = F.transform(
+                F.map_entries(m),
+                lambda e: F.concat(
+                    F.lit('{"key":'),
+                    _json_quote(e["key"]),
+                    F.lit(',"value":'),
+                    F.coalesce(F.to_json(e["value"]), F.lit("null")),
+                    F.lit("}"),
+                ),
+            )
+            rendered = F.concat(F.lit("["), F.array_join(ents, ","), F.lit("]"))
+            return keep, CV("json", col=F.when(m.isNotNull(), rendered))
+        if name == "from_entries":
+            # [{key|k|name, value|v}…] → object; duplicate keys keep the
+            # LAST occurrence once re-parsed (JSON text carries both;
+            # every consumer — jq included — resolves to the last)
+            if cur.kind != "variant":
+                raise JqCompileError("from_entries over non-variant")
+            arr = F.try_variant_get(cur.vcol(), "$", "array<variant>")
+
+            def ent(e):
+                kvar = F.coalesce(
+                    F.try_variant_get(e, "$.key", "variant"),
+                    F.try_variant_get(e, "$.k", "variant"),
+                    F.try_variant_get(e, "$.name", "variant"),
+                )
+                vjson = F.coalesce(
+                    F.to_json(F.try_variant_get(e, "$.value", "variant")),
+                    F.to_json(F.try_variant_get(e, "$.v", "variant")),
+                    F.lit("null"),
+                )
+                return F.concat(
+                    _json_quote(_tostring_col(CV.variant(kvar))), F.lit(":"), vjson
+                )
+
+            rendered = F.concat(
+                F.lit("{"), F.array_join(F.transform(arr, ent), ","), F.lit("}")
+            )
+            return keep, CV("json", col=F.when(arr.isNotNull(), rendered))
         if name in ("floor", "ceil"):
             n = _as_num(cur)
             fn = F.floor if name == "floor" else F.ceil

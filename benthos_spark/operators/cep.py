@@ -199,6 +199,158 @@ class FunnelMatch(Processor):
 FUNNEL_STATE_SCHEMA = "buf string, chains string"
 
 
+@dataclass
+class AbsenceMatch(Processor):
+    """Absence / timeout pattern: anchor NOT followed by a follower
+    within ``within`` — "checkout with no payment in 30 minutes",
+    "alert never acknowledged". Emits one row per anchor event with no
+    follower-matching event strictly after it in (ts, id) order inside
+    the budget (MATCH_RECOGNIZE would spell this ``A {- B -}`` negation
+    plus a timeout; neither Spark nor the reference ships it).
+
+    Plan: one keyed Window (Exchange + Sort) computing the NEXT
+    follower timestamp as min(CASE WHEN follower THEN ts END) over the
+    following rows, then a codegen'd filter — no self-join, no Python,
+    same cost profile as the other matchers.
+    """
+
+    key_cols: Sequence[str]
+    ts_col: str
+    id_col: str
+    anchor: Any
+    follower: Any
+    within: str | int = "1 hour"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy(*self.key_cols)
+            .orderBy(self.ts_col, self.id_col)
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        ts_ms = _millis(F.col(self.ts_col))
+        budget = _within_ms(self.within)
+        proj = df.withColumn(
+            "_next_b_ms", F.min(F.when(_to_col(self.follower), ts_ms)).over(w)
+        )
+        keep = _to_col(self.anchor) & (
+            F.col("_next_b_ms").isNull()
+            | (F.col("_next_b_ms") - ts_ms > F.lit(budget))
+        )
+        return proj.filter(keep).select(
+            *[F.col(c) for c in self.key_cols],
+            F.col(self.id_col).alias("anchor_id"),
+            F.col(self.ts_col).alias("anchor_ts"),
+            # interval addition keeps μs precision AND the input's
+            # TIMESTAMP/TIMESTAMP_NTZ flavor (timestamp_millis would
+            # truncate the anchor's microsecond tail)
+            (
+                F.col(self.ts_col) + F.expr(f"INTERVAL {budget} MILLISECONDS")
+            ).alias("deadline_ts"),
+        )
+
+
+ABSENCE_STATE_SCHEMA = "buf string, pending string"
+
+
+def _absence_out_schema(key_field: str) -> str:
+    return f"{key_field}, anchor_id long, anchor_ts timestamp, deadline_ts timestamp"
+
+
+def make_absence_state_fn(anchor_sym: str, follower_sym: str, within_ms: int, key_name: str):
+    """Streaming absence detector. Buffers events newer than the
+    watermark, replays the ordered prefix: a follower cancels every
+    pending anchor still inside its budget; an anchor whose deadline
+    falls BEHIND the watermark fires (no follower ≤ deadline can arrive
+    — any such event would already have been replayed). EventTimeTimeout
+    flushes quiet keys like the funnel NFA."""
+
+    def _replay(events, pending):
+        for t, i, sym in events:
+            if sym == follower_sym:
+                # anchors whose budget already lapsed keep their firing
+                # right; in-budget ones are satisfied and cancelled
+                pending = [p for p in pending if t - p[0] > within_ms]
+            if sym == anchor_sym:
+                pending.append([t, i])
+        return pending
+
+    def _emit(key, fired):
+        import datetime as dt
+
+        return pd.DataFrame(
+            {
+                key_name: [key[0]] * len(fired),
+                "anchor_id": [p[1] for p in fired],
+                "anchor_ts": [dt.datetime.utcfromtimestamp(p[0] / 1000.0) for p in fired],
+                "deadline_ts": [
+                    dt.datetime.utcfromtimestamp((p[0] + within_ms) / 1000.0)
+                    for p in fired
+                ],
+            }
+        )
+
+    def fn(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        buf: list = []
+        pending: list = []
+        if state.exists:
+            raw_buf, raw_pending = state.get
+            buf = json.loads(raw_buf)
+            pending = json.loads(raw_pending)
+        if state.hasTimedOut:
+            # quiet key: flush the buffer, every surviving anchor fires
+            pending = _replay(sorted(buf, key=lambda e: (e[0], e[1])), pending)
+            state.remove()
+            if pending:
+                yield _emit(key, pending)
+            return
+        for pdf in pdfs:
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            ids = pdf["event_id"].astype("int64").tolist()
+            syms = pdf["event_type"].astype(str).tolist()
+            buf.extend([t, i, s] for t, i, s in zip(ts_ms, ids, syms))
+        wm = state.getCurrentWatermarkMs()
+        bounded = wm <= 0
+        horizon = 2**62 if bounded else wm
+        ready = sorted((e for e in buf if e[0] <= horizon), key=lambda e: (e[0], e[1]))
+        buf = [e for e in buf if e[0] > horizon]
+        pending = _replay(ready, pending)
+        fired = [p for p in pending if p[0] + within_ms < horizon]
+        pending = [p for p in pending if p[0] + within_ms >= horizon]
+        state.update((json.dumps(buf), json.dumps(pending)))
+        try:
+            state.setTimeoutTimestamp(max(wm, 0) + within_ms + 1)
+        except Exception:
+            pass  # NoTimeout conf (bounded runs)
+        if fired:
+            yield _emit(key, fired)
+
+    return fn
+
+
+def absence_with_state(
+    events: DataFrame,
+    anchor: str,
+    follower: str,
+    within: str | int = "1 hour",
+    key_col: str = "user_id",
+    timeout: bool = True,
+) -> DataFrame:
+    """Streaming absence pattern over a (``key_col``, ts, event_id,
+    event_type) stream — symbol-valued like ``funnel_with_state``; the
+    input should carry ``withWatermark('ts', …)``."""
+    conf = GroupStateTimeout.EventTimeTimeout if timeout else GroupStateTimeout.NoTimeout
+    key_field = f"{key_col} long"
+    return events.groupBy(key_col).applyInPandasWithState(
+        make_absence_state_fn(anchor, follower, _within_ms(within), key_col),
+        outputStructType=_absence_out_schema(key_field),
+        stateStructType=ABSENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=conf,
+    )
+
+
 def _funnel_out_schema(key_field: str) -> str:
     return (
         f"{key_field}, step_ids array<long>, start_ts timestamp, "

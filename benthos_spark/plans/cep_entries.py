@@ -100,3 +100,40 @@ def cep_strict_sequence_events(spark, sf_dir):
         within="3 days",
     )
     return m(ev)
+
+
+_ABSENCE_ORACLE = """
+WITH e AS (SELECT user_id, event_id, ts, event_type FROM events),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS anchor_ts FROM e
+      WHERE event_type = 'click')
+SELECT a.user_id, a.anchor_id, a.anchor_ts,
+       a.anchor_ts + INTERVAL 30 MINUTE AS deadline_ts
+FROM a
+WHERE NOT EXISTS (
+  SELECT 1 FROM e x
+  WHERE x.user_id = a.user_id AND x.event_type = 'purchase'
+    AND (x.ts > a.anchor_ts OR (x.ts = a.anchor_ts AND x.event_id > a.anchor_id))
+    AND epoch_ms(x.ts) - epoch_ms(a.anchor_ts) <= 1800000)
+"""
+
+
+@register("cep_absence_events", _ABSENCE_ORACLE)
+def cep_absence_events(spark, sf_dir):
+    """Absence / timeout pattern (operators/cep.py AbsenceMatch): every
+    click with NO purchase by the same user within 30 minutes — the
+    abandoned-checkout query. Spark plans one keyed Window computing the
+    next purchase timestamp over following rows; the DuckDB oracle is
+    the literal NOT EXISTS anti-join, so the window rewrite is
+    hash-gated against the declarative spec."""
+    from benthos_spark.operators.cep import AbsenceMatch
+
+    ev = _t(spark, sf_dir, "events")
+    m = AbsenceMatch(
+        key_cols=["user_id"],
+        ts_col="ts",
+        id_col="event_id",
+        anchor=F.col("event_type") == "click",
+        follower=F.col("event_type") == "purchase",
+        within="30 minutes",
+    )
+    return m(ev)

@@ -215,3 +215,112 @@ class TestStreamingFunnel:
         )
         assert got == want
         assert want, "reference produced no matches — test data too thin"
+
+
+# -- absence / timeout pattern ------------------------------------------------
+
+
+class TestAbsence:
+    def _matcher(self, within="1 minute"):
+        from benthos_spark.operators.cep import AbsenceMatch
+
+        return AbsenceMatch(
+            key_cols=["user_id"], ts_col="ts", id_col="event_id",
+            anchor=F.col("event_type") == "click",
+            follower=F.col("event_type") == "purchase",
+            within=within,
+        )
+
+    def test_batch_semantics(self, spark):
+        rows = [
+            # u1: click satisfied in time -> no match
+            (1, 1, 0, "click"), (1, 2, 30, "purchase"),
+            # u1: click with purchase too late -> match
+            (1, 3, 100, "click"), (1, 4, 200, "purchase"),
+            # u2: click never followed -> match; noise ignored
+            (2, 5, 0, "click"), (2, 6, 10, "noise"),
+            # u3: purchase BEFORE the click does not satisfy it -> match
+            (3, 7, 50, "purchase"), (3, 8, 60, "click"),
+        ]
+        out = self._matcher()(_mk(spark, rows)).collect()
+        got = sorted((r.user_id, r.anchor_id) for r in out)
+        assert got == [(1, 3), (2, 5), (3, 8)]
+        r = next(x for x in out if x.anchor_id == 5)
+        assert (r.deadline_ts - r.anchor_ts).total_seconds() == 60.0
+
+    def test_same_ts_id_order_breaks_ties(self, spark):
+        # purchase at the SAME ts with a higher id counts as "after"
+        rows = [(1, 1, 0, "click"), (1, 2, 0, "purchase"),
+                (1, 4, 5, "click"), (1, 3, 5, "purchase")]
+        out = self._matcher()(_mk(spark, rows)).collect()
+        # anchor 1 satisfied by id 2 (same ts, higher id); anchor 4 is
+        # NOT satisfied by id 3 (same ts, lower id = before)
+        assert sorted(r.anchor_id for r in out) == [4]
+
+    def test_single_window_no_python(self, spark):
+        df = _mk(spark, [(1, 1, 0, "click")])
+        plan = self._matcher()(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 2
+        assert "Python" not in plan
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        import glob
+        import os
+        import random
+        import shutil
+
+        from benthos_spark.operators.cep import absence_with_state
+
+        rng = random.Random(13)
+        rows, eid = [], 0
+        for uid in range(5):
+            t = 0
+            for _ in range(30):
+                t += rng.randint(5, 90)
+                eid += 1
+                rows.append((uid, eid, t, rng.choice(["click", "purchase", "noise"])))
+        df = _mk(spark, rows)
+        want = sorted(
+            (r.user_id, r.anchor_id) for r in self._matcher()(df).collect()
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        ordered = sorted(rows, key=lambda r: r[2])
+        cut = len(ordered) // 3
+        chunks = [ordered[:cut], ordered[cut: 2 * cut], ordered[2 * cut:]]
+        for chunk in chunks:
+            rng.shuffle(chunk)
+        chunks.append([(99, 10**6, 10**7, "_sentinel")])
+        t0 = 1_700_000_000
+        for i, chunk in enumerate(chunks):
+            tmp_dir = str(tmp_path / f"w{i}")
+            _mk(spark, chunk).coalesce(1).write.parquet(tmp_dir)
+            part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+            dst = f"{src}/f{i}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "10 seconds")
+        )
+        out = absence_with_state(stream, "click", "purchase", within="1 minute")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q, timeout_s=300)
+        got_df = spark.read.parquet(str(tmp_path / "out"))
+        got = sorted(
+            (r.user_id, r.anchor_id)
+            for r in got_df.collect()
+            if r.user_id != 99
+        )
+        assert got == want

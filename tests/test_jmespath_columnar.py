@@ -129,17 +129,28 @@ EXPRESSIONS = [
     "to_array(tags)",
     "to_array(missing)",
     "max(items[*].v)",
+    # round-3 third-wave: expression-reference family
+    "sort(tags)",
+    "sort(nums)",
+    "sort(mixed)",
+    "sort_by(items, &v)",
+    "sort_by(items, &k)",
+    "min_by(items, &v)",
+    "max_by(items, &v)",
+    "max_by(items, &k)",
+    "map(&k, items)",
+    "map(&v, items)",
+    "map(&ys[0], items)",
+    "sort_by(items, &v)[*].k",
+    "max_by(items, &v).k",
 ]
 
 # outside the subset — must fall back, not mis-compile
 FALLBACK = [
-    "sort(tags)",
-    "sort_by(items, &v)",
-    "max_by(items, &v)",
-    "map(&k, items)",
     "tags[::2]",
     "tags[-2:]",
     "merge(obj, `{}`)",
+    "sort_by(items, v)",  # second arg must be an &expression
 ]
 
 
@@ -154,8 +165,12 @@ def test_subset_compiles():
 
 
 def _expected(prog, d):
+    from benthos_spark.functions.jq_program import render_json
+
     try:
-        return json.dumps(prog.search(d), separators=(",", ":"), ensure_ascii=False)
+        # the processor's own render boundary (Go json.Marshal number
+        # normalization included)
+        return render_json(prog.search(d), ensure_ascii=False)
     except Exception:
         return "null"  # the processor nulls invalid-type rows in both tiers
 

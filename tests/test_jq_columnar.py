@@ -155,6 +155,12 @@ PROGRAMS = [
     "[.k, .name]",
     ".tags[], \"end\"",
     "(.k, .meta.depth) | select(. != null)",
+    # entries family (.meta keys are already sorted in DOCS, so the
+    # sorted-iteration divergence cannot bite)
+    ".meta | to_entries",
+    ".meta | to_entries | map(.key)",
+    ".meta | with_entries(select(.value != null))",
+    '.meta | to_entries | from_entries',
 ]
 
 # outside the subset — must fall back, not mis-compile
@@ -163,7 +169,6 @@ FALLBACK_PROGRAMS = [
     # string-init reduce concatenates in the interpreter — must NOT
     # compile (the columnar fold is numeric-init only)
     'reduce .[] as $x (""; . + $x)',
-    "to_entries",
     "..|numbers",
     "$metadata.topic",
     r'"v=\(1,2)"',  # generator inside interpolation multiplies outputs
