@@ -344,6 +344,17 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "loudness_normalize":
+        from benthos_spark.operators.audio import LoudnessNormalize
+
+        conf = conf or {}
+        return LoudnessNormalize(
+            target_lufs=conf.get("target_lufs", -23.0),
+            max_gain_db=conf.get("max_gain_db", 30.0),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelect
 
@@ -361,7 +372,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
-        "loudness_gate, loudness_measure"
+        "loudness_gate, loudness_measure, loudness_normalize"
     )
 
 

@@ -57,6 +57,69 @@ class LoudnessMeasure(Processor):
 
 
 @dataclass
+class LoudnessNormalize(Processor):
+    """Re-gain every clip to a target integrated loudness (the standard
+    corpus-normalization pass before ASR/TTS training: BS.1770 measure →
+    linear gain → re-encode with the clip's own codec). Gain is capped
+    at ``max_gain_db`` so near-silence is not blown up into noise, and
+    the scaled signal hard-clips at full scale (int16 codecs saturate
+    anyway — the cap is there to keep that rare). Adds ``gain_db``;
+    payload bytes are REPLACED. Stateless Arrow ``mapInPandas``."""
+
+    target_lufs: float = -23.0  # EBU R 128 programme target
+    max_gain_db: float = 30.0
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        target = float(self.target_lufs)
+        cap = float(self.max_gain_db)
+        renames = {self.bytes_col: "bytes", self.codec_col: "codec", self.sr_col: "sr_hz"}
+        work = df
+        for src, dst in renames.items():
+            if src != dst:
+                work = work.withColumnRenamed(src, dst)
+        cols = list(work.columns)
+        schema = (
+            ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in work.schema.fields)
+            + ", gain_db double"
+        )
+
+        def fn(batches):
+            import pandas as pd
+
+            from benthos_spark.functions import audio as A
+            from benthos_spark.functions.loudness import integrated_lufs
+
+            for pdf in batches:
+                n = len(pdf)
+                payloads = []
+                gains = np.empty(n, dtype=np.float64)
+                for i in range(n):
+                    codec = pdf["codec"].iat[i]
+                    fs = int(pdf["sr_hz"].iat[i])
+                    x = np.asarray(A.decode(pdf["bytes"].iat[i], codec), dtype=np.float64)
+                    li = integrated_lufs(x, fs)
+                    g = 0.0 if not np.isfinite(li) else min(target - li, cap)
+                    y = np.clip(x * (10.0 ** (g / 20.0)), -1.0, 1.0)
+                    payloads.append(A.encode(y, codec, fs))
+                    gains[i] = g
+                out = {c: pdf[c] for c in cols}
+                out["bytes"] = pd.Series(payloads, dtype=object)
+                out["gain_db"] = np.round(gains, 4)
+                yield pd.DataFrame(out)
+
+        out = work.mapInPandas(fn, schema=schema)
+        for src, dst in renames.items():
+            if src != dst:
+                out = out.withColumnRenamed(dst, src)
+        return out
+
+
+@dataclass
 class LoudnessGate(Processor):
     """Filter clips to a loudness range: keep ``min_lufs <= lufs_i <=
     max_lufs`` (either bound optional). ``drop_measures=True`` removes

@@ -96,3 +96,48 @@ output:
     run_to_completion(q, timeout_s=300)
     got = ExactlyOnceParquetSink(out_dir).read_committed(spark)
     assert sorted(r.clip_id for r in got.collect()) == ["c0", "c1", "c2"]
+
+
+def test_normalize_hits_target(spark):
+    from benthos_spark.operators.audio import LoudnessNormalize
+
+    df = spark.createDataFrame(_clip_rows(), _SCHEMA)
+    out = LoudnessNormalize(target_lufs=-23.0)(df)
+    rows = {r.clip_id: r for r in out.collect()}
+    assert set(out.columns) == set(df.columns) | {"gain_db"}
+    # re-measure: every clip lands on the target (within codec
+    # quantization + the gating nonlinearity)
+    measured = {
+        r.clip_id: r.lufs_i
+        for r in LoudnessMeasure()(out.drop("gain_db")).collect()
+    }
+    for cid, lufs in measured.items():
+        assert lufs == pytest.approx(-23.0, abs=0.3), (cid, lufs)
+    # quiet clips got boosted, loud ones attenuated
+    assert rows["c3"].gain_db > 0 > rows["c0"].gain_db
+
+
+def test_normalize_gain_cap_and_silence(spark):
+    from benthos_spark.operators.audio import LoudnessNormalize
+
+    sr = 16000
+    t = np.arange(sr)
+    quiet = 0.005 * np.sin(2 * np.pi * 440.0 * t / sr)  # ≈ -53 LUFS
+    silent = np.zeros(sr)  # below the -70 LKFS absolute gate
+    df = spark.createDataFrame(
+        [
+            ("quiet", A.encode(quiet, "wav", sr), sr, 1000, "wav", "q"),
+            ("silent", A.encode(silent, "wav", sr), sr, 1000, "wav", "s"),
+        ],
+        _SCHEMA,
+    )
+    rows = {
+        r.clip_id: r
+        for r in LoudnessNormalize(target_lufs=-16.0, max_gain_db=20.0)(df).collect()
+    }
+    # the quiet clip wants ~+37 dB — capped at 20
+    assert rows["quiet"].gain_db == pytest.approx(20.0)
+    # gated-silent clips (no measurable loudness) are left untouched
+    assert rows["silent"].gain_db == 0.0
+    orig = {r[0]: r[1] for r in (("silent", A.encode(silent, "wav", sr)),)}
+    assert bytes(rows["silent"].bytes) == orig["silent"]
