@@ -190,7 +190,16 @@ class IcebergTable:
         spark_schema: T.StructType,
         partition_by: tuple[str, ...] = (),
         properties: dict[str, str] | None = None,
+        sort_by: tuple[str, ...] = (),
     ) -> "IcebergTable":
+        """``sort_by`` entries are ``"col"`` / ``"col desc"`` — a table
+        sort order (spec "Sort Orders"): every append sorts rows within
+        write tasks so parquet footers carry TIGHT column bounds and
+        ``plan_files``/scan predicates skip whole files at the manifest
+        level. Set table property ``write.distribution-mode: range`` to
+        also range-repartition before the sort (one extra shuffle per
+        append, globally clustered files — Iceberg's distribution-mode
+        semantics)."""
         os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         schema_json, last_col_id = S.to_iceberg_schema(spark_schema)
@@ -227,6 +236,22 @@ class IcebergTable:
                     "field-id": 1000 + i,
                 }
             )
+        sort_fields = []
+        for spec in sort_by:
+            parts = spec.split()
+            col = parts[0]
+            direction = parts[1].lower() if len(parts) > 1 else "asc"
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"sort_by direction must be asc|desc, got {spec!r}")
+            fid = S.field_id_of(schema_json, col)
+            sort_fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": fid,
+                    "direction": direction,
+                    "null-order": "nulls-first" if direction == "asc" else "nulls-last",
+                }
+            )
         metadata = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -239,8 +264,9 @@ class IcebergTable:
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "last-partition-id": 999 + len(spec_fields),
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 1 if sort_fields else 0,
+            "sort-orders": [{"order-id": 0, "fields": []}]
+            + ([{"order-id": 1, "fields": sort_fields}] if sort_fields else []),
             "properties": dict(properties or {}),
             "current-snapshot-id": -1,
             "snapshots": [],
@@ -320,6 +346,14 @@ class IcebergTable:
         return next(
             s for s in self.metadata["partition-specs"] if s["spec-id"] == sid
         )["fields"]
+
+    @property
+    def sort_order_fields(self) -> list[dict]:
+        oid = self.metadata.get("default-sort-order-id", 0)
+        for o in self.metadata.get("sort-orders", []):
+            if o["order-id"] == oid:
+                return list(o["fields"])
+        return []
 
     @property
     def partition_cols(self) -> list[str]:
@@ -405,6 +439,17 @@ class IcebergTable:
                     pf["name"],
                     _transform_col(pf["transform"], F.col(src_name), src_type),
                 )
+        order = self.sort_order_fields
+        if order:
+            sort_cols = []
+            for f in order:
+                c = F.col(self._source_col_name(f["source-id"]))
+                sort_cols.append(c.asc() if f["direction"] == "asc" else c.desc())
+            if self.metadata.get("properties", {}).get("write.distribution-mode") == "range":
+                # global clustering: one range shuffle per append, files
+                # carry DISJOINT value ranges (max pruning power)
+                df = df.repartitionByRange(*sort_cols)
+            df = df.sortWithinPartitions(*sort_cols)
         writer = df.write.mode("overwrite")
         pcols = self.partition_cols
         if pcols:
@@ -573,7 +618,12 @@ class IcebergTable:
                         "key_metadata": None,
                         "split_offsets": None,
                         "equality_ids": info.get("equality_ids"),
-                        "sort_order_id": None,
+                        "sort_order_id": (
+                            self.metadata.get("default-sort-order-id", 0)
+                            if content == M.CONTENT_DATA
+                            and self.metadata.get("default-sort-order-id", 0)
+                            else None
+                        ),
                     },
                 }
             )

@@ -1158,3 +1158,45 @@ def test_metadata_tables(spark, tmpdir):
 
     with pytest.raises(ValueError):
         t.metadata_table(spark, "bogus")
+
+
+def test_sort_order_tightens_bounds_and_prunes(spark, tmpdir):
+    """A sort order + range distribution gives files DISJOINT value
+    ranges, so a point/range predicate prunes most files at the
+    MANIFEST level; the same data unsorted prunes nothing."""
+    import random
+
+    rng = random.Random(3)
+    vals = list(range(1000))
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v, f"r{v}") for v in vals], "k long, s string").repartition(8)
+
+    plain = IcebergTable.create(tmpdir + "/plain", df.schema)
+    plain.append(df)
+    sorted_t = IcebergTable.create(
+        tmpdir + "/sorted",
+        df.schema,
+        sort_by=("k",),
+        properties={"write.distribution-mode": "range"},
+    )
+    sorted_t.append(df)
+
+    assert sorted_t.metadata["default-sort-order-id"] == 1
+    assert sorted_t.metadata["sort-orders"][1]["fields"][0]["direction"] == "asc"
+    f = sorted_t.live_files()[0]
+    assert f["sort_order_id"] == 1
+
+    n_plain = len(plain.live_files())
+    n_sorted = len(sorted_t.live_files())
+    # shuffled input: most unsorted files span ~the full range (a
+    # round-robin file can miss the tail by luck, so >= half survive)
+    assert len(plain.plan_files("k >= 990")) >= n_plain // 2
+    # range-distributed + sorted: only the tail file(s) survive
+    pruned = sorted_t.plan_files("k >= 990")
+    assert len(pruned) <= max(1, n_sorted // 4)
+    # correctness unchanged
+    assert sorted_t.scan(spark, where="k >= 990").count() == 10
+    assert plain.scan(spark, where="k >= 990").count() == 10
+
+    with pytest.raises(ValueError):
+        IcebergTable.create(tmpdir + "/bad", df.schema, sort_by=("k sideways",))
