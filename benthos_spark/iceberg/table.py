@@ -1043,6 +1043,27 @@ class IcebergTable:
                 "content int, file_path string, file_format string, "
                 "record_count long, file_size_in_bytes long, partition map<string,string>",
             )
+        if name == "entries":
+            snap = self.current_snapshot()
+            rows = []
+            if snap:
+                for mf in M.read_manifest_list(snap["manifest-list"]):
+                    for e in M.read_manifest(mf["manifest_path"]):
+                        rows.append(
+                            (
+                                e["status"],
+                                e["snapshot_id"],
+                                e.get("sequence_number") or mf["sequence_number"],
+                                e["data_file"]["content"],
+                                e["data_file"]["file_path"],
+                                e["data_file"]["record_count"],
+                            )
+                        )
+            return spark.createDataFrame(
+                rows,
+                "status int, snapshot_id long, sequence_number long, "
+                "content int, file_path string, record_count long",
+            )
         if name == "partitions":
             data, _ = self._live_entries()
             agg: dict[tuple, list] = {}
@@ -1067,7 +1088,7 @@ class IcebergTable:
             )
         raise ValueError(
             f"unknown metadata table {name!r}: snapshots, history, refs, "
-            "manifests, files, delete_files, partitions"
+            "manifests, entries, files, delete_files, partitions"
         )
 
     def drop_ref(self, name: str) -> None:
@@ -1520,6 +1541,160 @@ class IcebergTable:
         return self.overwrite(
             self.scan(spark), summary={"benthos-spark.compaction": "true", **(summary or {})}
         )
+
+    def rewrite_manifests(self) -> int:
+        """Metadata compaction: fold the current snapshot's many small
+        manifests (streaming appends leave one per micro-batch) into ONE
+        data manifest (+ one delete manifest when present) of EXISTING
+        entries that KEEP each file's original data sequence number —
+        position/equality delete scoping depends on it. Data files are
+        untouched; scan planning drops from O(appends) manifest reads to
+        O(1). Commits an Iceberg ``replace`` snapshot through the usual
+        version race; pre-rewrite snapshots stay time-travelable until
+        expire_snapshots reclaims them."""
+        for _attempt in range(20):
+            self.refresh()
+            parent = self.current_snapshot()
+            if parent is None:
+                raise ValueError("no snapshot to rewrite")
+            old = M.read_manifest_list(parent["manifest-list"])
+            if len(old) <= 1:
+                return parent["snapshot-id"]
+            snapshot_id = _new_snapshot_id()
+            seq = self.metadata["last-sequence-number"] + 1
+            pfields = self._partition_avro_fields()
+            groups: dict[int, list[dict]] = {0: [], 1: []}
+            for mf in old:
+                for entry in M.read_manifest(mf["manifest_path"]):
+                    if entry["status"] == M.STATUS_DELETED:
+                        continue
+                    e_seq = (
+                        entry["sequence_number"]
+                        if entry.get("sequence_number") is not None
+                        else mf["sequence_number"]
+                    )
+                    groups[mf["content"]].append(
+                        {
+                            "status": M.STATUS_EXISTING,
+                            "snapshot_id": entry["snapshot_id"],
+                            "sequence_number": e_seq,
+                            "file_sequence_number": entry.get("file_sequence_number") or e_seq,
+                            "data_file": entry["data_file"],
+                        }
+                    )
+            new_manifests = []
+            for content, entries in groups.items():
+                if not entries:
+                    continue
+                mpath = os.path.join(
+                    self.location, "metadata", f"{uuid.uuid4().hex}-m0.avro"
+                )
+                mlen = M.write_manifest(
+                    mpath,
+                    entries,
+                    pfields,
+                    schema_json=self.schema_json,
+                    partition_spec_json=self.partition_spec,
+                    partition_spec_id=self.metadata["default-spec-id"],
+                )
+                summaries = None
+                spec = self.partition_spec
+                if spec and content == 0:
+                    summaries = []
+                    for pf in spec:
+                        src_type = self._partition_value_type(pf)
+                        vals = [
+                            e["data_file"]["partition"].get(pf["name"]) for e in entries
+                        ]
+                        non_null = [v for v in vals if v is not None]
+                        summaries.append(
+                            {
+                                "contains_null": any(v is None for v in vals),
+                                "contains_nan": False,
+                                "lower_bound": M.encode_bound(min(non_null), src_type)
+                                if non_null
+                                else None,
+                                "upper_bound": M.encode_bound(max(non_null), src_type)
+                                if non_null
+                                else None,
+                            }
+                        )
+                new_manifests.append(
+                    {
+                        "manifest_path": mpath,
+                        "manifest_length": mlen,
+                        "partition_spec_id": self.metadata["default-spec-id"],
+                        "content": content,
+                        "sequence_number": seq,
+                        "min_sequence_number": min(e["sequence_number"] for e in entries),
+                        "added_snapshot_id": snapshot_id,
+                        "added_files_count": 0,
+                        "existing_files_count": len(entries),
+                        "deleted_files_count": 0,
+                        "added_rows_count": 0,
+                        "existing_rows_count": sum(
+                            e["data_file"]["record_count"] for e in entries
+                        ),
+                        "deleted_rows_count": 0,
+                        "partitions": summaries,
+                        "key_metadata": None,
+                    }
+                )
+            mlist_path = os.path.join(
+                self.location,
+                "metadata",
+                f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro",
+            )
+            M.write_manifest_list(
+                mlist_path,
+                new_manifests,
+                snapshot_id=snapshot_id,
+                parent_snapshot_id=parent["snapshot-id"],
+                sequence_number=seq,
+            )
+            total_rows = sum(
+                m["existing_rows_count"] for m in new_manifests if m["content"] == 0
+            )
+            total_files = sum(
+                m["existing_files_count"] for m in new_manifests if m["content"] == 0
+            )
+            snapshot = {
+                "snapshot-id": snapshot_id,
+                "parent-snapshot-id": parent["snapshot-id"],
+                "sequence-number": seq,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": mlist_path,
+                "schema-id": self.metadata["current-schema-id"],
+                "summary": {
+                    "operation": "replace",
+                    "manifests-replaced": str(len(old)),
+                    "manifests-created": str(len(new_manifests)),
+                    "total-records": str(total_rows),
+                    "total-data-files": str(total_files),
+                },
+            }
+            meta = dict(self.metadata)
+            meta["last-sequence-number"] = seq
+            meta["last-updated-ms"] = snapshot["timestamp-ms"]
+            meta["current-snapshot-id"] = snapshot_id
+            meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+            meta["snapshot-log"] = list(meta["snapshot-log"]) + [
+                {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+            ]
+            refs = dict(meta.get("refs", {}))
+            refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+            meta["refs"] = refs
+            try:
+                self._write_version(self.version + 1, meta)
+            except CommitConflict:
+                os.unlink(mlist_path)
+                for m in new_manifests:
+                    os.unlink(m["manifest_path"])
+                continue
+            self.metadata = meta
+            self.version += 1
+            return snapshot_id
+        raise CommitConflict("lost the version race 20 times (rewrite_manifests)")
 
     # -- schema evolution --------------------------------------------------
 

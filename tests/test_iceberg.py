@@ -1200,3 +1200,55 @@ def test_sort_order_tightens_bounds_and_prunes(spark, tmpdir):
 
     with pytest.raises(ValueError):
         IcebergTable.create(tmpdir + "/bad", df.schema, sort_by=("k sideways",))
+
+
+def test_rewrite_manifests_folds_and_keeps_delete_scoping(spark, tmpdir):
+    """Ten appends leave ten manifests; rewrite_manifests folds them to
+    one EXISTING-entry manifest keeping original data sequence numbers,
+    so a position delete committed mid-history still applies only to
+    the files it targeted."""
+    df10 = _sample_df(spark, 10)
+    t = IcebergTable.create(tmpdir + "/t", df10.schema)
+    for i in range(5):
+        t.append(_sample_df(spark, 10, offset=i * 100))
+    # delete some rows (position-delete manifest enters the mix)
+    t.delete_where(spark, "k >= 100 and k < 103")
+    for i in range(5, 8):
+        t.append(_sample_df(spark, 10, offset=i * 100))
+    before = sorted(r.k for r in t.scan(spark).collect())
+    from benthos_spark.iceberg import manifests as M
+
+    n_before = len(M.read_manifest_list(t.current_snapshot()["manifest-list"]))
+    assert n_before >= 8
+
+    sid = t.rewrite_manifests()
+    mfs = M.read_manifest_list(t.current_snapshot()["manifest-list"])
+    assert len(mfs) == 2  # one data + one delete manifest
+    assert {m["content"] for m in mfs} == {0, 1}
+    assert t.current_snapshot()["summary"]["operation"] == "replace"
+    after = sorted(r.k for r in t.scan(spark).collect())
+    assert after == before and 100 not in after and 103 in after
+
+    # idempotent-ish: a second rewrite is a no-op commit-wise? (two
+    # manifests stay two)
+    t.rewrite_manifests()
+    assert len(M.read_manifest_list(t.current_snapshot()["manifest-list"])) == 2
+
+    # appends continue cleanly on the rewritten base
+    t.append(_sample_df(spark, 3, offset=900))
+    assert t.scan(spark).count() == len(after) + 3
+    # pre-rewrite time travel still works
+    assert t.scan(spark, snapshot_id=sid).count() == len(after)
+
+
+def test_entries_metadata_table(spark, tmpdir):
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema)
+    t.append(_sample_df(spark, 10))
+    t.append(_sample_df(spark, 5, offset=100))
+    ents = t.metadata_table(spark, "entries")
+    assert ents.agg(F.sum("record_count")).collect()[0][0] == 15
+    assert set(r.status for r in ents.collect()) == {M.STATUS_ADDED}
+    t.rewrite_manifests()
+    ents2 = t.metadata_table(spark, "entries").collect()
+    assert all(r.status == M.STATUS_EXISTING for r in ents2)
+    assert sum(r.record_count for r in ents2) == 15
