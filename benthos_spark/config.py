@@ -403,6 +403,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             conf["table"] if "table" in conf else conf["path"],
             lineage_cols=tuple(conf.get("lineage", [])),
             partition_by=tuple(conf.get("partition_by", [])),
+            rewrite_manifests_every=conf.get("rewrite_manifests_every"),
         )
     if name == "dynamic":
         from benthos_spark.sources.readers import DynamicSet

@@ -62,10 +62,20 @@ class ExactlyOnceIcebergSink:
         table: str,
         lineage_cols: tuple[str, ...] = (),
         partition_by: tuple[str, ...] = (),
+        rewrite_manifests_every: int | None = None,
     ):
+        """``rewrite_manifests_every=N`` runs metadata compaction
+        (IcebergTable.rewrite_manifests) after every Nth committed
+        batch: a long-running stream commits one manifest per
+        micro-batch, and without folding, scan planning degrades
+        linearly in stream age. The rewrite commits a `replace`
+        snapshot through the same version race, so concurrent readers
+        and the exactly-once ledger are unaffected. Native-path
+        tables only."""
         self.table = table
         self.lineage_cols = lineage_cols
         self.partition_by = partition_by
+        self.rewrite_manifests_every = rewrite_manifests_every
 
     # -- native (from-scratch) path ---------------------------------------
 
@@ -121,6 +131,9 @@ class ExactlyOnceIcebergSink:
             finally:
                 if self.lineage_cols:
                     df.unpersist()
+            every = self.rewrite_manifests_every
+            if every and (batch_id + 1) % every == 0:
+                t.rewrite_manifests()
             return
         # catalog-name path: needs the runtime jar
         if not iceberg_available(spark):

@@ -1252,3 +1252,23 @@ def test_entries_metadata_table(spark, tmpdir):
     ents2 = t.metadata_table(spark, "entries").collect()
     assert all(r.status == M.STATUS_EXISTING for r in ents2)
     assert sum(r.record_count for r in ents2) == 15
+
+
+def test_sink_auto_rewrite_manifests(spark, tmpdir):
+    from benthos_spark.sinks.iceberg import ExactlyOnceIcebergSink
+
+    loc = tmpdir + "/t"
+    sink = ExactlyOnceIcebergSink(loc, rewrite_manifests_every=2)
+    for b in range(4):
+        sink(_sample_df(spark, 10, offset=b * 100), b)
+    t = IcebergTable.load(loc)
+    # batches 1 and 3 triggered folds: the current snapshot is a
+    # 'replace' carrying ONE data manifest
+    mfs = M.read_manifest_list(t.current_snapshot()["manifest-list"])
+    assert len(mfs) == 1
+    assert t.current_snapshot()["summary"]["operation"] == "replace"
+    assert t.scan(spark).count() == 40
+    # exactly-once replay skip still works after the rewrite
+    n = len(t.metadata["snapshots"])
+    sink(_sample_df(spark, 10, offset=300), 3)
+    assert len(IcebergTable.load(loc).metadata["snapshots"]) == n
