@@ -30,12 +30,15 @@ pipelines use:
   (filter/transform/flatten) with the program-level stream semantics
   (0 outputs filter the message, 1 output is the value, n outputs
   become an array, per processor_jq.go's gojq result collection)
+- ``,`` stream concatenation (pipe level / array items), literal-int
+  ``range()`` generators, and the entries family ``to_entries`` /
+  ``from_entries`` / ``with_entries(f)`` (≡ to_entries|map(f)|
+  from_entries)
 
-Anything else (recursion, ``$__loc__``, comma stream concatenation,
-generators in binary-operand position, non-literal string-function
-args) raises ``JqCompileError`` and the caller falls back to the
-interpreter, so coverage is a pure optimization, never a semantics
-change. Numbers render with gojq normalization: integral floats in the
+Anything else (recursion, ``$__loc__``, generators in binary-operand
+or object-value position, non-literal string-function args) raises
+``JqCompileError`` and the caller falls back to the interpreter, so
+coverage is a pure optimization, never a semantics change. Numbers render with gojq normalization: integral floats in the
 exact double range print as integers (``0.5*2`` → ``1``) — both
 backends share the rule (``normalize_numbers`` in jq_program.py), which
 also makes the variant render→parse round-trip lossless. Number
@@ -242,6 +245,9 @@ def _elements_of(vc: Column) -> Column:
     return F.coalesce(arr, objvals, _empty_varr())
 
 
+_STREAM_TAGS = ("iterate", "comma", "rangegen")
+
+
 def _node_has_iterate(x) -> bool:
     """Does this AST subtree contain a bare ``iterate`` node? (``reduce``
     strips its source's iterate at parse time, so it never matches.)"""
@@ -249,6 +255,16 @@ def _node_has_iterate(x) -> bool:
         if isinstance(x, tuple) and x and x[0] == "iterate":
             return True
         return any(_node_has_iterate(c) for c in x)
+    return False
+
+
+def _node_has_stream(x) -> bool:
+    """Any multi-output source in the subtree (generator, comma,
+    range) — the stream-dispatch superset of _node_has_iterate."""
+    if isinstance(x, (tuple, list)):
+        if isinstance(x, tuple) and x and x[0] in _STREAM_TAGS:
+            return True
+        return any(_node_has_stream(c) for c in x)
     return False
 
 
@@ -600,6 +616,36 @@ class _SubsetParser:
             "to_entries", "from_entries",
         ):
             return ("call0", name)
+        if name == "range":
+            # literal-int range(n) / range(lo;hi) / range(lo;hi;step) —
+            # a stream generator (compiles in stream positions only)
+            self.expect("(")
+            vals = []
+            while True:
+                neg = False
+                if self.peek()[1] == "-":
+                    self.next()
+                    neg = True
+                t = self.next()
+                if t[0] != "number" or "." in t[1]:
+                    raise JqCompileError("range() compiles with literal ints only")
+                vals.append(-int(t[1]) if neg else int(t[1]))
+                if self.peek()[1] == ";":
+                    self.next()
+                    continue
+                break
+            self.expect(")")
+            if len(vals) == 1:
+                lo, hi, step = 0, vals[0], 1
+            elif len(vals) == 2:
+                lo, hi, step = vals[0], vals[1], 1
+            elif len(vals) == 3:
+                lo, hi, step = vals
+            else:
+                raise JqCompileError("range() takes 1-3 args")
+            if step == 0:
+                raise JqCompileError("range() step must be nonzero")
+            return ("rangegen", lo, hi, step)
         if name == "with_entries":
             # with_entries(f) ≡ to_entries | map(f) | from_entries
             self.expect("(")
@@ -1244,7 +1290,7 @@ def _stream_eval(node, cur: CV, keep: Optional[Column]):
             # element INDEX into it
             if st[0] == "select":
                 elems = F.filter(elems, _el_keep_fn(st))
-            elif _node_has_iterate(st) or st[0] == "comma":
+            elif _node_has_stream(st):
                 elems = F.flatten(F.transform(elems, _el_stream_fn(st)))
             else:
                 # a parenthesized sub-pipe may bury a select() — filter
@@ -1266,6 +1312,16 @@ def _stream_eval(node, cur: CV, keep: Optional[Column]):
             return keep, None, _elements_of(_to_variant(cv))
         # nested generator: flatten (elements_of never yields null)
         return keep, None, F.flatten(F.transform(elems, _elements_of))
+    if tag == "rangegen":
+        # literal bounds → the values are known at compile time; emit a
+        # constant variant array (jq: half-open, step-signed)
+        lo, hi, step = node[1], node[2], node[3]
+        vals = list(range(lo, hi, step))
+        if not vals:
+            return keep, None, _empty_varr()
+        return keep, None, F.array(
+            *[F.try_parse_json(F.lit(str(v))) for v in vals]
+        )
     if tag == "comma":
         # `,` concatenates the items' output streams in order
         arrs = []
@@ -1277,7 +1333,7 @@ def _stream_eval(node, cur: CV, keep: Optional[Column]):
                 el2 = F.when(F.coalesce(k2, F.lit(False)), el2).otherwise(_empty_varr())
             arrs.append(F.coalesce(el2, _empty_varr()))
         return keep, None, F.concat(*arrs)
-    if tag in ("field", "index", "slice") and _node_has_iterate(node[1]):
+    if tag in ("field", "index", "slice") and _node_has_stream(node[1]):
         # the BASE is a stream — navigate each element (.a[].b)
         keep, _, elems = _stream_eval(node[1], cur, keep)
         rebuilt = (tag, ("identity",)) + tuple(node[2:])
@@ -1357,6 +1413,10 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
             )
         for item in node[1]:
             _validate(item, scope, True)
+        return
+    if tag == "rangegen":
+        if not stream_ok:
+            raise JqCompileError("range() compiles only in stream positions")
         return
     if tag == "reduce":
         _validate(node[1], scope)

@@ -161,6 +161,15 @@ PROGRAMS = [
     ".meta | to_entries | map(.key)",
     ".meta | with_entries(select(.value != null))",
     '.meta | to_entries | from_entries',
+    # range() generator (literal bounds)
+    "range(3)",
+    "range(1; 4)",
+    "range(0; 10; 3)",
+    "range(5; 1; -2)",
+    "[range(4)]",
+    "range(2) | . * 10",
+    "range(0)",
+    ".nums[], range(2)",
 ]
 
 # outside the subset — must fall back, not mis-compile
