@@ -63,6 +63,8 @@ BATCH_QUERIES = [
     "audio_fingerprint_dedup",
     "jmespath_orders_digest",
     "content_dedupe_clips",
+    "cep_funnel_events",
+    "cep_absence_events",
 ]
 
 
