@@ -25,10 +25,13 @@ functions, so the common shapes compile to pure Column expressions:
   keys must be all-number or all-string per the spec, anything else
   yields null where the interpreter raises), and ``map(&expr, arr)``
   (null results KEPT, unlike projections)
+- ``merge(a, b, …)`` via variant→map casts + ``map_concat`` (the
+  processor sets ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` when a
+  compiled merge is present — JMESPath's later-keys-win rule)
 
-Everything else — ``merge``, negative slice bounds, steps, exprefs in
-other functions — raises ``JmesCompileError`` and the caller falls
-back to the interpreter, so coverage is a pure optimization. The
+Everything else — negative slice bounds, steps, exprefs in other
+functions — raises ``JmesCompileError`` and the caller falls back to
+the interpreter, so coverage is a pure optimization. The
 dual-backend conformance test (tests/test_jmespath_columnar.py) pins
 the agreeing corpus. Numbers render with Go ``encoding/json``
 normalization (integral floats print as integers — go-jmespath's
@@ -295,6 +298,23 @@ def _compile_jmes(node, cur):
         if name == "sort" and len(arg_nodes) == 1:
             # sort(a) ≡ sort_by(a, &@)
             return _by_family("sort_by", _compile_jmes(arg_nodes[0], cur), ("current",))
+        if name == "merge" and len(arg_nodes) >= 1:
+            # objects merge left→right, later keys win (the processor
+            # sets spark.sql.mapKeyDedupPolicy=LAST_WIN when a compiled
+            # merge is present); non-objects yield null (lenient rule)
+            maps, guards = [], []
+            for a in arg_nodes:
+                cv = _compile_jmes(a, cur)
+                r = _render_jv(cv)
+                maps.append(
+                    F.try_variant_get(F.try_parse_json(r), "$", "map<string, variant>")
+                )
+                guards.append(r.startswith("{"))
+            all_obj = guards[0]
+            for g in guards[1:]:
+                all_obj = all_obj & g
+            merged = maps[0] if len(maps) == 1 else F.map_concat(*maps)
+            return CV("json", col=F.when(all_obj, F.to_json(merged)))
         return _fn(name, [_compile_jmes(a, cur) for a in _args(arg_nodes)], cur)
     raise JmesCompileError(f"node {tag!r} not compiled")
 
@@ -632,6 +652,12 @@ def _validate(node):
         if name == "sort" and len(arg_nodes) == 1:
             _validate(arg_nodes[0])
             return
+        if name == "merge" and len(arg_nodes) >= 1:
+            for a in arg_nodes:
+                if a[0] == "expref":
+                    raise JmesCompileError("expression references not compiled")
+                _validate(a)
+            return
         if name == "not_null":
             if not arg_nodes:
                 raise JmesCompileError("not_null needs arguments")
@@ -645,6 +671,14 @@ def _validate(node):
     raise JmesCompileError(f"node {tag!r} not compiled")
 
 
+def _uses_merge(x) -> bool:
+    if isinstance(x, (tuple, list)):
+        if isinstance(x, tuple) and x and x[0] == "func" and x[1] == "merge":
+            return True
+        return any(_uses_merge(c) for c in x)
+    return False
+
+
 class CompiledJmes:
     def __init__(self, src: str):
         p = _ProgParser(_prog_tokenize(src))
@@ -652,6 +686,9 @@ class CompiledJmes:
         if p.peek()[0] != "eof":
             raise JmesCompileError(f"trailing input {p.peek()[1]!r}")
         _validate(self.ast)
+        # merge() compiles onto map_concat, which needs LAST_WIN dedup —
+        # the processor sets the conf when this flag is on
+        self.uses_merge = _uses_merge(self.ast)
 
     def apply(self, variant_col: Column) -> Column:
         return _render_jv(_compile_jmes(self.ast, CV.variant(variant_col)))

@@ -566,6 +566,12 @@ class JmespathProcessor:
 
             compiled = try_compile(self.query)
             if compiled is not None:
+                if getattr(compiled, "uses_merge", False):
+                    # compiled merge() → map_concat; JMESPath semantics
+                    # are later-keys-win
+                    df.sparkSession.conf.set(
+                        "spark.sql.mapKeyDedupPolicy", "LAST_WIN"
+                    )
                 v = F.parse_json(F.col(self.col).cast("string"))
                 out_col = self.out_col or self.col
                 out = df.withColumn(out_col, compiled.apply(v))

@@ -143,13 +143,18 @@ EXPRESSIONS = [
     "map(&ys[0], items)",
     "sort_by(items, &v)[*].k",
     "max_by(items, &v).k",
+    "merge(obj, `{}`)",
+    "merge(`{\"p\": 0}`, obj)",
+    "merge(obj, `{\"p\": {\"n\": 9}}`)",
+    "merge(a, obj)",
+    "merge(tags, obj)",
+    "merge(obj.p, obj.q)",
 ]
 
 # outside the subset — must fall back, not mis-compile
 FALLBACK = [
     "tags[::2]",
     "tags[-2:]",
-    "merge(obj, `{}`)",
     "sort_by(items, v)",  # second arg must be an &expression
 ]
 
