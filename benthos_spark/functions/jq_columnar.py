@@ -34,6 +34,10 @@ pipelines use:
   ``range()`` generators, and the entries family ``to_entries`` /
   ``from_entries`` / ``with_entries(f)`` (≡ to_entries|map(f)|
   from_entries)
+- a single generator in OBJECT-VALUE position distributes
+  (``{t: .tags[]}`` → one object per element; two streams = cartesian,
+  interpreter only), and stream limiting ``limit(n; f)`` /
+  ``first(f)`` / ``last(f)``
 
 Anything else (recursion, ``$__loc__``, generators in binary-operand
 or object-value position, non-literal string-function args) raises
@@ -265,6 +269,28 @@ def _node_has_stream(x) -> bool:
         if isinstance(x, tuple) and x and x[0] in _STREAM_TAGS:
             return True
         return any(_node_has_stream(c) for c in x)
+    return False
+
+
+def _is_stream_expr(node) -> bool:
+    """Does this expression itself produce a multi-output stream at its
+    top level? Collection boundaries ([...], map, reduce) absorb their
+    inner streams into one value, so they are NOT streams."""
+    if not isinstance(node, tuple) or not node:
+        return False
+    tag = node[0]
+    if tag in _STREAM_TAGS:
+        return True
+    if tag == "pipe":
+        return any(_is_stream_expr(st) for st in node[1])
+    if tag == "bind":
+        return _is_stream_expr(node[3])
+    if tag in ("field", "index", "slice"):
+        return isinstance(node[1], tuple) and _is_stream_expr(node[1])
+    if tag in ("limit", "lastfn"):
+        return True
+    if tag == "object":
+        return any(_is_stream_expr(v) for _k, v in node[1])
     return False
 
 
@@ -614,7 +640,7 @@ class _SubsetParser:
             "abs", "fabs", "first", "last", "add", "min", "max",
             "ascii_downcase", "ascii_upcase", "keys", "sort", "unique", "reverse",
             "to_entries", "from_entries",
-        ):
+        ) and not (name in ("first", "last") and self.peek()[1] == "("):
             return ("call0", name)
         if name == "range":
             # literal-int range(n) / range(lo;hi) / range(lo;hi;step) —
@@ -646,6 +672,21 @@ class _SubsetParser:
             if step == 0:
                 raise JqCompileError("range() step must be nonzero")
             return ("rangegen", lo, hi, step)
+        if name in ("limit", "first", "last") and self.peek()[1] == "(":
+            # stream forms: limit(n; f), first(f) ≡ limit(1; f),
+            # last(f). (Bare first/last remain call0 array builtins.)
+            self.next()
+            if name == "limit":
+                nt = self.next()
+                if nt[0] != "number" or "." in nt[1]:
+                    raise JqCompileError("limit() compiles with a literal int count")
+                self.expect(";")
+                body = self.pipe()
+                self.expect(")")
+                return ("limit", int(nt[1]), body)
+            body = self.pipe()
+            self.expect(")")
+            return ("limit", 1, body) if name == "first" else ("lastfn", body)
         if name == "with_entries":
             # with_entries(f) ≡ to_entries | map(f) | from_entries
             self.expect("(")
@@ -1290,7 +1331,7 @@ def _stream_eval(node, cur: CV, keep: Optional[Column]):
             # element INDEX into it
             if st[0] == "select":
                 elems = F.filter(elems, _el_keep_fn(st))
-            elif _node_has_stream(st):
+            elif _is_stream_expr(st):
                 elems = F.flatten(F.transform(elems, _el_stream_fn(st)))
             else:
                 # a parenthesized sub-pipe may bury a select() — filter
@@ -1333,11 +1374,49 @@ def _stream_eval(node, cur: CV, keep: Optional[Column]):
                 el2 = F.when(F.coalesce(k2, F.lit(False)), el2).otherwise(_empty_varr())
             arrs.append(F.coalesce(el2, _empty_varr()))
         return keep, None, F.concat(*arrs)
-    if tag in ("field", "index", "slice") and _node_has_stream(node[1]):
+    if tag in ("field", "index", "slice") and isinstance(node[1], tuple) and _is_stream_expr(node[1]):
         # the BASE is a stream — navigate each element (.a[].b)
         keep, _, elems = _stream_eval(node[1], cur, keep)
         rebuilt = (tag, ("identity",)) + tuple(node[2:])
         return keep, None, F.transform(elems, _el_map_fn(rebuilt))
+    if tag == "limit":
+        keep, cv, elems = _stream_eval(node[2], cur, keep)
+        if elems is None:
+            return keep, cv, None  # single value: limit(n≥1) is identity
+        return keep, None, F.slice(elems, 1, node[1])
+    if tag == "lastfn":
+        keep, cv, elems = _stream_eval(node[1], cur, keep)
+        if elems is None:
+            return keep, cv, None
+        return keep, None, F.slice(elems, F.greatest(F.size(elems), F.lit(1)), 1)
+    if tag == "object" and _is_stream_expr(node):
+        # ONE generator-valued entry distributes: {k: .xs[]} yields an
+        # object per element (jq's cartesian rule, single-stream case;
+        # several stream values fall back to the interpreter)
+        pairs = node[1]
+        stream_idxs = [i for i, (_k, v) in enumerate(pairs) if _is_stream_expr(v)]
+        if len(stream_idxs) != 1:
+            raise JqCompileError(
+                "multiple generators in object construction not compiled"
+            )
+        si = stream_idxs[0]
+        keep, _, elems = _stream_eval(pairs[si][1], cur, keep)
+
+        def build(e):
+            parts = [F.lit("{")]
+            for i, (key, vnode) in enumerate(pairs):
+                if i:
+                    parts.append(F.lit(","))
+                parts.append(F.lit(json.dumps(key, ensure_ascii=False) + ":"))
+                if i == si:
+                    parts.append(F.coalesce(F.to_json(e), F.lit("null")))
+                else:
+                    _, v = _compile(vnode, cur, None)
+                    parts.append(_render(v))
+            parts.append(F.lit("}"))
+            return F.try_parse_json(F.concat(*parts))
+
+        return keep, None, F.transform(elems, build)
     k, v = _compile(node, cur, keep)
     return k, v, None
 
@@ -1468,8 +1547,18 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
             _validate(item, scope, True)
         return
     if tag == "object":
+        n_stream = sum(1 for item in node[1] if _is_stream_expr(item[1]))
+        if n_stream > 1:
+            raise JqCompileError(
+                "multiple generators in object construction not compiled"
+            )
         for item in node[1]:
-            _validate(item[1], scope)
+            # one generator-valued entry distributes (stream position
+            # inherited); everything else is single-output
+            _validate(item[1], scope, stream_ok and _is_stream_expr(item[1]))
+        return
+    if tag in ("limit", "lastfn"):
+        _validate(node[2] if tag == "limit" else node[1], scope, stream_ok)
         return
     raise JqCompileError(f"node {tag!r} not compiled")
 

@@ -952,6 +952,14 @@ def _mk_func(name, args):
                 out[k] = e.get("value", e.get("v"))
             yield out
             return
+        if name == "limit":
+            import itertools
+
+            n = _one(args[0], v, env)
+            if not isinstance(n, int) or isinstance(n, bool):
+                raise JqError("limit() count must be a number")
+            yield from itertools.islice(args[1](v, env), max(n, 0))
+            return
         if name == "range":
             vals = [_one(a, v, env) for a in args]
             if len(vals) == 1:

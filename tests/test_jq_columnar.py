@@ -170,6 +170,16 @@ PROGRAMS = [
     "range(2) | . * 10",
     "range(0)",
     ".nums[], range(2)",
+    # generator in object-value position distributes (single stream)
+    "{t: .tags[]}",
+    "{t: .tags[], n: .k}",
+    "{a: (1, 2)}",
+    # stream limiting
+    "limit(2; .nums[])",
+    "limit(2; range(9))",
+    "first(.nums[])",
+    "last(.nums[])",
+    "[limit(2; .nums[] | . * 10)]",
 ]
 
 # outside the subset — must fall back, not mis-compile
@@ -181,7 +191,7 @@ FALLBACK_PROGRAMS = [
     "..|numbers",
     "$metadata.topic",
     r'"v=\(1,2)"',  # generator inside interpolation multiplies outputs
-    "{a: (1, 2)}",  # comma in object-value position multiplies outputs
+    "{a: .tags[], b: .nums[]}",  # two generators = cartesian, not compiled
 ]
 
 
