@@ -9,8 +9,10 @@ offsets, so a restarted query resumes exactly where it stopped — the
 Iceberg analogue of a Kafka consumer offset, and the input half of the
 north rule's "Structured Streaming over an Iceberg table".
 
-Reads are Arrow-native: each InputPartition is one data file, read in
-the Python worker via pyarrow with identity-partition values
+Reads are Arrow-native: each InputPartition is a size-bin-packed GROUP
+of data files (option ``max_partition_bytes``, default 4 MiB — merges
+only pathologically small files so scan parallelism is unaffected),
+read in the Python worker via pyarrow with identity-partition values
 re-attached as constant columns, yielded as RecordBatches (no per-row
 Python).
 
@@ -36,7 +38,7 @@ checkpoint. Pass-through pipelines are unaffected.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -52,8 +54,11 @@ from benthos_spark.iceberg.table import IcebergTable
 
 @dataclass
 class IcebergFilePartition(InputPartition):
-    file_path: str
-    partition_values: dict = field(default_factory=dict)
+    # One Spark task reads a GROUP of data files (bin-packed by size up
+    # to max_partition_bytes) so the per-file Python-worker constant —
+    # the python-source's main overhead vs the JVM reader — amortizes
+    # across small files. files: tuple of (file_path, partition_values).
+    files: tuple = ()
     schema_json: str = ""  # Spark schema JSON (workers rebuild arrow schema)
 
 
@@ -67,34 +72,35 @@ def _read_file_as_arrow(part: IcebergFilePartition) -> Iterator[Any]:
 
     spark_schema = _St.fromJson(json.loads(part.schema_json))
     target = to_arrow_schema(spark_schema)
-    table = pq.read_table(part.file_path)
-    same_shape = (
-        not part.partition_values
-        and table.schema.names == target.names
-        and all(
-            table.schema.field(i).type == target.field(i).type
-            for i in range(len(target))
+    for file_path, partition_values in part.files:
+        table = pq.read_table(file_path)
+        same_shape = (
+            not partition_values
+            and table.schema.names == target.names
+            and all(
+                table.schema.field(i).type == target.field(i).type
+                for i in range(len(target))
+            )
         )
-    )
-    if same_shape:
-        # fast path: names and types already match (metadata/nullability
-        # differences don't matter to Spark) — hand the batches over
-        # without any copy/cast
-        yield from table.to_batches()
-        return
-    n = table.num_rows
-    cols = []
-    for fld in target:
-        if fld.name in table.column_names:
-            c = table.column(fld.name)
-            cols.append(c if c.type == fld.type else c.cast(fld.type))
-        elif fld.name in part.partition_values:
-            v = part.partition_values[fld.name]
-            cols.append(pa.array([v] * n).cast(fld.type))
-        else:
-            cols.append(pa.nulls(n, fld.type))
-    out = pa.table(dict(zip([f.name for f in target], cols)), schema=target)
-    yield from out.to_batches()
+        if same_shape:
+            # fast path: names and types already match (metadata/
+            # nullability differences don't matter to Spark) — hand the
+            # batches over without any copy/cast
+            yield from table.to_batches()
+            continue
+        n = table.num_rows
+        cols = []
+        for fld in target:
+            if fld.name in table.column_names:
+                c = table.column(fld.name)
+                cols.append(c if c.type == fld.type else c.cast(fld.type))
+            elif fld.name in partition_values:
+                v = partition_values[fld.name]
+                cols.append(pa.array([v] * n).cast(fld.type))
+            else:
+                cols.append(pa.nulls(n, fld.type))
+        out = pa.table(dict(zip([f.name for f in target], cols)), schema=target)
+        yield from out.to_batches()
 
 
 def _decode_partition(data_file: dict, tbl: IcebergTable) -> dict:
@@ -113,18 +119,41 @@ def _decode_partition(data_file: dict, tbl: IcebergTable) -> dict:
     return out
 
 
-def _partitions_for_files(tbl: IcebergTable, files: list[dict]) -> list[IcebergFilePartition]:
+# default bin-pack target: merges only PATHOLOGICALLY small files (a
+# long stream of tiny per-micro-batch commits) while ordinary multi-MB
+# data files keep one task each — scan parallelism is unaffected
+DEFAULT_MAX_PARTITION_BYTES = 4 << 20
+
+
+def _partitions_for_files(
+    tbl: IcebergTable,
+    files: list[dict],
+    max_partition_bytes: int = DEFAULT_MAX_PARTITION_BYTES,
+) -> list[IcebergFilePartition]:
     import json
 
     schema_json = json.dumps(tbl.spark_schema.jsonValue())
-    return [
-        IcebergFilePartition(
-            file_path=f["file_path"],
-            partition_values=_decode_partition(f, tbl),
-            schema_json=schema_json,
-        )
-        for f in files
-    ]
+    parts: list[IcebergFilePartition] = []
+    cur: list[tuple] = []
+    cur_bytes = 0
+    for f in files:
+        sz = f.get("file_size_in_bytes") or 0
+        if cur and max_partition_bytes > 0 and cur_bytes + sz > max_partition_bytes:
+            parts.append(IcebergFilePartition(files=tuple(cur), schema_json=schema_json))
+            cur, cur_bytes = [], 0
+        cur.append((f["file_path"], _decode_partition(f, tbl)))
+        cur_bytes += sz
+        if max_partition_bytes <= 0:
+            parts.append(IcebergFilePartition(files=tuple(cur), schema_json=schema_json))
+            cur, cur_bytes = [], 0
+    if cur:
+        parts.append(IcebergFilePartition(files=tuple(cur), schema_json=schema_json))
+    return parts
+
+
+def _mpb_option(options: dict) -> int:
+    v = options.get("max_partition_bytes")
+    return int(v) if v is not None else DEFAULT_MAX_PARTITION_BYTES
 
 
 class IcebergBatchReader(DataSourceReader):
@@ -140,7 +169,7 @@ class IcebergBatchReader(DataSourceReader):
             snapshot_id=int(snapshot_id) if snapshot_id else None,
             as_of_ms=int(as_of_ms) if as_of_ms else None,
         )
-        return _partitions_for_files(tbl, files)
+        return _partitions_for_files(tbl, files, _mpb_option(self.options))
 
     def read(self, partition: IcebergFilePartition) -> Iterator[Any]:
         return _read_file_as_arrow(partition)
@@ -185,7 +214,7 @@ class IcebergStreamReader(DataSourceStreamReader):
         files: list[dict] = []
         for snap in self._snapshots_in_range(start["seq"], end["seq"]):
             files.extend(self._tbl.added_files(snap["snapshot-id"]))
-        return _partitions_for_files(self._tbl, files)
+        return _partitions_for_files(self._tbl, files, _mpb_option(self.options))
 
     def read(self, partition: IcebergFilePartition) -> Iterator[Any]:
         return _read_file_as_arrow(partition)

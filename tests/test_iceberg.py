@@ -1272,3 +1272,31 @@ def test_sink_auto_rewrite_manifests(spark, tmpdir):
     n = len(t.metadata["snapshots"])
     sink(_sample_df(spark, 10, offset=300), 3)
     assert len(IcebergTable.load(loc).metadata["snapshots"]) == n
+
+
+def test_python_source_bin_packs_small_files(spark, tmpdir):
+    from benthos_spark.iceberg.source import (
+        IcebergBatchReader,
+        _partitions_for_files,
+    )
+
+    df = _sample_df(spark, 200).repartition(16)
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    t.append(df)
+    files = t.live_files()
+    assert len(files) >= 8
+    # tiny test files group under the 4 MiB default…
+    packed = _partitions_for_files(t, files)
+    assert len(packed) == 1
+    assert sum(len(p.files) for p in packed) == len(files)
+    # …0 disables grouping (one file per task)
+    unpacked = _partitions_for_files(t, files, 0)
+    assert len(unpacked) == len(files)
+    # grouped reads return the same rows via the registered source
+    from benthos_spark.iceberg.source import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    got = (
+        spark.read.format("benthos_iceberg").option("path", tmpdir + "/t").load()
+    )
+    assert sorted(r.k for r in got.collect()) == list(range(200))
