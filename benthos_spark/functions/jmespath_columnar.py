@@ -11,8 +11,8 @@ functions, so the common shapes compile to pure Column expressions:
   indexes ``a[0]`` / ``a[-1]``, pipes
 - list projections ``a[*].b`` (nested projections nest per element,
   exactly like the rewritten interpreter / go-jmespath), object-value
-  projections ``a.*.b``, flatten ``a[].b``, slices ``a[1:3]``
-  (non-negative bounds, step 1)
+  projections ``a.*.b``, flatten ``a[].b``, slices ``a[1:3]`` /
+  ``a[-2:]`` (python bound semantics, step 1)
 - filter projections ``a[?x > `1`].y`` with JMESPath comparison
   semantics (ordering is numbers-only → null, equality is deep) and
   ``&&``/``||``/``!`` truthiness
@@ -29,9 +29,9 @@ functions, so the common shapes compile to pure Column expressions:
   processor sets ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` when a
   compiled merge is present — JMESPath's later-keys-win rule)
 
-Everything else — negative slice bounds, steps, exprefs in other
-functions — raises ``JmesCompileError`` and the caller falls back to
-the interpreter, so coverage is a pure optimization. The
+Everything else — stepped slices, exprefs in other functions — raises
+``JmesCompileError`` and the caller falls back to the interpreter, so
+coverage is a pure optimization. The
 dual-backend conformance test (tests/test_jmespath_columnar.py) pins
 the agreeing corpus. Numbers render with Go ``encoding/json``
 normalization (integral floats print as integers — go-jmespath's
@@ -221,14 +221,24 @@ def _compile_jmes(node, cur):
         return CV.variant(elem)
     if tag == "slice":
         _, base_n, a, b, step = node
-        if step not in (None, 1) or (a is not None and a < 0) or (b is not None and b < 0):
-            raise JmesCompileError("negative/stepped slice not compiled")
+        if step not in (None, 1):
+            raise JmesCompileError("stepped slice not compiled")
         arr = _elems(_compile_jmes(base_n, cur))
-        start = a or 0
-        # length is size-derived (a huge literal overflows pos+length)
-        avail = F.greatest(F.size(arr) - F.lit(start), F.lit(0))
-        length = avail if b is None else F.least(avail, F.lit(max(0, b - start)))
-        return _Arr(F.when(arr.isNotNull(), F.slice(arr, start + 1, length)))
+        n = F.size(arr)
+
+        def clamp(bound, default):
+            # python slice-bound semantics: negatives count from the
+            # end, results clamp into [0, n]
+            if bound is None:
+                return default
+            if bound >= 0:
+                return F.least(F.lit(bound), n)
+            return F.greatest(n + F.lit(bound), F.lit(0))
+
+        lo = clamp(a, F.lit(0))
+        hi = clamp(b, n)
+        length = F.greatest(hi - lo, F.lit(0))
+        return _Arr(F.when(arr.isNotNull(), F.slice(arr, lo + 1, length)))
     if tag == "project":
         return _project(_elems(_compile_jmes(node[1], cur)), None, node[2])
     if tag == "fproject":
@@ -617,8 +627,8 @@ def _validate(node):
         return
     if tag == "slice":
         _, base, a, b, step = node
-        if step not in (None, 1) or (a is not None and a < 0) or (b is not None and b < 0):
-            raise JmesCompileError("negative/stepped slice not compiled")
+        if step not in (None, 1):
+            raise JmesCompileError("stepped slice not compiled")
         _validate(base)
         return
     if tag == "fproject":

@@ -8,8 +8,9 @@ compiles the *common program subset* straight onto Spark VARIANT /
 Column expressions so `JqProcessor` stays JVM-side for the shapes real
 pipelines use:
 
-- field paths ``.a.b[0]`` (with ``?``), identity ``.``, slices
-  ``.[2:5]`` / ``.[:n]`` / ``.[n:]`` over arrays and strings
+- field paths ``.a.b[0]`` / ``.tags[-1]`` (with ``?``), identity
+  ``.``, slices ``.[2:5]`` / ``.[:n]`` / ``.[n:]`` / ``.[-2:]`` over
+  arrays and strings (python bound semantics)
 - literals, object ``{k: e}`` and array ``[e, ...]`` construction
 - arithmetic ``+ - * / %``, comparisons, ``and``/``or``, ``//``
 - ``select(cond)`` as a pipe stage (compiles to a relational filter)
@@ -389,6 +390,20 @@ class _SubsetParser:
             self.i += 1
         return t
 
+    def _signed_int(self):
+        """Optional literal [-]int at the cursor (bracket positions)."""
+        neg = False
+        if self.peek()[1] == "-":
+            self.next()
+            neg = True
+        t = self.peek()
+        if t[0] != "number" or "." in t[1]:
+            if neg:
+                raise JqCompileError("only literal slice bounds compile")
+            return None
+        self.next()
+        return -int(t[1]) if neg else int(t[1])
+
     def expect(self, val):
         t = self.next()
         if t[1] != val:
@@ -496,30 +511,36 @@ class _SubsetParser:
                     continue
                 if self.peek()[1] == ":":  # .[:n] slice
                     self.next()
-                    hi = self.next()
-                    if hi[0] != "number" or self.peek()[1] != "]":
+                    hi = self._signed_int()
+                    if hi is None or self.peek()[1] != "]":
                         raise JqCompileError("only literal slice bounds compile")
                     self.next()
-                    node = ("slice", node, None, int(hi[1]))
+                    node = ("slice", node, None, hi)
                     continue
-                idx = self.next()
-                if idx[0] == "number" and self.peek()[1] == ":":  # .[a:b] / .[a:]
+                if self.peek()[0] == "string":
+                    idx = self.next()
+                    if self.peek()[1] != "]":
+                        raise JqCompileError('only literal ["key"] indexing compiles')
+                    self.next()
+                    node = ("field", node, json.loads(idx[1]))
+                    continue
+                lo = self._signed_int()
+                if lo is None:
+                    raise JqCompileError("only literal [int] / [\"key\"] indexing compiles")
+                if self.peek()[1] == ":":  # .[a:b] / .[a:]
                     self.next()
                     if self.peek()[1] == "]":
                         self.next()
-                        node = ("slice", node, int(idx[1]), None)
+                        node = ("slice", node, lo, None)
                         continue
-                    hi = self.next()
-                    if hi[0] != "number" or self.peek()[1] != "]":
+                    hi = self._signed_int()
+                    if hi is None or self.peek()[1] != "]":
                         raise JqCompileError("only literal slice bounds compile")
                     self.next()
-                    node = ("slice", node, int(idx[1]), int(hi[1]))
-                elif idx[0] == "number" and self.peek()[1] == "]":
+                    node = ("slice", node, lo, hi)
+                elif self.peek()[1] == "]":
                     self.next()
-                    node = ("index", node, int(idx[1]))
-                elif idx[0] == "string" and self.peek()[1] == "]":
-                    self.next()
-                    node = ("field", node, json.loads(idx[1]))
+                    node = ("index", node, lo)
                 else:
                     raise JqCompileError("only literal [int] / [\"key\"] indexing compiles")
             elif t[1] == "?":
@@ -807,27 +828,40 @@ def _compile(node, cur: CV, keep: Optional[Column]):
         return keep, CV("json", col=F.when(arr.isNotNull(), folded).otherwise(_render(init)))
     if tag == "slice":
         _, base = _compile(node[1], cur, None)
-        lo = node[2] or 0
-        if lo < 0 or (node[3] is not None and node[3] < 0):
-            raise JqCompileError("negative slice bounds not compiled")
+        a, b = node[2], node[3]
+
+        def _bounds(n):
+            # python slice-bound semantics (jq's .[a:b]): negatives
+            # count from the end, everything clamps into [0, n]
+            def clamp(bound, default):
+                if bound is None:
+                    return default
+                if bound >= 0:
+                    return F.least(F.lit(bound), n)
+                return F.greatest(n + F.lit(bound), F.lit(0))
+
+            lo = clamp(a, F.lit(0))
+            hi = clamp(b, n)
+            return lo, F.greatest(hi - lo, F.lit(0))
+
         if base.kind == "str":
-            ln = (F.lit(node[3]) - lo) if node[3] is not None else F.length(base.col)
-            return keep, CV("str", col=F.substring(base.col, lo + 1, F.greatest(ln, F.lit(0))))
+            lo, ln = _bounds(F.length(base.col))
+            return keep, CV("str", col=F.substring(base.col, lo + 1, ln))
         if base.kind != "variant":
             raise JqCompileError(f"cannot slice {base.kind}")
         c = base.vcol()
         js = F.coalesce(F.to_json(c), F.lit("null"))
         arr = F.try_variant_get(c, "$", "array<variant>")
-        ln = (F.lit(node[3]) - lo) if node[3] is not None else F.size(arr)
-        sliced = F.slice(arr, lo + 1, F.greatest(ln, F.lit(0)))
+        alo, aln = _bounds(F.size(arr))
+        sliced = F.slice(arr, alo + 1, aln)
         arr_js = F.concat(
             F.lit("["),
             F.array_join(F.transform(sliced, lambda x: _render(CV.variant(x))), ","),
             F.lit("]"),
         )
         s = F.try_variant_get(c, "$", "string")
-        sln = (F.lit(node[3]) - lo) if node[3] is not None else F.length(s)
-        str_js = F.to_json(F.struct(F.substring(s, lo + 1, F.greatest(sln, F.lit(0))).alias("s")))
+        slo, sln = _bounds(F.length(s))
+        str_js = F.to_json(F.struct(F.substring(s, slo + 1, sln).alias("s")))
         str_js = F.regexp_extract(str_js, r'^\{"s":(.*)\}$', 1)
         out = (
             F.when(js.startswith("["), arr_js)
@@ -861,7 +895,10 @@ def _compile(node, cur: CV, keep: Optional[Column]):
         if base.kind != "variant":
             raise JqCompileError(f"cannot index {base.kind}")
         if node[2] < 0:
-            raise JqCompileError("negative indices not compiled")
+            # negative index counts from the end — no variant-path form,
+            # so go through the array cast (F.get is 0-based, null-safe)
+            arr = F.try_variant_get(base.vcol(), "$", "array<variant>")
+            return keep, CV.variant(F.get(arr, F.size(arr) + F.lit(node[2])))
         seg = f"[{node[2]}]"
         if base.col is not None:
             return keep, CV.variant(base.col, "$" + seg)

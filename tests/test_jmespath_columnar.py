@@ -149,12 +149,17 @@ EXPRESSIONS = [
     "merge(a, obj)",
     "merge(tags, obj)",
     "merge(obj.p, obj.q)",
+    # negative slice bounds (python semantics)
+    "tags[-2:]",
+    "tags[:-1]",
+    "tags[-3:-1]",
+    "items[-2:].k",
+    "nums[-9:]",
 ]
 
 # outside the subset — must fall back, not mis-compile
 FALLBACK = [
     "tags[::2]",
-    "tags[-2:]",
     "sort_by(items, v)",  # second arg must be an &expression
 ]
 

@@ -149,6 +149,12 @@ PROGRAMS = [
     ".nums[] | tostring",
     "[.tags[] | ascii_upcase]",
     ".nums[0:2][]",
+    ".tags[-1]",
+    ".nums[-2:]",
+    ".nums[:-1]",
+    ".nums[-3:-1]",
+    ".name | .[1:-1]",
+    ".nums[-9]",
     # `,` stream concatenation
     ".k, .name",
     ".nums[], .k",
