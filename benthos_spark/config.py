@@ -324,6 +324,38 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             return JmespathProcessor(conf)
         return JmespathProcessor(conf["query"], col=conf.get("col", "value"),
                                  out_col=conf.get("out_col"))
+    if name == "sequence_match":
+        from benthos_spark.operators.cep import SequenceMatch
+
+        return SequenceMatch(
+            key_cols=conf["key_cols"],
+            ts_col=conf["ts_col"],
+            id_col=conf["id_col"],
+            symbol_col=conf["symbol_col"],
+            symbols=conf["symbols"],
+            within=conf.get("within", "1 hour"),
+        )
+    if name == "funnel_match":
+        from benthos_spark.operators.cep import FunnelMatch
+
+        return FunnelMatch(
+            key_cols=conf["key_cols"],
+            ts_col=conf["ts_col"],
+            id_col=conf["id_col"],
+            steps=[(st["name"], F.expr(st["check"])) for st in conf["steps"]],
+            within=conf.get("within", "1 hour"),
+        )
+    if name == "absence_match":
+        from benthos_spark.operators.cep import AbsenceMatch
+
+        return AbsenceMatch(
+            key_cols=conf["key_cols"],
+            ts_col=conf["ts_col"],
+            id_col=conf["id_col"],
+            anchor=F.expr(conf["anchor"]),
+            follower=F.expr(conf["follower"]),
+            within=conf.get("within", "1 hour"),
+        )
     if name == "loudness_gate":
         from benthos_spark.operators.audio import LoudnessGate
 
@@ -372,7 +404,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
-        "loudness_gate, loudness_measure, loudness_normalize"
+        "loudness_gate, loudness_measure, loudness_normalize, sequence_match, funnel_match, absence_match"
     )
 
 

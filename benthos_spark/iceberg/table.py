@@ -839,11 +839,16 @@ class IcebergTable:
             branch=branch,
         )
 
-    def overwrite(self, df: DataFrame, summary: dict[str, str] | None = None) -> int:
-        """Replace the table's contents with ``df`` (full-table
-        overwrite: the new manifest list simply stops referencing the
-        prior manifests — their files become unreachable and are
-        reclaimed by :meth:`expire_snapshots`)."""
+    def overwrite(
+        self,
+        df: DataFrame,
+        summary: dict[str, str] | None = None,
+        branch: str = "main",
+    ) -> int:
+        """Replace the table's (or branch's) contents with ``df``
+        (full-table overwrite: the new manifest list simply stops
+        referencing the prior manifests — their files become
+        unreachable and are reclaimed by :meth:`expire_snapshots`)."""
         df = df.select([F.col(f.name) for f in self.spark_schema.fields])
         _stage, infos = self._stage_data_files(df)
         return self._commit_snapshot(
@@ -851,6 +856,7 @@ class IcebergTable:
             operation="overwrite",
             summary_extra=dict(summary or {}),
             carry_parent_manifests=False,
+            branch=branch,
         )
 
     # -- read path ---------------------------------------------------------

@@ -324,3 +324,73 @@ class TestAbsence:
             if r.user_id != 99
         )
         assert got == want
+
+
+def test_cep_config_wiring(spark, tmp_path):
+    from benthos_spark.config import compile_config
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, 1, 0, "click"), (1, 2, 30, "purchase"),
+        (1, 3, 100, "click"),
+        (2, 4, 0, "signup"), (2, 5, 10, "click"), (2, 6, 20, "purchase"),
+    ]
+    _mk(spark, rows).write.parquet(src)
+    cfg = f"""
+input:
+  parquet: {{path: {src}}}
+pipeline:
+  processors:
+    - absence_match:
+        key_cols: [user_id]
+        ts_col: ts
+        id_col: event_id
+        anchor: "event_type = 'click'"
+        follower: "event_type = 'purchase'"
+        within: 1 minute
+output:
+  drop: {{}}
+"""
+    pipe, _sink = compile_config(cfg)
+    out = pipe.dataframe(spark)
+    assert sorted(r.anchor_id for r in out.collect()) == [3]
+
+    cfg2 = f"""
+input:
+  parquet: {{path: {src}}}
+pipeline:
+  processors:
+    - funnel_match:
+        key_cols: [user_id]
+        ts_col: ts
+        id_col: event_id
+        steps:
+          - {{name: signup, check: "event_type = 'signup'"}}
+          - {{name: click, check: "event_type = 'click'"}}
+          - {{name: purchase, check: "event_type = 'purchase'"}}
+        within: 1 hour
+output:
+  drop: {{}}
+"""
+    pipe2, _ = compile_config(cfg2)
+    got = pipe2.dataframe(spark).collect()
+    assert [r.user_id for r in got] == [2]
+
+    cfg3 = f"""
+input:
+  parquet: {{path: {src}}}
+pipeline:
+  processors:
+    - sequence_match:
+        key_cols: [user_id]
+        ts_col: ts
+        id_col: event_id
+        symbol_col: event_type
+        symbols: [click, purchase]
+        within: 1 minute
+output:
+  drop: {{}}
+"""
+    pipe3, _ = compile_config(cfg3)
+    got3 = pipe3.dataframe(spark).collect()
+    assert sorted((r.user_id, r.step1_id) for r in got3) == [(1, 1), (2, 5)]

@@ -1300,3 +1300,15 @@ def test_python_source_bin_packs_small_files(spark, tmpdir):
         spark.read.format("benthos_iceberg").option("path", tmpdir + "/t").load()
     )
     assert sorted(r.k for r in got.collect()) == list(range(200))
+
+
+def test_branch_overwrite(spark, tmpdir):
+    df = _sample_df(spark, 20)
+    t = IcebergTable.create(tmpdir + "/t", df.schema)
+    t.append(df)
+    t.create_branch("exp")
+    t.overwrite(_sample_df(spark, 5, offset=500), branch="exp")
+    # main untouched; branch replaced
+    assert t.scan(spark).count() == 20
+    assert t.scan(spark, ref="exp").count() == 5
+    assert sorted(r.k for r in t.scan(spark, ref="exp").collect()) == list(range(500, 505))
