@@ -719,11 +719,15 @@ class _SubsetParser:
             )
         if name == "has":
             self.expect("(")
-            kt = self.next()
-            if kt[0] != "string":
-                raise JqCompileError("has() compiles with a literal string key only")
+            if self.peek()[0] == "string":
+                kt = self.next()
+                if split_interpolated(kt[1]) is None:
+                    self.expect(")")
+                    return ("has", json.loads(kt[1]))
+                raise JqCompileError("has() with interpolation not compiled")
+            arg = self.pipe()
             self.expect(")")
-            return ("has", json.loads(kt[1]))
+            return ("has_dyn", arg)
         if name in ("ltrimstr", "rtrimstr", "startswith", "endswith", "split", "join", "test"):
             self.expect("(")
             kt = self.next()
@@ -790,6 +794,41 @@ def _compile(node, cur: CV, keep: Optional[Column]):
             _ENV.pop()
     if tag == "iterate":
         raise JqCompileError("bare .[] generators compile only in pipe stages / array items")
+    if tag == "has_dyn":
+        # has(EXPR): object → string-key membership, array → int index
+        # in range (the interpreter's exact rule); type mismatches
+        # yield null (lenient — jq errors)
+        if cur.kind == "json":
+            cur = CV.variant(F.try_parse_json(cur.col))
+        if cur.kind != "variant":
+            raise JqCompileError("has() over non-variant")
+        _, kv = _compile(node[1], cur, None)
+        js = F.coalesce(F.to_json(cur.vcol()), F.lit("null"))
+        ks = None
+        if kv.kind == "str":
+            ks = kv.col
+        elif kv.kind == "variant":
+            kjs = F.coalesce(F.to_json(kv.vcol()), F.lit("null"))
+            ks = F.when(kjs.startswith('"'), F.try_variant_get(kv.vcol(), "$", "string"))
+        # null/non-string keys on objects: the interpreter's `k in dict`
+        # yields False (jq proper errors) — match the truth bar
+        obj_case = (
+            F.coalesce(F.array_contains(F.json_object_keys(js), ks), F.lit(False))
+            if ks is not None
+            else F.lit(False)
+        )
+        arr = F.try_variant_get(cur.vcol(), "$", "array<variant>")
+        try:
+            n = _as_num(kv)
+            arr_case = n.l.isNotNull() & (n.l >= 0) & (n.l < F.size(arr))
+        except JqCompileError:
+            arr_case = F.lit(None).cast("boolean")
+        out = (
+            F.when(js.startswith("{"), obj_case)
+            .when(js.startswith("["), arr_case)
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+        return keep, CV("bool", col=out)
     if tag == "comma":
         raise JqCompileError("`,` stream concatenation compiles only in stream positions")
     if tag == "reduce":
@@ -1549,6 +1588,9 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
         for pk, p in node[1]:
             if pk != "lit":
                 _validate(p, scope)
+        return
+    if tag == "has_dyn":
+        _validate(node[1], scope)
         return
     if tag in ("field", "index", "neg", "select", "map", "call0", "has", "call1s"):
         if tag in ("field", "index") and isinstance(node[1], tuple):

@@ -186,11 +186,16 @@ PROGRAMS = [
     "first(.nums[])",
     "last(.nums[])",
     "[limit(2; .nums[] | . * 10)]",
+    # dynamic has(): object string-key membership / array index range
+    "has(.name)",
+    ".meta | has(\"depth\")",
+    '.tags | has(1)',
+    '.tags | has(5)',
+    '.meta | has(.name)',
 ]
 
 # outside the subset — must fall back, not mis-compile
 FALLBACK_PROGRAMS = [
-    "has(.k)",
     # string-init reduce concatenates in the interpreter — must NOT
     # compile (the columnar fold is numeric-init only)
     'reduce .[] as $x (""; . + $x)',
