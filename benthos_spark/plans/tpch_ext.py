@@ -17,10 +17,17 @@ balance) is rounded to 6dp first so a last-ulp difference between
 Spark's and DuckDB's summation order cannot flip a row across the
 predicate boundary.
 
-Scale notes (100 TB): every query here keeps facts shuffle-joined and
-broadcasts only bounded dims (nation/supplier/filtered part lists);
-aggregates are partial-agg friendly (no distinct-heavy shapes except
-q16's count(distinct), which Spark expands to a two-phase agg).
+Scale notes (100 TB): every query here keeps facts shuffle-joined.
+Forced ``F.broadcast`` hints exist ONLY on inputs whose cardinality is
+bounded regardless of SF: the 25-row nation dim, the 5-row region dim,
+and one-row scalar aggregates (q15's max, q22's avg). Everything whose
+row count scales with SF — filtered ``part`` (SF*200k base),
+``supplier⨝nation`` (supplier is SF*10k), q18's qualifying order-key
+set, q20's heavy-supplier set — carries NO hint; AQE picks broadcast vs
+shuffle from observed runtime sizes, so the same plan that broadcasts at
+sf0.01 flips to a shuffle join at 100 TB instead of OOMing the build
+side. Aggregates are partial-agg friendly (no distinct-heavy shapes
+except q16's count(distinct), which Spark expands to a two-phase agg).
 """
 
 from __future__ import annotations
@@ -54,9 +61,11 @@ from benthos_spark.plans.catalog import _t, register
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 (volume shipping between two nations, by ship year).
 
-    Nation dims broadcast; the supplier table is bounded (SF*100 rows in
-    TPC-H) so it broadcasts too; lineitem⨝orders⨝customer stays a
-    shuffle join on the fact keys."""
+    Only the 25-row nation dim carries a broadcast hint. supplier is
+    SF*10,000 rows (and customer SF*150,000) — both scale with the data,
+    so supplier⨝nation and customer⨝nation are left unhinted and AQE
+    picks broadcast vs shuffle from runtime sizes; all fact joins shuffle
+    on their keys."""
     n = _t(spark, sf_dir, "nation")
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
@@ -74,7 +83,7 @@ def q7_volume_shipping(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
         )
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cn, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
@@ -115,8 +124,9 @@ def q8_market_share(spark, sf_dir):
     """TPC-H Q8 adapted (no p_mfgr — filters p_type instead): NATION_3
     suppliers' market share of PROMO parts sold into ASIA, by order year.
 
-    The PROMO part list, supplier⨝nation, and nation⨝region customer dim
-    are broadcast; lineitem⨝orders is the only fact-fact shuffle."""
+    Only nation/region (bounded) broadcast-hinted; the PROMO part list
+    and supplier⨝nation both scale with SF (part = SF*200k, supplier =
+    SF*10k) so their join strategy is left to AQE."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -132,8 +142,8 @@ def q8_market_share(spark, sf_dir):
     cn = c.join(F.broadcast(asia_nk), c.c_nationkey == F.col("n_nationkey")).select("c_custkey")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             o.filter(
                 (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -190,8 +200,8 @@ def q9_product_profit(spark, sf_dir):
         s.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "nation")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -309,8 +319,9 @@ def q12_priority_lines(spark, sf_dir):
     """,
 )
 def q14_promo_revenue(spark, sf_dir):
-    """TPC-H Q14: promotion revenue share for one ship month. The part
-    dim is broadcast; a single global aggregate (partial-agg friendly)."""
+    """TPC-H Q14: promotion revenue share for one ship month. part is
+    SF*200k rows so no broadcast hint — AQE decides; a single global
+    aggregate (partial-agg friendly)."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
@@ -318,7 +329,7 @@ def q14_promo_revenue(spark, sf_dir):
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -391,7 +402,7 @@ def q16_part_supplier_variety(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -421,7 +432,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         F.round(F.lit(0.2) * F.avg("l_quantity"), 6).alias("qty_lim")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(lim, li.l_partkey == lim.agg_pk)
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -444,8 +455,9 @@ def q17_small_quantity_revenue(spark, sf_dir):
 )
 def q18_large_volume_customers(spark, sf_dir):
     """TPC-H Q18: customers with orders above a quantity threshold. The
-    HAVING subquery becomes an agg + semi-join; the qualifying order-key
-    set is small by construction so it broadcasts."""
+    HAVING subquery becomes an agg + semi-join. The qualifying order-key
+    set grows linearly with SF, so it carries no broadcast hint — AQE
+    sizes the semi-join build side at runtime."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -456,7 +468,7 @@ def q18_large_volume_customers(spark, sf_dir):
         .select(F.col("l_orderkey").alias("big_ok"))
     )
     return (
-        li.join(F.broadcast(big), li.l_orderkey == F.col("big_ok"), "leftsemi")
+        li.join(big, li.l_orderkey == F.col("big_ok"), "leftsemi")
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
@@ -497,7 +509,7 @@ def q19_discounted_revenue(spark, sf_dir):
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -534,13 +546,13 @@ def q20_promo_part_suppliers(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey, "leftsemi")
+        .join(p, li.l_partkey == p.p_partkey, "leftsemi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > 550)
         .select("l_suppkey")
     )
-    return s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "leftsemi").select(
+    return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "leftsemi").select(
         "s_suppkey", "s_name"
     )
 
