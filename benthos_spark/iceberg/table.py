@@ -52,25 +52,91 @@ _TIME_TRANSFORMS = ("year", "month", "day", "hour")
 
 def _parse_partition_spec(spec: str) -> tuple[str, str]:
     """'col' → (identity, col); 'day(col)' → (day, col);
-    'bucket(16, col)' → (bucket[16], col)."""
+    'bucket(16, col)' → (bucket[16], col);
+    'truncate(4, col)' → (truncate[4], col)."""
     spec = spec.strip()
     if "(" in spec:
         transform, _, rest = spec.partition("(")
         transform = transform.strip().lower()
         body = rest.rstrip(")").strip()
-        if transform == "bucket":
+        if transform in ("bucket", "truncate"):
             n_str, _, col = body.partition(",")
             n = int(n_str.strip())
             if n <= 0 or not col.strip():
-                raise ValueError("bucket(N, col) needs N > 0 and a column")
-            return f"bucket[{n}]", col.strip()
+                raise ValueError(f"{transform}(N, col) needs N > 0 and a column")
+            return f"{transform}[{n}]", col.strip()
         if transform not in _TIME_TRANSFORMS:
             raise ValueError(
                 f"unsupported partition transform {transform!r}; "
-                f"supported: identity, bucket, {', '.join(_TIME_TRANSFORMS)}"
+                f"supported: identity, bucket, truncate, {', '.join(_TIME_TRANSFORMS)}"
             )
         return transform, body
     return "identity", spec
+
+
+def _truncate_width(transform: str) -> int:
+    return int(transform[len("truncate["):-1])
+
+
+def _build_spec_fields(
+    schema_json: dict,
+    partition_by: tuple[str, ...],
+    next_field_id: int,
+    reuse: dict[tuple[int, str], dict] | None = None,
+) -> list[dict]:
+    """Build partition-spec fields from ``"col"`` / ``"day(col)"`` /
+    ``"bucket(16, col)"`` / ``"truncate(4, col)"`` strings. ``reuse``
+    maps (source-id, transform) → an existing field from an EARLIER
+    spec — partition evolution must keep the same field-id for an
+    identical transform so partition tuples stay comparable across
+    specs (spec "Partition Evolution")."""
+    reuse = reuse or {}
+    fields: list[dict] = []
+    for spec in partition_by:
+        transform, col = _parse_partition_spec(spec)
+        fid = S.field_id_of(schema_json, col)
+        src_type = next(f["type"] for f in schema_json["fields"] if f["id"] == fid)
+        if transform == "identity":
+            if src_type not in _PARTITION_SOURCE_TYPES:
+                raise ValueError(
+                    f"identity partition on {col!r} ({src_type}) unsupported — "
+                    f"partition sources: {_PARTITION_SOURCE_TYPES}"
+                )
+            name = col
+        elif transform.startswith("bucket["):
+            if src_type not in ("int", "long", "string", "binary", "timestamp", "timestamptz", "date"):
+                raise ValueError(
+                    f"bucket partition unsupported for {col!r} ({src_type})"
+                )
+            name = f"{col}_bucket"
+        elif transform.startswith("truncate["):
+            if src_type not in ("int", "long", "string"):
+                raise ValueError(
+                    f"truncate partition unsupported for {col!r} ({src_type}) — "
+                    f"sources: int, long, string"
+                )
+            name = f"{col}_trunc"
+        else:  # time transforms (spec "Partition Transforms")
+            if src_type not in ("timestamp", "timestamptz", "date"):
+                raise ValueError(
+                    f"{transform}() partition needs a timestamp/date source, "
+                    f"got {col!r} ({src_type})"
+                )
+            name = f"{col}_{transform}"
+        prior = reuse.get((fid, transform))
+        if prior is not None:
+            fields.append(dict(prior))
+            continue
+        fields.append(
+            {
+                "name": name,
+                "transform": transform,
+                "source-id": fid,
+                "field-id": next_field_id,
+            }
+        )
+        next_field_id += 1
+    return fields
 
 
 def _transform_col(transform: str, col, source_type: str = "long"):
@@ -89,6 +155,16 @@ def _transform_col(transform: str, col, source_type: str = "long"):
     if transform.startswith("bucket["):
         n = int(transform[len("bucket["): -1])
         return _bucket_udf(source_type, n)(col)
+    if transform.startswith("truncate["):
+        w = _truncate_width(transform)
+        if source_type in ("int", "long"):
+            # spec Truncate: v - (v mod W) with a POSITIVE remainder —
+            # pure integer arithmetic (no float round-trip for big longs)
+            return (col - F.pmod(col, F.lit(w))).cast(source_type)
+        if source_type == "string":
+            # spec: first W codepoints (F.substring is codepoint-based)
+            return F.substring(col, 1, w)
+        raise ValueError(f"truncate transform unsupported for {source_type}")
     raise ValueError(transform)
 
 
@@ -203,39 +279,7 @@ class IcebergTable:
         os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         schema_json, last_col_id = S.to_iceberg_schema(spark_schema)
-        spec_fields = []
-        for i, spec in enumerate(partition_by):
-            transform, col = _parse_partition_spec(spec)
-            fid = S.field_id_of(schema_json, col)
-            src_type = next(f["type"] for f in schema_json["fields"] if f["id"] == fid)
-            if transform == "identity":
-                if src_type not in _PARTITION_SOURCE_TYPES:
-                    raise ValueError(
-                        f"identity partition on {col!r} ({src_type}) unsupported — "
-                        f"partition sources: {_PARTITION_SOURCE_TYPES}"
-                    )
-                name = col
-            elif transform.startswith("bucket["):
-                if src_type not in ("int", "long", "string", "binary", "timestamp", "timestamptz", "date"):
-                    raise ValueError(
-                        f"bucket partition unsupported for {col!r} ({src_type})"
-                    )
-                name = f"{col}_bucket"
-            else:  # time transforms (spec "Partition Transforms")
-                if src_type not in ("timestamp", "timestamptz", "date"):
-                    raise ValueError(
-                        f"{transform}() partition needs a timestamp/date source, "
-                        f"got {col!r} ({src_type})"
-                    )
-                name = f"{col}_{transform}"
-            spec_fields.append(
-                {
-                    "name": name,
-                    "transform": transform,
-                    "source-id": fid,
-                    "field-id": 1000 + i,
-                }
-            )
+        spec_fields = _build_spec_fields(schema_json, partition_by, next_field_id=1000)
         sort_fields = []
         for spec in sort_by:
             parts = spec.split()
@@ -263,7 +307,7 @@ class IcebergTable:
             "schemas": [schema_json],
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-            "last-partition-id": 999 + len(spec_fields),
+            "last-partition-id": max([f["field-id"] for f in spec_fields], default=999),
             "default-sort-order-id": 1 if sort_fields else 0,
             "sort-orders": [{"order-id": 0, "fields": []}]
             + ([{"order-id": 1, "fields": sort_fields}] if sort_fields else []),
@@ -343,8 +387,11 @@ class IcebergTable:
     @property
     def partition_spec(self) -> list[dict]:
         sid = self.metadata["default-spec-id"]
+        return self.partition_spec_by_id(sid)
+
+    def partition_spec_by_id(self, spec_id: int) -> list[dict]:
         return next(
-            s for s in self.metadata["partition-specs"] if s["spec-id"] == sid
+            s for s in self.metadata["partition-specs"] if s["spec-id"] == spec_id
         )["fields"]
 
     @property
@@ -360,9 +407,9 @@ class IcebergTable:
         return [f["name"] for f in self.partition_spec]
 
     def _partition_value_type(self, pf: dict) -> str:
-        """The Iceberg type of a partition FIELD's values (identity →
-        source type; time transforms → int ordinals)."""
-        if pf["transform"] == "identity":
+        """The Iceberg type of a partition FIELD's values (identity and
+        truncate → source type; bucket and time transforms → int)."""
+        if pf["transform"] == "identity" or pf["transform"].startswith("truncate["):
             return next(
                 f["type"] for f in self.schema_json["fields"] if f["id"] == pf["source-id"]
             )
@@ -1135,6 +1182,10 @@ class IcebergTable:
                     if entry.get("sequence_number") is not None
                     else mf["sequence_number"]
                 )
+                # partition-spec evolution: scans resolve the partition
+                # layout PER MANIFEST (each manifest records the spec its
+                # files were written under)
+                f["_spec_id"] = mf.get("partition_spec_id", self.metadata["default-spec-id"])
                 (data if f["content"] == M.CONTENT_DATA else deletes).append(f)
         return data, deletes
 
@@ -1182,27 +1233,51 @@ class IcebergTable:
                     }
                 )
             return empty
-        paths = [f["file_path"] for f in files]
-        # explicit schema: files written under EARLIER schemas null-fill
-        # added columns and upcast widened ones (int->long etc.) at scan,
-        # which is exactly Iceberg's read-time evolution contract
-        reader = spark.read.schema(schema)
-        if self.partition_cols:
-            # identity-partitioned files are laid out hive-style; basePath
-            # re-attaches the partition columns Spark stripped on write
-            base = os.path.join(self.location, "data")
-            reader = reader.option("basePath", base)
-        df = reader.parquet(*paths)
         pos_deletes = [f for f in (delete_files or []) if f["content"] != M.CONTENT_EQUALITY_DELETES]
         eq_deletes = [f for f in (delete_files or []) if f["content"] == M.CONTENT_EQUALITY_DELETES]
         need_meta = with_meta or bool(delete_files)
-        if need_meta:
-            df = df.withColumns(
-                {
-                    "_bs_file": self._norm_path_col(F.col("_metadata.file_path")),
-                    "_bs_pos": F.col("_metadata.row_index"),
-                }
+        # partition-spec evolution: files written under different specs
+        # have different hive layouts (identity columns live in the dir
+        # names, not the data), so group by the spec the file's manifest
+        # recorded and read each group with ITS layout, then union.
+        default_sid = self.metadata["default-spec-id"]
+        by_spec: dict[int, list[str]] = {}
+        for f in files:
+            by_spec.setdefault(f.get("_spec_id", default_sid), []).append(f["file_path"])
+        parts: list[DataFrame] = []
+        for sid, paths in sorted(by_spec.items()):
+            # explicit schema: files written under EARLIER schemas
+            # null-fill added columns and upcast widened ones
+            # (int->long etc.) at scan — Iceberg's read-time contract
+            reader = spark.read.schema(schema)
+            try:
+                spec_fields = self.partition_spec_by_id(sid)
+            except StopIteration:
+                spec_fields = self.partition_spec
+            if spec_fields:
+                # hive layout under data/ — basePath re-attaches the
+                # partition columns Spark stripped on write
+                base = os.path.join(self.location, "data")
+                reader = reader.option("basePath", base)
+            part = reader.parquet(*paths)
+            if need_meta:
+                # _metadata is per-scan — attach before the union
+                part = part.withColumns(
+                    {
+                        "_bs_file": self._norm_path_col(F.col("_metadata.file_path")),
+                        "_bs_pos": F.col("_metadata.row_index"),
+                    }
+                )
+            # derived (bucket/time/truncate) partition-dir columns are
+            # appended by partition discovery — project them away so
+            # every spec group unions on the table schema alone
+            keep_cols = [f.name for f in schema.fields] + (
+                ["_bs_file", "_bs_pos"] if need_meta else []
             )
+            parts.append(part.select(keep_cols))
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part)
         if pos_deletes:
             # merge-on-read: anti-join rows tombstoned by position-delete
             # files (file_path, pos) — path-keyed, so files appended
@@ -1392,9 +1467,19 @@ class IcebergTable:
         if not conjuncts:
             return files
         fields = {f["name"]: f for f in self.schema_json["fields"] if isinstance(f["type"], str)}
-        identity_parts = {
-            pf["name"] for pf in self.partition_spec if pf["transform"] == "identity"
-        }
+        # pruning keys across ALL specs (partition evolution: a file's
+        # partition dict is keyed by the spec IT was written under)
+        identity_parts: set[str] = set()
+        trunc_parts: dict[str, tuple[str, int]] = {}  # source col -> (part name, W)
+        for spec in self.metadata["partition-specs"]:
+            for pf in spec["fields"]:
+                if pf["transform"] == "identity":
+                    identity_parts.add(pf["name"])
+                elif pf["transform"].startswith("truncate["):
+                    src = self._source_col_name(pf["source-id"])
+                    src_t = fields.get(src, {}).get("type")
+                    if src_t in ("int", "long"):
+                        trunc_parts[src] = (pf["name"], _truncate_width(pf["transform"]))
         out = []
         for df_rec in files:
             keep = True
@@ -1403,8 +1488,15 @@ class IcebergTable:
                 if f is None:
                     continue
                 lo = hi = None
-                if col in identity_parts and (df_rec.get("partition") or {}).get(col) is not None:
+                part_vals = df_rec.get("partition") or {}
+                if col in identity_parts and part_vals.get(col) is not None:
                     lo = hi = df_rec["partition"][col]
+                elif col in trunc_parts and part_vals.get(trunc_parts[col][0]) is not None:
+                    # truncate[W] of an int source: value v covers rows
+                    # in [v, v + W)
+                    pname, w = trunc_parts[col]
+                    lo = part_vals[pname]
+                    hi = lo + w - 1
                 else:
                     lob = {kv["key"]: kv["value"] for kv in (df_rec.get("lower_bounds") or [])}
                     hib = {kv["key"]: kv["value"] for kv in (df_rec.get("upper_bounds") or [])}
@@ -1760,6 +1852,48 @@ class IcebergTable:
             self.version += 1
             return new_sid
         raise CommitConflict("lost the version race 20 times")
+
+    def update_spec(self, partition_by: tuple[str, ...]) -> int:
+        """Partition-spec evolution (spec "Partition Evolution"): commit
+        a NEW spec with a fresh spec-id and make it the default. Data
+        files already written keep their original spec — each manifest
+        records its partition-spec-id and its Avro schema is
+        self-describing, so scans resolve partition tuples per-manifest
+        and ``_df_for_files`` reads each spec's files with that spec's
+        hive layout. A field that repeats an earlier spec's
+        (source-id, transform) pair KEEPS that field-id, as the spec
+        requires, so partition tuples stay comparable across specs.
+
+        A 100-TB table repartitions at least once in its life (e.g.
+        day(ts) → hour(ts) as volume grows); evolution is metadata-only
+        here — no data rewrite, exactly like Iceberg's ALTER TABLE ...
+        ADD/REPLACE PARTITION FIELD. Returns the new spec-id."""
+        # validate against the CURRENT schema before racing the commit
+        _build_spec_fields(self.schema_json, partition_by, next_field_id=0)
+
+        def mutate(meta: dict) -> dict:
+            schema_json = next(
+                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+            )
+            specs = list(meta["partition-specs"])
+            reuse: dict[tuple[int, str], dict] = {}
+            for s in specs:
+                for f in s["fields"]:
+                    reuse.setdefault((f["source-id"], f["transform"]), f)
+            next_fid = meta.get("last-partition-id", 999) + 1
+            fields = _build_spec_fields(
+                schema_json, partition_by, next_field_id=next_fid, reuse=reuse
+            )
+            new_sid = max(s["spec-id"] for s in specs) + 1
+            meta["partition-specs"] = specs + [{"spec-id": new_sid, "fields": fields}]
+            meta["default-spec-id"] = new_sid
+            meta["last-partition-id"] = max(
+                [meta.get("last-partition-id", 999)] + [f["field-id"] for f in fields]
+            )
+            return meta
+
+        self._commit_metadata(mutate)
+        return self.metadata["default-spec-id"]
 
     # -- maintenance -------------------------------------------------------
 

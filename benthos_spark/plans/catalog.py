@@ -2896,6 +2896,64 @@ def iceberg_refs_meta_orders(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "iceberg_spec_evolution_orders",
+    """
+    SELECT o_orderstatus, substr(o_orderpriority, 1, 4) AS prio4,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey >= 7500
+    GROUP BY o_orderstatus, substr(o_orderpriority, 1, 4)
+    """,
+)
+def iceberg_spec_evolution_orders(spark, sf_dir):
+    """Partition-spec evolution mid-history (iceberg/table.py
+    update_spec; spec "Partition Evolution"): half the orders are
+    appended under identity(o_orderstatus), the spec then evolves to
+    truncate(4, o_orderpriority) + truncate(2000, o_orderkey), and the
+    other half lands under the NEW layout. The scan must resolve BOTH
+    layouts (per-manifest spec-ids), re-attach identity values from the
+    old hive dirs, and prune files with the truncate[W] integer ranges —
+    metadata-only evolution, no data rewrite, exactly Iceberg's ALTER
+    TABLE ... REPLACE PARTITION FIELD contract. The oracle is the
+    closed-form relational equivalent over the raw orders table."""
+    import shutil
+    import tempfile
+
+    from benthos_spark.iceberg import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="bs_iceberg_specevo_")
+    try:
+        t = IcebergTable.create(tmp + "/t", o.schema, partition_by=("o_orderstatus",))
+        t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+        t.update_spec(("truncate(4, o_orderpriority)", "truncate(2000, o_orderkey)"))
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+        # the where both PRUNES (truncate[2000] ranges on new-spec
+        # files, footer bounds on old-spec files) and row-filters
+        out = (
+            t.scan(spark, where="o_orderkey >= 7500")
+            .groupBy(
+                "o_orderstatus",
+                F.substring("o_orderpriority", 1, 4).alias("prio4"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 # =====================================================================
 # Driver-gate ordering. The correctness driver checks the FIRST ~50
 # entries of the dict returned by ``__spark_entry__.queries()`` — dict

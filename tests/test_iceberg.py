@@ -1312,3 +1312,84 @@ def test_branch_overwrite(spark, tmpdir):
     assert t.scan(spark).count() == 20
     assert t.scan(spark, ref="exp").count() == 5
     assert sorted(r.k for r in t.scan(spark, ref="exp").collect()) == list(range(500, 505))
+
+
+def test_truncate_transform_partitioning(spark, tmpdir):
+    """truncate(W, col) per the spec's transform table: integers
+    truncate to v - (v mod W) with a positive remainder (pure integer
+    arithmetic, exact for big longs), strings to their first W
+    codepoints; partition values carry the SOURCE type."""
+    df = spark.range(-50, 50).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("PRIO-"), (F.col("id") % 3).cast("string")).alias("prio"),
+    )
+    t = IcebergTable.create(
+        tmpdir + "/t", df.schema, partition_by=("truncate(10, k)", "truncate(6, prio)")
+    )
+    t.append(df)
+    spec = t.partition_spec
+    assert spec[0]["transform"] == "truncate[10]" and spec[0]["name"] == "k_trunc"
+    assert spec[1]["transform"] == "truncate[6]" and spec[1]["name"] == "prio_trunc"
+
+    out = t.scan(spark)
+    assert out.count() == 100
+    assert out.schema.fieldNames() == ["k", "prio"]  # no derived col leaks
+    # k survives inside the files (derived cols exist only as hive dirs)
+    assert out.filter("k = -7").count() == 1
+
+    # spec semantics: -7 -> -10 (positive remainder), 7 -> 0, 10 -> 10
+    ks = {f["partition"]["k_trunc"] for f in t.live_files()}
+    assert ks == {-50, -40, -30, -20, -10, 0, 10, 20, 30, 40}
+    prios = {f["partition"]["prio_trunc"] for f in t.live_files()}
+    assert prios == {"PRIO-0", "PRIO-1", "PRIO-2", "PRIO--"}  # 6 codepoints
+
+    # metadata-level pruning uses the truncate[W] integer ranges
+    assert len(t.plan_files("k >= 40")) < len(t.live_files())
+    assert t.scan(spark, where="k >= 40").count() == 10
+
+
+def test_partition_spec_evolution(spark, tmpdir):
+    """update_spec(): a NEW spec-id becomes the default; files already
+    written keep their spec (resolved per-manifest at scan); identity
+    values from OLD hive layouts still load and prune; repeated
+    (source-id, transform) pairs keep their field-id."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "O").otherwise("F").alias("status"),
+    )
+    t = IcebergTable.create(tmpdir + "/t", df.schema, partition_by=("status",))
+    t.append(df.filter("k < 50"))
+    old_fid = t.partition_spec[0]["field-id"]
+
+    sid = t.update_spec(("truncate(10, k)",))
+    assert sid == 1 and t.metadata["default-spec-id"] == 1
+    t.append(df.filter("k >= 50"))
+
+    out = t.scan(spark)
+    assert out.count() == 100
+    assert out.agg(F.sum("k")).collect()[0][0] == 4950
+    # identity values from the OLD layout still come back correct
+    assert out.filter("status = 'O'").count() == 50
+
+    # old-spec files prune on identity partition values, new-spec files
+    # on truncate ranges
+    assert len(t.plan_files("k >= 90")) < len(t.live_files())
+    assert t.scan(spark, where="k >= 90").count() == 10
+
+    # deletes work across mixed layouts
+    t.delete_where(spark, "k % 10 = 3")
+    assert t.scan(spark).count() == 90
+
+    # re-adding the SAME (source, transform) keeps its field-id
+    sid2 = t.update_spec(("status", "truncate(10, k)"))
+    assert sid2 == 2
+    by_tf = {f["transform"]: f for f in t.partition_spec}
+    assert by_tf["identity"]["field-id"] == old_fid
+    assert by_tf["truncate[10]"]["field-id"] == 1001
+    t.append(df.filter("k < 10").withColumn("k", F.col("k") + 1000))
+    assert t.scan(spark).count() == 100
+
+    # snapshot time travel still resolves the layouts files had THEN
+    hist = t.history()
+    first = hist[0]["snapshot-id"]
+    assert t.scan(spark, snapshot_id=first).count() == 50
