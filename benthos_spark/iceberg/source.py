@@ -30,9 +30,13 @@ input.go:184 keeps the LSN the same way).
 Known engine limitation: with ``Trigger.AvailableNow`` Spark does not
 schedule the final NO-DATA micro-batch for Python data sources, so
 watermarked window aggregations downstream won't flush in a
-trigger-once run — drive them with a processing-time trigger (the
-no-data batch then runs and flushes) or call the run twice on the same
-checkpoint. Pass-through pipelines are unaffected.
+trigger-once run. Re-running on the same checkpoint does NOT help: the
+advanced watermark is only persisted in the NEXT batch's offset entry,
+which a trigger-once run never writes. Use
+``Pipeline.run_once(..., drain=True)`` (streaming/pipeline.py) — one
+processing-time-trigger run that auto-stops after the no-data flush
+batch executes — or drive the stream with a processing-time trigger
+yourself. Pass-through pipelines are unaffected.
 """
 
 from __future__ import annotations

@@ -1393,3 +1393,69 @@ def test_partition_spec_evolution(spark, tmpdir):
     hist = t.history()
     first = hist[0]["snapshot-id"]
     assert t.scan(spark, snapshot_id=first).count() == 50
+
+
+def test_run_once_drain_flushes_windows_from_python_source(spark, tmp_path):
+    """Pipeline.run_once(drain=True): the Iceberg-ends flagship shape —
+    Python-DataSource stream -> watermarked window agg -> exactly-once
+    sink — produces FLUSHED windows under Trigger.AvailableNow in one
+    call. Spark skips the no-data flush batch for Python sources, so
+    without the drain pass the windows stay in state; the drain's second
+    AvailableNow run on the same checkpoint evicts them, and the ledger
+    makes it idempotent."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from benthos_spark.datagen.clips import (
+        BASE_TS,
+        CLIPS_SCHEMA,
+        SENTINEL_CODEC,
+        generate_clips,
+    )
+    from benthos_spark.iceberg.source import IcebergSource
+    from benthos_spark.operators.windows import WindowAgg
+    from benthos_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from benthos_spark.streaming.pipeline import Pipeline
+
+    src_tbl = str(tmp_path / "src")
+    clips = generate_clips(spark, 120)
+    t = IcebergTable.create(src_tbl, clips.schema)
+    t.append(clips)
+    # one far-future sentinel row advances the watermark past every window
+    import numpy as np
+
+    sentinel = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "clip_id": ["clip-sentinel"],
+                "bytes": [b""],
+                "sr_hz": np.array([0], dtype=np.int32),
+                "dur_ms": np.array([0], dtype=np.int32),
+                "codec": [SENTINEL_CODEC],
+                "transcript": [""],
+                "event_ts": [BASE_TS + dt.timedelta(days=365)],
+            }
+        ),
+        schema=CLIPS_SCHEMA,
+    )
+    t.append(sentinel)
+
+    pipe = Pipeline(
+        source=IcebergSource(src_tbl, streaming=True),
+        processors=[
+            WindowAgg(
+                ts_col="event_ts",
+                size="1 minute",
+                lateness="30 seconds",
+                group_cols=["codec"],
+                aggs={"n_clips": F.count(F.lit(1))},
+            )
+        ],
+    )
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    pipe.run_once(spark, sink, checkpoint=str(tmp_path / "ckpt"), drain=True)
+
+    out = sink.read_committed(spark).filter(F.col("codec") != SENTINEL_CODEC)
+    assert out.agg(F.sum("n_clips")).collect()[0][0] == 120
+    assert out.groupBy("window_start", "codec").count().filter("count > 1").count() == 0
