@@ -70,6 +70,42 @@ def _within_ms(within: str | int) -> int:
     return int(n) * mult
 
 
+def _ingest(pdfs, buf: list, horizon: int):
+    """Merge a state-carried buffer (list of ``[ts_ms, id, sym]``) with
+    the micro-batch's Arrow frames WITHOUT per-event Python: returns
+    (ts, ids, syms) int64/object arrays of the events at or below the
+    ``horizon``, lexsorted by (ts, id), plus the leftover buffer list
+    (events above the horizon, to re-serialize into state). The leftover
+    loop is proportional to the watermark lag, never to batch size."""
+    import numpy as np
+
+    ts_parts, id_parts, sym_parts = [], [], []
+    if buf:
+        nb = len(buf)
+        ts_parts.append(np.fromiter((e[0] for e in buf), np.int64, count=nb))
+        id_parts.append(np.fromiter((e[1] for e in buf), np.int64, count=nb))
+        sym_parts.append(np.array([e[2] for e in buf], dtype=object))
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        ts_parts.append((pdf["ts"].astype("int64") // 1_000_000).to_numpy())
+        id_parts.append(pdf["event_id"].to_numpy(np.int64))
+        sym_parts.append(pdf["event_type"].astype(str).to_numpy(dtype=object))
+    if not ts_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=object), []
+    ts = np.concatenate(ts_parts)
+    ids = np.concatenate(id_parts)
+    syms = np.concatenate(sym_parts)
+    mask = ts <= horizon
+    order = np.lexsort((ids[mask], ts[mask]))
+    rest = ~mask
+    leftover = [
+        [int(t), int(i), s] for t, i, s in zip(ts[rest], ids[rest], syms[rest])
+    ]
+    return ts[mask][order], ids[mask][order], syms[mask][order], leftover
+
+
 @dataclass
 class SequenceMatch(Processor):
     """Strict-contiguity sequence detection on a symbol column.
@@ -264,28 +300,51 @@ def make_absence_state_fn(anchor_sym: str, follower_sym: str, within_ms: int, ke
     — any such event would already have been replayed). EventTimeTimeout
     flushes quiet keys like the funnel NFA."""
 
-    def _replay(events, pending):
-        for t, i, sym in events:
-            if sym == follower_sym:
-                # anchors whose budget already lapsed keep their firing
-                # right; in-budget ones are satisfied and cancelled
-                pending = [p for p in pending if t - p[0] > within_ms]
-            if sym == anchor_sym:
-                pending.append([t, i])
+    def _replay(ts, ids, syms, pending):
+        """Vectorized over (ts, id)-sorted event arrays. A pending
+        anchor is cancelled iff SOME follower arrives with
+        t - anchor_ts ≤ within; since followers are processed in
+        ascending ts, the most-cancelling follower for a carried-over
+        anchor is the EARLIEST one, and for an in-batch anchor it's the
+        NEXT follower after it (later followers are only farther away).
+        Both collapse to one suffix-min pass — no per-event Python walk.
+        Anchors whose budget already lapsed keep their firing right,
+        exactly as before."""
+        import numpy as np
+
+        n = len(ts)
+        if n == 0:
+            return pending
+        fmask = syms == follower_sym
+        amask = syms == anchor_sym
+        miss = np.int64(2**62)
+        if fmask.any():
+            earliest_f = int(ts[fmask].min())
+            pending = [p for p in pending if earliest_f - p[0] > within_ms]
+            f_ts = np.where(fmask, ts, miss)
+            # next follower ts STRICTLY after each position
+            nxt = np.minimum.accumulate(f_ts[::-1])[::-1]
+            nxt_after = np.empty_like(nxt)
+            nxt_after[:-1] = nxt[1:]
+            nxt_after[-1] = miss
+        else:
+            nxt_after = np.full(n, miss, dtype=np.int64)
+        keep = amask & ((nxt_after - ts) > within_ms)
+        pending = pending + [
+            [int(t), int(i)] for t, i in zip(ts[keep], ids[keep])
+        ]
         return pending
 
     def _emit(key, fired):
-        import datetime as dt
+        import numpy as np
 
+        arr = np.asarray(fired, dtype=np.int64).reshape(-1, 2)
         return pd.DataFrame(
             {
-                key_name: [key[0]] * len(fired),
-                "anchor_id": [p[1] for p in fired],
-                "anchor_ts": [dt.datetime.utcfromtimestamp(p[0] / 1000.0) for p in fired],
-                "deadline_ts": [
-                    dt.datetime.utcfromtimestamp((p[0] + within_ms) / 1000.0)
-                    for p in fired
-                ],
+                key_name: np.repeat(key[0], len(arr)),
+                "anchor_id": arr[:, 1],
+                "anchor_ts": pd.to_datetime(arr[:, 0], unit="ms"),
+                "deadline_ts": pd.to_datetime(arr[:, 0] + within_ms, unit="ms"),
             }
         )
 
@@ -300,22 +359,17 @@ def make_absence_state_fn(anchor_sym: str, follower_sym: str, within_ms: int, ke
             pending = json.loads(raw_pending)
         if state.hasTimedOut:
             # quiet key: flush the buffer, every surviving anchor fires
-            pending = _replay(sorted(buf, key=lambda e: (e[0], e[1])), pending)
+            rts, rids, rsyms, _ = _ingest([], buf, 2**62)
+            pending = _replay(rts, rids, rsyms, pending)
             state.remove()
             if pending:
                 yield _emit(key, pending)
             return
-        for pdf in pdfs:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            ids = pdf["event_id"].astype("int64").tolist()
-            syms = pdf["event_type"].astype(str).tolist()
-            buf.extend([t, i, s] for t, i, s in zip(ts_ms, ids, syms))
         wm = state.getCurrentWatermarkMs()
         bounded = wm <= 0
         horizon = 2**62 if bounded else wm
-        ready = sorted((e for e in buf if e[0] <= horizon), key=lambda e: (e[0], e[1]))
-        buf = [e for e in buf if e[0] > horizon]
-        pending = _replay(ready, pending)
+        rts, rids, rsyms, buf = _ingest(pdfs, buf, horizon)
+        pending = _replay(rts, rids, rsyms, pending)
         fired = [p for p in pending if p[0] + within_ms < horizon]
         pending = [p for p in pending if p[0] + within_ms >= horizon]
         state.update((json.dumps(buf), json.dumps(pending)))
@@ -364,48 +418,144 @@ def make_funnel_state_fn(symbols: Sequence[str], within_ms: int, key_name: str):
     prefix ≤ watermark through live anchor chains; expires anchors
     ``within_ms`` past the watermark. Greedy binding = batch FunnelMatch.
 
+    The replay is VECTORIZED: greedy skip-till-next-match means each
+    step binds to the first later event of the step's symbol, so the
+    whole batch resolves with one ``np.searchsorted`` per step over the
+    per-symbol position arrays — no per-event Python walk. Python-level
+    work is proportional to (completed matches + live chains), never to
+    events × chains (a 100k-event key costs k binary-search passes).
+
     With EventTimeTimeout, a key whose buffer has gone quiet past
     ``within_ms`` beyond the watermark times out: the remaining buffer
     is flushed through the NFA (no more events can precede it) and the
     state is dropped — so a bounded run's final no-data micro-batch
     (watermark advanced by a sentinel) emits the tail matches.
     """
+    import numpy as np
+
     k = len(symbols)
 
-    def _replay(events, chains, done):
-        for t, i, sym in events:
-            nxt_chains = []
-            for ch in chains:  # ch = [anchor_ts, step_idx, ids, tss]
-                a_ts, idx = ch[0], ch[1]
-                if t - a_ts > within_ms:
-                    continue  # expired: can never complete
-                if sym == symbols[idx]:
-                    ids2 = ch[2] + [i]
-                    tss2 = ch[3] + [t]
-                    if idx + 1 == k:
-                        done.append([ids2, tss2])
-                        continue  # completed; greedy = anchor consumed
-                    nxt_chains.append([a_ts, idx + 1, ids2, tss2])
-                else:
-                    nxt_chains.append(ch)
-            chains = nxt_chains
-            if sym == symbols[0]:
-                if k == 1:
-                    done.append([[i], [t]])
-                else:
-                    chains.append([t, 1, [i], [t]])
-        return chains
+    def _replay(ts, ids, syms, chains, done):
+        """ts/ids/syms: (ts, id)-sorted event arrays;
+        chains: [anchor_ts, step_idx, ids, tss] live partial matches.
+        Appends completed-match blocks — (ids_matrix, tss_matrix) int64
+        pairs, one row per match — to ``done``; returns live chains."""
+        n = len(ts)
+        if n == 0:
+            return chains
+        step_pos = [np.nonzero(syms == s)[0].astype(np.int64) for s in symbols]
+        last_ts = int(ts[-1])
+
+        if k == 1:
+            A0 = step_pos[0]
+            if len(A0):
+                done.append((ids[A0].reshape(-1, 1), ts[A0].reshape(-1, 1)))
+            return []
+
+        def bind_steps(m: np.ndarray, first_step: int) -> np.ndarray:
+            """Greedy-bind steps first_step..k-1 from inclusive-minimum
+            positions ``m``; returns a (k, len(m)) position matrix with
+            -1 for misses (a miss cascades to every later step)."""
+            bind = np.full((k, len(m)), -1, dtype=np.int64)
+            cur = m.astype(np.int64, copy=True)
+            for s in range(first_step, k):
+                sp = step_pos[s]
+                if len(sp) == 0:
+                    break  # nothing to bind this step; all later miss too
+                q = np.searchsorted(sp, cur)
+                hit = q < len(sp)
+                b = np.where(hit, sp[np.minimum(q, len(sp) - 1)], -1)
+                bind[s] = b
+                cur = np.where(hit, b + 1, n + 1)
+            return bind
+
+        def ins_point(t: int, i: int) -> int:
+            """Events strictly after (t, i) start at this position."""
+            lo = int(np.searchsorted(ts, t, "left"))
+            hi = int(np.searchsorted(ts, t, "right"))
+            return lo + int(np.searchsorted(ids[lo:hi], i, "right"))
+
+        out_chains: list = []
+
+        def resolve(bind, first_step, a_tss, pid_mat, pts_mat):
+            """Split bound chains into done / surviving-partial. The
+            scalar NFA's expiry rule (any processed event with
+            t - anchor_ts > within kills a live chain) collapses to two
+            checks because ts is sorted: a completion is valid iff its
+            FINAL binding is in budget, and a partial survives iff the
+            batch's LAST event didn't bust its budget. ``pid_mat`` /
+            ``pts_mat`` carry the already-bound prefix per chain — all
+            chains in a call sit at the same step, so the prefixes are a
+            rectangular matrix and completions assemble with ONE fancy-
+            index + concat (no per-match Python)."""
+            complete = bind[k - 1] >= 0
+            final_ts = ts[np.maximum(bind[k - 1], 0)]
+            ok = complete & (final_ts - a_tss <= within_ms)
+            if ok.any():
+                sel = bind[first_step:k][:, ok]  # (k - first_step, n_ok)
+                done.append(
+                    (
+                        np.concatenate([pid_mat[ok], ids[sel].T], axis=1),
+                        np.concatenate([pts_mat[ok], ts[sel].T], axis=1),
+                    )
+                )
+            partial = ~complete & (last_ts - a_tss <= within_ms)
+            for c in np.nonzero(partial)[0]:  # survivors only, never events
+                pids = [int(x) for x in pid_mat[c]]
+                ptss = [int(x) for x in pts_mat[c]]
+                idx2 = first_step
+                for s in range(first_step, k):
+                    b = int(bind[s, c])
+                    if b < 0:
+                        break
+                    pids.append(int(ids[b]))
+                    ptss.append(int(ts[b]))
+                    idx2 = s + 1
+                out_chains.append([int(a_tss[c]), idx2, pids, ptss])
+
+        # carried-over partial chains, grouped by their current step (a
+        # chain at step idx has exactly idx bound entries, so each group
+        # has rectangular prefixes)
+        by_step: dict[int, list] = {}
+        for ch in chains:
+            by_step.setdefault(ch[1], []).append(ch)
+        for step_idx, chs in by_step.items():
+            m = np.fromiter(
+                (ins_point(ch[3][-1], ch[2][-1]) for ch in chs),
+                dtype=np.int64,
+                count=len(chs),
+            )
+            a_tss = np.fromiter((ch[0] for ch in chs), dtype=np.int64, count=len(chs))
+            resolve(
+                bind_steps(m, step_idx),
+                step_idx,
+                a_tss,
+                np.array([ch[2] for ch in chs], dtype=np.int64).reshape(len(chs), -1),
+                np.array([ch[3] for ch in chs], dtype=np.int64).reshape(len(chs), -1),
+            )
+
+        # fresh anchors: every symbols[0] event starts a chain
+        A = step_pos[0]
+        if len(A):
+            resolve(
+                bind_steps(A + 1, 1),
+                1,
+                ts[A],
+                ids[A].reshape(-1, 1),
+                ts[A].reshape(-1, 1),
+            )
+        return out_chains
 
     def _emit(key, done):
-        import datetime as dt
-
+        ids_mat = done[0][0] if len(done) == 1 else np.concatenate([d[0] for d in done])
+        tss_mat = done[0][1] if len(done) == 1 else np.concatenate([d[1] for d in done])
         return pd.DataFrame(
             {
-                key_name: [key[0]] * len(done),
-                "step_ids": [d[0] for d in done],
-                "start_ts": [dt.datetime.utcfromtimestamp(d[1][0] / 1000.0) for d in done],
-                "end_ts": [dt.datetime.utcfromtimestamp(d[1][-1] / 1000.0) for d in done],
-                "duration_ms": [d[1][-1] - d[1][0] for d in done],
+                key_name: np.repeat(key[0], len(ids_mat)),
+                "step_ids": ids_mat.tolist(),
+                "start_ts": pd.to_datetime(tss_mat[:, 0], unit="ms"),
+                "end_ts": pd.to_datetime(tss_mat[:, -1], unit="ms"),
+                "duration_ms": tss_mat[:, -1] - tss_mat[:, 0],
             }
         )
 
@@ -421,23 +571,18 @@ def make_funnel_state_fn(symbols: Sequence[str], within_ms: int, key_name: str):
         if state.hasTimedOut:
             # Quiet past the horizon: flush the whole buffer in order.
             done: list[list] = []
-            _replay(sorted(buf, key=lambda e: (e[0], e[1])), chains, done)
+            rts, rids, rsyms, _ = _ingest([], buf, 2**62)
+            _replay(rts, rids, rsyms, chains, done)
             state.remove()
             if done:
                 yield _emit(key, done)
             return
-        for pdf in pdfs:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            ids = pdf["event_id"].astype("int64").tolist()
-            syms = pdf["event_type"].astype(str).tolist()
-            buf.extend([t, i, s] for t, i, s in zip(ts_ms, ids, syms))
         wm = state.getCurrentWatermarkMs()
         bounded = wm <= 0  # no watermark: bounded smoke run, process all
         horizon = 2**62 if bounded else wm
-        ready = sorted((e for e in buf if e[0] <= horizon), key=lambda e: (e[0], e[1]))
-        buf = [e for e in buf if e[0] > horizon]
+        rts, rids, rsyms, buf = _ingest(pdfs, buf, horizon)
         done = []
-        chains = _replay(ready, chains, done)
+        chains = _replay(rts, rids, rsyms, chains, done)
         if not bounded:
             # Anchors older than the watermark minus the budget are dead.
             chains = [ch for ch in chains if wm - ch[0] <= within_ms]

@@ -192,18 +192,36 @@ def _sessionize_fn(
 
     start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
     closed: list[tuple[int, int, int]] = []
-    for pdf in pdfs:
-        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
-        ts_ms.sort()
-        for t in ts_ms:
-            t = int(t)
-            if start_ms is None:
-                start_ms, end_ms, n = t, t, 1
-            elif t - end_ms <= gap_ms:
-                end_ms, n = max(end_ms, t), n + 1
+    import numpy as np
+
+    batches = [
+        (pdf["ts"].astype("int64") // 1_000_000).to_numpy() for pdf in pdfs
+    ]
+    arr = np.sort(np.concatenate(batches)) if batches else np.empty(0, dtype=np.int64)
+    if len(arr):
+        # vectorized sessionization: gaps > gap_ms split the sorted
+        # timestamps into segments (one np.diff, no per-event loop);
+        # sessions = [carried? + seg0] seg1 ... seg_last, all closed
+        # except the last, which becomes the new open state
+        breaks = np.nonzero(np.diff(arr) > gap_ms)[0]
+        seg_starts = np.concatenate(([0], breaks + 1))
+        seg_ends = np.concatenate((breaks, [len(arr) - 1]))
+        sessions: list[tuple[int, int, int]] = []
+        if start_ms is not None:
+            sessions.append((start_ms, end_ms, n))
+        for s in range(len(seg_starts)):
+            seg = (
+                int(arr[seg_starts[s]]),
+                int(arr[seg_ends[s]]),
+                int(seg_ends[s] - seg_starts[s] + 1),
+            )
+            if sessions and seg[0] - sessions[-1][1] <= gap_ms:
+                prev = sessions[-1]
+                sessions[-1] = (prev[0], max(prev[1], seg[1]), prev[2] + seg[2])
             else:
-                closed.append((start_ms, end_ms, n))
-                start_ms, end_ms, n = t, t, 1
+                sessions.append(seg)
+        closed.extend(sessions[:-1])
+        start_ms, end_ms, n = sessions[-1]
     state.update((start_ms, end_ms, n))
     try:
         state.setTimeoutDuration(60_000)
