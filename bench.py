@@ -173,12 +173,38 @@ def run_flagship_iceberg(spark, workdir: str) -> tuple[float, float, float, int]
     return datagen_sec, stream_sec, exec_sec, N_CLIPS
 
 
+def host_canary_sec() -> float:
+    """Fixed single-thread numpy workload timing the HOST, not the
+    engine. Quiet-host reference on this VM: ~0.27 s (BENCH.md). When a
+    round's numbers look slow, divide by (canary / 0.27) before reading
+    anything into per-query deltas — round-3's apparent 2x regression
+    was entirely this (clips_datagen_sec 10.5 s vs 2.6 s quiet)."""
+    import numpy as np
+
+    def work():
+        a = np.arange(8_000_000, dtype=np.float64)
+        for _ in range(6):
+            a = np.sqrt(a * 1.0001 + 1.0)
+        return float(a.sum())
+
+    work()  # warmup: numpy import costs / page faults land here
+    t0 = time.time()
+    work()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     from benthos_spark.plans import catalog
     from benthos_spark.session import get_spark
 
+    canary = host_canary_sec()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app="benthos-spark-bench")
+    # default to 8 pinned cores: the measured scaling sweet spot of this
+    # VM (BENCH.md: 32 pinned procs have LESS aggregate throughput than
+    # 8 — the host anti-scales past ~8 cores). $SPARK_GRAFT_CPUS still
+    # overrides for scaling sweeps.
+    cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+    spark = get_spark(app="benthos-spark-bench", cores=int(cores_env) if cores_env else 8)
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen path so the first measured query isn't charged
@@ -241,6 +267,12 @@ def main() -> None:
                 "flagship_iceberg_exec_sec": round(ice_exec, 3),
                 "n_clips": n_clips,
                 "clips_datagen_sec": round(datagen_sec, 3),
+                # host-load context: single-thread numpy canary, quiet-
+                # host reference ~0.27s — scale per-query readings by
+                # (host_canary_sec / 0.27) before comparing across rounds
+                "host_canary_sec": canary,
+                "host_canary_quiet_ref_sec": 0.27,
+                "loadavg_1m": round(os.getloadavg()[0], 2),
                 "cores": spark.sparkContext.defaultParallelism,
             }
         )
