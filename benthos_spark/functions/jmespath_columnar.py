@@ -29,7 +29,7 @@ functions, so the common shapes compile to pure Column expressions:
   processor sets ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` when a
   compiled merge is present — JMESPath's later-keys-win rule)
 
-Everything else — stepped slices, exprefs in other functions — raises
+Everything else — exprefs outside the by-family/map — raises
 ``JmesCompileError`` and the caller falls back to the interpreter, so
 coverage is a pure optimization. The
 dual-backend conformance test (tests/test_jmespath_columnar.py) pins
@@ -221,8 +221,6 @@ def _compile_jmes(node, cur):
         return CV.variant(elem)
     if tag == "slice":
         _, base_n, a, b, step = node
-        if step not in (None, 1):
-            raise JmesCompileError("stepped slice not compiled")
         arr = _elems(_compile_jmes(base_n, cur))
         n = F.size(arr)
 
@@ -235,10 +233,41 @@ def _compile_jmes(node, cur):
                 return F.least(F.lit(bound), n)
             return F.greatest(n + F.lit(bound), F.lit(0))
 
-        lo = clamp(a, F.lit(0))
-        hi = clamp(b, n)
-        length = F.greatest(hi - lo, F.lit(0))
-        return _Arr(F.when(arr.isNotNull(), F.slice(arr, lo + 1, length)))
+        if step in (None, 1):
+            lo = clamp(a, F.lit(0))
+            hi = clamp(b, n)
+            length = F.greatest(hi - lo, F.lit(0))
+            return _Arr(F.when(arr.isNotNull(), F.slice(arr, lo + 1, length)))
+        # stepped slice (python slice.indices semantics): materialize
+        # the index sequence lo, lo+step, ... and gather — one
+        # F.sequence + F.transform, no Python
+        st = step
+        if st == 0:
+            raise JmesCompileError("slice step cannot be 0")
+        if st > 0:
+            lo, hi = clamp(a, F.lit(0)), clamp(b, n)
+        else:
+            # negative step: bounds clamp into [-1, n-1], defaults
+            # start=n-1 stop=-1 (exclusive)
+            def clampn(bound, default):
+                if bound is None:
+                    return default
+                if bound >= 0:
+                    return F.least(F.lit(bound), n - 1)
+                return F.greatest(n + F.lit(bound), F.lit(-1))
+
+            lo, hi = clampn(a, n - 1), clampn(b, F.lit(-1))
+        cnt = F.greatest(
+            F.ceil((hi - lo).cast("double") / F.lit(float(st))).cast("int"), F.lit(0)
+        )
+        idxs = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+        def gather(j):
+            return F.get(arr, lo + j * F.lit(st))
+
+        return _Arr(F.when(arr.isNotNull(), F.transform(idxs, gather)))
     if tag == "project":
         return _project(_elems(_compile_jmes(node[1], cur)), None, node[2])
     if tag == "fproject":
@@ -627,8 +656,8 @@ def _validate(node):
         return
     if tag == "slice":
         _, base, a, b, step = node
-        if step not in (None, 1):
-            raise JmesCompileError("stepped slice not compiled")
+        if step == 0:
+            raise JmesCompileError("slice step cannot be 0")
         _validate(base)
         return
     if tag == "fproject":

@@ -250,7 +250,7 @@ def _elements_of(vc: Column) -> Column:
     return F.coalesce(arr, objvals, _empty_varr())
 
 
-_STREAM_TAGS = ("iterate", "comma", "rangegen")
+_STREAM_TAGS = ("iterate", "comma", "rangegen", "rangegen_dyn")
 
 
 def _node_has_iterate(x) -> bool:
@@ -288,10 +288,12 @@ def _is_stream_expr(node) -> bool:
         return _is_stream_expr(node[3])
     if tag in ("field", "index", "slice"):
         return isinstance(node[1], tuple) and _is_stream_expr(node[1])
-    if tag in ("limit", "lastfn"):
+    if tag in ("limit", "limit_dyn", "lastfn"):
         return True
     if tag == "object":
         return any(_is_stream_expr(v) for _k, v in node[1])
+    if tag in ("arith", "cmp"):
+        return _is_stream_expr(node[2]) or _is_stream_expr(node[3])
     return False
 
 
@@ -341,9 +343,71 @@ def _compare(a: CV, b: CV, op: str) -> CV:
     return CV("bool", col=cond)
 
 
+def _str_payload(v: CV) -> Column:
+    """The raw string value when the runtime value IS a JSON string,
+    else NULL (no error — used inside runtime type dispatch)."""
+    if v.kind == "str":
+        return v.col
+    if v.kind == "variant":
+        c = v.vcol()
+        return F.when(
+            F.coalesce(F.to_json(c), F.lit("null")).startswith('"'),
+            F.try_variant_get(c, "$", "string"),
+        )
+    if v.kind == "json":
+        j = F.coalesce(v.col, F.lit("null"))
+        return F.when(
+            j.startswith('"'), F.try_variant_get(F.try_parse_json(j), "$", "string")
+        )
+    return F.lit(None).cast("string")
+
+
+def _poly_add(a: CV, b: CV) -> CV:
+    """jq's polymorphic ``+`` when operand types are only known at
+    runtime (variant/json/null operands): null is the identity, numbers
+    add (int lanes preserved), strings and arrays concatenate. Object
+    merge and mixed-type adds render null (documented leniency — the
+    interpreter errors on mixed types and handles object merge; an
+    object-init ``reduce`` is rejected at compile time so the merge
+    case never silently degrades there)."""
+
+    def safe_num(v: CV) -> CV:
+        try:
+            return _as_num(v)
+        except JqCompileError:  # statically str/bool: never a number
+            return _num(F.lit(None).cast("double"), F.lit(False))
+
+    na, nb = safe_num(a), safe_num(b)
+    num = _num(na.d + nb.d, na.isint & nb.isint, F.try_add(na.l, nb.l))
+    ja, jb = _render(a), _render(b)
+    ta, tb = F.substring(ja, 1, 1), F.substring(jb, 1, 1)
+
+    def is_num(t: Column) -> Column:
+        return ((t >= "0") & (t <= "9")) | (t == "-")
+
+    s_cat = _render(CV("str", col=F.concat(_str_payload(a), _str_payload(b))))
+    ia = F.substring(ja, 2, F.length(ja) - 2)
+    ib = F.substring(jb, 2, F.length(jb) - 2)
+    body = F.when(ia == "", ib).when(ib == "", ia).otherwise(F.concat(ia, F.lit(","), ib))
+    a_cat = F.concat(F.lit("["), body, F.lit("]"))
+    out = (
+        F.when(ja == "null", jb)
+        .when(jb == "null", ja)
+        .when(is_num(ta) & is_num(tb), _render(num))
+        .when((ta == '"') & (tb == '"'), s_cat)
+        .when((ta == "[") & (tb == "["), a_cat)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return CV("json", col=out)
+
+
 def _arith(a: CV, b: CV, op: str) -> CV:
     if op == "+" and a.kind == "str" and b.kind == "str":
         return CV("str", col=F.concat(a.col, b.col))
+    if op == "+" and (
+        a.kind in ("variant", "json", "null") or b.kind in ("variant", "json", "null")
+    ):
+        return _poly_add(a, b)
     na, nb = _as_num(a), _as_num(b)
     if op in ("+", "-", "*"):
         d = {"+": na.d + nb.d, "-": na.d - nb.d, "*": na.d * nb.d}[op]
@@ -664,47 +728,66 @@ class _SubsetParser:
         ) and not (name in ("first", "last") and self.peek()[1] == "("):
             return ("call0", name)
         if name == "range":
-            # literal-int range(n) / range(lo;hi) / range(lo;hi;step) —
-            # a stream generator (compiles in stream positions only)
+            # literal-int range(n) / range(lo;hi) / range(lo;hi;step)
+            # compiles to a CONSTANT stream; dynamic-argument forms
+            # compile to an F.sequence-built stream (both only in
+            # stream positions)
             self.expect("(")
-            vals = []
-            while True:
-                neg = False
-                if self.peek()[1] == "-":
-                    self.next()
-                    neg = True
-                t = self.next()
-                if t[0] != "number" or "." in t[1]:
-                    raise JqCompileError("range() compiles with literal ints only")
-                vals.append(-int(t[1]) if neg else int(t[1]))
-                if self.peek()[1] == ";":
-                    self.next()
-                    continue
-                break
+            save = self.i
+            try:
+                vals = []
+                while True:
+                    neg = False
+                    if self.peek()[1] == "-":
+                        self.next()
+                        neg = True
+                    t = self.next()
+                    if t[0] != "number" or "." in t[1]:
+                        raise JqCompileError("range() literal fast path")
+                    vals.append(-int(t[1]) if neg else int(t[1]))
+                    if self.peek()[1] == ";":
+                        self.next()
+                        continue
+                    break
+                self.expect(")")
+                if len(vals) == 1:
+                    lo, hi, step = 0, vals[0], 1
+                elif len(vals) == 2:
+                    lo, hi, step = vals[0], vals[1], 1
+                elif len(vals) == 3:
+                    lo, hi, step = vals
+                else:
+                    raise JqCompileError("range() takes 1-3 args")
+                if step == 0:
+                    raise JqCompileError("range() step must be nonzero")
+                return ("rangegen", lo, hi, step)
+            except JqCompileError:
+                self.i = save
+            args = [self.pipe()]
+            while self.peek()[1] == ";":
+                self.next()
+                args.append(self.pipe())
             self.expect(")")
-            if len(vals) == 1:
-                lo, hi, step = 0, vals[0], 1
-            elif len(vals) == 2:
-                lo, hi, step = vals[0], vals[1], 1
-            elif len(vals) == 3:
-                lo, hi, step = vals
-            else:
+            if len(args) > 3:
                 raise JqCompileError("range() takes 1-3 args")
-            if step == 0:
-                raise JqCompileError("range() step must be nonzero")
-            return ("rangegen", lo, hi, step)
+            return ("rangegen_dyn", args)
         if name in ("limit", "first", "last") and self.peek()[1] == "(":
             # stream forms: limit(n; f), first(f) ≡ limit(1; f),
             # last(f). (Bare first/last remain call0 array builtins.)
             self.next()
             if name == "limit":
-                nt = self.next()
-                if nt[0] != "number" or "." in nt[1]:
-                    raise JqCompileError("limit() compiles with a literal int count")
+                if self.peek()[0] == "number" and "." not in self.peek()[1] and self.peek(1)[1] == ";":
+                    nt = self.next()
+                    self.expect(";")
+                    body = self.pipe()
+                    self.expect(")")
+                    return ("limit", int(nt[1]), body)
+                # dynamic count expression (evaluated against `.`)
+                cnt = self.pipe()
                 self.expect(";")
                 body = self.pipe()
                 self.expect(")")
-                return ("limit", int(nt[1]), body)
+                return ("limit_dyn", cnt, body)
             body = self.pipe()
             self.expect(")")
             return ("limit", 1, body) if name == "first" else ("lastfn", body)
@@ -730,14 +813,15 @@ class _SubsetParser:
             return ("has_dyn", arg)
         if name in ("ltrimstr", "rtrimstr", "startswith", "endswith", "split", "join", "test"):
             self.expect("(")
-            kt = self.next()
-            if kt[0] != "string":
-                raise JqCompileError(f"{name}() compiles with a literal string arg only")
-            parts = split_interpolated(kt[1])
-            if parts is not None:
-                raise JqCompileError(f"{name}() with interpolation not compiled")
+            if self.peek()[0] == "string" and split_interpolated(self.peek()[1]) is None:
+                kt = self.next()
+                self.expect(")")
+                return ("call1s", name, json.loads(kt[1]))
+            # dynamic argument (an expression over `.`, $vars, or an
+            # interpolated string) — compiled per-row
+            arg = self.pipe()
             self.expect(")")
-            return ("call1s", name, json.loads(kt[1]))
+            return ("call1d", name, arg)
         raise JqCompileError(f"function {name!r} not compiled")
 
 
@@ -840,11 +924,11 @@ def _compile(node, cur: CV, keep: Optional[Column]):
         _, base = _compile(node[1], cur, None)
         if base.kind != "variant":
             raise JqCompileError("reduce source must be a variant array")
-        if node[3][0] != "lit_num":
-            # numeric init ⇒ any non-numeric element errors the
-            # interpreter too, so the compiled null stays inside the
-            # documented leniency; string/object folds must interpret
-            raise JqCompileError("reduce compiles with a numeric literal init only")
+        if node[3][0] == "object":
+            # object-merge `+` is interpreter-only (map-based merge with
+            # key-order semantics); rejecting object init here keeps the
+            # compiled fold from silently degrading to null accumulators
+            raise JqCompileError("reduce with an object init must interpret")
         arr = F.try_variant_get(base.vcol(), "$", "array<variant>")
         _, init = _compile(node[3], cur, None)
         update_node = node[4]
@@ -1360,6 +1444,79 @@ def _compile(node, cur: CV, keep: Optional[Column]):
             joined = F.array_join(F.transform(arr, render_elem), arg)
             return keep, CV("str", col=F.when(arr.isNotNull(), joined))
         raise JqCompileError(f"string function {name!r} not compiled")
+    if tag == "call1d":
+        # dynamic-argument string functions: the arg is an expression
+        # over `.` / $vars (reference embeds gojq which evaluates args
+        # per input, internal/impl/pure/processor_jq.go:26); a
+        # non-string runtime arg yields null/passthrough (lenient — jq
+        # errors there)
+        name, argnode = node[1], node[2]
+        _, acv = _compile(argnode, cur, None)
+        sa = _str_payload(acv)
+        if name == "join":
+            if cur.kind != "variant":
+                raise JqCompileError("join over non-variant")
+            arr = F.try_variant_get(cur.vcol(), "$", "array<variant>")
+
+            def render_elem(x):
+                js = F.coalesce(F.to_json(x), F.lit("null"))
+                return (
+                    F.when(js == "null", F.lit(""))
+                    .when(js.startswith('"'), F.try_variant_get(x, "$", "string"))
+                    .otherwise(js)
+                )
+
+            rendered = F.transform(arr, render_elem)
+            nonfirst = F.slice(
+                rendered, F.lit(2), F.greatest(F.size(rendered) - 1, F.lit(0))
+            )
+            joined = F.when(F.size(rendered) == 0, F.lit("")).otherwise(
+                F.aggregate(
+                    nonfirst,
+                    F.element_at(rendered, 1),
+                    lambda acc, x: F.concat(acc, sa, x),
+                )
+            )
+            return keep, CV(
+                "str", col=F.when(arr.isNotNull() & sa.isNotNull(), joined)
+            )
+        s = _string_view(cur)
+        if name in ("startswith", "endswith"):
+            fn = s.startswith(sa) if name == "startswith" else s.endswith(sa)
+            return keep, CV("bool", col=F.when(s.isNotNull() & sa.isNotNull(), fn))
+        if name == "test":
+            return keep, CV(
+                "bool", col=F.when(s.isNotNull() & sa.isNotNull(), F.regexp_like(s, sa))
+            )
+        if name in ("ltrimstr", "rtrimstr"):
+            if name == "ltrimstr":
+                stripped = F.when(
+                    s.startswith(sa), F.substring(s, F.length(sa) + 1, F.length(s))
+                ).otherwise(s)
+            else:
+                stripped = F.when(
+                    s.endswith(sa), F.substring(s, F.lit(1), F.length(s) - F.length(sa))
+                ).otherwise(s)
+            # jq: non-string input (or arg) passes through unchanged
+            passthrough = _render(cur)
+            out = F.when(
+                s.isNotNull() & sa.isNotNull(), _json_quote(stripped)
+            ).otherwise(passthrough)
+            return keep, CV("json", col=out)
+        if name == "split":
+            # literal (non-regex) split, like jq's 1-arg split: quote
+            # the dynamic delimiter with \Q..\E (embedded \E re-escaped)
+            quoted = F.concat(
+                F.lit("\\Q"),
+                F.replace(sa, F.lit("\\E"), F.lit("\\E\\\\E\\Q")),
+                F.lit("\\E"),
+            )
+            parts = F.split(s, quoted, F.lit(-1))
+            return keep, CV(
+                "json",
+                col=F.when(s.isNotNull() & sa.isNotNull(), F.to_json(parts)),
+            )
+        raise JqCompileError(f"string function {name!r} not compiled")
     if tag == "has":
         if cur.kind != "variant":
             raise JqCompileError("has over non-variant")
@@ -1460,39 +1617,144 @@ def _stream_eval(node, cur: CV, keep: Optional[Column]):
         if elems is None:
             return keep, cv, None  # single value: limit(n≥1) is identity
         return keep, None, F.slice(elems, 1, node[1])
+    if tag == "limit_dyn":
+        # limit(EXPR; f): the count evaluates against `.` per row
+        _, cnt_cv = _compile(node[1], cur, None)
+        n = F.coalesce(_as_num(cnt_cv).l, F.lit(0))
+        keep, cv, elems = _stream_eval(node[2], cur, keep)
+        if elems is None:
+            elems = F.array(_to_variant(cv))
+        return keep, None, F.slice(elems, F.lit(1), F.greatest(n, F.lit(0)))
+    if tag == "rangegen_dyn":
+        # range(EXPR...): bounds evaluate against `.` per row; the
+        # stream builds as lo + i*step over an F.sequence index — floats
+        # supported (count = ceil((hi-lo)/step), jq's half-open rule);
+        # null/invalid args or step=0 yield the empty stream (lenient —
+        # jq errors / loops forever)
+        nums = [_as_num(_compile(a, cur, None)[1]) for a in node[1]]
+        zero = _num(F.lit(0.0), F.lit(True), F.lit(0).cast("long"))
+        one = _num(F.lit(1.0), F.lit(True), F.lit(1).cast("long"))
+        if len(nums) == 1:
+            lo, hi, step = zero, nums[0], one
+        elif len(nums) == 2:
+            lo, hi, step = nums[0], nums[1], one
+        else:
+            lo, hi, step = nums
+        cnt = F.when(
+            step.d != 0, F.ceil((hi.d - lo.d) / step.d).cast("long")
+        ).otherwise(F.lit(0))
+        cnt = F.greatest(F.coalesce(cnt, F.lit(0)), F.lit(0).cast("long"))
+        all_int = F.coalesce(lo.isint & step.isint, F.lit(False))
+        lo_l, step_l = lo.l, step.l
+        lo_d, step_d = lo.d, step.d
+
+        def txt(i):
+            vd = lo_d + i.cast("double") * step_d
+            integral = (vd == F.floor(vd)) & (F.abs(vd) <= F.lit(2.0**53))
+            return (
+                F.when(all_int, (lo_l + i * step_l).cast("string"))
+                .when(integral, vd.cast("long").cast("string"))
+                .otherwise(vd.cast("string"))
+            )
+
+        seq = F.sequence(F.lit(0).cast("long"), cnt - 1)
+        elems = F.when(
+            cnt > 0, F.transform(seq, lambda i: F.try_parse_json(txt(i)))
+        ).otherwise(_empty_varr())
+        return keep, None, elems
     if tag == "lastfn":
         keep, cv, elems = _stream_eval(node[1], cur, keep)
         if elems is None:
             return keep, cv, None
         return keep, None, F.slice(elems, F.greatest(F.size(elems), F.lit(1)), 1)
     if tag == "object" and _is_stream_expr(node):
-        # ONE generator-valued entry distributes: {k: .xs[]} yields an
-        # object per element (jq's cartesian rule, single-stream case;
-        # several stream values fall back to the interpreter)
+        # generator-valued entries distribute per jq's cartesian rule:
+        # fields evaluate left-to-right with LATER stream fields varying
+        # fastest ({a:(1,2),b:(3,4)} -> a1b3, a1b4, a2b3, a2b4) — nested
+        # F.transform per stream field, flattened once per extra level
         pairs = node[1]
         stream_idxs = [i for i, (_k, v) in enumerate(pairs) if _is_stream_expr(v)]
-        if len(stream_idxs) != 1:
-            raise JqCompileError(
-                "multiple generators in object construction not compiled"
-            )
-        si = stream_idxs[0]
-        keep, _, elems = _stream_eval(pairs[si][1], cur, keep)
+        elem_arrays = {}
+        for i in stream_idxs:
+            keep, _, el = _stream_eval(pairs[i][1], cur, keep)
+            elem_arrays[i] = F.coalesce(el, _empty_varr())
 
-        def build(e):
+        def build(bound):
             parts = [F.lit("{")]
             for i, (key, vnode) in enumerate(pairs):
                 if i:
                     parts.append(F.lit(","))
                 parts.append(F.lit(json.dumps(key, ensure_ascii=False) + ":"))
-                if i == si:
-                    parts.append(F.coalesce(F.to_json(e), F.lit("null")))
+                if i in bound:
+                    parts.append(F.coalesce(F.to_json(bound[i]), F.lit("null")))
                 else:
                     _, v = _compile(vnode, cur, None)
                     parts.append(_render(v))
             parts.append(F.lit("}"))
             return F.try_parse_json(F.concat(*parts))
 
-        return keep, None, F.transform(elems, build)
+        def nest(level, bound):
+            if level == len(stream_idxs):
+                return build(bound)
+            idx = stream_idxs[level]
+
+            def make_fn(_level, _idx, _bound):
+                # single-arg factory closure: a multi-param lambda makes
+                # PySpark's HOF arity sniffing pass the element INDEX as
+                # the second argument (see HANDOFF gotcha)
+                def fn(e):
+                    return nest(_level + 1, {**_bound, _idx: e})
+
+                return fn
+
+            return F.transform(elem_arrays[idx], make_fn(level, idx, bound))
+
+        elems = nest(0, {})
+        for _ in range(len(stream_idxs) - 1):
+            elems = F.flatten(elems)
+        return keep, None, elems
+    if tag in ("arith", "cmp") and (
+        _is_stream_expr(node[2]) or _is_stream_expr(node[3])
+    ):
+        # stream operands distribute; both-stream is the cartesian with
+        # the RIGHT side varying SLOWEST (.nums[]+.den[] evaluates
+        # right-to-left, gojq order — verified against the interpreter)
+        op = node[1]
+        combine = _arith if tag == "arith" else _compare
+        l_node, r_node = node[2], node[3]
+        l_stream, r_stream = _is_stream_expr(l_node), _is_stream_expr(r_node)
+
+        def op_cv(a: CV, b: CV) -> Column:
+            return _to_variant(combine(a, b, op))
+
+        if l_stream and r_stream:
+            keep, _, l_el = _stream_eval(l_node, cur, keep)
+            keep, _, r_el = _stream_eval(r_node, cur, keep)
+            l_el = F.coalesce(l_el, _empty_varr())
+            r_el = F.coalesce(r_el, _empty_varr())
+
+            def outer_fn(b):
+                def inner_fn(a):
+                    return op_cv(CV.variant(a), CV.variant(b))
+
+                return F.transform(l_el, inner_fn)
+
+            return keep, None, F.flatten(F.transform(r_el, outer_fn))
+        if l_stream:
+            keep, _, l_el = _stream_eval(l_node, cur, keep)
+            _, r_cv = _compile(r_node, cur, None)
+
+            def lmap(a):
+                return op_cv(CV.variant(a), r_cv)
+
+            return keep, None, F.transform(F.coalesce(l_el, _empty_varr()), lmap)
+        keep, _, r_el = _stream_eval(r_node, cur, keep)
+        _, l_cv = _compile(l_node, cur, None)
+
+        def rmap(b):
+            return op_cv(l_cv, CV.variant(b))
+
+        return keep, None, F.transform(F.coalesce(r_el, _empty_varr()), rmap)
     k, v = _compile(node, cur, keep)
     return k, v, None
 
@@ -1575,8 +1837,8 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
         return
     if tag == "reduce":
         _validate(node[1], scope)
-        if node[3][0] != "lit_num":
-            raise JqCompileError("reduce compiles with a numeric literal init only")
+        if node[3][0] == "object":
+            raise JqCompileError("reduce with an object init must interpret")
         _validate(node[3], scope)
         _validate(node[4], scope | {node[2]})
         return
@@ -1592,6 +1854,19 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
     if tag == "has_dyn":
         _validate(node[1], scope)
         return
+    if tag == "call1d":
+        _validate(node[2], scope)
+        return
+    if tag == "limit_dyn":
+        _validate(node[1], scope)
+        _validate(node[2], scope, stream_ok)
+        return
+    if tag == "rangegen_dyn":
+        if not stream_ok:
+            raise JqCompileError("range() compiles only in stream positions")
+        for a in node[1]:
+            _validate(a, scope)
+        return
     if tag in ("field", "index", "neg", "select", "map", "call0", "has", "call1s"):
         if tag in ("field", "index") and isinstance(node[1], tuple):
             # a stream base is navigable per element (.a[].b)
@@ -1606,8 +1881,9 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
         _validate(node[1], scope, stream_ok)
         return
     if tag in ("arith", "cmp"):
-        _validate(node[2], scope)
-        _validate(node[3], scope)
+        # stream operands distribute in stream positions (cartesian)
+        _validate(node[2], scope, stream_ok and _is_stream_expr(node[2]))
+        _validate(node[3], scope, stream_ok and _is_stream_expr(node[3]))
         return
     if tag in ("and", "or", "alt"):
         _validate(node[1], scope)
@@ -1626,14 +1902,9 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
             _validate(item, scope, True)
         return
     if tag == "object":
-        n_stream = sum(1 for item in node[1] if _is_stream_expr(item[1]))
-        if n_stream > 1:
-            raise JqCompileError(
-                "multiple generators in object construction not compiled"
-            )
         for item in node[1]:
-            # one generator-valued entry distributes (stream position
-            # inherited); everything else is single-output
+            # generator-valued entries distribute cartesian (stream
+            # position inherited); everything else is single-output
             _validate(item[1], scope, stream_ok and _is_stream_expr(item[1]))
         return
     if tag in ("limit", "lastfn"):

@@ -155,11 +155,19 @@ EXPRESSIONS = [
     "tags[-3:-1]",
     "items[-2:].k",
     "nums[-9:]",
+    # round-4: stepped slices (python slice.indices semantics)
+    "tags[::2]",
+    "tags[::-1]",
+    "nums[1::2]",
+    "nums[5:1:-2]",
+    "nums[::-3]",
+    "tags[-1::-1]",
+    "nums[:2:2]",
+    "items[::2].k",
 ]
 
 # outside the subset — must fall back, not mis-compile
 FALLBACK = [
-    "tags[::2]",
     "sort_by(items, v)",  # second arg must be an &expression
 ]
 

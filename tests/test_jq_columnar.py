@@ -99,6 +99,21 @@ PROGRAMS = [
     ".nums | reduce .[] as $x (1; . * $x)",
     "reduce .nums[] as $x (0; . + $x)",
     ".nums | reduce .[] as $x (0; . + ($x * 2))",
+    # round-4: string/array-init reduce + polymorphic `+` (null identity,
+    # string/array concat, runtime type dispatch)
+    'reduce .tags[] as $x (""; . + $x)',
+    'reduce .tags[] as $x ("pre-"; . + $x)',
+    "reduce .nums[] as $x ([]; . + [$x])",
+    "reduce .nums[] as $x ([]; . + [$x * 2])",
+    "reduce .tags[] as $x (null; $x)",
+    "reduce .tags[] as $x ([]; . + [$x]) | length",
+    '.name + "!"',
+    '.tags + ["z"]',
+    ".tags + .nums",
+    ".k + 1",
+    ".missing + 5",
+    ".tags + null",
+    "null + .k",
     ".nums | add",
     ".nums | min",
     ".nums | max",
@@ -180,6 +195,18 @@ PROGRAMS = [
     "{t: .tags[]}",
     "{t: .tags[], n: .k}",
     "{a: (1, 2)}",
+    # round-4: cartesian generators — multiple streams in object /
+    # operand positions (field order: later fields vary fastest;
+    # operands: right side varies slowest, gojq evaluation order)
+    "{a: .tags[], b: .nums[]}",
+    "{a: .tags[], b: .nums[], c: 1}",
+    "{a: (1, 2), b: (3, 4)}",
+    "[.nums[] + .nums[]]",
+    ".nums[] + 1",
+    "1 + .nums[]",
+    "[.nums[] > .nums[]]",
+    "[range(2) + range(2)]",
+    "[.nums[] * 10 + .nums[]] | length",
     # stream limiting
     "limit(2; .nums[])",
     "limit(2; range(9))",
@@ -192,17 +219,31 @@ PROGRAMS = [
     '.tags | has(1)',
     '.tags | has(5)',
     '.meta | has(.name)',
+    # round-4: dynamic-argument range / limit / string functions
+    "[range(.meta.depth // 0)]",
+    "[range(1; .meta.depth // 0)]",
+    "[range(.meta.depth // 0; 0; -1)]",
+    "[range(0; .meta.depth // 0; 2)]",
+    "[limit(.meta.depth // 0; .nums[])]",
+    "[limit(.meta.depth // 0; range(10))]",
+    'range(.meta.depth // 0) | . * 2',
+    '.name | ltrimstr(.tags[0] // "")',
+    '.name | rtrimstr(.tags[0] // "")',
+    '.name | startswith(.tags[0] // "zzz")',
+    '.name | endswith(.tags[0] // "zzz")',
+    '.name | split(.tags[0] // ",")',
+    '.tags | join(.name // ",")',
+    '.name | test(.tags[0] // "^$")',
+    r'.name | ltrimstr("\(.k)")',
 ]
 
 # outside the subset — must fall back, not mis-compile
 FALLBACK_PROGRAMS = [
-    # string-init reduce concatenates in the interpreter — must NOT
-    # compile (the columnar fold is numeric-init only)
-    'reduce .[] as $x (""; . + $x)',
+    # object-init reduce needs object-merge `+` (interpreter-only)
+    'reduce .[] as $x ({}; . + {($x | tostring): 1})',
     "..|numbers",
     "$metadata.topic",
     r'"v=\(1,2)"',  # generator inside interpolation multiplies outputs
-    "{a: .tags[], b: .nums[]}",  # two generators = cartesian, not compiled
 ]
 
 
