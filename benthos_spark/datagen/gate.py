@@ -36,11 +36,19 @@ SIZES = {
     "sf0.01": {"clips": 1200, "images": 800, "videos": 200},
 }
 
-_TABLES = ("clips", "images", "videos", "images_png", "clips_flac", "clips_lufs")
+_TABLES = (
+    "clips",
+    "images",
+    "videos",
+    "images_png",
+    "images_webp",
+    "clips_flac",
+    "clips_lufs",
+)
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 5
+GATE_VERSION = 6
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -120,6 +128,24 @@ def ensure_gate_tables(sf_name: str) -> None:
             blobs.append(_png.encode(arr))
         pdf["bytes"] = blobs
         pdf["codec"] = "png"
+        _write_atomic(pdf, p)
+    p = table_path(sf_name, "images_webp")
+    if not os.path.exists(p):
+        # the same deterministic images, lossless-WebP-encoded: the gate
+        # then hash-checks a real VP8L container decode
+        # (functions/webp.py) against pre-encode ground truth
+        from benthos_spark.functions import webp as _webp
+
+        ids = np.arange(sizes["images"] // 4, dtype=np.int64)
+        pdf = images_pdf(ids, with_expected=True)
+        blobs = []
+        for i in range(len(pdf)):
+            arr = np.frombuffer(pdf["bytes"].iat[i], dtype=np.uint8).reshape(
+                pdf["height"].iat[i], pdf["width"].iat[i], pdf["channels"].iat[i]
+            )
+            blobs.append(_webp.encode(arr))
+        pdf["bytes"] = blobs
+        pdf["codec"] = "webp"
         _write_atomic(pdf, p)
     p = table_path(sf_name, "clips_flac")
     if not os.path.exists(p):

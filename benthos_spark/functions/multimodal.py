@@ -17,7 +17,10 @@ Container codec status:
   T.81 with libjpeg's fancy chroma upsampling; validated against
   javax.imageio's decode of the same bytes within conforming-decoder
   tolerance).
-- other lossy containers (``webp``/``h264``...) raise
+- ``webp`` — REAL lossless VP8L decode/encode (functions/webp.py,
+  from-scratch per the public bitstream spec; validated round-trip and
+  against a real libwebp-encoded alpha stream). Lossy VP8 frames raise.
+- remaining lossy video containers (``h264``...) raise
   ``NotImplementedError`` at the kernel boundary — swap in PIL/cv2
   kernels on a real cluster; the Spark side is codec-agnostic.
 """
@@ -58,9 +61,10 @@ RAW_CODECS = {"raw_rgb8": 3, "raw_gray8": 1}
 
 
 def decode_image(b: bytes, codec: str, width: int, height: int, channels: int) -> np.ndarray:
-    """Decode to an (H, W, C) uint8 array. Raw layouts and PNG are real
-    (functions/png.py — validated pixel-exact against javax.imageio);
-    lossy containers (jpeg/webp) still need PIL/cv2."""
+    """Decode to an (H, W, C) uint8 array. Raw layouts, PNG, GIF, JPEG,
+    and lossless WebP are real from-scratch codecs (functions/png.py,
+    gif.py, jpeg.py, webp.py); only lossy video containers still need
+    PIL/cv2."""
     if codec in RAW_CODECS:
         return np.frombuffer(b, dtype=np.uint8).reshape(height, width, channels)
     if codec == "png":
@@ -76,6 +80,10 @@ def decode_image(b: bytes, codec: str, width: int, height: int, channels: int) -
         from benthos_spark.functions import gif as _gif
 
         return _gif.decode(b)
+    if codec == "webp":
+        from benthos_spark.functions import webp as _webp
+
+        return _webp.decode(b)
     raise NotImplementedError(
         f"codec {codec!r}: container decode needs PIL/cv2 (not in this sandbox); "
         "plug a kernel in here — the Spark plumbing is codec-agnostic"
@@ -93,6 +101,10 @@ def encode_image(arr: np.ndarray, codec: str) -> bytes:
         from benthos_spark.functions import gif as _gif
 
         return _gif.encode(arr)
+    if codec == "webp":
+        from benthos_spark.functions import webp as _webp
+
+        return _webp.encode(arr)
     raise NotImplementedError(f"codec {codec!r} encode not available in this sandbox")
 
 

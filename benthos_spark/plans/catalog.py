@@ -2500,6 +2500,50 @@ def image_png_decode_rollup(spark, sf_dir):
     )
 
 
+_IMAGES_WEBP_GATE = _gate.table_path("sf0.01", "images_webp")
+
+
+@register(
+    "image_webp_decode_rollup",
+    f"""
+    SELECT codec,
+           count(*) AS n_images,
+           round(avg(mean_lum), 4) AS avg_lum,
+           sum(n_pixels)::BIGINT AS total_pixels,
+           count(*) AS ok_images
+    FROM read_parquet('{_IMAGES_WEBP_GATE}')
+    GROUP BY codec
+    """,
+)
+def image_webp_decode_rollup(spark, sf_dir):
+    """Lossless-WebP container decode under the hash gate: the same
+    deterministic images VP8L-encoded (datagen/gate.py) through the
+    from-scratch decoder (functions/webp.py — full VP8L incl. the four
+    inverse transforms, validated against a real libwebp stream in
+    tests/test_webp.py). The oracle's `mean_lum` was computed from the
+    pixel array BEFORE encoding, so the rollup only matches if the
+    container decode is pixel-exact."""
+    from benthos_spark.functions import multimodal as mm
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("image_webp_decode_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    imgs = spark.read.parquet(_gate.table_path(sf, "images_webp")).select(
+        "image_id", "bytes", "width", "height", "channels", "codec"
+    )
+    feats = imgs.mapInPandas(
+        mm.image_features_map_in_pandas(["image_id", "codec"]),
+        schema="image_id string, codec string, " + mm.IMAGE_FEATURE_FIELDS,
+    )
+    return feats.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("mean_lum"), 4).alias("avg_lum"),
+        F.sum("n_pixels").alias("total_pixels"),
+        F.sum(F.col("img_ok").cast("long")).alias("ok_images"),
+    )
+
+
 @register(
     "iceberg_roundtrip_orders",
     """
@@ -3009,6 +3053,7 @@ GATE_PRIORITY: list[str] = [
     # image / video / binary-content
     "image_features_rollup",
     "image_png_decode_rollup",
+    "image_webp_decode_rollup",
     "video_frame_sample",
     "content_dedupe_clips",
     # windows
