@@ -755,11 +755,12 @@ def _codec_pair(algorithm: str, level: int = 6):
                 lambda b: zstandard.ZstdDecompressor().decompress(b)
             )
         except ImportError:
-            # pure-python RFC 8878: decoder is format-complete (validated
-            # against zstd-jni); encoder emits store-mode frames
+            # pure-python RFC 8878: decoder is format-complete and the
+            # encoder is a real LZ77 + predefined-FSE compressor (both
+            # cross-validated against zstd-jni)
             from benthos_spark.functions import zstd as _zstd
 
-            return _zstd.compress, _zstd.decompress
+            return _zstd.compress_lz, _zstd.decompress
     raise ValueError(f"unknown compression algorithm {algorithm!r}")
 
 
