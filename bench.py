@@ -65,6 +65,12 @@ BATCH_QUERIES = [
     "content_dedupe_clips",
     "cep_funnel_events",
     "cep_absence_events",
+    # round-4: TPC-H extension picks with the honest (AQE-decided) join
+    # plans, and the Iceberg spec-evolution scan
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "iceberg_spec_evolution_orders",
 ]
 
 
