@@ -91,7 +91,13 @@ def _make_stateful_join_fn(timeout_ms: int | None):
 
         State = the half seen so far. When the other half arrives, emit the
         joined row and clear. A ProcessingTimeTimeout expires abandoned
-        halves (≙ the joining-streams cookbook's cache TTL)."""
+        halves (≙ the joining-streams cookbook's cache TTL).
+
+        The per-row itertuples walk here is fine BY CONSTRUCTION: groups
+        are keyed by clip_id and each clip has exactly two halves, so a
+        group holds 1-2 rows regardless of stream volume (unlike the CEP
+        NFAs, whose unbounded per-key batches are numpy-vectorized in
+        operators/cep.py)."""
         import datetime as dt
 
         if state.hasTimedOut:

@@ -194,9 +194,12 @@ class RejectSink:
     """`reject` output (output_reject.go:25): nack every message with an
     interpolated error. Spark form: raising inside foreachBatch fails
     the micro-batch → the offset is not committed → upstream redelivers
-    (the nack). ``error_expr`` is evaluated against the first row for
-    the message (the reference interpolates per message; a batch shares
-    one failure)."""
+    (the nack). ``error_expr`` is evaluated against the FIRST row only —
+    one driver round-trip per batch, and an explicit assumption that the
+    interpolation is effectively constant across the batch (config
+    resolution, not per-row data): a batch fails as one unit here, so a
+    per-row message could not be surfaced anyway. Rows with differing
+    expression values still all reject with the first row's message."""
 
     def __init__(self, error_expr: object = None):
         self.error_expr = error_expr

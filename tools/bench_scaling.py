@@ -466,7 +466,17 @@ worker, so unpinned local[2] consumes ~4+ cores):
         with open(path) as f:
             content = f.read()
         if marker in content:
-            content = content[: content.index(marker)] + section
+            head, _, tail = content.partition(marker)
+            # replace ONLY this section: it ends at the Iceberg-ends
+            # subsection (regenerated separately by --iceberg) or at the
+            # next top-level heading — everything after is preserved
+            cut = len(tail)
+            for nxt in ("\n### Iceberg-ends flagship scaling", "\n## "):
+                idx = tail.find(nxt)
+                if idx != -1:
+                    cut = min(cut, idx)
+            rest = tail[cut:].lstrip("\n")
+            content = head + section + ("\n" + rest if rest else "")
         else:
             content = content.rstrip() + "\n\n" + section
     else:
