@@ -597,6 +597,127 @@ def make_funnel_state_fn(symbols: Sequence[str], within_ms: int, key_name: str):
     return fn
 
 
+SEQUENCE_STATE_SCHEMA = "buf string, tail string"
+
+
+def make_sequence_state_fn(symbols: Sequence[str], within_ms: int, key_name: str):
+    """Streaming STRICT-contiguity sequence matcher (the stream twin of
+    batch ``SequenceMatch``): per key, k CONSECUTIVE events must carry
+    the symbols in order, the whole run inside ``within``.
+
+    Fully vectorized: a match at position p is one boolean AND across k
+    shifted symbol comparisons plus a window-span check — no per-event
+    Python. State carries (a) the out-of-order buffer above the
+    watermark and (b) the last k-1 REPLAYED events as the contiguity
+    tail: the watermark guarantees nothing can ever arrive between them
+    and the next replay's prefix, so cross-batch matches assemble
+    exactly. A match needs k events and the tail holds at most k-1, so
+    tail-only matches (double counting) are impossible by construction.
+    Tail entries whose budget already lapsed against the watermark are
+    dropped (any match through them would need an even older start)."""
+    import numpy as np
+
+    k = len(symbols)
+    if k < 2:
+        raise ValueError("sequence matching needs at least 2 steps")
+    sym_arr = np.array(list(symbols), dtype=object)
+
+    def _scan(ts, ids, syms, tail, done):
+        """Returns the new tail (last k-1 events of the replayed run)."""
+        if tail:
+            nt = len(tail)
+            ts = np.concatenate(
+                [np.fromiter((e[0] for e in tail), np.int64, nt), ts]
+            )
+            ids = np.concatenate(
+                [np.fromiter((e[1] for e in tail), np.int64, nt), ids]
+            )
+            syms = np.concatenate([np.array([e[2] for e in tail], object), syms])
+        n = len(ts)
+        if n >= k:
+            m = n - k + 1
+            match = np.ones(m, dtype=bool)
+            for j in range(k):
+                match &= syms[j : m + j] == sym_arr[j]
+            match &= (ts[k - 1 :] - ts[:m]) <= within_ms
+            P = np.nonzero(match)[0]
+            if len(P):
+                gather = P[:, None] + np.arange(k)[None, :]
+                done.append((ids[gather], ts[gather]))
+        start = max(0, n - (k - 1))
+        return [[int(ts[i]), int(ids[i]), syms[i]] for i in range(start, n)]
+
+    def _emit(key, done):
+        ids_mat = done[0][0] if len(done) == 1 else np.concatenate([d[0] for d in done])
+        tss_mat = done[0][1] if len(done) == 1 else np.concatenate([d[1] for d in done])
+        return pd.DataFrame(
+            {
+                key_name: np.repeat(key[0], len(ids_mat)),
+                "step_ids": ids_mat.tolist(),
+                "start_ts": pd.to_datetime(tss_mat[:, 0], unit="ms"),
+                "end_ts": pd.to_datetime(tss_mat[:, -1], unit="ms"),
+                "duration_ms": tss_mat[:, -1] - tss_mat[:, 0],
+            }
+        )
+
+    def fn(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        buf: list = []
+        tail: list = []
+        if state.exists:
+            raw_buf, raw_tail = state.get
+            buf = json.loads(raw_buf)
+            tail = json.loads(raw_tail)
+        if state.hasTimedOut:
+            done: list = []
+            rts, rids, rsyms, _ = _ingest([], buf, 2**62)
+            _scan(rts, rids, rsyms, tail, done)
+            state.remove()
+            if done:
+                yield _emit(key, done)
+            return
+        wm = state.getCurrentWatermarkMs()
+        bounded = wm <= 0
+        horizon = 2**62 if bounded else wm
+        rts, rids, rsyms, buf = _ingest(pdfs, buf, horizon)
+        done = []
+        tail = _scan(rts, rids, rsyms, tail, done)
+        if not bounded:
+            # a lapsed-budget tail prefix can never complete a match
+            tail = [e for e in tail if wm - e[0] <= within_ms]
+        state.update((json.dumps(buf), json.dumps(tail)))
+        try:
+            state.setTimeoutTimestamp(max(wm, 0) + within_ms + 1)
+        except Exception:
+            pass  # NoTimeout conf (bounded runs)
+        if done:
+            yield _emit(key, done)
+
+    return fn
+
+
+def sequence_with_state(
+    events: DataFrame,
+    symbols: Sequence[str],
+    within: str | int = "1 hour",
+    key_col: str = "user_id",
+    timeout: bool = True,
+) -> DataFrame:
+    """Streaming strict-contiguity sequence over a (``key_col``, ts,
+    event_id, event_type) stream — same contract as
+    ``funnel_with_state`` (carry ``withWatermark('ts', …)``)."""
+    conf = GroupStateTimeout.EventTimeTimeout if timeout else GroupStateTimeout.NoTimeout
+    key_field = f"{key_col} long"
+    return events.groupBy(key_col).applyInPandasWithState(
+        make_sequence_state_fn(list(symbols), _within_ms(within), key_col),
+        outputStructType=_funnel_out_schema(key_field),
+        stateStructType=SEQUENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=conf,
+    )
+
+
 def funnel_with_state(
     events: DataFrame,
     symbols: Sequence[str],

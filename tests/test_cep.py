@@ -394,3 +394,132 @@ output:
     pipe3, _ = compile_config(cfg3)
     got3 = pipe3.dataframe(spark).collect()
     assert sorted((r.user_id, r.step1_id) for r in got3) == [(1, 1), (2, 5)]
+
+
+class TestStreamingSequence:
+    SYMS = ["signup", "click", "purchase"]
+
+    def _batch_reference(self, spark, df):
+        m = SequenceMatch(
+            key_cols=["user_id"], ts_col="ts", id_col="event_id",
+            symbol_col="event_type", symbols=self.SYMS, within="1 hour",
+        )
+        return sorted(
+            (r.user_id, r.step1_id, r.step2_id, r.step3_id) for r in m(df).collect()
+        )
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """Strict contiguity across micro-batch boundaries: the state
+        tail (last k-1 replayed events) must stitch a match whose events
+        arrive in different batches, and intervening events must break
+        matches exactly like the batch matcher."""
+        import glob
+        import os
+        import random
+        import shutil
+
+        from benthos_spark.operators.cep import sequence_with_state
+
+        rng = random.Random(13)
+        rows = []
+        eid = 0
+        for uid in range(6):
+            t = 0
+            for _ in range(60):
+                t += rng.randint(10, 600)
+                eid += 1
+                # bias towards the pattern symbols so strict runs happen
+                rows.append((uid, eid, t, rng.choice(self.SYMS * 3 + ["noise"])))
+        df = _mk(spark, rows)
+        want = self._batch_reference(spark, df)
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        ordered = sorted(rows, key=lambda r: r[2])
+        cut = len(ordered) // 3
+        chunks = [ordered[:cut], ordered[cut : 2 * cut], ordered[2 * cut :]]
+        for chunk in chunks:
+            rng.shuffle(chunk)
+        chunks.append([(99, 10**6, 10**7, "_sentinel")])
+        t0 = 1_700_000_000
+        for i, chunk in enumerate(chunks):
+            tmp_dir = str(tmp_path / f"w{i}")
+            _mk(spark, chunk).coalesce(1).write.parquet(tmp_dir)
+            part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+            dst = f"{src}/f{i}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "10 seconds")
+        )
+        out = sequence_with_state(stream, self.SYMS, within="1 hour")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q, timeout_s=300)
+        got_df = spark.read.parquet(str(tmp_path / "out"))
+        got = sorted(
+            (r.user_id, r.step_ids[0], r.step_ids[1], r.step_ids[2])
+            for r in got_df.collect()
+        )
+        assert got == want
+        assert want, "reference produced no matches — test data too thin"
+
+    def test_cross_batch_stitching_exact(self, spark, tmp_path):
+        """A hand-placed match whose three events arrive in THREE
+        different micro-batches (the tail must carry 2 events across two
+        horizons), plus a decoy broken by an intervening event."""
+        import glob
+        import os
+        import shutil
+
+        from benthos_spark.operators.cep import sequence_with_state
+
+        batches = [
+            [(1, 1, 1000, "signup"), (2, 10, 1001, "signup")],
+            [(1, 2, 2000, "click"), (2, 11, 2000, "noise")],
+            [(1, 3, 3000, "purchase"), (2, 12, 3000, "click"), (2, 13, 3001, "purchase")],
+            [(99, 10**6, 10**7, "_sentinel")],
+        ]
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        t0 = 1_700_000_000
+        for i, chunk in enumerate(batches):
+            tmp_dir = str(tmp_path / f"w{i}")
+            _mk(spark, chunk).coalesce(1).write.parquet(tmp_dir)
+            part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+            dst = f"{src}/f{i}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "1 second")
+        )
+        out = sequence_with_state(stream, self.SYMS, within="1 hour")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q, timeout_s=300)
+        got = sorted(
+            tuple(r.step_ids)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+        # user 1 stitches across three batches; user 2's run is broken
+        # by the intervening noise event
+        assert got == [(1, 2, 3)]
