@@ -2998,6 +2998,154 @@ def iceberg_spec_evolution_orders(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "text_repetition_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(words) AS w FROM toks)
+      GROUP BY doc_id, w
+    ),
+    wagg AS (
+      SELECT doc_id, max(c) AS top_w, count(*) AS n_distinct, sum(c) AS n_words
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(words) - 1),
+                            i -> words[i] || ' ' || words[i + 1]) AS bigrams
+      FROM toks
+    ),
+    bc AS (
+      SELECT doc_id, b, count(*) AS c
+      FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg)
+      GROUP BY doc_id, b
+    ),
+    bagg AS (SELECT doc_id, max(c) AS top_b, sum(c) AS n_bg FROM bc GROUP BY doc_id)
+    SELECT w.doc_id,
+           w.n_words::BIGINT AS n_words,
+           round(w.top_w::DOUBLE / w.n_words, 4) AS top_word_frac,
+           round(w.n_distinct::DOUBLE / w.n_words, 4) AS distinct_frac,
+           round(coalesce(b.top_b::DOUBLE / b.n_bg, 0.0), 4) AS top_bigram_frac
+    FROM wagg w LEFT JOIN bagg b ON w.doc_id = b.doc_id
+    """,
+)
+def text_repetition_docs(spark, sf_dir):
+    """Gopher/MassiveText-style repetition signals for training-data
+    quality filtering: per document, the fraction held by the most
+    frequent word, the distinct-word fraction, and the fraction held by
+    the most frequent word-BIGRAM. The Spark side computes everything
+    per-row with higher-order functions over one sorted array — a
+    single codegen'd projection, NO explode/groupBy shuffle — so at
+    100 TB this is a pure scan; the oracle does it relationally
+    (unnest + group) because DuckDB has no fold."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+
+    def max_run(arr):
+        # most-frequent element count of a SORTED array via one fold:
+        # (prev, current run, best run)
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(a, x):
+            run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+            )
+
+        return F.aggregate(F.array_sort(arr), acc0, step, lambda a: a["best"])
+
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_bigram = F.when(
+        n >= 2, max_run(bigrams).cast("double") / (n - 1)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(max_run(words).cast("double") / n, 4).alias("top_word_frac"),
+        F.round(F.size(F.array_distinct(words)).cast("double") / n, 4).alias(
+            "distinct_frac"
+        ),
+        F.round(top_bigram, 4).alias("top_bigram_frac"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+@register(
+    "pii_scrub_docs",
+    rf"""
+    WITH seeded AS (
+      SELECT doc_id, lang,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142 x' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}'))::BIGINT AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM seeded
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+    """,
+)
+def pii_scrub_docs(spark, sf_dir):
+    """PII scrubbing for training corpora: detect + redact emails and
+    phone numbers. The corpus is synthetic (no organic PII), so BOTH
+    engines deterministically inject addresses into the same documents
+    first; the scrub itself — the kernel under test — then runs through
+    Spark's regexp functions vs DuckDB's (RE2 vs java.util.regex agree
+    on these anchored-free character-class patterns), and the driver
+    hash-compares the REDACTED TEXT itself, not just the counts.
+    JVM-side regexp_replace over one scan — no UDF, pushes down, scales
+    as a pure projection."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0142 x")).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        docs.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0))
+        .select("doc_id", seeded.alias("text"))
+        .select(
+            "doc_id",
+            F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            ).alias("redacted"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate ordering. The correctness driver checks the FIRST ~50
 # entries of the dict returned by ``__spark_entry__.queries()`` — dict
