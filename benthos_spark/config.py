@@ -387,6 +387,28 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "vad_measure":
+        from benthos_spark.operators.audio import VadMeasure
+
+        conf = conf or {}
+        return VadMeasure(
+            threshold_db=conf.get("threshold_db", -35.0),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
+    if name == "vad_gate":
+        from benthos_spark.operators.audio import VadGate
+
+        return VadGate(
+            min_active_frac=conf.get("min_active_frac"),
+            min_longest_run_ms=conf.get("min_longest_run_ms"),
+            threshold_db=conf.get("threshold_db", -35.0),
+            drop_measures=conf.get("drop_measures", False),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelect
 
@@ -404,7 +426,8 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
-        "loudness_gate, loudness_measure, loudness_normalize, sequence_match, funnel_match, absence_match"
+        "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
+        "sequence_match, funnel_match, absence_match"
     )
 
 

@@ -44,11 +44,12 @@ _TABLES = (
     "images_webp",
     "clips_flac",
     "clips_lufs",
+    "clips_vad",
 )
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 6
+GATE_VERSION = 7
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -174,6 +175,53 @@ def ensure_gate_tables(sf_name: str) -> None:
                     "codec": "flac",
                     "n_samples": np.int64(len(q)),
                     "checksum16": np.int64(int(q.astype(np.int64).sum())),
+                }
+            )
+        _write_atomic(pd.DataFrame(rows), p)
+    p = table_path(sf_name, "clips_vad")
+    if not os.path.exists(p):
+        # energy-VAD ground truth: the reference signal with
+        # DETERMINISTIC silence spans zeroed in (the bare signal is
+        # continuously loud — real recordings aren't), encoded, decoded
+        # back, and measured through the SAME float64 kernel the query
+        # side uses (functions/vad.py) — gate matches only on bit-exact
+        # decode + framing + energy reproduction.
+        import pandas as pd
+
+        from benthos_spark.datagen.clips import _hash_u01, clip_params, reference_signal
+        from benthos_spark.functions import audio as A
+        from benthos_spark.functions.vad import vad_metrics
+
+        ids = np.arange(sizes["clips"] // 6, dtype=np.int64)
+        params = clip_params(ids)
+        rows = []
+        for i in ids:
+            sr = int(params["sr_hz"][i])
+            dur = int(params["dur_ms"][i])
+            codec = "wav" if i % 2 == 0 else "pcm_s16le"
+            sig = reference_signal(int(i), sr, dur).copy()
+            # two seeded silent spans, each 10-25% of the clip
+            arr = np.array([int(i)], dtype=np.uint64)
+            for k in range(2):
+                off = _hash_u01(arr, 40 + 2 * k)[0]
+                ln = 0.10 + 0.15 * _hash_u01(arr, 41 + 2 * k)[0]
+                s0 = int(off * (1 - ln) * len(sig))
+                sig[s0 : s0 + int(ln * len(sig))] = 0.0
+            b = A.encode(sig, codec, sr)
+            x = np.asarray(A.decode(b, codec), dtype=np.float64)
+            nf, na, ams, lms, frac = vad_metrics(x, sr)
+            rows.append(
+                {
+                    "clip_id": f"vad-{i:010d}",
+                    "bytes": b,
+                    "sr_hz": np.int32(sr),
+                    "dur_ms": np.int32(dur),
+                    "codec": codec,
+                    "n_frames": np.int64(nf),
+                    "n_active": np.int64(na),
+                    "active_ms": np.int64(ams),
+                    "longest_run_ms": np.int64(lms),
+                    "active_frac": np.float64(round(frac, 6)),
                 }
             )
         _write_atomic(pd.DataFrame(rows), p)

@@ -148,3 +148,72 @@ class LoudnessGate(Processor):
         if self.drop_measures:
             out = out.drop("lufs_i", "lufs_mmax")
         return out
+
+
+@dataclass
+class VadMeasure(Processor):
+    """Append energy-VAD activity columns (functions/vad.py: 25 ms
+    frames, 10 ms hop, absolute dBFS threshold) by decoding the payload
+    per row inside an Arrow batch: ``n_frames``, ``n_active``,
+    ``active_ms``, ``longest_run_ms``, ``active_frac``. Everything else
+    passes through unchanged."""
+
+    threshold_db: float = -35.0
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from benthos_spark.functions.vad import VAD_FIELDS, vad_map_in_pandas
+
+        renames = {self.bytes_col: "bytes", self.codec_col: "codec", self.sr_col: "sr_hz"}
+        work = df
+        for src, dst in renames.items():
+            if src != dst:
+                work = work.withColumnRenamed(src, dst)
+        passthrough = list(work.columns)
+        schema = (
+            ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in work.schema.fields)
+            + ", " + VAD_FIELDS
+        )
+        out = work.mapInPandas(
+            vad_map_in_pandas(passthrough, self.threshold_db), schema=schema
+        )
+        for src, dst in renames.items():
+            if src != dst:
+                out = out.withColumnRenamed(dst, src)
+        return out
+
+
+@dataclass
+class VadGate(Processor):
+    """Keep clips whose voice-activity fraction (and optionally the
+    longest continuous active run) clears a floor — the speech-curation
+    gate a training pipeline runs before transcription. A pure filter:
+    with ``drop_measures=True`` the payload schema is unchanged."""
+
+    min_active_frac: float | None = None
+    min_longest_run_ms: int | None = None
+    threshold_db: float = -35.0
+    drop_measures: bool = False
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __post_init__(self):
+        if self.min_active_frac is None and self.min_longest_run_ms is None:
+            raise ValueError("vad_gate needs min_active_frac and/or min_longest_run_ms")
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        out = VadMeasure(self.threshold_db, self.bytes_col, self.codec_col, self.sr_col)(df)
+        cond = F.lit(True)
+        if self.min_active_frac is not None:
+            cond = cond & (F.col("active_frac") >= F.lit(float(self.min_active_frac)))
+        if self.min_longest_run_ms is not None:
+            cond = cond & (F.col("longest_run_ms") >= F.lit(int(self.min_longest_run_ms)))
+        out = out.filter(cond)
+        if self.drop_measures:
+            out = out.drop(
+                "n_frames", "n_active", "active_ms", "longest_run_ms", "active_frac"
+            )
+        return out

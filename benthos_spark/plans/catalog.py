@@ -2998,6 +2998,57 @@ def iceberg_spec_evolution_orders(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+_CLIPS_VAD_GATE = _gate.table_path("sf0.01", "clips_vad")
+
+
+@register(
+    "audio_vad_rollup",
+    f"""
+    SELECT codec,
+           count(*) AS n_clips,
+           sum(n_frames)::BIGINT AS total_frames,
+           sum(n_active)::BIGINT AS total_active,
+           sum(active_ms)::BIGINT AS total_active_ms,
+           max(longest_run_ms)::BIGINT AS max_run_ms,
+           CAST(round(sum(n_active)::DOUBLE / sum(n_frames), 6) AS DOUBLE) AS active_frac
+    FROM read_parquet('{_CLIPS_VAD_GATE}')
+    GROUP BY codec
+    """,
+)
+def audio_vad_rollup(spark, sf_dir):
+    """Energy-VAD (functions/vad.py — 25 ms frames, 10 ms hop, -35 dBFS
+    threshold) over the clips_vad gate table: the speech-curation
+    analog of text_quality_docs. The payloads carry deterministic
+    silence spans; the kernel decodes each clip and re-measures frame
+    activity, and the stored ground truth came from the same float64
+    path at generation time, so the hash matches only on a bit-exact
+    decode + framing + energy reproduction. Arrow mapInPandas, no
+    per-row Python; at 100 TB this is one scan + a tiny keyed agg."""
+    from benthos_spark.functions.vad import VAD_FIELDS, vad_map_in_pandas
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_vad_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    clips = spark.read.parquet(_gate.table_path(sf, "clips_vad")).select(
+        "clip_id", "bytes", "sr_hz", "codec"
+    )
+    measured = clips.mapInPandas(
+        vad_map_in_pandas(["clip_id", "codec"]),
+        schema="clip_id string, codec string, " + VAD_FIELDS,
+    )
+    return measured.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_frames").alias("total_frames"),
+        F.sum("n_active").alias("total_active"),
+        F.sum("active_ms").alias("total_active_ms"),
+        F.max("longest_run_ms").alias("max_run_ms"),
+        F.round(
+            F.sum("n_active").cast("double") / F.sum("n_frames"), 6
+        ).alias("active_frac"),
+    )
+
+
 @register(
     "text_repetition_docs",
     r"""
