@@ -61,8 +61,19 @@ def test_video_frame_sampling(spark):
 
 
 def test_container_codec_is_stubbed():
-    """Only genuinely un-implementable containers stay gated now."""
-    with pytest.raises(NotImplementedError, match="webp"):
+    """Only genuinely un-implementable containers stay gated now
+    (webp went real in round 4 — functions/webp.py; h264 remains)."""
+    with pytest.raises(NotImplementedError, match="h264"):
+        mm.decode_image(b"\x00\x00\x00\x01", "h264", 1, 1, 3)
+    # webp no longer raises NotImplementedError — it decodes (and a
+    # malformed payload fails with the codec's own error, not the gate)
+    import numpy as np
+
+    from benthos_spark.functions import webp
+
+    arr = np.full((2, 2, 3), 7, dtype=np.uint8)
+    assert (mm.decode_image(webp.encode(arr), "webp", 2, 2, 3) == arr).all()
+    with pytest.raises(webp.WebpError):
         mm.decode_image(b"RIFF0000WEBP", "webp", 1, 1, 3)
 
 
