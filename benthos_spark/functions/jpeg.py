@@ -509,3 +509,279 @@ def _assemble(comps, planes, width, height):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder: baseline sequential (SOF0), 4:4:4 / grayscale, OPTIMIZED
+# Huffman tables generated per image by the spec's own algorithm
+# (T.81 Annex K.2 code-size computation + K.3 Adjust_BITS) — no
+# memorized table constants; quantization = Annex K.1 example tables
+# scaled with the public libjpeg quality curve.
+# ---------------------------------------------------------------------------
+
+_QT_LUMA_BASE = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+
+_QT_CHROMA_BASE = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _build_huffman_spec(freq: dict) -> tuple[list[int], list[int]]:
+    """T.81 K.2 (code sizes via repeated merge of the two least-frequent
+    chains, ties to the larger symbol) + K.3 Adjust_BITS (16-deep cap),
+    with symbol 256 reserved so the all-ones code is never assigned.
+    Returns (BITS[1..16] counts, HUFFVAL symbol list)."""
+    freq = dict(freq)
+    freq[256] = 1
+    others = {s: -1 for s in freq}
+    codesize = {s: 0 for s in freq}
+    while True:
+        nonzero = sorted(
+            (s for s in freq if freq[s] > 0), key=lambda s: (freq[s], -s)
+        )
+        if len(nonzero) < 2:
+            break
+        v1, v2 = nonzero[0], nonzero[1]
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for s, cs in codesize.items():
+        if cs:
+            if cs > 32:
+                raise JpegError("huffman code size overflow")
+            bits[cs] += 1
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved all-ones code
+    huffval = sorted(
+        (s for s in codesize if codesize[s] and s != 256),
+        key=lambda s: (codesize[s], s),
+    )
+    return bits[1:17], huffval
+
+
+def _huff_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical (code, length) per symbol — the encoder mirror of
+    ``_Huff``."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[huffval[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriterJ:
+    """MSB-first bit emitter with 0xFF byte stuffing (B.1.1.5)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def _size_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """All 8x8 blocks of a padded plane → quantized NATURAL-order
+    coefficients, (bh*bw, 8, 8), one vectorized einsum."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    shifted = blocks.astype(np.float64) - 128.0
+    coeff = np.einsum("ij,bjk,lk->bil", _C, shifted, _C)
+    q = np.round(coeff / qt[None, :, :]).astype(np.int32)
+    return q
+
+
+def _pad8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _block_symbols(zz: np.ndarray, prev_dc: int):
+    """One block's (dc_symbol, dc_extra), [(ac_symbol, extra, nbits)…],
+    new prev_dc — baseline run/size coding with ZRL and EOB."""
+    dc = int(zz[0])
+    diff = dc - prev_dc
+    s = _size_cat(diff)
+    dc_extra = diff if diff >= 0 else diff + (1 << s) - 1
+    acs = []
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        sz = _size_cat(v)
+        extra = v if v >= 0 else v + (1 << sz) - 1
+        acs.append(((run << 4) | sz, extra, sz))
+        run = 0
+    if last_nz < 63:
+        acs.append((0x00, 0, 0))  # EOB
+    return (s, dc_extra), acs, dc
+
+
+def encode(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 → baseline JFIF JPEG bytes.
+    4:4:4 (no subsampling), per-image optimized Huffman tables. Lossy by
+    nature: validated by javax.imageio decoding our streams within
+    conforming-decoder tolerance (tests/test_multimodal.py)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2 or arr.shape[2] == 1
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    h, w = arr.shape[:2]
+    qt_l = _quality_scale(_QT_LUMA_BASE, quality)
+    if gray:
+        planes = [arr.astype(np.float64)]
+        qts = [qt_l]
+        comp_q = [0]
+    else:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qts = [qt_l, _quality_scale(_QT_CHROMA_BASE, quality), None]
+        qts[2] = qts[1]
+        comp_q = [0, 1, 1]
+    # quantized zigzag coefficients per component
+    comp_zz = []
+    for p, qt in zip(planes, qts):
+        qblocks = _fdct_quant(_pad8(np.clip(p, 0.0, 255.0)), qt)
+        comp_zz.append(qblocks.reshape(-1, 64)[:, _ZIGZAG])
+    n_blocks = comp_zz[0].shape[0]
+    # pass 1: symbol statistics per table class (luma=0, chroma=1)
+    dc_freq = [{}, {}]
+    ac_freq = [{}, {}]
+    comp_cls = [0] if gray else [0, 1, 1]
+    prev = [0] * len(planes)
+    for bi in range(n_blocks):
+        for ci in range(len(planes)):
+            (s, _), acs, prev[ci] = _block_symbols(comp_zz[ci][bi], prev[ci])
+            cls = comp_cls[ci]
+            dc_freq[cls][s] = dc_freq[cls].get(s, 0) + 1
+            for sym, _x, _n in acs:
+                ac_freq[cls][sym] = ac_freq[cls].get(sym, 0) + 1
+    n_cls = 1 if gray else 2
+    dc_tbl = [_build_huffman_spec(dc_freq[c]) for c in range(n_cls)]
+    ac_tbl = [_build_huffman_spec(ac_freq[c]) for c in range(n_cls)]
+    dc_codes = [_huff_codes(*t) for t in dc_tbl]
+    ac_codes = [_huff_codes(*t) for t in ac_tbl]
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts[: (1 if gray else 2)]):
+        payload = bytes([tid]) + bytes(int(v) for v in qt.reshape(-1)[_ZIGZAG])
+        out += b"\xff\xdb" + (len(payload) + 2).to_bytes(2, "big") + payload
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, comp_q[ci]])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for cls in range(n_cls):
+        for tclass, (bits, vals) in ((0, dc_tbl[cls]), (1, ac_tbl[cls])):
+            payload = bytes([(tclass << 4) | cls]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + (len(payload) + 2).to_bytes(2, "big") + payload
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        cls = comp_cls[ci]
+        sos += bytes([ci + 1, (cls << 4) | cls])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    # pass 2: entropy-coded data (4:4:4 MCU = one block per component)
+    bw = _BitWriterJ()
+    prev = [0] * len(planes)
+    for bi in range(n_blocks):
+        for ci in range(len(planes)):
+            cls = comp_cls[ci]
+            (s, dc_extra), acs, prev[ci] = _block_symbols(comp_zz[ci][bi], prev[ci])
+            code, ln = dc_codes[cls][s]
+            bw.write(code, ln)
+            bw.write(dc_extra, s)
+            for sym, extra, nbits in acs:
+                code, ln = ac_codes[cls][sym]
+                bw.write(code, ln)
+                bw.write(extra, nbits)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -105,6 +105,10 @@ def encode_image(arr: np.ndarray, codec: str) -> bytes:
         from benthos_spark.functions import webp as _webp
 
         return _webp.encode(arr)
+    if codec in ("jpeg", "jpg"):
+        from benthos_spark.functions import jpeg as _jpeg
+
+        return _jpeg.encode(arr)
     raise NotImplementedError(f"codec {codec!r} encode not available in this sandbox")
 
 

@@ -411,3 +411,68 @@ def test_gif_interlace_and_animation():
     expected = pal[rows].copy()
     expected[2:6, 2:6] = pal[3]
     assert np.array_equal(frames[1][:, :, :3], expected)
+
+
+def test_jpeg_encoder_vs_imageio(spark):
+    """functions/jpeg.py encode: javax.imageio (the JVM's reference
+    decoder) must read OUR baseline streams, and agree with our own
+    decoder within conforming-decoder tolerance; at quality 95 the
+    smooth image reconstructs near-exactly."""
+    import numpy as np
+
+    from benthos_spark.functions import jpeg
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+    yy, xx = np.mgrid[0:40, 0:56]
+    images = {
+        "smooth": np.stack(
+            [np.clip(128 + 80 * np.sin(xx / 10.0), 0, 255),
+             np.clip(128 + 80 * np.cos(yy / 8.0), 0, 255),
+             np.clip(128 + 60 * np.sin((xx + yy) / 12.0), 0, 255)],
+            axis=-1).astype(np.uint8),
+        "wrap": np.stack([(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256],
+                         axis=-1).astype(np.uint8),
+    }
+    for name, arr in images.items():
+        for q in (95, 75):
+            b = jpeg.encode(arr, q)
+            img = ImageIO.read(jvm.java.io.ByteArrayInputStream(b))
+            assert img is not None, f"javax could not parse our stream ({name}, q{q})"
+            theirs = np.zeros_like(arr)
+            for y in range(arr.shape[0]):
+                for x in range(arr.shape[1]):
+                    v = img.getRGB(x, y)
+                    theirs[y, x] = ((v >> 16) & 255, (v >> 8) & 255, v & 255)
+            ours = jpeg.decode(b)
+            # two conforming decoders on the same stream
+            dd = np.abs(ours.astype(int) - theirs.astype(int))
+            assert dd.max() <= 8 and dd.mean() < 1.0, (name, q, dd.max())
+            if name == "smooth" and q == 95:
+                # high quality on a smooth image: near-exact round trip
+                d0 = np.abs(theirs.astype(int) - arr.astype(int))
+                assert d0.max() <= 10 and d0.mean() < 1.5, (d0.max(), d0.mean())
+
+
+def test_jpeg_encoder_gray_and_edge_sizes(spark):
+    """Grayscale single-component streams and non-multiple-of-8 sizes
+    (edge-replicated padding) through the JVM decoder."""
+    import numpy as np
+
+    from benthos_spark.functions import jpeg
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+    yy, xx = np.mgrid[0:19, 0:13]
+    g = np.clip(128 + 90 * np.sin(xx / 3.0) * np.cos(yy / 4.0), 0, 255).astype(np.uint8)
+    b = jpeg.encode(g, 95)
+    img = ImageIO.read(jvm.java.io.ByteArrayInputStream(b))
+    assert img is not None and img.getWidth() == 13 and img.getHeight() == 19
+    # read raw raster samples: getRGB() on a TYPE_BYTE_GRAY image
+    # gamma-converts linear gray -> sRGB (128 becomes 188)
+    raster = img.getRaster()
+    theirs = np.zeros_like(g)
+    for y in range(19):
+        for x in range(13):
+            theirs[y, x] = raster.getSample(x, y, 0)
+    assert np.abs(theirs.astype(int) - g.astype(int)).max() <= 12
