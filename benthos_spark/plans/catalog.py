@@ -3235,20 +3235,18 @@ GATE_PRIORITY: list[str] = [
     "cep_strict_sequence_events",
     # jq / jmespath programs (columnar compilers)
     "jq_program_events",
-    "jq_variant_events",
     "jmespath_orders_digest",
     # SQL enrichment + group chains + Bloblang
     "sql_select_enrich_customers",
     "group_by_chains_orders",
-    "group_by_value_events",
     "bloblang_mapping_orders",
-    "interpolate_orders",
-    # audio family (decode / FLAC / loudness / fingerprint / resample)
+    # audio family (decode / FLAC / loudness / fingerprint / resample / VAD)
     "audio_flac_decode_rollup",
     "audio_loudness_rollup",
     "audio_decode_features",
     "audio_fingerprint_dedup",
     "audio_resample_sinc_rollup",
+    "audio_vad_rollup",
     # image / video / binary-content
     "image_features_rollup",
     "image_png_decode_rollup",
@@ -3263,6 +3261,8 @@ GATE_PRIORITY: list[str] = [
     "dedupe_documents",
     "lang_id_docs",
     "text_quality_docs",
+    "text_repetition_docs",
+    "pii_scrub_docs",
     "minhash_lsh_neardup",
     "simhash_docs",
     "embedding_cosine_topk",
