@@ -45,11 +45,12 @@ _TABLES = (
     "clips_flac",
     "clips_lufs",
     "clips_vad",
+    "videos_mjpeg",
 )
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 7
+GATE_VERSION = 8
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -263,6 +264,14 @@ def ensure_gate_tables(sf_name: str) -> None:
                 }
             )
         _write_atomic(pd.DataFrame(rows), p)
+    p = table_path(sf_name, "videos_mjpeg")
+    if not os.path.exists(p):
+        # the same deterministic videos, MJPEG-RIFF-AVI-encoded
+        # (functions/avi.py): mean_lum is computed from the frames
+        # BEFORE encoding, so the gate's tolerance check only passes on
+        # a real container + JPEG decode; frame counts must be exact.
+        ids = np.arange(sizes["videos"] // 4, dtype=np.int64)
+        _write_atomic(videos_pdf(ids, codec="mjpeg", with_expected=True), p)
     tmp_v = f"{version_file}.tmp.{os.getpid()}"
     os.makedirs(os.path.dirname(tmp_v), exist_ok=True)
     with open(tmp_v, "w") as fh:

@@ -271,3 +271,49 @@ def encode(arr: np.ndarray, loop: bool = False) -> bytes:
     out.append(0)
     out += b"\x3b"
     return bytes(out)
+
+
+def encode_frames(frames: list[np.ndarray], delay_cs: int = 10, loop: bool = True) -> bytes:
+    """Frames ((H, W, 3) or (H, W) uint8, same size) → animated GIF89a:
+    one shared global palette (union of all frames' colors, ≤256), a
+    graphic-control extension per frame (disposal=none, `delay_cs`
+    centiseconds), and an optional NETSCAPE2.0 infinite-loop block."""
+    if not frames:
+        raise GifError("cannot encode an empty frame list")
+    norm = []
+    for f in frames:
+        f = np.asarray(f, dtype=np.uint8)
+        if f.ndim == 2:
+            f = np.stack([f] * 3, axis=-1)
+        norm.append(f[:, :, :3])
+    h, w = norm[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in norm):
+        raise GifError("all frames must share one size")
+    flat = np.concatenate([f.reshape(-1, 3) for f in norm])
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise GifError(f"{len(palette)} colors exceed GIF's 256-entry palette")
+    depth = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    table_size = 1 << depth
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    pal = np.zeros((table_size, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out += pal.tobytes()
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    per_frame = w * h
+    min_code = max(2, depth)
+    for fi in range(len(norm)):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        idx = inverse[fi * per_frame : (fi + 1) * per_frame].astype(np.uint8)
+        lzw = _lzw_encode(min_code, idx.tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)

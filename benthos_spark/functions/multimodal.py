@@ -20,9 +20,12 @@ Container codec status:
 - ``webp`` — REAL lossless VP8L decode/encode (functions/webp.py,
   from-scratch per the public bitstream spec; validated round-trip and
   against a real libwebp-encoded alpha stream). Lossy VP8 frames raise.
-- remaining lossy video containers (``h264``...) raise
-  ``NotImplementedError`` at the kernel boundary — swap in PIL/cv2
-  kernels on a real cluster; the Spark side is codec-agnostic.
+- ``mjpeg`` (RIFF-AVI) — REAL decode/encode (functions/avi.py,
+  from-scratch container per the public AVI spec; one of our baseline
+  JPEGs per ``00dc`` chunk). ``gif`` animations frame-sample too.
+- ``h264`` (the one video codec left) raises ``NotImplementedError``
+  at the kernel boundary — swap in PIL/cv2 kernels on a real cluster;
+  the Spark side is codec-agnostic.
 """
 
 from __future__ import annotations
@@ -185,9 +188,39 @@ def image_resize_map_in_pandas(out_h: int, out_w: int):
     return fn
 
 
+def decode_video_frames(raw: bytes, codec: str, width: int, height: int, n_frames: int) -> list[np.ndarray]:
+    """Container-decode a video payload into (H, W, C) uint8 frames.
+
+    Real containers in this sandbox: raw byte layouts, MJPEG-in-AVI
+    (functions/avi.py) and animated GIF (functions/gif.py). h264 still
+    needs ffmpeg/cv2 — the one gated video codec left."""
+    if codec in RAW_CODECS:
+        ch = RAW_CODECS[codec]
+        frame_bytes = width * height * ch
+        return [
+            np.frombuffer(raw, dtype=np.uint8, count=frame_bytes, offset=f * frame_bytes)
+            .reshape(height, width, ch)
+            for f in range(n_frames)
+        ]
+    if codec in ("mjpeg", "mjpeg_avi"):
+        from benthos_spark.functions import avi as _avi
+
+        frames, _fps = _avi.decode(raw)
+        return frames
+    if codec == "gif":
+        from benthos_spark.functions import gif as _gif
+
+        return [fr[:, :, :3] for fr in _gif.decode_frames(raw)]
+    raise NotImplementedError(
+        f"video codec {codec!r} needs ffmpeg/cv2 — not in this sandbox"
+    )
+
+
 def frame_sample_map_in_pandas(every_n: int):
     """Video → frames UDTF (``mapInPandas`` as table function): explode a
-    raw-frame video payload into every Nth frame as an image row.
+    video payload into every Nth frame as an image row (container-decoded
+    for mjpeg/gif; zero-copy slicing for raw layouts — raw sampled frames
+    keep the source codec, container frames come out ``raw_*8``).
     Output schema: IMAGE_SCHEMA columns."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -195,22 +228,31 @@ def frame_sample_map_in_pandas(every_n: int):
             ids, blobs, ws, hs, cs, codecs = [], [], [], [], [], []
             for i in range(len(pdf)):
                 codec = pdf["codec"].iat[i]
-                if codec not in RAW_CODECS:
-                    raise NotImplementedError(
-                        f"video codec {codec!r} needs ffmpeg/cv2 — not in this sandbox"
-                    )
-                ch = RAW_CODECS[codec]
                 w, h = int(pdf["width"].iat[i]), int(pdf["height"].iat[i])
-                frame_bytes = w * h * ch
                 raw = pdf["bytes"].iat[i]
                 n_frames = int(pdf["n_frames"].iat[i])
-                for f in range(0, n_frames, every_n):
+                if codec in RAW_CODECS:
+                    ch = RAW_CODECS[codec]
+                    frame_bytes = w * h * ch
+                    picks = [
+                        (f, bytes(raw[f * frame_bytes : (f + 1) * frame_bytes]), ch, codec)
+                        for f in range(0, n_frames, every_n)
+                    ]
+                else:
+                    frames = decode_video_frames(raw, codec, w, h, n_frames)
+                    picks = []
+                    for f in range(0, len(frames), every_n):
+                        fr = frames[f]
+                        ch = 1 if fr.ndim == 2 or fr.shape[2] == 1 else fr.shape[2]
+                        out_codec = "raw_gray8" if ch == 1 else "raw_rgb8"
+                        picks.append((f, fr.tobytes(), ch, out_codec))
+                for f, blob, ch, out_codec in picks:
                     ids.append(f"{pdf['video_id'].iat[i]}#f{f:06d}")
-                    blobs.append(bytes(raw[f * frame_bytes : (f + 1) * frame_bytes]))
+                    blobs.append(blob)
                     ws.append(w)
                     hs.append(h)
                     cs.append(ch)
-                    codecs.append(codec)
+                    codecs.append(out_codec)
             yield pd.DataFrame(
                 {
                     "image_id": ids,
@@ -271,26 +313,45 @@ def images_pdf(ids: np.ndarray, height: int = 48, width: int = 64, seed: int = 4
 
 
 def videos_pdf(ids: np.ndarray, height: int = 24, width: int = 32, n_frames: int = 12,
-               seed: int = 42) -> pd.DataFrame:
-    """Deterministic raw-gray video rows: frame f = (gradient + f) % 256."""
+               seed: int = 42, codec: str = "raw_gray8",
+               with_expected: bool = False) -> pd.DataFrame:
+    """Deterministic video rows: frame f = (gradient + i + f) % 256.
+
+    ``codec="mjpeg"`` wraps the SAME deterministic frames in an MJPEG
+    RIFF-AVI container (functions/avi.py, our own T.81 codec per frame,
+    quality 95). ``with_expected=True`` adds ``mean_lum`` computed from
+    the frames BEFORE encoding — for lossy MJPEG the gate checks the
+    decoded mean against it within a tolerance (JPEG is lossy by
+    nature), while frame counts must match exactly."""
+    from benthos_spark.functions import avi as _avi
+
     yy, xx = np.mgrid[0:height, 0:width]
     base = ((xx + yy) % 256).astype(np.uint8)
     rows = {"video_id": [], "bytes": [], "width": [], "height": [],
             "n_frames": [], "fps": [], "codec": []}
+    exp: list[float] = []
     for i in ids:
         frames = [((base.astype(np.int64) + int(i) + f) % 256).astype(np.uint8) for f in range(n_frames)]
+        if codec == "mjpeg":
+            blob = _avi.encode(frames, fps=8.0, quality=95)
+        else:
+            blob = b"".join(fr.tobytes() for fr in frames)
         rows["video_id"].append(f"vid-{int(i):010d}")
-        rows["bytes"].append(b"".join(fr.tobytes() for fr in frames))
+        rows["bytes"].append(blob)
         rows["width"].append(width)
         rows["height"].append(height)
         rows["n_frames"].append(n_frames)
         rows["fps"].append(8.0)
-        rows["codec"].append("raw_gray8")
+        rows["codec"].append(codec)
+        if with_expected:
+            exp.append(float(np.mean([fr.mean() for fr in frames])))
     out = pd.DataFrame(rows)
     out["width"] = out["width"].astype("int32")
     out["height"] = out["height"].astype("int32")
     out["n_frames"] = out["n_frames"].astype("int32")
     out["fps"] = out["fps"].astype("float32")
+    if with_expected:
+        out["mean_lum"] = np.array(exp, dtype=np.float64)
     return out
 
 

@@ -2544,6 +2544,58 @@ def image_webp_decode_rollup(spark, sf_dir):
     )
 
 
+_VIDEOS_MJPEG_GATE = _gate.table_path("sf0.01", "videos_mjpeg")
+
+
+@register(
+    "video_mjpeg_frame_sample",
+    f"""
+    SELECT video_id,
+           n_frames::BIGINT AS n_frames_decoded,
+           TRUE AS lum_ok
+    FROM read_parquet('{_VIDEOS_MJPEG_GATE}')
+    """,
+)
+def video_mjpeg_frame_sample(spark, sf_dir):
+    """Real video-container path under the hash gate: the deterministic
+    videos MJPEG-RIFF-AVI-encoded (datagen/gate.py, functions/avi.py —
+    from-scratch container, one of our T.81 baseline JPEGs per ``00dc``
+    chunk), exploded frame-by-frame through the frame-sampling UDTF and
+    luminance-measured. The oracle's frame count comes from the
+    metadata, and ``mean_lum`` was computed BEFORE encoding — the entry
+    only matches if the container parse finds every frame and the JPEG
+    decode reproduces the pre-encode luminance within 1.0 (q95 on the
+    gate's gray gradients measures exact; tolerance covers the lossy
+    contract, tests/test_multimodal.py)."""
+    from benthos_spark.functions import multimodal as mm
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("video_mjpeg_frame_sample runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    tbl = spark.read.parquet(_gate.table_path(sf, "videos_mjpeg"))
+    vids = tbl.select("video_id", "bytes", "width", "height", "n_frames", "fps", "codec")
+    frames = vids.mapInPandas(mm.frame_sample_map_in_pandas(every_n=1), schema=mm.IMAGE_SCHEMA)
+    feats = frames.mapInPandas(
+        mm.image_features_map_in_pandas(["image_id"]),
+        schema="image_id string, " + mm.IMAGE_FEATURE_FIELDS,
+    )
+    per_video = (
+        feats.withColumn("video_id", F.split(F.col("image_id"), "#")[0])
+        .groupBy("video_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_decoded"),
+            F.avg("mean_lum").alias("dec_mean"),
+        )
+    )
+    expected = tbl.select("video_id", F.col("mean_lum").alias("exp_mean"))
+    return per_video.join(expected, "video_id").select(
+        "video_id",
+        "n_frames_decoded",
+        (F.abs(F.col("dec_mean") - F.col("exp_mean")) < F.lit(1.0)).alias("lum_ok"),
+    )
+
+
 @register(
     "iceberg_roundtrip_orders",
     """
@@ -3232,7 +3284,6 @@ GATE_PRIORITY: list[str] = [
     # CEP matchers
     "cep_funnel_events",
     "cep_absence_events",
-    "cep_strict_sequence_events",
     # jq / jmespath programs (columnar compilers)
     "jq_program_events",
     "jmespath_orders_digest",
@@ -3252,6 +3303,7 @@ GATE_PRIORITY: list[str] = [
     "image_png_decode_rollup",
     "image_webp_decode_rollup",
     "video_frame_sample",
+    "video_mjpeg_frame_sample",
     "content_dedupe_clips",
     # windows
     "window_tumbling_events",

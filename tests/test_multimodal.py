@@ -476,3 +476,93 @@ def test_jpeg_encoder_gray_and_edge_sizes(spark):
         for x in range(13):
             theirs[y, x] = raster.getSample(x, y, 0)
     assert np.abs(theirs.astype(int) - g.astype(int)).max() <= 12
+
+
+def test_avi_mjpeg_roundtrip_and_structure():
+    """functions/avi.py: RIFF layout per the public AVI spec (hdrl/avih,
+    strl/strh 'vids'/'MJPG', strf BITMAPINFOHEADER, movi 00dc chunks,
+    idx1 keyframe index) and decode parity with the source frames."""
+    import struct
+
+    from benthos_spark.functions import avi
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = ((xx + yy) % 256).astype(np.uint8)
+    frames = [((base.astype(np.int64) + f) % 256).astype(np.uint8) for f in range(7)]
+    b = avi.encode(frames, fps=12.5, quality=95)
+    # container structure straight off the spec
+    assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    assert riff_size == len(b) - 8  # even-padded chunks keep this exact
+    assert b[12:16] == b"LIST" and b[20:24] == b"hdrl"
+    assert b.count(b"00dc") == 7 + 7  # one per movi chunk + one per idx1 row
+    i = b.index(b"idx1")
+    (idx_size,) = struct.unpack_from("<I", b, i + 4)
+    assert idx_size == 7 * 16  # 16-byte AVIINDEXENTRY per frame
+    # every idx1 offset points at a 00dc chunk relative to 'movi'
+    movi = b.index(b"movi")
+    for k in range(7):
+        ckid, flags, off, size = struct.unpack_from("<4sIII", b, i + 8 + 16 * k)
+        assert ckid == b"00dc" and flags == 0x10
+        assert b[movi + off : movi + off + 4] == b"00dc"
+        (cksize,) = struct.unpack_from("<I", b, movi + off + 4)
+        assert cksize == size
+    dec, fps = avi.decode(b)
+    assert fps == 12.5 and len(dec) == 7
+    for d, f in zip(dec, frames):
+        assert d.shape == (24, 32, 1)
+        assert np.abs(d[:, :, 0].astype(int) - f.astype(int)).max() <= 2
+    # RGB variant
+    rgb = [np.stack([f, 255 - f, f // 2], axis=-1) for f in frames[:3]]
+    dec2, fps2 = avi.decode(avi.encode(rgb, fps=29.97, quality=95))
+    assert abs(fps2 - 29.97) < 1e-9 and len(dec2) == 3
+    assert max(np.abs(d.astype(int) - f.astype(int)).max() for d, f in zip(dec2, rgb)) <= 3
+    with pytest.raises(avi.AviError):
+        avi.decode(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(avi.AviError):
+        avi.encode([], 8.0)
+
+
+def test_video_frame_sampling_mjpeg_and_gif(spark):
+    """The frame-sampling UDTF container-decodes mjpeg (AVI) and gif
+    payloads; sampled frames come out as raw image rows the downstream
+    image stages consume directly."""
+    from benthos_spark.functions import avi, gif
+
+    pdf = mm.videos_pdf(np.arange(2, dtype=np.int64), codec="mjpeg", with_expected=True)
+    vids = spark.createDataFrame(
+        pdf[["video_id", "bytes", "width", "height", "n_frames", "fps", "codec"]],
+        schema=mm.VIDEO_SCHEMA,
+    )
+    frames = vids.mapInPandas(mm.frame_sample_map_in_pandas(every_n=4), schema=mm.IMAGE_SCHEMA)
+    rows = frames.collect()
+    assert len(rows) == 2 * 3  # 12 frames, every 4th
+    r0 = [r for r in rows if r["image_id"] == "vid-0000000001#f000004"][0]
+    assert r0["codec"] == "raw_gray8" and r0["channels"] == 1
+    arr = mm.decode_image(bytes(r0["bytes"]), r0["codec"], r0["width"], r0["height"], 1)
+    # frame f of video i is (gradient + i + f) % 256; JPEG q95 ~exact here
+    assert abs(int(arr[0, 0, 0]) - 5) <= 2 and abs(int(arr[0, 1, 0]) - 6) <= 2
+    # gif animation sampled through the same UDTF
+    pal_frames = [np.full((8, 8), (f * 40) % 256, dtype=np.uint8) for f in range(5)]
+    gif_bytes = gif.encode_frames([np.stack([f, f, f], axis=-1) for f in pal_frames])
+    import pandas as pd
+
+    gvids = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "video_id": ["g0"],
+                "bytes": [gif_bytes],
+                "width": np.array([8], dtype=np.int32),
+                "height": np.array([8], dtype=np.int32),
+                "n_frames": np.array([5], dtype=np.int32),
+                "fps": np.array([8.0], dtype=np.float32),
+                "codec": ["gif"],
+            }
+        ),
+        schema=mm.VIDEO_SCHEMA,
+    )
+    grows = gvids.mapInPandas(mm.frame_sample_map_in_pandas(every_n=2), schema=mm.IMAGE_SCHEMA).collect()
+    assert [r["image_id"] for r in grows] == ["g0#f000000", "g0#f000002", "g0#f000004"]
+    assert all(r["codec"] == "raw_rgb8" for r in grows)
+    a2 = mm.decode_image(bytes(grows[1]["bytes"]), "raw_rgb8", 8, 8, 3)
+    assert (a2 == 80).all()
