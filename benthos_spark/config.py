@@ -409,6 +409,51 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "pitch_measure":
+        from benthos_spark.operators.audio import PitchMeasure
+
+        conf = conf or {}
+        return PitchMeasure(
+            fmin=conf.get("fmin", 60.0),
+            fmax=conf.get("fmax", 500.0),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
+    if name == "quality_measure":
+        from benthos_spark.operators.audio import QualityMeasure
+
+        conf = conf or {}
+        return QualityMeasure(
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
+    if name == "quality_gate":
+        from benthos_spark.operators.audio import QualityGate
+
+        return QualityGate(
+            max_clipped_frac=conf.get("max_clipped_frac"),
+            max_abs_dc=conf.get("max_abs_dc"),
+            min_rms_db=conf.get("min_rms_db"),
+            drop_measures=conf.get("drop_measures", False),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
+    if name == "vad_segment":
+        from benthos_spark.operators.audio import VadSegment
+
+        conf = conf or {}
+        return VadSegment(
+            id_col=conf.get("id_col", "clip_id"),
+            threshold_db=conf.get("threshold_db", -35.0),
+            min_silence_ms=conf.get("min_silence_ms", 200),
+            min_speech_ms=conf.get("min_speech_ms", 100),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelect
 
@@ -427,6 +472,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
+        "pitch_measure, quality_measure, quality_gate, vad_segment, "
         "sequence_match, funnel_match, absence_match"
     )
 

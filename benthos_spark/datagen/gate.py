@@ -45,12 +45,14 @@ _TABLES = (
     "clips_flac",
     "clips_lufs",
     "clips_vad",
+    "clips_pitch",
+    "clips_quality",
     "videos_mjpeg",
 )
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 8
+GATE_VERSION = 9
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -191,7 +193,7 @@ def ensure_gate_tables(sf_name: str) -> None:
 
         from benthos_spark.datagen.clips import _hash_u01, clip_params, reference_signal
         from benthos_spark.functions import audio as A
-        from benthos_spark.functions.vad import vad_metrics
+        from benthos_spark.functions.vad import vad_metrics, vad_segments
 
         ids = np.arange(sizes["clips"] // 6, dtype=np.int64)
         params = clip_params(ids)
@@ -211,6 +213,7 @@ def ensure_gate_tables(sf_name: str) -> None:
             b = A.encode(sig, codec, sr)
             x = np.asarray(A.decode(b, codec), dtype=np.float64)
             nf, na, ams, lms, frac = vad_metrics(x, sr)
+            segs = vad_segments(x, sr)
             rows.append(
                 {
                     "clip_id": f"vad-{i:010d}",
@@ -223,6 +226,8 @@ def ensure_gate_tables(sf_name: str) -> None:
                     "active_ms": np.int64(ams),
                     "longest_run_ms": np.int64(lms),
                     "active_frac": np.float64(round(frac, 6)),
+                    "n_segments": np.int64(len(segs)),
+                    "speech_ms": np.int64(sum(e - s for s, e in segs)),
                 }
             )
         _write_atomic(pd.DataFrame(rows), p)
@@ -261,6 +266,106 @@ def ensure_gate_tables(sf_name: str) -> None:
                     "codec": codec,
                     "lufs_i": li,
                     "lufs_mmax": lm,
+                }
+            )
+        _write_atomic(pd.DataFrame(rows), p)
+    p = table_path(sf_name, "clips_pitch")
+    if not os.path.exists(p):
+        # pitch ground truth: HARMONIC clips (fundamental + 3 partials,
+        # mild seeded vibrato — the shape a voiced signal actually has;
+        # the standard reference_signal is deliberately inharmonic and
+        # has no defined F0). f0_true is the synthesis parameter;
+        # f0_med/voiced_frac are measured at generation time through
+        # the SAME kernel the query runs (functions/pitch.py) AFTER an
+        # encode→decode round trip, so the gate matches only on a
+        # bit-exact decode + tracker reproduction, and pitch_ok proves
+        # the tracker recovers the synthesis F0 within 2%.
+        import pandas as pd
+
+        from benthos_spark.datagen.clips import _hash_u01, clip_params
+        from benthos_spark.functions import audio as A
+        from benthos_spark.functions.pitch import pitch_stats
+
+        ids = np.arange(sizes["clips"] // 6, dtype=np.int64)
+        params = clip_params(ids)
+        rows = []
+        for i in ids:
+            sr = int(params["sr_hz"][i])
+            dur = max(300, int(params["dur_ms"][i]))
+            codec = "wav" if i % 2 == 0 else "pcm_s16le"
+            arr = np.array([int(i)], dtype=np.uint64)
+            f0_true = 80.0 + _hash_u01(arr, 60)[0] * 320.0
+            vib_rate = 2.0 + _hash_u01(arr, 61)[0] * 4.0
+            vib_depth = 0.01 * _hash_u01(arr, 62)[0]
+            n = int(round(sr * dur / 1000.0))
+            t = np.arange(n, dtype=np.float64) / sr
+            ph = 2 * np.pi * f0_true * (
+                t + vib_depth * np.sin(2 * np.pi * vib_rate * t) / (2 * np.pi * vib_rate)
+            )
+            sig = sum(a * np.sin((k + 1) * ph) for k, a in enumerate((1.0, 0.5, 0.3, 0.2)))
+            sig = 0.3 * sig / max(1e-9, np.abs(sig).max())
+            b = A.encode(sig, codec, sr)
+            x = np.asarray(A.decode(b, codec), dtype=np.float64)
+            med, frac, nf = pitch_stats(x, sr)
+            ok = med > 0 and abs(med / f0_true - 1.0) < 0.02
+            assert ok, f"pitch tracker missed gate clip {i}: {med} vs {f0_true}"
+            rows.append(
+                {
+                    "clip_id": f"pit-{i:010d}",
+                    "bytes": b,
+                    "sr_hz": np.int32(sr),
+                    "dur_ms": np.int32(dur),
+                    "codec": codec,
+                    "f0_true": np.float64(round(f0_true, 4)),
+                    "f0_med": np.float64(round(med, 4)),
+                    "voiced_frac": np.float64(round(frac, 6)),
+                    "n_pitch_frames": np.int64(nf),
+                }
+            )
+        _write_atomic(pd.DataFrame(rows), p)
+    p = table_path(sf_name, "clips_quality")
+    if not os.path.exists(p):
+        # waveform-quality ground truth: a third of the clips overdriven
+        # into clipping, a third quiet with a DC offset (the two classic
+        # broken-capture signatures), a third untouched. Metrics are
+        # measured at generation time through the SAME kernel the query
+        # runs (functions/aquality.py) after the encode→decode round
+        # trip — bit-exact reproduction or no hash match.
+        import pandas as pd
+
+        from benthos_spark.datagen.clips import clip_params, reference_signal
+        from benthos_spark.functions import audio as A
+        from benthos_spark.functions.aquality import quality_metrics
+
+        ids = np.arange(sizes["clips"] // 6, dtype=np.int64)
+        params = clip_params(ids)
+        rows = []
+        for i in ids:
+            sr = int(params["sr_hz"][i])
+            dur = int(params["dur_ms"][i])
+            codec = "wav" if i % 2 == 0 else "pcm_s16le"
+            sig = reference_signal(int(i), sr, dur)
+            mode = int(i) % 3
+            if mode == 1:  # overdriven input chain
+                sig = np.clip(sig * 4.0, -0.999, 0.999)
+            elif mode == 2:  # quiet capture with DC offset
+                sig = np.clip(sig * 0.05 + 0.1, -0.999, 0.999)
+            b = A.encode(sig, codec, sr)
+            x = np.asarray(A.decode(b, codec), dtype=np.float64)
+            peak, rms_db, crest_db, clipped, dc = quality_metrics(x)
+            rows.append(
+                {
+                    "clip_id": f"qua-{i:010d}",
+                    "bytes": b,
+                    "sr_hz": np.int32(sr),
+                    "dur_ms": np.int32(dur),
+                    "codec": codec,
+                    "mode": np.int32(mode),
+                    "peak": np.float64(round(peak, 6)),
+                    "rms_db": np.float64(round(rms_db, 4)),
+                    "crest_db": np.float64(round(crest_db, 4)),
+                    "clipped_frac": np.float64(round(clipped, 6)),
+                    "dc_offset": np.float64(round(dc, 6)),
                 }
             )
         _write_atomic(pd.DataFrame(rows), p)

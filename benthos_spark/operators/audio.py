@@ -217,3 +217,135 @@ class VadGate(Processor):
                 "n_frames", "n_active", "active_ms", "longest_run_ms", "active_frac"
             )
         return out
+
+
+@dataclass
+class PitchMeasure(Processor):
+    """Append pitch columns (functions/pitch.py — normalized-ACF F0
+    tracker, 40 ms frames / 20 ms hop): ``f0_med``, ``voiced_frac``,
+    ``n_pitch_frames``. Stateless Arrow kernel; everything else passes
+    through unchanged."""
+
+    fmin: float = 60.0
+    fmax: float = 500.0
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from benthos_spark.functions.pitch import PITCH_FIELDS, pitch_map_in_pandas
+
+        renames = {self.bytes_col: "bytes", self.codec_col: "codec", self.sr_col: "sr_hz"}
+        work = df
+        for src, dst in renames.items():
+            if src != dst:
+                work = work.withColumnRenamed(src, dst)
+        passthrough = list(work.columns)
+        schema = (
+            ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in work.schema.fields)
+            + ", " + PITCH_FIELDS
+        )
+        out = work.mapInPandas(
+            pitch_map_in_pandas(passthrough, fmin=self.fmin, fmax=self.fmax),
+            schema=schema,
+        )
+        for src, dst in renames.items():
+            if src != dst:
+                out = out.withColumnRenamed(dst, src)
+        return out
+
+
+@dataclass
+class QualityMeasure(Processor):
+    """Append waveform-quality columns (functions/aquality.py): ``peak``,
+    ``rms_db``, ``crest_db``, ``clipped_frac``, ``dc_offset``."""
+
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from benthos_spark.functions.aquality import QUALITY_FIELDS, quality_map_in_pandas
+
+        renames = {self.bytes_col: "bytes", self.codec_col: "codec", self.sr_col: "sr_hz"}
+        work = df
+        for src, dst in renames.items():
+            if src != dst:
+                work = work.withColumnRenamed(src, dst)
+        passthrough = list(work.columns)
+        schema = (
+            ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in work.schema.fields)
+            + ", " + QUALITY_FIELDS
+        )
+        out = work.mapInPandas(quality_map_in_pandas(passthrough), schema=schema)
+        for src, dst in renames.items():
+            if src != dst:
+                out = out.withColumnRenamed(dst, src)
+        return out
+
+
+@dataclass
+class QualityGate(Processor):
+    """Drop clips failing waveform-hygiene bounds (clipping, DC offset,
+    level) — the audio corpus-curation cut before transcription. Pure
+    filter; with ``drop_measures=True`` the schema is unchanged."""
+
+    max_clipped_frac: float | None = None
+    max_abs_dc: float | None = None
+    min_rms_db: float | None = None
+    drop_measures: bool = False
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __post_init__(self):
+        if self.max_clipped_frac is None and self.max_abs_dc is None and self.min_rms_db is None:
+            raise ValueError(
+                "quality_gate needs max_clipped_frac, max_abs_dc and/or min_rms_db"
+            )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        out = QualityMeasure(self.bytes_col, self.codec_col, self.sr_col)(df)
+        cond = F.lit(True)
+        if self.max_clipped_frac is not None:
+            cond = cond & (F.col("clipped_frac") <= F.lit(float(self.max_clipped_frac)))
+        if self.max_abs_dc is not None:
+            cond = cond & (F.abs(F.col("dc_offset")) <= F.lit(float(self.max_abs_dc)))
+        if self.min_rms_db is not None:
+            cond = cond & (F.col("rms_db") >= F.lit(float(self.min_rms_db)))
+        out = out.filter(cond)
+        if self.drop_measures:
+            out = out.drop("peak", "rms_db", "crest_db", "clipped_frac", "dc_offset")
+        return out
+
+
+@dataclass
+class VadSegment(Processor):
+    """Explode each clip into VAD utterance segments (functions/vad.py
+    ``segment_map_in_pandas`` — the audio analog of video frame
+    sampling): one output row per speech span, re-encoded with the
+    clip's codec. OUTPUT SCHEMA CHANGES to SEGMENT_FIELDS
+    (segment_id, bytes, sr_hz, codec, start_ms, end_ms, dur_ms)."""
+
+    id_col: str = "clip_id"
+    threshold_db: float = -35.0
+    min_silence_ms: int = 200
+    min_speech_ms: int = 100
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from benthos_spark.functions.vad import SEGMENT_FIELDS, segment_map_in_pandas
+
+        renames = {self.bytes_col: "bytes", self.codec_col: "codec", self.sr_col: "sr_hz"}
+        work = df
+        for src, dst in renames.items():
+            if src != dst:
+                work = work.withColumnRenamed(src, dst)
+        return work.mapInPandas(
+            segment_map_in_pandas(
+                self.id_col, self.threshold_db, self.min_silence_ms, self.min_speech_ms
+            ),
+            schema=SEGMENT_FIELDS,
+        )

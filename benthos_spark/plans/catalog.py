@@ -3101,6 +3101,136 @@ def audio_vad_rollup(spark, sf_dir):
     )
 
 
+_CLIPS_PITCH_GATE = _gate.table_path("sf0.01", "clips_pitch")
+
+
+@register(
+    "audio_pitch_rollup",
+    f"""
+    SELECT clip_id, f0_med, voiced_frac, TRUE AS pitch_ok
+    FROM read_parquet('{_CLIPS_PITCH_GATE}')
+    """,
+)
+def audio_pitch_rollup(spark, sf_dir):
+    """F0 tracking (functions/pitch.py — normalized-ACF with the
+    local-max octave guard + parabolic lag interpolation) over harmonic
+    gate clips with a KNOWN synthesis F0: the per-clip pitch metadata an
+    ASR/TTS curation pipeline attaches. Hash gate: f0_med/voiced_frac
+    were measured at generation time through the same float64 kernel
+    after the encode→decode round trip (bit-exact reproduction), and
+    pitch_ok re-derives the tracker-vs-synthesis 2% bound from the
+    stored f0_true at query time. Arrow mapInPandas, one scan, no
+    shuffle beyond the final projection."""
+    from benthos_spark.functions.pitch import PITCH_FIELDS, pitch_map_in_pandas
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_pitch_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    tbl = spark.read.parquet(_gate.table_path(sf, "clips_pitch"))
+    measured = tbl.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        pitch_map_in_pandas(["clip_id"]),
+        schema="clip_id string, " + PITCH_FIELDS,
+    )
+    truth = tbl.select("clip_id", "f0_true")
+    return measured.join(truth, "clip_id").select(
+        "clip_id",
+        "f0_med",
+        "voiced_frac",
+        (
+            (F.col("f0_med") > 0)
+            & (F.abs(F.col("f0_med") / F.col("f0_true") - 1.0) < 0.02)
+        ).alias("pitch_ok"),
+    )
+
+
+_CLIPS_QUALITY_GATE = _gate.table_path("sf0.01", "clips_quality")
+
+
+@register(
+    "audio_quality_rollup",
+    f"""
+    SELECT codec,
+           count(*) AS n_clips,
+           sum(CASE WHEN clipped_frac > 0.01 THEN 1 ELSE 0 END) AS n_clipped,
+           sum(CASE WHEN abs(dc_offset) > 0.05 THEN 1 ELSE 0 END) AS n_dc_bad,
+           round(avg(rms_db), 4) AS avg_rms_db,
+           round(avg(crest_db), 4) AS avg_crest_db,
+           round(sum(clipped_frac), 4) AS total_clipped_frac
+    FROM read_parquet('{_CLIPS_QUALITY_GATE}')
+    GROUP BY codec
+    """,
+)
+def audio_quality_rollup(spark, sf_dir):
+    """Waveform-quality curation metrics (functions/aquality.py: peak /
+    RMS / crest factor / clipped fraction / DC offset) over gate clips a
+    third of which were deliberately overdriven and a third given a DC
+    offset — the audio analog of text_quality_docs' corpus-hygiene cut.
+    The stored per-clip ground truth came from the same float64 kernel
+    at generation time, so the rollup hash matches only on bit-exact
+    decode + metric reproduction. One scan + a tiny keyed agg."""
+    from benthos_spark.functions.aquality import QUALITY_FIELDS, quality_map_in_pandas
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_quality_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    clips = spark.read.parquet(_gate.table_path(sf, "clips_quality")).select(
+        "clip_id", "bytes", "sr_hz", "codec"
+    )
+    measured = clips.mapInPandas(
+        quality_map_in_pandas(["clip_id", "codec"]),
+        schema="clip_id string, codec string, " + QUALITY_FIELDS,
+    )
+    return measured.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum((F.col("clipped_frac") > 0.01).cast("long")).alias("n_clipped"),
+        F.sum((F.abs(F.col("dc_offset")) > 0.05).cast("long")).alias("n_dc_bad"),
+        F.round(F.avg("rms_db"), 4).alias("avg_rms_db"),
+        F.round(F.avg("crest_db"), 4).alias("avg_crest_db"),
+        F.round(F.sum("clipped_frac"), 4).alias("total_clipped_frac"),
+    )
+
+
+@register(
+    "audio_segmentation_rollup",
+    f"""
+    SELECT codec,
+           sum(n_segments)::BIGINT AS total_segments,
+           sum(speech_ms)::BIGINT AS total_speech_ms,
+           sum(CASE WHEN n_segments > 0 THEN 1 ELSE 0 END) AS n_clips_with_speech
+    FROM read_parquet('{_CLIPS_VAD_GATE}')
+    GROUP BY codec
+    """,
+)
+def audio_segmentation_rollup(spark, sf_dir):
+    """Utterance segmentation (functions/vad.py vad_segments + the
+    clip→segments UDTF): split each clip at silence gaps ≥200 ms, drop
+    sub-100 ms blips, re-encode each utterance with the clip's codec —
+    the split-long-recordings-into-utterances stage every ASR corpus
+    build runs. The clips_vad payloads carry deterministic silence
+    spans; stored n_segments/speech_ms came from the same kernel at
+    generation time. The UDTF is mapInPandas (linear, no shuffle);
+    the rollup groups the exploded segments by codec."""
+    from benthos_spark.functions.vad import SEGMENT_FIELDS, segment_map_in_pandas
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_segmentation_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    clips = spark.read.parquet(_gate.table_path(sf, "clips_vad")).select(
+        "clip_id", "bytes", "sr_hz", "codec"
+    )
+    segs = clips.mapInPandas(segment_map_in_pandas("clip_id"), schema=SEGMENT_FIELDS)
+    return segs.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("total_segments"),
+        F.sum("dur_ms").alias("total_speech_ms"),
+        F.countDistinct(F.split(F.col("segment_id"), "#")[0]).alias(
+            "n_clips_with_speech"
+        ),
+    )
+
+
 @register(
     "text_repetition_docs",
     r"""
@@ -3265,7 +3395,6 @@ GATE_PRIORITY: list[str] = [
     # TPC-H base + extension pack
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q13_customer_distribution",
     "q7_volume_shipping",
@@ -3298,6 +3427,9 @@ GATE_PRIORITY: list[str] = [
     "audio_fingerprint_dedup",
     "audio_resample_sinc_rollup",
     "audio_vad_rollup",
+    "audio_pitch_rollup",
+    "audio_quality_rollup",
+    "audio_segmentation_rollup",
     # image / video / binary-content
     "image_features_rollup",
     "image_png_decode_rollup",
@@ -3305,8 +3437,7 @@ GATE_PRIORITY: list[str] = [
     "video_frame_sample",
     "video_mjpeg_frame_sample",
     "content_dedupe_clips",
-    # windows
-    "window_tumbling_events",
+    # windows (canonical covers tumbling + lateness; session is stateful)
     "window_session_events",
     "window_canonical_traffic",
     # text-pipeline + dedup/similarity
@@ -3317,7 +3448,6 @@ GATE_PRIORITY: list[str] = [
     "pii_scrub_docs",
     "minhash_lsh_neardup",
     "simhash_docs",
-    "embedding_cosine_topk",
     "embedding_neardup_lsh_pairs",
     "embedding_ann_ivf_topk",
     # processor routing + skew
