@@ -35,13 +35,15 @@ pipelines use:
   ``range()`` generators, and the entries family ``to_entries`` /
   ``from_entries`` / ``with_entries(f)`` (≡ to_entries|map(f)|
   from_entries)
-- a single generator in OBJECT-VALUE position distributes
-  (``{t: .tags[]}`` → one object per element; two streams = cartesian,
-  interpreter only), and stream limiting ``limit(n; f)`` /
+- generators in OBJECT-VALUE and STRING-INTERPOLATION position
+  distribute cartesian (later fields/parts vary fastest — pinned
+  against the interpreter), object merge ``+`` (right-biased
+  ``map_concat``; the processor sets mapKeyDedupPolicy=LAST_WIN via
+  ``CompiledJq.uses_merge``), and stream limiting ``limit(n; f)`` /
   ``first(f)`` / ``last(f)``
 
-Anything else (recursion, ``$__loc__``, generators in binary-operand
-or object-value position, non-literal string-function args) raises
+Anything else (``..`` recursion, ``$__loc__``, computed object keys)
+raises
 ``JqCompileError`` and the caller falls back to the interpreter, so
 coverage is a pure optimization, never a semantics change. Numbers render with gojq normalization: integral floats in the
 exact double range print as integers (``0.5*2`` → ``1``) — both
@@ -292,6 +294,8 @@ def _is_stream_expr(node) -> bool:
         return True
     if tag == "object":
         return any(_is_stream_expr(v) for _k, v in node[1])
+    if tag == "interp":
+        return any(pk != "lit" and _is_stream_expr(p) for pk, p in node[1])
     if tag in ("arith", "cmp"):
         return _is_stream_expr(node[2]) or _is_stream_expr(node[3])
     return False
@@ -365,11 +369,12 @@ def _str_payload(v: CV) -> Column:
 def _poly_add(a: CV, b: CV) -> CV:
     """jq's polymorphic ``+`` when operand types are only known at
     runtime (variant/json/null operands): null is the identity, numbers
-    add (int lanes preserved), strings and arrays concatenate. Object
-    merge and mixed-type adds render null (documented leniency — the
-    interpreter errors on mixed types and handles object merge; an
-    object-init ``reduce`` is rejected at compile time so the merge
-    case never silently degrades there)."""
+    add (int lanes preserved), strings and arrays concatenate, objects
+    merge right-biased (jq semantics) via ``map<string,variant>`` +
+    ``map_concat`` — which needs ``spark.sql.mapKeyDedupPolicy=
+    LAST_WIN``; ``CompiledJq.uses_merge`` tells the processor to set it.
+    Mixed-type adds render null (documented leniency — the interpreter
+    errors there)."""
 
     def safe_num(v: CV) -> CV:
         try:
@@ -390,12 +395,18 @@ def _poly_add(a: CV, b: CV) -> CV:
     ib = F.substring(jb, 2, F.length(jb) - 2)
     body = F.when(ia == "", ib).when(ib == "", ia).otherwise(F.concat(ia, F.lit(","), ib))
     a_cat = F.concat(F.lit("["), body, F.lit("]"))
+    # object merge: right-biased shallow merge, value lexemes preserved
+    # through the variant map entries (big ints, float-ness intact)
+    ma = F.try_variant_get(F.try_parse_json(ja), "$", "map<string, variant>")
+    mb = F.try_variant_get(F.try_parse_json(jb), "$", "map<string, variant>")
+    o_merge = F.to_json(F.map_concat(ma, mb))
     out = (
         F.when(ja == "null", jb)
         .when(jb == "null", ja)
         .when(is_num(ta) & is_num(tb), _render(num))
         .when((ta == '"') & (tb == '"'), s_cat)
         .when((ta == "[") & (tb == "["), a_cat)
+        .when((ta == "{") & (tb == "{"), o_merge)
         .otherwise(F.lit(None).cast("string"))
     )
     return CV("json", col=out)
@@ -924,11 +935,6 @@ def _compile(node, cur: CV, keep: Optional[Column]):
         _, base = _compile(node[1], cur, None)
         if base.kind != "variant":
             raise JqCompileError("reduce source must be a variant array")
-        if node[3][0] == "object":
-            # object-merge `+` is interpreter-only (map-based merge with
-            # key-order semantics); rejecting object init here keeps the
-            # compiled fold from silently degrading to null accumulators
-            raise JqCompileError("reduce with an object init must interpret")
         arr = F.try_variant_get(base.vcol(), "$", "array<variant>")
         _, init = _compile(node[3], cur, None)
         update_node = node[4]
@@ -1713,6 +1719,52 @@ def _stream_eval(node, cur: CV, keep: Optional[Column]):
         for _ in range(len(stream_idxs) - 1):
             elems = F.flatten(elems)
         return keep, None, elems
+    if tag == "interp" and _is_stream_expr(node):
+        # generator parts distribute like object-value entries: parts
+        # evaluate left-to-right with LATER stream parts varying fastest
+        # ("\(1,2)-\(3,4)" → 1-3, 1-4, 2-3, 2-4 — pinned against the
+        # interpreter)
+        parts = node[1]
+        stream_idxs = [
+            i for i, (pk, p) in enumerate(parts)
+            if pk != "lit" and _is_stream_expr(p)
+        ]
+        elem_arrays = {}
+        for i in stream_idxs:
+            keep, _, el = _stream_eval(parts[i][1], cur, keep)
+            elem_arrays[i] = F.coalesce(el, _empty_varr())
+
+        def build_interp(bound):
+            cols = []
+            for i, (pk, p) in enumerate(parts):
+                if pk == "lit":
+                    cols.append(F.lit(p))
+                elif i in bound:
+                    cols.append(_tostring_col(CV.variant(bound[i])))
+                else:
+                    _, v = _compile(p, cur, None)
+                    cols.append(_tostring_col(v))
+            s = CV("str", col=F.concat(*cols) if cols else F.lit(""))
+            return F.try_parse_json(_render(s))
+
+        def nest_interp(level, bound):
+            if level == len(stream_idxs):
+                return build_interp(bound)
+            idx = stream_idxs[level]
+
+            def make_fn(_level, _idx, _bound):
+                # single-arg factory closure (HOF arity-sniffing gotcha)
+                def fn(e):
+                    return nest_interp(_level + 1, {**_bound, _idx: e})
+
+                return fn
+
+            return F.transform(elem_arrays[idx], make_fn(level, idx, bound))
+
+        elems = nest_interp(0, {})
+        for _ in range(len(stream_idxs) - 1):
+            elems = F.flatten(elems)
+        return keep, None, elems
     if tag in ("arith", "cmp") and (
         _is_stream_expr(node[2]) or _is_stream_expr(node[3])
     ):
@@ -1837,8 +1889,6 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
         return
     if tag == "reduce":
         _validate(node[1], scope)
-        if node[3][0] == "object":
-            raise JqCompileError("reduce with an object init must interpret")
         _validate(node[3], scope)
         _validate(node[4], scope | {node[2]})
         return
@@ -1849,7 +1899,9 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
     if tag == "interp":
         for pk, p in node[1]:
             if pk != "lit":
-                _validate(p, scope)
+                # generator parts distribute (stream position inherited,
+                # like object-value entries)
+                _validate(p, scope, stream_ok and _is_stream_expr(p))
         return
     if tag == "has_dyn":
         _validate(node[1], scope)
@@ -1913,12 +1965,27 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
     raise JqCompileError(f"node {tag!r} not compiled")
 
 
+def _uses_plus(node) -> bool:
+    if isinstance(node, tuple):
+        if node and node[0] == "arith" and node[1] == "+":
+            return True
+        return any(_uses_plus(c) for c in node)
+    if isinstance(node, list):
+        return any(_uses_plus(c) for c in node)
+    return False
+
+
 class CompiledJq:
     """A jq program compiled to Column expressions over one variant input."""
 
     def __init__(self, src: str):
         self.ast = _SubsetParser(src).parse()
         _validate(self.ast, frozenset(), True)
+        # a runtime-typed `+` may hit the object-merge lane, which
+        # compiles onto map_concat and needs
+        # spark.sql.mapKeyDedupPolicy=LAST_WIN — the processor sets it
+        # when this flag is on (same contract as CompiledJmes.uses_merge)
+        self.uses_merge = _uses_plus(self.ast)
 
     def apply(self, variant_col: Column) -> tuple[Optional[Column], Column]:
         """(keep predicate or None, rendered compact-JSON output column).

@@ -1032,6 +1032,12 @@ class JqProcessor:
 
             compiled = try_compile(self.query)
             if compiled is not None:
+                if getattr(compiled, "uses_merge", False):
+                    # runtime-typed `+` may hit the object-merge lane
+                    # (map_concat); jq merge is later-keys-win
+                    df.sparkSession.conf.set(
+                        "spark.sql.mapKeyDedupPolicy", "LAST_WIN"
+                    )
                 try:
                     v = F.parse_json(F.col(self.col).cast("string"))
                     keep, rendered = compiled.apply(v)

@@ -107,6 +107,25 @@ PROGRAMS = [
     "reduce .nums[] as $x ([]; . + [$x * 2])",
     "reduce .tags[] as $x (null; $x)",
     "reduce .tags[] as $x ([]; . + [$x]) | length",
+    # object merge `+` (right bias, lexeme-preserving) + object-init reduce
+    ".meta + {extra: 1}",
+    "{k: .k} + {k: 99, n: .name}",
+    "{} + {}",
+    ".meta + {}",
+    "{a: 1} + .meta",
+    ".meta + null",
+    "null + .meta",
+    ".meta + .missing",
+    "reduce .nums[] as $x ({}; . + {n: $x})",
+    "reduce .nums[] as $x ({seen: 0}; . + {seen: (.seen + 1), last: $x})",
+    '(.meta + {ok: "flipped"}) | .ok',
+    # generator-inside-interpolation distributes (later parts fastest)
+    r'"v=\(1,2)"',
+    r'"\(1,2)-\(3,4)"',
+    r'"t:\(.tags[])"',
+    r'"\(.tags[])=\(.k)"',
+    r'["p-\(.nums[])"]',
+    r'{msg: "n=\(.nums[])"}',
     '.name + "!"',
     '.tags + ["z"]',
     ".tags + .nums",
@@ -239,11 +258,10 @@ PROGRAMS = [
 
 # outside the subset — must fall back, not mis-compile
 FALLBACK_PROGRAMS = [
-    # object-init reduce needs object-merge `+` (interpreter-only)
+    # computed object keys `{(EXPR): v}` are interpreter-only
     'reduce .[] as $x ({}; . + {($x | tostring): 1})',
     "..|numbers",
     "$metadata.topic",
-    r'"v=\(1,2)"',  # generator inside interpolation multiplies outputs
 ]
 
 
