@@ -454,6 +454,26 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "subprocess":
+        from benthos_spark.operators.subproc import Subprocess
+
+        return Subprocess(
+            name=conf.get("name", ""),
+            args=conf.get("args", []),
+            codec_send=conf.get("codec_send", "lines"),
+            codec_recv=conf.get("codec_recv", "lines"),
+            col=conf.get("col", "value"),
+            max_buffer=conf.get("max_buffer", 65536),
+        )
+    if name == "command":
+        from benthos_spark.operators.subproc import Command
+
+        return Command(
+            name=conf.get("name", ""),
+            args_mapping=conf.get("args_mapping"),
+            col=conf.get("col", "value"),
+            timeout_s=conf.get("timeout_s", 30.0),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelect
 
@@ -473,7 +493,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
         "pitch_measure, quality_measure, quality_gate, vad_segment, "
-        "sequence_match, funnel_match, absence_match"
+        "subprocess, command, sequence_match, funnel_match, absence_match"
     )
 
 
