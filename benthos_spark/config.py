@@ -136,6 +136,16 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             count=conf.get("count"),
             streaming=conf.get("streaming", True),
         )
+    if name == "subprocess":
+        from benthos_spark.operators.subproc import SubprocessSource
+
+        return SubprocessSource(
+            name=conf.get("name", ""),
+            args=conf.get("args", []),
+            codec=conf.get("codec", "lines"),
+            max_buffer=conf.get("max_buffer", 65536),
+            timeout_s=conf.get("timeout_s", 60.0),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelectSource
 
@@ -207,7 +217,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
         )
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
-        "dynamic, sql_select, sql_raw, resource"
+        "dynamic, sql_select, sql_raw, subprocess, resource"
     )
 
 
@@ -555,6 +565,15 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         )
     if name == "drop":
         return R.DropSink()
+    if name == "subprocess":
+        from benthos_spark.operators.subproc import SubprocessSink
+
+        return SubprocessSink(
+            name=conf.get("name", ""),
+            args=conf.get("args", []),
+            codec=conf.get("codec", "lines"),
+            col=conf.get("col", "value"),
+        )
     if name == "fan_out":
         return R.FanOut(*[_output(c, resources) for c in conf])
     if name == "switch":
@@ -589,7 +608,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         )
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
-        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, resource"
+        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, resource"
     )
 
 

@@ -216,6 +216,99 @@ class Subprocess(Processor):
 
 
 @dataclass
+class SubprocessSource:
+    """`subprocess` input (internal/impl/io/input_subprocess.go:28):
+    execute a command once and consume its stdout as messages (codec
+    ``lines``); stderr lines are logged. Bounded driver-side run —
+    the external program is a single local process by definition, so
+    this is a `generate`-style source: the rows it emits then
+    distribute normally. ``restart_on_exit`` is meaningless for a
+    bounded batch read and is not offered."""
+
+    name: str = ""
+    args: list = field(default_factory=list)
+    codec: str = "lines"
+    max_buffer: int = 65536
+    timeout_s: float = 60.0
+    streaming: bool = False
+
+    def __post_init__(self):
+        if not self.name:
+            raise ValueError("subprocess input needs a command name")
+        if self.codec != "lines":
+            raise ValueError(f"subprocess input codec {self.codec!r} not recognised (want 'lines')")
+
+    def read(self, spark) -> DataFrame:
+        res = sp.run(
+            [self.name] + [str(a) for a in self.args],
+            capture_output=True, timeout=self.timeout_s,
+        )
+        if res.returncode != 0:
+            raise RuntimeError(
+                f"subprocess input exited {res.returncode}: "
+                + res.stderr.decode("utf-8", "replace")
+            )
+        if res.stderr:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "subprocess input stderr: %s", res.stderr.decode("utf-8", "replace")
+            )
+        lines = [
+            (ln[: self.max_buffer],)
+            for ln in res.stdout.decode("utf-8", "replace").split("\n")
+            if ln
+        ]
+        return spark.createDataFrame(lines or [(None,)], "value string").filter(
+            "value is not null"
+        )
+
+
+@dataclass
+class SubprocessSink:
+    """`subprocess` output (internal/impl/io/output_subprocess.go:27):
+    write messages to a command's stdin (codec ``lines``), one child
+    per partition — the scale-correct analog of the reference's single
+    local process (executors cannot share one OS pipe); a non-zero
+    exit fails the batch so the runner retries (reference behavior:
+    log stderr + re-execute until success)."""
+
+    name: str = ""
+    args: list = field(default_factory=list)
+    codec: str = "lines"
+    col: str = "value"
+
+    def __post_init__(self):
+        if not self.name:
+            raise ValueError("subprocess output needs a command name")
+        if self.codec != "lines":
+            raise ValueError(f"subprocess output codec {self.codec!r} not recognised (want 'lines')")
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        argv = [self.name] + [str(a) for a in self.args]
+        col = self.col
+
+        def write_partition(rows):
+            proc = None
+            for row in rows:
+                if proc is None:
+                    proc = sp.Popen(argv, stdin=sp.PIPE, stdout=sp.DEVNULL, stderr=sp.PIPE)
+                v = row[col]
+                payload = v if isinstance(v, bytes) else str(v).encode()
+                proc.stdin.write(payload + b"\n")
+            if proc is not None:
+                proc.stdin.close()
+                _, err = None, proc.stderr.read()
+                if proc.wait() != 0:
+                    raise RuntimeError(
+                        f"subprocess output exited {proc.returncode}: "
+                        + err.decode("utf-8", "replace")
+                    )
+
+        df.select(col).foreachPartition(write_partition)
+
+
+@dataclass
 class Command(Processor):
     """Execute a command per message (processor_command.go:74):
     content → stdin, stdout replaces content, stderr → the

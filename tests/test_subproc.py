@@ -117,6 +117,40 @@ def test_command_args_mapping_must_be_list(spark):
     assert r.value == '{"a": 1}' and "must return a list" in r._error
 
 
+def test_subprocess_source(spark):
+    from benthos_spark.operators.subproc import SubprocessSource
+
+    src = SubprocessSource(name=sys.executable, args=["-c", "print('a'); print('b')"])
+    rows = sorted(r.value for r in src.read(spark).collect())
+    assert rows == ["a", "b"]
+    # empty stdout → zero rows, stable schema
+    empty = SubprocessSource(name=sys.executable, args=["-c", "pass"]).read(spark)
+    assert empty.count() == 0 and empty.columns == ["value"]
+    # non-zero exit fails the read
+    with pytest.raises(RuntimeError):
+        SubprocessSource(
+            name=sys.executable, args=["-c", "import sys; sys.exit(2)"]
+        ).read(spark)
+    with pytest.raises(ValueError):
+        SubprocessSource()
+
+
+def test_subprocess_sink(spark, tmp_path):
+    from benthos_spark.operators.subproc import SubprocessSink
+
+    out = tmp_path / "sink_out.txt"
+    df = spark.createDataFrame([("r1",), ("r2",), ("r3",)], "value string").coalesce(1)
+    # child appends its stdin to a file (one child per partition)
+    child = f"import sys\nopen({str(out)!r}, 'a').write(sys.stdin.read())\n"
+    SubprocessSink(name=sys.executable, args=["-c", child])(df, batch_id=0)
+    assert sorted(out.read_text().splitlines()) == ["r1", "r2", "r3"]
+    # non-zero exit fails the batch
+    with pytest.raises(Exception):
+        SubprocessSink(
+            name=sys.executable, args=["-c", "import sys; sys.stdin.read(); sys.exit(1)"]
+        )(df, batch_id=1)
+
+
 def test_config_wiring(spark):
     from benthos_spark.config import _proc
 
@@ -125,3 +159,10 @@ def test_config_wiring(spark):
     assert p(df).collect()[0].value == "HI"
     c = _proc({"command": {"name": "sort"}})
     assert c(df).collect()[0].value == "hi\n"
+    # input + output config blocks
+    from benthos_spark.config import _input, _output
+
+    src = _input({"subprocess": {"name": sys.executable, "args": ["-c", "print('x')"]}})
+    assert [r.value for r in src.read(spark).collect()] == ["x"]
+    sink = _output({"subprocess": {"name": "cat"}})
+    sink(df, batch_id=0)  # cat to stdout: just must not raise
