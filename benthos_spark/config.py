@@ -146,6 +146,18 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             max_buffer=conf.get("max_buffer", 65536),
             timeout_s=conf.get("timeout_s", 60.0),
         )
+    if name == "stdin":
+        return S.StdinSource(
+            codec=conf.get("codec", "lines"),
+            max_buffer=conf.get("max_buffer", 65536),
+        )
+    if name == "socket":
+        return S.SocketSource(
+            address=conf.get("address", ""),
+            network=conf.get("network", "tcp"),
+            max_buffer=conf.get("max_buffer", 65536),
+            streaming=conf.get("streaming", True),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelectSource
 
@@ -217,7 +229,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
         )
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
-        "dynamic, sql_select, sql_raw, subprocess, resource"
+        "dynamic, sql_select, sql_raw, subprocess, stdin, socket, resource"
     )
 
 
@@ -574,6 +586,15 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             codec=conf.get("codec", "lines"),
             col=conf.get("col", "value"),
         )
+    if name == "stdout":
+        return R.StdoutSink(col=conf.get("col", "value"), codec=conf.get("codec", "lines"))
+    if name == "socket":
+        return R.SocketSink(
+            address=conf.get("address", ""),
+            network=conf.get("network", "tcp"),
+            col=conf.get("col", "value"),
+            codec=conf.get("codec", "lines"),
+        )
     if name == "fan_out":
         return R.FanOut(*[_output(c, resources) for c in conf])
     if name == "switch":
@@ -608,7 +629,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         )
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
-        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, resource"
+        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, socket, resource"
     )
 
 

@@ -263,3 +263,65 @@ class DynamicSink:
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         child = self.registry.get(self.selected)
         child(df, batch_id)
+
+
+class StdoutSink:
+    """`stdout` output (internal/impl/io/output_stdout.go:27): print
+    messages to the process stdout as newline-delimited lines. Driver-
+    side by definition (stdout belongs to the driver); rows stream
+    through ``toLocalIterator`` so the batch never fully materializes
+    in driver memory."""
+
+    def __init__(self, col: str = "value", codec: str = "lines"):
+        if codec != "lines":
+            raise ValueError(f"stdout codec {codec!r} not recognised (want 'lines')")
+        self.col = col
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        import sys
+
+        for row in df.select(self.col).toLocalIterator():
+            v = row[self.col]
+            sys.stdout.write((v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray)) else str(v)) + "\n")
+        sys.stdout.flush()
+
+
+class SocketSink:
+    """`socket` output (internal/impl/io/output_socket.go:24): connect
+    to a TCP server and write messages as newline-delimited lines — one
+    connection per partition (executors cannot share one fd; the server
+    sees N ordered streams, the reference's per-instance contract held
+    per task)."""
+
+    def __init__(self, address: str, network: str = "tcp", col: str = "value",
+                 codec: str = "lines"):
+        if network != "tcp":
+            raise ValueError(f"socket network {network!r} not supported (tcp only)")
+        if codec != "lines":
+            raise ValueError(f"socket codec {codec!r} not recognised (want 'lines')")
+        if ":" not in address:
+            raise ValueError("socket address must be host:port")
+        self.address = address
+        self.col = col
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        host, port = self.address.rsplit(":", 1)
+        port_i = int(port)
+        col = self.col
+
+        def write_partition(rows):
+            import socket as _socket
+
+            conn = None
+            try:
+                for row in rows:
+                    if conn is None:
+                        conn = _socket.create_connection((host, port_i), timeout=30)
+                    v = row[col]
+                    payload = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                    conn.sendall(bytes(payload) + b"\n")
+            finally:
+                if conn is not None:
+                    conn.close()
+
+        df.select(col).foreachPartition(write_partition)

@@ -465,3 +465,83 @@ class DynamicSource(Source):
         if not children:
             raise ValueError("dynamic input: no children registered")
         return fan_in(*[c.read(spark) for c in children])
+
+
+@dataclass
+class StdinSource(Source):
+    """`stdin` input (internal/impl/io/input_stdin.go:26): consume the
+    process's stdin as newline-delimited messages. Bounded driver-side
+    read (stdin belongs to the driver process by definition); the codec
+    chain is the FileSource's (`lines` only here — pipe binary payloads
+    through `file` + codecs instead)."""
+
+    codec: str = "lines"
+    max_buffer: int = 65536
+    streaming: bool = False
+
+    def __post_init__(self):
+        if self.codec != "lines":
+            raise ValueError(f"stdin codec {self.codec!r} not recognised (want 'lines')")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        import sys
+
+        lines = [
+            (ln[: self.max_buffer],)
+            for ln in sys.stdin.read().split("\n")
+            if ln
+        ]
+        return spark.createDataFrame(lines or [(None,)], "value string").filter(
+            "value is not null"
+        )
+
+
+@dataclass
+class SocketSource(Source):
+    """`socket` input (internal/impl/io/input_socket.go:26): connect to
+    a TCP server and consume newline-delimited messages. Streaming mode
+    maps onto Spark's native `socket` source (the same connect-and-read
+    client contract, distributed checkpointing included); batch mode
+    reads the connection to EOF on the driver. `unix` networks aren't
+    reachable from executors — TCP only."""
+
+    address: str = ""
+    network: str = "tcp"
+    max_buffer: int = 65536
+    streaming: bool = True
+
+    def __post_init__(self):
+        if self.network != "tcp":
+            raise ValueError(
+                f"socket network {self.network!r} not supported (tcp only: Spark "
+                "executors can't share a unix socket fd)"
+            )
+        if ":" not in self.address:
+            raise ValueError("socket address must be host:port")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        host, port = self.address.rsplit(":", 1)
+        if self.streaming:
+            return (
+                spark.readStream.format("socket")
+                .option("host", host)
+                .option("port", int(port))
+                .load()
+            )
+        import socket as _socket
+
+        buf = b""
+        with _socket.create_connection((host, int(port)), timeout=30) as s:
+            while True:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+        lines = [
+            (ln[: self.max_buffer],)
+            for ln in buf.decode("utf-8", "replace").split("\n")
+            if ln
+        ]
+        return spark.createDataFrame(lines or [(None,)], "value string").filter(
+            "value is not null"
+        )
