@@ -158,6 +158,26 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             max_buffer=conf.get("max_buffer", 65536),
             streaming=conf.get("streaming", True),
         )
+    if name == "socket_server":
+        from benthos_spark.sources.listeners import SocketServerSource
+
+        return SocketServerSource(
+            address=conf.get("address", "127.0.0.1:0"),
+            spool_dir=conf["spool_dir"],
+            network=conf.get("network", "tcp"),
+            max_buffer=conf.get("max_buffer", 1 << 20),
+            streaming=conf.get("streaming", True),
+        )
+    if name == "http_server":
+        from benthos_spark.sources.listeners import HttpServerSource
+
+        return HttpServerSource(
+            address=conf.get("address", "127.0.0.1:0"),
+            path=conf.get("path", "/post"),
+            spool_dir=conf["spool_dir"],
+            max_buffer=conf.get("max_buffer", 1 << 20),
+            streaming=conf.get("streaming", True),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelectSource
 
@@ -229,7 +249,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
         )
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
-        "dynamic, sql_select, sql_raw, subprocess, stdin, socket, resource"
+        "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, resource"
     )
 
 
@@ -496,6 +516,21 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             col=conf.get("col", "value"),
             timeout_s=conf.get("timeout_s", 30.0),
         )
+    if name == "http":
+        from benthos_spark.operators.http import Http
+
+        return Http(
+            url=conf.get("url", ""),
+            verb=conf.get("verb", "POST"),
+            headers=conf.get("headers", {}),
+            timeout_s=conf.get("timeout_s", 5.0),
+            retries=conf.get("retries", 3),
+            backoff_ms=conf.get("backoff_ms", 300),
+            parallel=conf.get("parallel", False),
+            parallel_n=conf.get("parallel_n", 16),
+            successful_on=tuple(conf.get("successful_on", ())),
+            col=conf.get("col", "value"),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelect
 
@@ -515,7 +550,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
         "pitch_measure, quality_measure, quality_gate, vad_segment, "
-        "subprocess, command, sequence_match, funnel_match, absence_match"
+        "subprocess, command, http, sequence_match, funnel_match, absence_match"
     )
 
 

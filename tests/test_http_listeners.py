@@ -1,0 +1,176 @@
+"""`http` processor (operators/http.py) and the listener inputs
+`socket_server` / `http_server` (sources/listeners.py), exercised
+against in-process localhost servers — the same strategy the reference
+uses (httptest servers in httpclient/client_test.go)."""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from benthos_spark.operators.http import Http
+from benthos_spark.sources.listeners import HttpServerSource, SocketServerSource
+
+
+@pytest.fixture()
+def echo_http():
+    """Localhost server: POST /echo upper-cases the body; /status/<n>
+    returns that code; /flaky fails twice then succeeds."""
+    flaky_state = {"n": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            if self.path == "/echo":
+                out = body.upper()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+            elif self.path.startswith("/status/"):
+                code = int(self.path.rsplit("/", 1)[1])
+                self.send_response(code)
+                self.end_headers()
+            elif self.path == "/flaky":
+                flaky_state["n"] += 1
+                if flaky_state["n"] <= 2:
+                    self.send_response(503)
+                    self.end_headers()
+                else:
+                    self.send_response(200)
+                    self.send_header("Content-Length", "2")
+                    self.end_headers()
+                    self.wfile.write(b"ok")
+            elif self.path == "/hdr":
+                v = self.headers.get("X-Doc-Id", "?").encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(v)))
+                self.end_headers()
+                self.wfile.write(v)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_http_processor_replaces_body(spark, echo_http):
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], "i int, value string")
+    out = {r.i: r for r in Http(url=echo_http + "/echo")(df).collect()}
+    assert out[1].value == "HELLO" and out[1]._error is None
+    assert out[2].value == "WORLD"
+    assert out[1].http_status_code == 200
+
+
+def test_http_processor_4xx_fails_fast(spark, echo_http):
+    df = spark.createDataFrame([(1, "x")], "i int, value string")
+    r = Http(url=echo_http + "/status/404", retries=3)(df).collect()[0]
+    assert r.value == "x" and "404" in r._error and r.http_status_code == 404
+    # successful_on whitelists it
+    r2 = Http(url=echo_http + "/status/404", successful_on=(404,))(df).collect()[0]
+    assert r2._error is None
+
+
+def test_http_processor_retries_5xx(spark, echo_http):
+    df = spark.createDataFrame([(1, "x")], "i int, value string")
+    r = Http(url=echo_http + "/flaky", retries=3, backoff_ms=10)(df).collect()[0]
+    assert r.value == "ok" and r._error is None
+
+
+def test_http_processor_interpolated_url_and_headers(spark, echo_http):
+    docs = [{"id": "d1", "ep": "hdr"}, {"id": "d2", "ep": "hdr"}]
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)], "i int, value string"
+    )
+    p = Http(
+        url=echo_http + "/${! this.ep }",
+        headers={"X-Doc-Id": "${! this.id }", "Content-Type": "application/json"},
+    )
+    rows = {r.i: r.value for r in p(df).collect()}
+    assert rows == {0: "d1", 1: "d2"}
+
+
+def test_http_processor_parallel(spark, echo_http):
+    df = spark.createDataFrame([(i, f"m{i}") for i in range(20)], "i int, value string")
+    out = Http(url=echo_http + "/echo", parallel=True, parallel_n=8)(df)
+    rows = {r.i: r.value for r in out.collect()}
+    assert rows == {i: f"M{i}" for i in range(20)}
+
+
+def test_http_processor_connection_refused(spark):
+    df = spark.createDataFrame([(1, "x")], "i int, value string")
+    r = Http(url="http://127.0.0.1:9/none", retries=0, timeout_s=2)(df).collect()[0]
+    assert r.value == "x" and "request error" in r._error
+    with pytest.raises(ValueError):
+        Http()
+
+
+def test_socket_server_source(spark, tmp_path):
+    src = SocketServerSource(spool_dir=str(tmp_path / "spool"), streaming=False).start()
+    host, port = src.address.rsplit(":", 1)
+    with socket.create_connection((host, int(port))) as c:
+        c.sendall(b"l1\nl2\n")
+    with socket.create_connection((host, int(port))) as c:
+        c.sendall(b"l3")  # no trailing newline: flushed on close
+    import time
+
+    deadline = time.time() + 10
+    rows = []
+    while time.time() < deadline:
+        rows = sorted(r.value for r in src.read(spark).collect())
+        if len(rows) == 3:
+            break
+        time.sleep(0.2)
+    assert rows == ["l1", "l2", "l3"]
+    src.stop()
+    with pytest.raises(ValueError):
+        SocketServerSource(spool_dir="")
+
+
+def test_http_server_source_streaming(spark, tmp_path):
+    src = HttpServerSource(spool_dir=str(tmp_path / "spool")).start()
+    for body in (b'{"a":1}', b'{"a":2}'):
+        req = urllib.request.Request(f"http://{src.address}/post", data=body, method="POST")
+        assert urllib.request.urlopen(req).status == 200
+    # wrong path → 404; GET → 405
+    bad = urllib.request.Request(f"http://{src.address}/nope", data=b"x", method="POST")
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(bad)
+    # consume the spool as a bounded stream (availableNow over text files)
+    df = src.read(spark)
+    assert df.isStreaming
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = df.writeStream.format("parquet").option("path", out_dir).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    rows = sorted(r.value for r in spark.read.parquet(out_dir).collect())
+    assert rows == ['{"a":1}', '{"a":2}']
+    src.stop()
+
+
+def test_config_wiring(spark, tmp_path, echo_http):
+    from benthos_spark.config import _input, _proc
+
+    df = spark.createDataFrame([(1, "hey")], "i int, value string")
+    p = _proc({"http": {"url": echo_http + "/echo"}})
+    assert p(df).collect()[0].value == "HEY"
+    src = _input({"socket_server": {"spool_dir": str(tmp_path / "s"), "streaming": False}})
+    assert src.read(spark).columns == ["value"]
+    src.stop()
+    h = _input({"http_server": {"spool_dir": str(tmp_path / "h")}})
+    assert h.read(spark).isStreaming
+    h.stop()
