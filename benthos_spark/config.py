@@ -178,6 +178,18 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             max_buffer=conf.get("max_buffer", 1 << 20),
             streaming=conf.get("streaming", True),
         )
+    if name == "http_client":
+        from benthos_spark.operators.http import HttpClientSource
+
+        return HttpClientSource(
+            url=conf.get("url", ""),
+            verb=conf.get("verb", "GET"),
+            headers=conf.get("headers", {}),
+            payload=conf.get("payload"),
+            codec=conf.get("codec", "all-bytes"),
+            polls=conf.get("polls", 1),
+            timeout_s=conf.get("timeout_s", 10.0),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelectSource
 
@@ -249,7 +261,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
         )
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
-        "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, resource"
+        "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, resource"
     )
 
 
@@ -623,6 +635,19 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         )
     if name == "stdout":
         return R.StdoutSink(col=conf.get("col", "value"), codec=conf.get("codec", "lines"))
+    if name == "http_client":
+        from benthos_spark.operators.http import HttpClientSink
+
+        return HttpClientSink(
+            url=conf.get("url", ""),
+            verb=conf.get("verb", "POST"),
+            headers=conf.get("headers", {}),
+            timeout_s=conf.get("timeout_s", 5.0),
+            retries=conf.get("retries", 3),
+            backoff_ms=conf.get("backoff_ms", 300),
+            parallel_n=conf.get("parallel_n", 16),
+            col=conf.get("col", "value"),
+        )
     if name == "socket":
         return R.SocketSink(
             address=conf.get("address", ""),
@@ -664,7 +689,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         )
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
-        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, socket, resource"
+        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, socket, http_client, resource"
     )
 
 

@@ -60,6 +60,111 @@ def _resolve(template: str, pairs, doc) -> str:
 
 
 @dataclass
+class HttpClientSource:
+    """`http_client` input (internal/impl/io/input_http_client.go:84):
+    perform requests against a URL and turn the responses into
+    messages. ``polls`` requests are made (one by default — the bounded
+    read; the reference keeps polling forever, which a batch read
+    cannot); streaming-body mode (``codec='lines'``) splits the
+    response body into one message per line, ``codec='all-bytes'``
+    keeps one message per response. Driver-side requests — the payload
+    rows then distribute normally (same singleton-ingress reasoning as
+    sources/listeners.py)."""
+
+    url: str = ""
+    verb: str = "GET"
+    headers: dict = field(default_factory=dict)
+    payload: Optional[str] = None
+    codec: str = "all-bytes"
+    polls: int = 1
+    timeout_s: float = 10.0
+    streaming: bool = False
+
+    def __post_init__(self):
+        if not self.url:
+            raise ValueError("http_client input needs a url")
+        if self.codec not in ("lines", "all-bytes"):
+            raise ValueError(f"http_client codec {self.codec!r} not recognised")
+
+    def read(self, spark) -> DataFrame:
+        rows = []
+        for _ in range(max(1, self.polls)):
+            data = self.payload.encode() if self.payload is not None else None
+            if self.verb in ("GET", "HEAD"):
+                data = None
+            req = urllib.request.Request(
+                self.url, data=data, headers=self.headers, method=self.verb
+            )
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                body = resp.read().decode("utf-8", "replace")
+            if self.codec == "lines":
+                rows += [(ln,) for ln in body.split("\n") if ln]
+            else:
+                rows.append((body,))
+        return spark.createDataFrame(rows or [(None,)], "value string").filter(
+            "value is not null"
+        )
+
+
+@dataclass
+class HttpClientSink:
+    """`http_client` output (internal/impl/io/output_http_client.go:64):
+    send each message's content as one request. One thread pool per
+    partition (``parallel_n`` concurrent requests per task — the
+    cluster-wide analog of the reference's max_in_flight); any failed
+    request after retries fails the batch so the runner retries
+    (at-least-once, the reference's contract)."""
+
+    url: str = ""
+    verb: str = "POST"
+    headers: dict = field(default_factory=dict)
+    timeout_s: float = 5.0
+    retries: int = 3
+    backoff_ms: int = 300
+    parallel_n: int = 16
+    col: str = "value"
+
+    def __post_init__(self):
+        if not self.url:
+            raise ValueError("http_client output needs a url")
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        cfg = self
+        col = self.col
+
+        def send_partition(rows):
+            def one(v):
+                content = v if isinstance(v, bytes) else str(v).encode()
+                last = None
+                for attempt in range(cfg.retries + 1):
+                    req = urllib.request.Request(
+                        cfg.url, data=content, headers=cfg.headers, method=cfg.verb
+                    )
+                    try:
+                        with urllib.request.urlopen(req, timeout=cfg.timeout_s) as resp:
+                            if 200 <= resp.status < 300:
+                                return
+                            last = f"HTTP {resp.status}"
+                    except urllib.error.HTTPError as e:
+                        last = f"HTTP {e.code}"
+                        if e.code < 500 and e.code != 429:
+                            break
+                    except Exception as e:
+                        last = f"request error: {e}"
+                    if attempt < cfg.retries:
+                        time.sleep(cfg.backoff_ms / 1000.0 * (attempt + 1))
+                raise RuntimeError(f"http_client output failed: {last}")
+
+            vals = [row[col] for row in rows]
+            if not vals:
+                return
+            with ThreadPoolExecutor(max_workers=cfg.parallel_n) as pool:
+                list(pool.map(one, vals))
+
+        df.select(col).foreachPartition(send_partition)
+
+
+@dataclass
 class Http(Processor):
     """Per-message HTTP request; body replaces content on success."""
 

@@ -162,6 +162,68 @@ def test_http_server_source_streaming(spark, tmp_path):
     src.stop()
 
 
+@pytest.fixture()
+def collector_http():
+    """Localhost server that records every POST body and serves a feed
+    on GET /feed."""
+    state = {"bodies": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            state["bodies"].append(self.rfile.read(n))
+            self.send_response(200)
+            self.end_headers()
+
+        def do_GET(self):
+            if self.path == "/feed":
+                out = b"f1\nf2\nf3\n"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", state
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_http_client_source(spark, collector_http):
+    from benthos_spark.operators.http import HttpClientSource
+
+    url, _ = collector_http
+    rows = sorted(
+        r.value
+        for r in HttpClientSource(url=url + "/feed", codec="lines").read(spark).collect()
+    )
+    assert rows == ["f1", "f2", "f3"]
+    whole = HttpClientSource(url=url + "/feed").read(spark).collect()
+    assert len(whole) == 1 and whole[0].value == "f1\nf2\nf3\n"
+    with pytest.raises(ValueError):
+        HttpClientSource()
+
+
+def test_http_client_sink(spark, collector_http):
+    from benthos_spark.operators.http import HttpClientSink
+
+    url, state = collector_http
+    df = spark.createDataFrame([("b1",), ("b2",), ("b3",)], "value string")
+    HttpClientSink(url=url + "/ingest")(df, batch_id=0)
+    assert sorted(state["bodies"]) == [b"b1", b"b2", b"b3"]
+    # unreachable server fails the batch (at-least-once: runner retries)
+    bad = HttpClientSink(url="http://127.0.0.1:9/x", retries=0, timeout_s=2)
+    with pytest.raises(Exception):
+        bad(df, batch_id=1)
+
+
 def test_config_wiring(spark, tmp_path, echo_http):
     from benthos_spark.config import _input, _proc
 
@@ -174,3 +236,9 @@ def test_config_wiring(spark, tmp_path, echo_http):
     h = _input({"http_server": {"spool_dir": str(tmp_path / "h")}})
     assert h.read(spark).isStreaming
     h.stop()
+    from benthos_spark.config import _output
+
+    c = _input({"http_client": {"url": echo_http + "/echo", "verb": "POST", "payload": "ping"}})
+    assert c.read(spark).collect()[0].value == "PING"
+    snk = _output({"http_client": {"url": echo_http + "/echo"}})
+    snk(df, 0)  # must not raise
