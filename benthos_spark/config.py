@@ -178,6 +178,16 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             max_buffer=conf.get("max_buffer", 1 << 20),
             streaming=conf.get("streaming", True),
         )
+    if name == "websocket":
+        from benthos_spark.operators.wsio import WebsocketSource
+
+        return WebsocketSource(
+            url=conf.get("url", ""),
+            open_message=conf.get("open_message"),
+            open_message_type=conf.get("open_message_type", "text"),
+            max_messages=conf.get("max_messages"),
+            idle_timeout_s=conf.get("idle_timeout_s", 10.0),
+        )
     if name == "http_client":
         from benthos_spark.operators.http import HttpClientSource
 
@@ -261,7 +271,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
         )
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
-        "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, resource"
+        "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, resource"
     )
 
 
@@ -635,6 +645,21 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         )
     if name == "stdout":
         return R.StdoutSink(col=conf.get("col", "value"), codec=conf.get("codec", "lines"))
+    if name == "file":
+        return R.FileSink(
+            path=conf["path"],
+            col=conf.get("col", "value"),
+            codec=conf.get("codec", "lines"),
+            partition_by=tuple(conf.get("partition_by", ())),
+        )
+    if name == "websocket":
+        from benthos_spark.operators.wsio import WebsocketSink
+
+        return WebsocketSink(
+            url=conf.get("url", ""),
+            col=conf.get("col", "value"),
+            timeout_s=conf.get("timeout_s", 30.0),
+        )
     if name == "http_client":
         from benthos_spark.operators.http import HttpClientSink
 
@@ -689,7 +714,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         )
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
-        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, socket, http_client, resource"
+        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, websocket, resource"
     )
 
 

@@ -325,3 +325,30 @@ class SocketSink:
                     conn.close()
 
         df.select(col).foreachPartition(write_partition)
+
+
+class FileSink:
+    """`file` output (internal/impl/io/output_file.go:63): write
+    messages to files under a path as newline-delimited lines (`lines`
+    codec). The reference appends to one interpolated path; the Spark
+    analog appends one text-file set per batch under the directory
+    (atomic per-partition task files — the exactly-once parquet sink is
+    the ledgered variant; this is the raw codec-parity surface).
+    ``partition_by`` columns map the reference's interpolated-path
+    fan-out onto hive-style subdirectories."""
+
+    def __init__(self, path: str, col: str = "value", codec: str = "lines",
+                 partition_by: tuple = ()):
+        if codec != "lines":
+            raise ValueError(f"file output codec {codec!r} not recognised (want 'lines')")
+        self.path = path
+        self.col = col
+        self.partition_by = tuple(partition_by)
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        out = df.select(*self.partition_by, F.col(self.col).cast("string").alias("value")) \
+            if self.partition_by else df.select(F.col(self.col).cast("string").alias("value"))
+        w = out.write.mode("append")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.text(self.path)

@@ -112,6 +112,24 @@ def test_socket_validation():
         SocketSink(address="h:1", network="udp")
 
 
+def test_file_sink(spark, tmp_path):
+    from benthos_spark.sinks.routing import FileSink
+
+    out = str(tmp_path / "files")
+    df = spark.createDataFrame([("a", "x"), ("a", "y"), ("b", "z")], "k string, value string")
+    FileSink(out)(df, 0)
+    assert sorted(r.value for r in spark.read.text(out).collect()) == ["x", "y", "z"]
+    # appends across batches
+    FileSink(out)(spark.createDataFrame([("c", "w")], "k string, value string"), 1)
+    assert spark.read.text(out).count() == 4
+    # partitioned fan-out (the interpolated-path analog)
+    out2 = str(tmp_path / "parts")
+    FileSink(out2, partition_by=("k",))(df, 0)
+    assert sorted(r.value for r in spark.read.text(out2 + "/k=a").collect()) == ["x", "y"]
+    with pytest.raises(ValueError):
+        FileSink(out, codec="tar")
+
+
 def test_config_wiring(spark, monkeypatch, capfd):
     from benthos_spark.config import _input, _output
 
