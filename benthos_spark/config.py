@@ -518,6 +518,71 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "speed_perturb":
+        from benthos_spark.operators.audio import SpeedPerturb
+
+        conf = conf or {}
+        return SpeedPerturb(
+            factors=tuple(conf.get("factors", (0.9, 1.0, 1.1))),
+            fanout=conf.get("fanout", False),
+            taps=conf.get("taps", 16),
+            id_col=conf.get("id_col", "clip_id"),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
+    if name == "gain_perturb":
+        from benthos_spark.operators.audio import GainPerturb
+
+        conf = conf or {}
+        return GainPerturb(
+            min_db=conf.get("min_db", -6.0),
+            max_db=conf.get("max_db", 6.0),
+            id_col=conf.get("id_col", "clip_id"),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
+    if name == "noise_mix":
+        from benthos_spark.operators.audio import NoiseMix
+
+        conf = conf or {}
+        return NoiseMix(
+            snr_db=conf.get("snr_db", 20.0),
+            jitter_db=conf.get("jitter_db", 0.0),
+            id_col=conf.get("id_col", "clip_id"),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
+    if name == "reverb":
+        from benthos_spark.operators.audio import ReverbAugment
+
+        conf = conf or {}
+        return ReverbAugment(
+            rt60_ms=conf.get("rt60_ms", 300.0),
+            wet=conf.get("wet", 0.3),
+            id_col=conf.get("id_col", "clip_id"),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
+    if name == "fbank_augment":
+        from benthos_spark.operators.audio import FbankAugment
+
+        conf = conf or {}
+        return FbankAugment(
+            n_mels=conf.get("n_mels", 40),
+            time_masks=conf.get("time_masks", 2),
+            freq_masks=conf.get("freq_masks", 2),
+            max_t=conf.get("max_t", 20),
+            max_f=conf.get("max_f", 8),
+            drop_payload=conf.get("drop_payload", False),
+            id_col=conf.get("id_col", "clip_id"),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
     if name == "subprocess":
         from benthos_spark.operators.subproc import Subprocess
 
@@ -572,6 +637,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
         "pitch_measure, quality_measure, quality_gate, vad_segment, "
+        "speed_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "subprocess, command, http, sequence_match, funnel_match, absence_match"
     )
 

@@ -47,12 +47,13 @@ _TABLES = (
     "clips_vad",
     "clips_pitch",
     "clips_quality",
+    "clips_augment",
     "videos_mjpeg",
 )
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 9
+GATE_VERSION = 10
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -366,6 +367,52 @@ def ensure_gate_tables(sf_name: str) -> None:
                     "crest_db": np.float64(round(crest_db, 4)),
                     "clipped_frac": np.float64(round(clipped, 6)),
                     "dc_offset": np.float64(round(dc, 6)),
+                }
+            )
+        _write_atomic(pd.DataFrame(rows), p)
+    p = table_path(sf_name, "clips_augment")
+    if not os.path.exists(p):
+        # augmentation-chain ground truth: each payload is the plain
+        # encoded reference signal; factor/gain_db/n_out/rms_db/
+        # snr_meas_db are chain_stats of the DECODED payload measured at
+        # generation time through the SAME kernel the query runs
+        # (functions/augment.py — id-seeded speed→gain→noise→int16
+        # round trip), so the gate matches only on bit-exact decode +
+        # DSP + RNG reproduction. n_in feeds the SQL side's INDEPENDENT
+        # closed-form resample-length check.
+        import pandas as pd
+
+        from benthos_spark.datagen.clips import clip_params, reference_signal
+        from benthos_spark.functions import audio as A
+        from benthos_spark.functions.augment import chain_stats, speed_n_out
+
+        ids = np.arange(sizes["clips"] // 6, dtype=np.int64)
+        params = clip_params(ids)
+        rows = []
+        for i in ids:
+            sr = int(params["sr_hz"][i])
+            dur = int(params["dur_ms"][i])
+            codec = "wav" if i % 2 == 0 else "pcm_s16le"
+            cid = f"aug-{i:010d}"
+            sig = reference_signal(int(i), sr, dur)
+            b = A.encode(sig, codec, sr)
+            x = np.asarray(A.decode(b, codec), dtype=np.float64)
+            fac, g, n_out, rms, snr = chain_stats(x, sr, cid)
+            assert n_out == speed_n_out(len(x), sr, fac), (i, n_out)
+            assert abs(snr - 20.0) < 0.5, (i, snr)
+            rows.append(
+                {
+                    "clip_id": cid,
+                    "bytes": b,
+                    "sr_hz": np.int32(sr),
+                    "dur_ms": np.int32(dur),
+                    "codec": codec,
+                    "n_in": np.int64(len(x)),
+                    "factor": np.float64(fac),
+                    "gain_db": np.float64(g),
+                    "n_out": np.int64(n_out),
+                    "rms_db": np.float64(rms),
+                    "snr_meas_db": np.float64(snr),
                 }
             )
         _write_atomic(pd.DataFrame(rows), p)

@@ -317,6 +317,13 @@ _DECODERS = {
 }
 
 
+def is_decodable(codec: str) -> bool:
+    """True when `codec` names a payload codec this module can decode —
+    the pass-through guard for processors that must not fail a whole
+    batch on a foreign/sentinel codec row."""
+    return codec in _DECODERS
+
+
 def encode(x: np.ndarray, codec: str, sr_hz: int) -> bytes:
     return _ENCODERS[codec](x, sr_hz)
 

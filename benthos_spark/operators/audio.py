@@ -349,3 +349,304 @@ class VadSegment(Processor):
             ),
             schema=SEGMENT_FIELDS,
         )
+
+
+# ---------------------------------------------------------------------------
+# Augmentation stages (functions/augment.py) — the training-data expansion
+# pass. All randomness is counter-based splitmix64 keyed on the clip id
+# (augment.seed_from_id), so a redelivered batch re-produces byte-identical
+# augmented payloads: augmentation composes with exactly-once delivery.
+# ---------------------------------------------------------------------------
+
+
+def _renamed(df: DataFrame, bytes_col: str, codec_col: str, sr_col: str):
+    renames = {bytes_col: "bytes", codec_col: "codec", sr_col: "sr_hz"}
+    work = df
+    for src, dst in renames.items():
+        if src != dst:
+            work = work.withColumnRenamed(src, dst)
+    return work, renames
+
+
+def _unrenamed(df: DataFrame, renames: dict) -> DataFrame:
+    for src, dst in renames.items():
+        if src != dst:
+            df = df.withColumnRenamed(dst, src)
+    return df
+
+
+def _schema_plus(work: DataFrame, extra: str) -> str:
+    base = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in work.schema.fields)
+    return base + (", " + extra if extra else "")
+
+
+@dataclass
+class SpeedPerturb(Processor):
+    """sox/Kaldi speed perturbation: resample each clip from
+    round(sr·factor) back to sr (duration × 1/factor, pitch × factor)
+    and re-encode with the clip's own codec. With ``fanout=False`` one
+    factor is chosen per clip (seeded on the id); with ``fanout=True``
+    every clip becomes len(factors) rows with ``#sp<factor>``-suffixed
+    ids — the classic 3× corpus expansion. Adds ``speed_factor``;
+    updates ``dur_ms`` when present. Stateless Arrow mapInPandas."""
+
+    factors: tuple = (0.9, 1.0, 1.1)
+    fanout: bool = False
+    taps: int = 16
+    id_col: str = "clip_id"
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        factors = tuple(float(f) for f in self.factors)
+        fanout, taps, id_col = self.fanout, int(self.taps), self.id_col
+        work, renames = _renamed(df, self.bytes_col, self.codec_col, self.sr_col)
+        cols = list(work.columns)
+        has_dur = "dur_ms" in cols
+        schema = _schema_plus(work, "speed_factor double")
+
+        def fn(batches):
+            import pandas as pd
+
+            from benthos_spark.functions import audio as A
+            from benthos_spark.functions import augment as G
+
+            for pdf in batches:
+                rows = {c: [] for c in cols}
+                facs = []
+                for i in range(len(pdf)):
+                    codec = pdf["codec"].iat[i]
+                    if not A.is_decodable(codec):
+                        # foreign/sentinel codec: pass through untouched
+                        # (never fail a batch on one odd row)
+                        for c in cols:
+                            rows[c].append(pdf[c].iat[i])
+                        facs.append(np.nan)
+                        continue
+                    fs = int(pdf["sr_hz"].iat[i])
+                    cid = pdf[id_col].iat[i]
+                    x = np.asarray(A.decode(pdf["bytes"].iat[i], codec), dtype=np.float64)
+                    if fanout:
+                        picks = factors
+                    else:
+                        u = G.rand_u01(G.seed_from_id(cid), 40, 1)[0]
+                        picks = (factors[int(u * len(factors))],)
+                    for f in picks:
+                        y = G.speed_perturb(x, fs, f, taps=taps)
+                        for c in cols:
+                            if c == "bytes":
+                                rows[c].append(A.encode(y, codec, fs))
+                            elif c == id_col and fanout:
+                                rows[c].append(f"{cid}#sp{f:g}")
+                            elif c == "dur_ms" and has_dur:
+                                rows[c].append(int(round(len(y) * 1000.0 / fs)))
+                            else:
+                                rows[c].append(pdf[c].iat[i])
+                        facs.append(f)
+                out = pd.DataFrame({c: pd.Series(v, dtype=object) for c, v in rows.items()})
+                for c in cols:  # restore non-object dtypes Arrow can map
+                    if c not in ("bytes", id_col, "codec"):
+                        out[c] = out[c].infer_objects()
+                out["speed_factor"] = np.asarray(facs, dtype=np.float64)
+                yield out
+
+        return _unrenamed(work.mapInPandas(fn, schema=schema), renames)
+
+
+def _payload_augment(work: DataFrame, cols, extra_name, fn_one):
+    """Shared mapInPandas shell: decode → fn_one(x, fs, seed) →
+    (y, value) → re-encode with the clip's codec; adds one double."""
+    import numpy as np
+
+    def fn(batches):
+        import pandas as pd
+
+        from benthos_spark.functions import audio as A
+
+        for pdf in batches:
+            payloads, vals = [], np.empty(len(pdf), dtype=np.float64)
+            for i in range(len(pdf)):
+                codec = pdf["codec"].iat[i]
+                if not A.is_decodable(codec):
+                    payloads.append(pdf["bytes"].iat[i])
+                    vals[i] = np.nan
+                    continue
+                fs = int(pdf["sr_hz"].iat[i])
+                x = np.asarray(A.decode(pdf["bytes"].iat[i], codec), dtype=np.float64)
+                y, vals[i] = fn_one(pdf, i, x, fs)
+                payloads.append(A.encode(np.clip(y, -1.0, 1.0), codec, fs))
+            out = {c: pdf[c] for c in cols}
+            out["bytes"] = pd.Series(payloads, dtype=object)
+            out[extra_name] = np.round(vals, 4)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+@dataclass
+class GainPerturb(Processor):
+    """Per-clip uniform gain draw in [min_db, max_db] (seeded on the
+    id), hard-clipped at full scale; adds ``gain_db``. The volume-
+    perturbation half of the Kaldi recipe."""
+
+    min_db: float = -6.0
+    max_db: float = 6.0
+    id_col: str = "clip_id"
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        lo, hi, id_col = float(self.min_db), float(self.max_db), self.id_col
+        work, renames = _renamed(df, self.bytes_col, self.codec_col, self.sr_col)
+        cols = list(work.columns)
+
+        def one(pdf, i, x, fs):
+            from benthos_spark.functions import augment as G
+
+            g = lo + G.rand_u01(G.seed_from_id(pdf[id_col].iat[i]), 41, 1)[0] * (hi - lo)
+            return G.apply_gain_db(x, g), g
+
+        out = work.mapInPandas(
+            _payload_augment(work, cols, "gain_db", one),
+            schema=_schema_plus(work, "gain_db double"),
+        )
+        return _unrenamed(out, renames)
+
+
+@dataclass
+class NoiseMix(Processor):
+    """Additive Gaussian noise at a target SNR (± uniform jitter_db,
+    seeded on the id): the noise draw is renormalized by its measured
+    power so the pre-clip SNR is exact. Adds ``snr_target_db``."""
+
+    snr_db: float = 20.0
+    jitter_db: float = 0.0
+    id_col: str = "clip_id"
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        snr, jit, id_col = float(self.snr_db), float(self.jitter_db), self.id_col
+        work, renames = _renamed(df, self.bytes_col, self.codec_col, self.sr_col)
+        cols = list(work.columns)
+
+        def one(pdf, i, x, fs):
+            from benthos_spark.functions import augment as G
+
+            seed = G.seed_from_id(pdf[id_col].iat[i])
+            t = snr + (2.0 * G.rand_u01(seed, 42, 1)[0] - 1.0) * jit
+            return G.mix_noise_snr(x, t, seed), t
+
+        out = work.mapInPandas(
+            _payload_augment(work, cols, "snr_target_db", one),
+            schema=_schema_plus(work, "snr_target_db double"),
+        )
+        return _unrenamed(out, renames)
+
+
+@dataclass
+class ReverbAugment(Processor):
+    """Convolve each clip with a deterministic synthetic room impulse
+    response (exponential-decay Gaussian tail, -60 dB at ``rt60_ms``),
+    trimmed to the dry length and peak-renormalized. Adds ``rt60_ms``."""
+
+    rt60_ms: float = 300.0
+    wet: float = 0.3
+    id_col: str = "clip_id"
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        rt60, wet, id_col = float(self.rt60_ms), float(self.wet), self.id_col
+        work, renames = _renamed(df, self.bytes_col, self.codec_col, self.sr_col)
+        cols = list(work.columns)
+
+        def one(pdf, i, x, fs):
+            from benthos_spark.functions import augment as G
+
+            seed = G.seed_from_id(pdf[id_col].iat[i])
+            ir = G.synth_ir(fs, rt60, seed, wet=wet)
+            return G.apply_reverb(x, ir), rt60
+
+        out = work.mapInPandas(
+            _payload_augment(work, cols, "rt60_ms", one),
+            schema=_schema_plus(work, "rt60_ms double"),
+        )
+        return _unrenamed(out, renames)
+
+
+@dataclass
+class FbankAugment(Processor):
+    """Decode → log-mel filterbank features → SpecAugment time/freq
+    masking (Park et al. 2019, seeded on the id). Appends ``n_frames``,
+    ``n_mels``, ``masked_frac`` and the flattened masked features as
+    ``fbank: array<float>`` (row-major frames×mels) — the feature
+    tensor an ASR trainer consumes. ``drop_payload=True`` removes the
+    bytes column afterwards (features replace audio downstream)."""
+
+    n_mels: int = 40
+    time_masks: int = 2
+    freq_masks: int = 2
+    max_t: int = 20
+    max_f: int = 8
+    drop_payload: bool = False
+    id_col: str = "clip_id"
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        nm, tm, fm = int(self.n_mels), int(self.time_masks), int(self.freq_masks)
+        mt, mf, id_col = int(self.max_t), int(self.max_f), self.id_col
+        work, renames = _renamed(df, self.bytes_col, self.codec_col, self.sr_col)
+        cols = list(work.columns)
+        schema = _schema_plus(
+            work, "n_frames int, n_mels int, masked_frac double, fbank array<float>"
+        )
+
+        def fn(batches):
+            import pandas as pd
+
+            from benthos_spark.functions import audio as A
+            from benthos_spark.functions import augment as G
+
+            for pdf in batches:
+                nfr = np.empty(len(pdf), dtype=np.int32)
+                frac = np.empty(len(pdf), dtype=np.float64)
+                feats = []
+                for i in range(len(pdf)):
+                    codec = pdf["codec"].iat[i]
+                    if not A.is_decodable(codec):
+                        nfr[i] = 0
+                        frac[i] = np.nan
+                        feats.append(np.zeros(0, dtype=np.float32))
+                        continue
+                    fs = int(pdf["sr_hz"].iat[i])
+                    x = np.asarray(A.decode(pdf["bytes"].iat[i], codec), dtype=np.float64)
+                    mel = G.log_mel(x, fs, n_mels=nm)
+                    seed = G.seed_from_id(pdf[id_col].iat[i])
+                    masked, mfrac = G.spec_augment(
+                        mel, seed, time_masks=tm, freq_masks=fm, max_t=mt, max_f=mf
+                    )
+                    nfr[i] = masked.shape[0]
+                    frac[i] = round(mfrac, 6)
+                    feats.append(masked.astype(np.float32).ravel())
+                out = {c: pdf[c] for c in cols}
+                out["n_frames"] = nfr
+                out["n_mels"] = np.full(len(pdf), nm, dtype=np.int32)
+                out["masked_frac"] = frac
+                out["fbank"] = pd.Series(feats, dtype=object)
+                yield pd.DataFrame(out)
+
+        out = work.mapInPandas(fn, schema=schema)
+        if self.drop_payload:
+            out = out.drop("bytes")
+        return _unrenamed(out, renames)

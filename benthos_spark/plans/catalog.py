@@ -3192,6 +3192,66 @@ def audio_quality_rollup(spark, sf_dir):
     )
 
 
+_CLIPS_AUGMENT_GATE = _gate.table_path("sf0.01", "clips_augment")
+
+
+@register(
+    "audio_augment_rollup",
+    f"""
+    SELECT clip_id, factor, gain_db, n_out, rms_db, snr_meas_db,
+           n_out = (CASE WHEN CAST(round(sr_hz * factor) AS BIGINT) = sr_hz
+                         THEN n_in
+                         ELSE greatest(1, (n_in * sr_hz)
+                                          // CAST(round(sr_hz * factor) AS BIGINT))
+                    END) AS len_ok,
+           abs(snr_meas_db - 20.0) < 0.5 AS snr_ok
+    FROM read_parquet('{_CLIPS_AUGMENT_GATE}')
+    """,
+)
+def audio_augment_rollup(spark, sf_dir):
+    """Training-data augmentation chain (functions/augment.py:
+    id-seeded speed perturbation → gain perturbation → additive noise
+    at an exact 20 dB SNR → int16 round trip) measured end to end over
+    gate clips. Hash gate: factor/gain_db/n_out/rms_db/snr_meas_db were
+    measured at generation time through the SAME kernel (counter-based
+    splitmix64 RNG keyed on clip_id — the property that makes augmented
+    payloads byte-identical on exactly-once redelivery), so the hash
+    matches only on bit-exact decode + resample + RNG reproduction;
+    len_ok re-derives the polyphase resampler's closed-form output
+    length INDEPENDENTLY on each side (Spark from its own measured
+    n_out, DuckDB from the stored one), and snr_ok pins the target-SNR
+    contract. Arrow mapInPandas, one scan, no shuffle."""
+    from benthos_spark.functions.augment import (
+        AUGMENT_FIELDS,
+        augment_chain_map_in_pandas,
+    )
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_augment_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    tbl = spark.read.parquet(_gate.table_path(sf, "clips_augment"))
+    measured = tbl.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        augment_chain_map_in_pandas(["clip_id"]),
+        schema="clip_id string, " + AUGMENT_FIELDS,
+    )
+    truth = tbl.select("clip_id", "n_in", "sr_hz")
+    sr_in = F.round(F.col("sr_hz") * F.col("factor")).cast("long")
+    expected_n = F.when(sr_in == F.col("sr_hz"), F.col("n_in")).otherwise(
+        F.greatest(F.lit(1).cast("long"), F.floor(F.col("n_in") * F.col("sr_hz") / sr_in))
+    )
+    return measured.join(truth, "clip_id").select(
+        "clip_id",
+        "factor",
+        "gain_db",
+        "n_out",
+        "rms_db",
+        "snr_meas_db",
+        (F.col("n_out") == expected_n).alias("len_ok"),
+        (F.abs(F.col("snr_meas_db") - 20.0) < 0.5).alias("snr_ok"),
+    )
+
+
 @register(
     "audio_segmentation_rollup",
     f"""
@@ -3430,12 +3490,13 @@ GATE_PRIORITY: list[str] = [
     "audio_pitch_rollup",
     "audio_quality_rollup",
     "audio_segmentation_rollup",
-    # image / video / binary-content
+    "audio_augment_rollup",
+    # image / video / binary-content (mjpeg folds under video_frame_sample's
+    # family — it stays hash-checked in the local gate outside the window)
     "image_features_rollup",
     "image_png_decode_rollup",
     "image_webp_decode_rollup",
     "video_frame_sample",
-    "video_mjpeg_frame_sample",
     "content_dedupe_clips",
     # windows (canonical covers tumbling + lateness; session is stateful)
     "window_session_events",

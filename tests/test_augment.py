@@ -1,0 +1,224 @@
+"""Audio augmentation (functions/augment.py + the operators/audio.py
+augmentation processors) — the ASR/TTS training-data expansion stages:
+speed/gain perturbation, additive noise at an exact target SNR,
+synthetic-room reverb, SpecAugment feature masking. All randomness is
+counter-based and keyed on the clip id, so augmented payloads are
+byte-identical on redelivery (exactly-once-compatible)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from benthos_spark.functions import audio as A
+from benthos_spark.functions import augment as G
+from benthos_spark.functions.audio_dsp import n_frames_for
+from benthos_spark.functions.pitch import pitch_stats
+from benthos_spark.operators.audio import (
+    FbankAugment,
+    GainPerturb,
+    NoiseMix,
+    ReverbAugment,
+    SpeedPerturb,
+)
+
+SR = 16000
+
+
+def _harmonic(f0, secs=1.0, sr=SR, amps=(1.0, 0.5, 0.3)):
+    t = np.arange(int(sr * secs), dtype=np.float64) / sr
+    x = sum(a * np.sin(2 * np.pi * (k + 1) * f0 * t) for k, a in enumerate(amps))
+    return 0.3 * x / np.abs(x).max()
+
+
+# ------------------------------------------------------------- RNG core
+
+
+def test_rng_deterministic_and_stream_independent():
+    a = G.rand_u01(123, 7, 1000)
+    b = G.rand_u01(123, 7, 1000)
+    c = G.rand_u01(123, 8, 1000)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert a.min() >= 0.0 and a.max() < 1.0
+
+
+def test_gauss_moments_and_determinism():
+    g = G.gauss(42, 3, 200_000)
+    assert np.array_equal(g, G.gauss(42, 3, 200_000))
+    assert abs(g.mean()) < 0.01
+    assert abs(g.std() - 1.0) < 0.01
+    # odd n: exactly n values
+    assert len(G.gauss(1, 1, 7)) == 7
+
+
+def test_seed_from_id_stable():
+    assert G.seed_from_id("clip-42") == G.seed_from_id("clip-42")
+    assert G.seed_from_id("clip-42") != G.seed_from_id("clip-43")
+
+
+# ------------------------------------------------------------- kernels
+
+
+def test_speed_perturb_length_and_pitch():
+    x = _harmonic(200.0)
+    for f in (0.9, 1.1, 1.25):
+        y = G.speed_perturb(x, SR, f)
+        assert len(y) == G.speed_n_out(len(x), SR, f)
+        # duration scales by 1/f (within one sample of the closed form)
+        assert abs(len(y) - len(x) / f) < 2
+        # pitch scales by f
+        med, frac, _ = pitch_stats(np.asarray(y, dtype=np.float64), SR)
+        assert frac > 0.8
+        assert abs(med / (200.0 * f) - 1.0) < 0.02, (f, med)
+    assert np.array_equal(G.speed_perturb(x, SR, 1.0), x.astype(np.float32))
+
+
+def test_gain_db_exact_rms_ratio():
+    x = 0.1 * _harmonic(150.0)
+    for g in (-6.0, 3.5):
+        y = G.apply_gain_db(x, g)
+        ratio = np.sqrt(np.mean(y**2) / np.mean(x**2))
+        assert abs(20.0 * np.log10(ratio) - g) < 1e-9
+    # hard clip at full scale
+    assert np.abs(G.apply_gain_db(x, 40.0)).max() <= 1.0
+
+
+def test_mix_noise_snr_exact_and_deterministic():
+    x = _harmonic(180.0)
+    for snr in (0.0, 10.0, 30.0):
+        y = G.mix_noise_snr(x, snr, seed=99)
+        assert abs(G.measured_snr_db(x, y) - snr) < 1e-9
+    assert np.array_equal(G.mix_noise_snr(x, 20.0, seed=5), G.mix_noise_snr(x, 20.0, seed=5))
+    assert not np.array_equal(G.mix_noise_snr(x, 20.0, seed=5), G.mix_noise_snr(x, 20.0, seed=6))
+    # silence passes through (no SNR is definable)
+    z = np.zeros(100)
+    assert np.array_equal(G.mix_noise_snr(z, 20.0, seed=1), z)
+
+
+def test_reverb_shape_peak_and_determinism():
+    x = _harmonic(220.0)
+    ir = G.synth_ir(SR, 250.0, seed=7)
+    assert len(ir) == int(round(SR * 0.25)) and ir[0] == 1.0
+    y = G.apply_reverb(x, ir)
+    assert len(y) == len(x)
+    assert abs(np.abs(y).max() - np.abs(x).max()) < 1e-9
+    assert np.array_equal(y, G.apply_reverb(x, G.synth_ir(SR, 250.0, seed=7)))
+    # the tail decays: -60 dB envelope at rt60
+    assert abs(ir[-1]) < 0.01 * 0.3 * 3  # wet=0.3, 3-sigma slack
+
+
+def test_spec_augment_masks_and_determinism():
+    mel = G.log_mel(_harmonic(200.0), SR, n_mels=40)
+    assert mel.shape == (n_frames_for(SR), 40)
+    m1, f1 = G.spec_augment(mel, seed=11)
+    m2, f2 = G.spec_augment(mel, seed=11)
+    assert np.array_equal(m1, m2) and f1 == f2
+    assert m1.shape == mel.shape
+    assert 0.0 < f1 < 0.6
+    # masked cells hold the feature mean
+    diff = m1 != mel
+    if diff.any():
+        assert np.allclose(m1[diff], mel.mean())
+
+
+# ----------------------------------------------------------- processors
+
+
+def _clips_df(spark, n=6, secs=0.6):
+    rows = []
+    for i in range(n):
+        codec = "wav" if i % 2 == 0 else "pcm_s16le"
+        x = _harmonic(120.0 + 40.0 * i, secs=secs)
+        rows.append(
+            (f"c-{i:04d}", A.encode(x, codec, SR), SR, int(secs * 1000), codec)
+        )
+    return spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    )
+
+
+def test_speed_perturb_processor_fanout(spark):
+    df = _clips_df(spark, n=4)
+    out = SpeedPerturb(factors=(0.9, 1.0, 1.1), fanout=True)(df).toPandas()
+    assert len(out) == 12
+    assert set(out["speed_factor"]) == {0.9, 1.0, 1.1}
+    for _, r in out.iterrows():
+        assert r["clip_id"].endswith(f"#sp{r['speed_factor']:g}")
+        y = A.decode(bytes(r["bytes"]), r["codec"])
+        assert abs(len(y) - r["dur_ms"] * SR / 1000.0) < SR * 0.002
+    # deterministic across runs (replay-safe)
+    again = SpeedPerturb(factors=(0.9, 1.0, 1.1), fanout=True)(df).toPandas()
+    a = {r["clip_id"]: bytes(r["bytes"]) for _, r in out.iterrows()}
+    b = {r["clip_id"]: bytes(r["bytes"]) for _, r in again.iterrows()}
+    assert a == b
+
+
+def test_speed_perturb_processor_pick_one(spark):
+    df = _clips_df(spark, n=8)
+    out = SpeedPerturb(factors=(0.9, 1.1))(df).toPandas()
+    assert len(out) == 8
+    assert set(out["speed_factor"]) <= {0.9, 1.1}
+    assert len(set(out["speed_factor"])) == 2  # the seeded pick varies
+
+
+def test_gain_perturb_processor(spark):
+    df = _clips_df(spark, n=4)
+    out = GainPerturb(min_db=-6.0, max_db=6.0)(df).toPandas()
+    assert len(out) == 4
+    assert ((out["gain_db"] >= -6.0) & (out["gain_db"] <= 6.0)).all()
+    src = {r["clip_id"]: bytes(r["bytes"]) for _, r in df.toPandas().iterrows()}
+    for _, r in out.iterrows():
+        x = np.asarray(A.decode(src[r["clip_id"]], r["codec"]), dtype=np.float64)
+        y = np.asarray(A.decode(bytes(r["bytes"]), r["codec"]), dtype=np.float64)
+        ratio = 20.0 * np.log10(np.sqrt(np.mean(y**2) / np.mean(x**2)))
+        assert abs(ratio - r["gain_db"]) < 0.05  # int16 quantization slack
+
+
+def test_noise_mix_processor(spark):
+    df = _clips_df(spark, n=4)
+    out = NoiseMix(snr_db=20.0)(df).toPandas()
+    src = {r["clip_id"]: bytes(r["bytes"]) for _, r in df.toPandas().iterrows()}
+    for _, r in out.iterrows():
+        assert r["snr_target_db"] == 20.0
+        x = np.asarray(A.decode(src[r["clip_id"]], r["codec"]), dtype=np.float64)
+        y = np.asarray(A.decode(bytes(r["bytes"]), r["codec"]), dtype=np.float64)
+        assert abs(G.measured_snr_db(x, y) - 20.0) < 0.2
+
+
+def test_reverb_processor(spark):
+    df = _clips_df(spark, n=2)
+    out = ReverbAugment(rt60_ms=200.0)(df).toPandas()
+    src = {r["clip_id"]: bytes(r["bytes"]) for _, r in df.toPandas().iterrows()}
+    for _, r in out.iterrows():
+        assert r["rt60_ms"] == 200.0
+        y = A.decode(bytes(r["bytes"]), r["codec"])
+        assert len(y) == len(A.decode(src[r["clip_id"]], r["codec"]))
+        assert bytes(r["bytes"]) != src[r["clip_id"]]  # actually wet
+
+
+def test_fbank_augment_processor(spark):
+    df = _clips_df(spark, n=3)
+    out = FbankAugment(n_mels=40, drop_payload=True)(df).toPandas()
+    assert "bytes" not in out.columns
+    for _, r in out.iterrows():
+        n = int(round(SR * r["dur_ms"] / 1000.0))
+        assert r["n_frames"] == n_frames_for(n)
+        assert r["n_mels"] == 40
+        assert len(r["fbank"]) == r["n_frames"] * 40
+        assert 0.0 <= r["masked_frac"] < 0.7
+
+
+def test_augment_config_wiring(spark):
+    from benthos_spark.config import _proc
+
+    df = _clips_df(spark, n=2)
+    for spec, col in (
+        ({"speed_perturb": {"factors": [1.1]}}, "speed_factor"),
+        ({"gain_perturb": {"min_db": 2.0, "max_db": 2.0}}, "gain_db"),
+        ({"noise_mix": {"snr_db": 25.0}}, "snr_target_db"),
+        ({"reverb": {"rt60_ms": 150.0}}, "rt60_ms"),
+        ({"fbank_augment": {"n_mels": 20}}, "masked_frac"),
+    ):
+        out = _proc(spec)(df)
+        assert col in out.columns
+        assert out.count() == 2
