@@ -583,6 +583,17 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "augment":
+        from benthos_spark.operators.audio import AugmentChain
+
+        conf = conf or {}
+        return AugmentChain(
+            stages=tuple(conf.get("stages", ())),
+            id_col=conf.get("id_col", "clip_id"),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
     if name == "subprocess":
         from benthos_spark.operators.subproc import Subprocess
 
@@ -637,7 +648,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
         "pitch_measure, quality_measure, quality_gate, vad_segment, "
-        "speed_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
+        "speed_perturb, gain_perturb, noise_mix, reverb, fbank_augment, augment, "
         "subprocess, command, http, sequence_match, funnel_match, absence_match"
     )
 

@@ -650,3 +650,112 @@ class FbankAugment(Processor):
         if self.drop_payload:
             out = out.drop("bytes")
         return _unrenamed(out, renames)
+
+
+@dataclass
+class AugmentChain(Processor):
+    """Fused augmentation pipeline: ONE decode → every stage in order →
+    ONE re-encode. Stacking the standalone processors instead costs a
+    decode + int16 re-encode round trip PER STAGE — at corpus scale
+    that roughly doubles the DSP cost and injects quantization noise
+    between stages; the fused chain quantizes exactly once at the end.
+
+    ``stages`` is an ordered list of single-key dicts (the YAML shape):
+    ``[{"speed": {"factors": [0.9,1.0,1.1]}}, {"gain": {"min_db": -3,
+    "max_db": 3}}, {"noise": {"snr_db": 20}}, {"reverb": {"rt60_ms":
+    300}}]``. Speed inside a chain picks per clip (no fanout — fan out
+    with the standalone SpeedPerturb first if you need 3×). Appends one
+    ``aug_params`` string column (JSON of the applied draws — the
+    lineage a curation pipeline keeps). Seeds are per-clip and
+    per-stage-index, so two chains differing only in stage order draw
+    independent randomness."""
+
+    stages: tuple = ()
+    id_col: str = "clip_id"
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __post_init__(self):
+        known = {"speed", "gain", "noise", "reverb"}
+        norm = []
+        for st in self.stages:
+            if not isinstance(st, dict) or len(st) != 1:
+                raise ValueError(f"augment stage must be a single-key dict, got {st!r}")
+            (kind, conf), = st.items()
+            if kind not in known:
+                raise ValueError(f"unknown augment stage {kind!r}; known: {sorted(known)}")
+            norm.append((kind, dict(conf or {})))
+        if not norm:
+            raise ValueError("augment chain needs at least one stage")
+        self._stages = tuple(norm)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        stages, id_col = self._stages, self.id_col
+        work, renames = _renamed(df, self.bytes_col, self.codec_col, self.sr_col)
+        cols = list(work.columns)
+        schema = _schema_plus(work, "aug_params string")
+
+        def fn(batches):
+            import json
+
+            import pandas as pd
+
+            from benthos_spark.functions import audio as A
+            from benthos_spark.functions import augment as G
+
+            for pdf in batches:
+                payloads, params = [], []
+                for i in range(len(pdf)):
+                    codec = pdf["codec"].iat[i]
+                    if not A.is_decodable(codec):
+                        payloads.append(pdf["bytes"].iat[i])
+                        params.append(None)
+                        continue
+                    fs = int(pdf["sr_hz"].iat[i])
+                    seed = G.seed_from_id(pdf[id_col].iat[i])
+                    x = np.asarray(A.decode(pdf["bytes"].iat[i], codec), dtype=np.float64)
+                    applied = []
+                    for si, (kind, conf) in enumerate(stages):
+                        # per-stage stream base keeps draws independent
+                        # across stages AND across chain positions
+                        base = 100 + 10 * si
+                        if kind == "speed":
+                            facs = tuple(float(f) for f in conf.get("factors", (0.9, 1.0, 1.1)))
+                            u = G.rand_u01(seed, base, 1)[0]
+                            f = facs[int(u * len(facs))]
+                            x = np.asarray(
+                                G.speed_perturb(x, fs, f, taps=int(conf.get("taps", 16))),
+                                dtype=np.float64,
+                            )
+                            applied.append({"speed": round(f, 4)})
+                        elif kind == "gain":
+                            lo = float(conf.get("min_db", -6.0))
+                            hi = float(conf.get("max_db", 6.0))
+                            g = lo + G.rand_u01(seed, base, 1)[0] * (hi - lo)
+                            x = G.apply_gain_db(x, g)
+                            applied.append({"gain_db": round(g, 4)})
+                        elif kind == "noise":
+                            snr = float(conf.get("snr_db", 20.0))
+                            jit = float(conf.get("jitter_db", 0.0))
+                            t = snr + (2.0 * G.rand_u01(seed, base, 1)[0] - 1.0) * jit
+                            x = G.mix_noise_snr(x, t, seed, stream=base + 1)
+                            applied.append({"snr_db": round(t, 4)})
+                        else:  # reverb
+                            rt60 = float(conf.get("rt60_ms", 300.0))
+                            ir = G.synth_ir(
+                                fs, rt60, seed, stream=base + 1,
+                                wet=float(conf.get("wet", 0.3)),
+                            )
+                            x = G.apply_reverb(x, ir)
+                            applied.append({"rt60_ms": rt60})
+                    payloads.append(A.encode(np.clip(x, -1.0, 1.0), codec, fs))
+                    params.append(json.dumps(applied, separators=(",", ":")))
+                out = {c: pdf[c] for c in cols}
+                out["bytes"] = pd.Series(payloads, dtype=object)
+                out["aug_params"] = pd.Series(params, dtype=object)
+                yield pd.DataFrame(out)
+
+        return _unrenamed(work.mapInPandas(fn, schema=schema), renames)
