@@ -257,6 +257,27 @@ def main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
     timings["flagship_iceberg_e2e"] = round(ice_stream, 3)
 
+    # augmentation throughput: the fused speed→noise chain (operators/
+    # audio.py AugmentChain — one decode, one re-encode) over datagen
+    # clips, batch mode, noop sink. Best-of-2 like the other entries;
+    # the separate clips/sec figure tracks the corpus-expansion stage's
+    # steady-state DSP throughput across rounds.
+    from benthos_spark.datagen.clips import generate_clips
+    from benthos_spark.operators.audio import AugmentChain
+
+    aug_chain = AugmentChain(
+        stages=({"speed": {"factors": [0.9, 1.0, 1.1]}}, {"noise": {"snr_db": 20.0}})
+    )
+    aug_clips = generate_clips(spark, N_CLIPS).persist()
+    aug_clips.count()  # materialize so the chain run times DSP, not datagen
+    aug_best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        aug_chain(aug_clips).write.mode("overwrite").format("noop").save()
+        aug_best = min(aug_best, time.time() - t0)
+    aug_clips.unpersist()
+    timings["augment_chain_batch"] = round(aug_best, 3)
+
     total = time.time() - total0
     print(
         json.dumps(
@@ -272,6 +293,7 @@ def main() -> None:
                 "flagship_exec_sec": round(exec_sec, 3),
                 "flagship_iceberg_exec_sec": round(ice_exec, 3),
                 "n_clips": n_clips,
+                "augment_clips_per_sec": round(N_CLIPS / aug_best, 2),
                 "clips_datagen_sec": round(datagen_sec, 3),
                 # host-load context: single-thread numpy canary, quiet-
                 # host reference ~0.27s — scale per-query readings by

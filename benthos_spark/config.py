@@ -583,6 +583,26 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "speaking_rate":
+        from benthos_spark.operators.audio import SpeakingRate
+
+        conf = conf or {}
+        return SpeakingRate(
+            min_wps=conf.get("min_wps"),
+            max_wps=conf.get("max_wps"),
+            drop_measures=conf.get("drop_measures", False),
+            transcript_col=conf.get("transcript_col", "transcript"),
+            dur_col=conf.get("dur_col", "dur_ms"),
+        )
+    if name == "cmvn":
+        from benthos_spark.operators.audio import Cmvn
+
+        conf = conf or {}
+        return Cmvn(
+            fbank_col=conf.get("fbank_col", "fbank"),
+            n_mels_col=conf.get("n_mels_col", "n_mels"),
+            eps=conf.get("eps", 1e-8),
+        )
     if name == "augment":
         from benthos_spark.operators.audio import AugmentChain
 
@@ -649,6 +669,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
         "pitch_measure, quality_measure, quality_gate, vad_segment, "
         "speed_perturb, gain_perturb, noise_mix, reverb, fbank_augment, augment, "
+        "speaking_rate, cmvn, "
         "subprocess, command, http, sequence_match, funnel_match, absence_match"
     )
 

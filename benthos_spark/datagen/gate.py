@@ -53,7 +53,7 @@ _TABLES = (
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 10
+GATE_VERSION = 11
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -384,7 +384,7 @@ def ensure_gate_tables(sf_name: str) -> None:
 
         from benthos_spark.datagen.clips import clip_params, reference_signal
         from benthos_spark.functions import audio as A
-        from benthos_spark.functions.augment import chain_stats, speed_n_out
+        from benthos_spark.functions.augment import chain_stats, log_mel, speed_n_out
 
         ids = np.arange(sizes["clips"] // 6, dtype=np.int64)
         params = clip_params(ids)
@@ -400,6 +400,10 @@ def ensure_gate_tables(sf_name: str) -> None:
             fac, g, n_out, rms, snr = chain_stats(x, sr, cid)
             assert n_out == speed_n_out(len(x), sr, fac), (i, n_out)
             assert abs(snr - 20.0) < 0.5, (i, snr)
+            # per-clip log-mel partial sums, MICRO-SCALED TO INT64 so both
+            # engines aggregate exactly (integer sums are order-independent;
+            # float sums are not) — the CMVN-stats ground truth
+            lm = log_mel(x, sr, n_mels=40)
             rows.append(
                 {
                     "clip_id": cid,
@@ -413,6 +417,9 @@ def ensure_gate_tables(sf_name: str) -> None:
                     "n_out": np.int64(n_out),
                     "rms_db": np.float64(rms),
                     "snr_meas_db": np.float64(snr),
+                    "mel_sum_u": np.int64(round(float(lm.sum()) * 1e6)),
+                    "mel_sumsq_u": np.int64(round(float(np.square(lm).sum()) * 1e6)),
+                    "mel_cells": np.int64(lm.size),
                 }
             )
         _write_atomic(pd.DataFrame(rows), p)

@@ -759,3 +759,122 @@ class AugmentChain(Processor):
                 yield pd.DataFrame(out)
 
         return _unrenamed(work.mapInPandas(fn, schema=schema), renames)
+
+
+@dataclass
+class SpeakingRate(Processor):
+    """Transcript↔audio consistency gate: words per second computed
+    entirely JVM-side (no UDF — one codegen'd projection), the cheap
+    curation cut that catches truncated audio, runaway transcripts, and
+    empty captions before any expensive decode runs. Adds ``n_words``
+    and ``rate_wps``; with bounds set, keeps only
+    ``min_wps <= rate_wps <= max_wps`` (and n_words > 0)."""
+
+    min_wps: float | None = None
+    max_wps: float | None = None
+    drop_measures: bool = False
+    transcript_col: str = "transcript"
+    dur_col: str = "dur_ms"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        t = F.trim(F.col(self.transcript_col))
+        n_words = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+        out = df.withColumn("n_words", n_words.cast("int")).withColumn(
+            "rate_wps",
+            F.round(
+                F.col("n_words") / (F.col(self.dur_col).cast("double") / 1000.0), 4
+            ),
+        )
+        if self.min_wps is not None or self.max_wps is not None:
+            cond = F.col("n_words") > 0
+            if self.min_wps is not None:
+                cond = cond & (F.col("rate_wps") >= float(self.min_wps))
+            if self.max_wps is not None:
+                cond = cond & (F.col("rate_wps") <= float(self.max_wps))
+            out = out.filter(cond)
+        if self.drop_measures:
+            out = out.drop("n_words", "rate_wps")
+        return out
+
+
+@dataclass
+class Cmvn(Processor):
+    """Corpus-level cepstral/filterbank mean-variance normalization —
+    the classic two-pass ASR feature stage. Pass 1 reduces each clip's
+    ``fbank`` tensor to per-mel-bin (sum, sumsq, n) partials INSIDE the
+    Arrow batch (numpy reshape+sum — no per-cell rows ever shuffle),
+    explodes only n_mels rows per clip, and aggregates globally; the
+    resulting n_mels-row stats table is collected (bounded by n_mels,
+    never by data) and closed over by pass 2, which rewrites ``fbank``
+    as (x - mean) / std. Consume after :class:`FbankAugment` (use
+    time_masks=0/freq_masks=0 for unmasked features). The input should
+    be persisted by the caller when the double pass matters."""
+
+    fbank_col: str = "fbank"
+    n_mels_col: str = "n_mels"
+    eps: float = 1e-8
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        fb_col, nm_col, eps = self.fbank_col, self.n_mels_col, float(self.eps)
+        cols = list(df.columns)
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                sums, sqs, ns, bins = [], [], [], []
+                for i in range(len(pdf)):
+                    nm = int(pdf[nm_col].iat[i])
+                    v = np.asarray(pdf[fb_col].iat[i], dtype=np.float64)
+                    m = v.reshape(-1, nm) if nm > 0 and v.size else np.zeros((0, max(nm, 1)))
+                    for b in range(nm):
+                        bins.append(b)
+                        sums.append(float(m[:, b].sum()))
+                        sqs.append(float(np.square(m[:, b]).sum()))
+                        ns.append(int(m.shape[0]))
+                yield pd.DataFrame(
+                    {"bin": np.asarray(bins, dtype=np.int32),
+                     "s": np.asarray(sums, dtype=np.float64),
+                     "sq": np.asarray(sqs, dtype=np.float64),
+                     "n": np.asarray(ns, dtype=np.int64)}
+                )
+
+        stats_rows = (
+            df.select(fb_col, nm_col)
+            .mapInPandas(partials, schema="bin int, s double, sq double, n bigint")
+            .groupBy("bin")
+            .agg(F.sum("s").alias("s"), F.sum("sq").alias("sq"), F.sum("n").alias("n"))
+            .collect()  # bounded by n_mels — never data-sized
+        )
+        mean = {}
+        std = {}
+        for r in stats_rows:
+            mu = r.s / r.n if r.n else 0.0
+            var = max(r.sq / r.n - mu * mu, 0.0) if r.n else 0.0
+            mean[r.bin] = mu
+            std[r.bin] = var**0.5
+        n_bins = len(mean)
+        mu_vec = np.asarray([mean[b] for b in range(n_bins)], dtype=np.float64)
+        sd_vec = np.asarray([max(std[b], eps) for b in range(n_bins)], dtype=np.float64)
+
+        def normalize(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {c: pdf[c] for c in cols}
+                normed = []
+                for i in range(len(pdf)):
+                    nm = int(pdf[nm_col].iat[i])
+                    v = np.asarray(pdf[fb_col].iat[i], dtype=np.float64)
+                    if nm != n_bins or v.size == 0:
+                        normed.append(v.astype(np.float32))
+                        continue
+                    m = (v.reshape(-1, nm) - mu_vec) / sd_vec
+                    normed.append(m.astype(np.float32).ravel())
+                out[fb_col] = pd.Series(normed, dtype=object)
+                yield pd.DataFrame(out)
+
+        schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        return df.mapInPandas(normalize, schema=schema)

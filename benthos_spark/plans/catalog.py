@@ -3253,6 +3253,121 @@ def audio_augment_rollup(spark, sf_dir):
 
 
 @register(
+    "audio_cmvn_stats",
+    f"""
+    SELECT codec,
+           count(*) AS n_clips,
+           sum(mel_cells)::BIGINT AS total_cells,
+           round((sum(mel_sum_u)::DOUBLE / 1e6) / sum(mel_cells), 4) AS mel_mean,
+           round(sqrt(greatest(
+               (sum(mel_sumsq_u)::DOUBLE / 1e6) / sum(mel_cells)
+               - pow((sum(mel_sum_u)::DOUBLE / 1e6) / sum(mel_cells), 2), 0.0)), 4)
+             AS mel_std
+    FROM read_parquet('{_CLIPS_AUGMENT_GATE}')
+    GROUP BY codec
+    """,
+)
+def audio_cmvn_stats(spark, sf_dir):
+    """Corpus-level feature-normalization statistics (the CMVN pass —
+    operators/audio.py Cmvn): per-codec global mean/std of the log-mel
+    cells. The kernel decodes each payload, computes 40-bin log-mel
+    features, and reduces them to per-clip INT64 MICRO-SCALED partial
+    sums inside the Arrow batch — integer partials make the global
+    aggregation order-independent, so Spark's partial/final agg and
+    DuckDB's single-node sum produce the SAME bits (a float sum would
+    hash-flake on aggregation order). Stored partials came from the
+    same kernel at generation time. One scan, one tiny keyed shuffle
+    of 3-int rows per clip — the 100-TB CMVN shape."""
+    import numpy as np
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_cmvn_stats runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    tbl = spark.read.parquet(_gate.table_path(sf, "clips_augment"))
+
+    def partials(batches):
+        import pandas as pd
+
+        from benthos_spark.functions import audio as A
+        from benthos_spark.functions.augment import log_mel
+
+        for pdf in batches:
+            n = len(pdf)
+            su = np.empty(n, dtype=np.int64)
+            sq = np.empty(n, dtype=np.int64)
+            nc = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                x = np.asarray(
+                    A.decode(pdf["bytes"].iat[i], pdf["codec"].iat[i]), dtype=np.float64
+                )
+                lm = log_mel(x, int(pdf["sr_hz"].iat[i]), n_mels=40)
+                su[i] = round(float(lm.sum()) * 1e6)
+                sq[i] = round(float(np.square(lm).sum()) * 1e6)
+                nc[i] = lm.size
+            yield pd.DataFrame(
+                {"codec": pdf["codec"], "mel_sum_u": su, "mel_sumsq_u": sq, "mel_cells": nc}
+            )
+
+    per_clip = tbl.select("bytes", "sr_hz", "codec").mapInPandas(
+        partials, schema="codec string, mel_sum_u bigint, mel_sumsq_u bigint, mel_cells bigint"
+    )
+    mean_e = (F.sum("mel_sum_u").cast("double") / F.lit(1e6)) / F.sum("mel_cells")
+    msq_e = (F.sum("mel_sumsq_u").cast("double") / F.lit(1e6)) / F.sum("mel_cells")
+    return per_clip.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("mel_cells").alias("total_cells"),
+        F.round(mean_e, 4).alias("mel_mean"),
+        F.round(F.sqrt(F.greatest(msq_e - F.pow(mean_e, 2), F.lit(0.0))), 4).alias("mel_std"),
+    )
+
+
+@register(
+    "speaking_rate_clips",
+    f"""
+    SELECT clip_id, n_words,
+           round(n_words / (dur_ms / 1000.0), 4) AS rate_wps,
+           (n_words > 0 AND round(n_words / (dur_ms / 1000.0), 4)
+                BETWEEN 0.2 AND 8.0) AS keep
+    FROM (
+        SELECT clip_id, dur_ms,
+               (CASE WHEN trim(transcript) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(transcript), '\\s+'))
+                END)::INT AS n_words
+        FROM read_parquet('{_CLIPS_GATE}')
+    ) t
+    """,
+)
+def speaking_rate_clips(spark, sf_dir):
+    """Transcript↔audio consistency cut (operators/audio.py
+    SpeakingRate): words per second from the transcript and the clip
+    duration — the cheapest curation gate in the pipeline, computed
+    ENTIRELY JVM-side (one codegen'd projection, no UDF, no decode).
+    At 100 TB this runs ahead of every decode stage and prunes
+    truncated-audio / runaway-transcript rows for free."""
+    from benthos_spark.operators.audio import SpeakingRate
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("speaking_rate_clips runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    tbl = spark.read.parquet(_gate.table_path(sf, "clips")).select(
+        "clip_id", "transcript", "dur_ms"
+    )
+    rated = SpeakingRate()(tbl)
+    return rated.select(
+        "clip_id",
+        "n_words",
+        "rate_wps",
+        (
+            (F.col("n_words") > 0)
+            & (F.col("rate_wps") >= 0.2)
+            & (F.col("rate_wps") <= 8.0)
+        ).alias("keep"),
+    )
+
+
+@register(
     "audio_segmentation_rollup",
     f"""
     SELECT codec,

@@ -93,14 +93,16 @@ def test_config_watcher_reload(spark, tmp_path):
             time.sleep(0.3)
         assert out_a.exists(), "first config never produced output"
 
-        # swap the sink path; new rows (and only new rows) go to out_b
+        # swap the sink path; new rows (and only new rows) go to out_b.
+        # Generous deadlines: a stop+recompile+restart cycle can take
+        # tens of seconds when the host runs the full suite in parallel.
         cfile.write_text(conf(out_b))
-        deadline = time.time() + 30
+        deadline = time.time() + 120
         while time.time() < deadline and run.reloads == 0:
             time.sleep(0.3)
         assert run.reloads >= 1
         spark.createDataFrame([("after",)], "value string").write.mode("append").parquet(str(src))
-        deadline = time.time() + 30
+        deadline = time.time() + 120
         got = []
         while time.time() < deadline:
             try:

@@ -298,3 +298,66 @@ def test_augment_chain_config_and_validation(spark):
         AugmentChain(stages=())
     with _pytest.raises(ValueError):
         AugmentChain(stages=({"warp": {}},))
+
+
+def test_speaking_rate_processor(spark):
+    from benthos_spark.operators.audio import SpeakingRate
+
+    df = spark.createDataFrame(
+        [
+            ("a", "three words here.", 1000),
+            ("b", "", 2000),
+            ("c", "  padded   with   spaces  ", 1500),
+            ("d", "way too many words for such a short clip honestly", 500),
+        ],
+        "clip_id string, transcript string, dur_ms int",
+    )
+    out = {r.clip_id: r for r in SpeakingRate()(df).collect()}
+    assert out["a"].n_words == 3 and out["a"].rate_wps == 3.0
+    assert out["b"].n_words == 0
+    assert out["c"].n_words == 3 and out["c"].rate_wps == 2.0
+    assert out["d"].n_words == 10 and out["d"].rate_wps == 20.0
+    kept = [r.clip_id for r in SpeakingRate(min_wps=0.5, max_wps=8.0)(df).collect()]
+    assert sorted(kept) == ["a", "c"]
+    # gate mode with drop_measures leaves the schema untouched
+    assert SpeakingRate(max_wps=8.0, drop_measures=True)(df).columns == df.columns
+
+
+def test_speaking_rate_is_udf_free(spark):
+    from benthos_spark.operators.audio import SpeakingRate
+
+    df = spark.createDataFrame(
+        [("a", "x y", 1000)], "clip_id string, transcript string, dur_ms int"
+    )
+    plan = SpeakingRate()(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan  # pure JVM projection
+
+
+def test_cmvn_normalizes_to_zero_mean_unit_var(spark):
+    from benthos_spark.operators.audio import Cmvn, FbankAugment
+
+    df = _clips_df(spark, n=6, secs=0.8)
+    feats = FbankAugment(n_mels=20, time_masks=0, freq_masks=0)(df)
+    normed = Cmvn()(feats).toPandas()
+    assert len(normed) == 6
+    # pool all normalized cells per bin: mean ~ 0, std ~ 1
+    mats = [
+        np.asarray(r["fbank"], dtype=np.float64).reshape(-1, 20)
+        for _, r in normed.iterrows()
+    ]
+    allm = np.concatenate(mats, axis=0)
+    assert np.abs(allm.mean(axis=0)).max() < 1e-3
+    assert np.abs(allm.std(axis=0) - 1.0).max() < 1e-3
+
+
+def test_cmvn_deterministic_and_config(spark):
+    from benthos_spark.config import _proc
+    from benthos_spark.operators.audio import Cmvn, FbankAugment
+
+    df = _clips_df(spark, n=3)
+    feats = FbankAugment(n_mels=16, time_masks=0, freq_masks=0)(df).persist()
+    a = Cmvn()(feats).toPandas().sort_values("clip_id")
+    b = _proc({"cmvn": {}})(feats).toPandas().sort_values("clip_id")
+    for (_, ra), (_, rb) in zip(a.iterrows(), b.iterrows()):
+        assert np.array_equal(np.asarray(ra["fbank"]), np.asarray(rb["fbank"]))
+    feats.unpersist()

@@ -59,6 +59,12 @@ AUDITED = [
     "q18_large_volume_customers",
     "q20_promo_part_suppliers",
     "q22_dormant_customers",
+    # round-4 continuation: augmentation chain (designed mapInPandas DSP
+    # stage), CMVN distributed stats (int64 partials, one tiny keyed
+    # shuffle), speaking-rate (must be a PURE JVM projection — 0 py)
+    "audio_augment_rollup",
+    "audio_cmvn_stats",
+    "speaking_rate_clips",
     # iceberg_*/cdc_* gate entries materialize state and return collected
     # rows (their returned frame is a LocalTableScan); their plan story
     # is told by test_partition_pruning_reaches_scan + the scan audit
