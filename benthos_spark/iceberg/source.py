@@ -217,6 +217,13 @@ class IcebergStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         files: list[dict] = []
         for snap in self._snapshots_in_range(start["seq"], end["seq"]):
+            # `replace` snapshots (rewrite_data_files / rewrite_manifests
+            # compactions) re-add EXISTING rows under new file paths — no
+            # logical change, so a streaming reader must skip them or a
+            # compaction would re-deliver every rewritten row (the same
+            # rule Iceberg's own streaming read applies to rewrites)
+            if snap.get("summary", {}).get("operation") == "replace":
+                continue
             files.extend(self._tbl.added_files(snap["snapshot-id"]))
         return _partitions_for_files(self._tbl, files, _mpb_option(self.options))
 

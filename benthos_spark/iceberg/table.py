@@ -436,9 +436,9 @@ class IcebergTable:
 
     # -- write path --------------------------------------------------------
 
-    def _partition_avro_fields(self) -> list[dict]:
+    def _partition_avro_fields(self, spec: list[dict] | None = None) -> list[dict]:
         fields = []
-        for pf in self.partition_spec:
+        for pf in self.partition_spec if spec is None else spec:
             vtype = self._partition_value_type(pf)
             if pf["transform"] == "day":
                 avro_type: Any = {"type": "int", "logicalType": "date"}
@@ -1793,6 +1793,262 @@ class IcebergTable:
             self.version += 1
             return snapshot_id
         raise CommitConflict("lost the version race 20 times (rewrite_manifests)")
+
+
+    def rewrite_data_files(
+        self,
+        spark: SparkSession,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+        min_input_files: int = 2,
+        small_ratio: float = 0.5,
+        max_groups: int | None = None,
+    ) -> dict:
+        """Selective bin-packing compaction — the 100-TB alternative to
+        :meth:`compact` (which rewrites the WHOLE table and is only
+        viable in a maintenance window on a small table). Matches the
+        shape of Iceberg's ``rewrite_data_files`` action (public spec /
+        Spark procedure): live data files smaller than
+        ``small_ratio * target_file_size_bytes`` are grouped by
+        (partition-spec id, partition tuple); every group with at least
+        ``min_input_files`` files is read back THROUGH THE NORMAL SCAN
+        PATH (pending position/equality deletes are materialized into
+        the replacement files — new files get a fresh, higher data
+        sequence number, so older equality deletes no longer apply to
+        them, exactly the spec's scoping rule), bin-packed to
+        ``ceil(bytes/target)`` outputs, and committed as ONE ``replace``
+        snapshot that swaps only the rewritten entries. Untouched files
+        are carried as EXISTING entries with their original sequence
+        numbers (per spec id, so evolved-spec layouts survive); delete
+        manifests are carried verbatim (entries pointing at rewritten
+        paths become harmless no-ops). Concurrent appends merge in via
+        the usual version race; a concurrent commit that removes one of
+        the rewrite inputs or changes the delete-file set aborts with
+        :class:`CommitConflict` (the staged files are unlinked) — the
+        same validation real RewriteFiles commits perform. Streaming
+        exactly-once sinks leave one small file per micro-batch per
+        partition; this is the op that keeps their scan cost flat."""
+        threshold = int(target_file_size_bytes * small_ratio)
+        self.refresh()
+        parent = self.current_snapshot()
+        empty = {"rewritten_files": 0, "added_files": 0, "groups": 0,
+                 "snapshot_id": parent["snapshot-id"] if parent else None}
+        if parent is None:
+            return empty
+        data, deletes = self._live_entries()
+        groups: dict[tuple, list[dict]] = {}
+        for f in data:
+            if f["file_size_in_bytes"] >= threshold:
+                continue
+            key = (f["_spec_id"], tuple(sorted((f.get("partition") or {}).items())))
+            groups.setdefault(key, []).append(f)
+        todo = sorted(
+            (g for g in groups.values() if len(g) >= min_input_files),
+            key=len,
+            reverse=True,
+        )
+        if max_groups is not None:
+            todo = todo[:max_groups]
+        if not todo:
+            return empty
+        rewrite = [f for g in todo for f in g]
+        rewrite_paths = {f["file_path"] for f in rewrite}
+        base_delete_sig = frozenset(d["file_path"] for d in deletes)
+        # materialize: normal scan semantics over just the input files
+        df = self._df_for_files(spark, rewrite, delete_files=deletes or None)
+        total = sum(f["file_size_in_bytes"] for f in rewrite)
+        n_out = max(1, -(-total // int(target_file_size_bytes)))
+        pcols = self.partition_cols
+        if pcols:
+            # co-locate each hive dir's rows so partitionBy writes one
+            # packed file per (task, dir) instead of n_out per dir
+            df = df.repartition(n_out, *[F.col(c) for c in pcols])
+        else:
+            df = df.repartition(n_out)
+        _stage, infos = self._stage_data_files(df)
+
+        def _abort_staged():
+            for i in infos:
+                try:
+                    os.unlink(i["path"])
+                except OSError:
+                    pass
+
+        default_sid = self.metadata["default-spec-id"]
+        for _attempt in range(20):
+            self.refresh()
+            parent = self.current_snapshot()
+            snapshot_id = _new_snapshot_id()
+            seq = self.metadata["last-sequence-number"] + 1
+            kept_by_spec: dict[int, list[dict]] = {}
+            carried_deletes: list[dict] = []
+            live_delete_paths: set[str] = set()
+            found = 0
+            for mf in M.read_manifest_list(parent["manifest-list"]):
+                if mf["content"] == 1:
+                    carried_deletes.append(mf)
+                    for entry in M.read_manifest(mf["manifest_path"]):
+                        if entry["status"] != M.STATUS_DELETED:
+                            live_delete_paths.add(entry["data_file"]["file_path"])
+                    continue
+                sid = mf.get("partition_spec_id", default_sid)
+                for entry in M.read_manifest(mf["manifest_path"]):
+                    if entry["status"] == M.STATUS_DELETED:
+                        continue
+                    fp = entry["data_file"]["file_path"]
+                    e_seq = (
+                        entry["sequence_number"]
+                        if entry.get("sequence_number") is not None
+                        else mf["sequence_number"]
+                    )
+                    if fp in rewrite_paths:
+                        found += 1
+                        continue
+                    kept_by_spec.setdefault(sid, []).append(
+                        {
+                            "status": M.STATUS_EXISTING,
+                            "snapshot_id": entry["snapshot_id"],
+                            "sequence_number": e_seq,
+                            "file_sequence_number": entry.get("file_sequence_number")
+                            or e_seq,
+                            "data_file": entry["data_file"],
+                        }
+                    )
+            if found != len(rewrite_paths) or frozenset(live_delete_paths) != base_delete_sig:
+                _abort_staged()
+                raise CommitConflict(
+                    "concurrent commit changed the rewrite inputs "
+                    "(missing input file or new/removed delete files) — rerun"
+                )
+            new_manifests = [self._build_manifest(infos, snapshot_id, seq)]
+            for sid, entries in sorted(kept_by_spec.items()):
+                try:
+                    spec_fields = self.partition_spec_by_id(sid)
+                except StopIteration:
+                    spec_fields = self.partition_spec
+                mpath = os.path.join(
+                    self.location, "metadata", f"{uuid.uuid4().hex}-m0.avro"
+                )
+                mlen = M.write_manifest(
+                    mpath,
+                    entries,
+                    self._partition_avro_fields(spec_fields),
+                    schema_json=self.schema_json,
+                    partition_spec_json=spec_fields,
+                    partition_spec_id=sid,
+                )
+                summaries = None
+                if spec_fields:
+                    summaries = []
+                    for pf in spec_fields:
+                        src_type = self._partition_value_type(pf)
+                        vals = [
+                            e["data_file"]["partition"].get(pf["name"]) for e in entries
+                        ]
+                        non_null = [v for v in vals if v is not None]
+                        summaries.append(
+                            {
+                                "contains_null": any(v is None for v in vals),
+                                "contains_nan": False,
+                                "lower_bound": M.encode_bound(min(non_null), src_type)
+                                if non_null
+                                else None,
+                                "upper_bound": M.encode_bound(max(non_null), src_type)
+                                if non_null
+                                else None,
+                            }
+                        )
+                new_manifests.append(
+                    {
+                        "manifest_path": mpath,
+                        "manifest_length": mlen,
+                        "partition_spec_id": sid,
+                        "content": 0,
+                        "sequence_number": seq,
+                        "min_sequence_number": min(
+                            e["sequence_number"] for e in entries
+                        ),
+                        "added_snapshot_id": snapshot_id,
+                        "added_files_count": 0,
+                        "existing_files_count": len(entries),
+                        "deleted_files_count": 0,
+                        "added_rows_count": 0,
+                        "existing_rows_count": sum(
+                            e["data_file"]["record_count"] for e in entries
+                        ),
+                        "deleted_rows_count": 0,
+                        "partitions": summaries,
+                        "key_metadata": None,
+                    }
+                )
+            mlist_path = os.path.join(
+                self.location,
+                "metadata",
+                f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro",
+            )
+            M.write_manifest_list(
+                mlist_path,
+                new_manifests + carried_deletes,
+                snapshot_id=snapshot_id,
+                parent_snapshot_id=parent["snapshot-id"],
+                sequence_number=seq,
+            )
+            total_rows = sum(i["rows"] for i in infos) + sum(
+                e["data_file"]["record_count"]
+                for es in kept_by_spec.values()
+                for e in es
+            )
+            total_files = len(infos) + sum(len(es) for es in kept_by_spec.values())
+            snapshot = {
+                "snapshot-id": snapshot_id,
+                "parent-snapshot-id": parent["snapshot-id"],
+                "sequence-number": seq,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": mlist_path,
+                "schema-id": self.metadata["current-schema-id"],
+                "summary": {
+                    "operation": "replace",
+                    "rewritten-data-files": str(len(rewrite_paths)),
+                    "added-data-files": str(len(infos)),
+                    "rewritten-bytes": str(total),
+                    "total-records": str(total_rows),
+                    "total-data-files": str(total_files),
+                    "benthos-spark.rewrite-groups": str(len(todo)),
+                },
+            }
+            meta = dict(self.metadata)
+            meta["last-sequence-number"] = seq
+            meta["last-updated-ms"] = snapshot["timestamp-ms"]
+            meta["current-snapshot-id"] = snapshot_id
+            meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+            meta["snapshot-log"] = list(meta["snapshot-log"]) + [
+                {"timestamp-ms": snapshot["timestamp-ms"], "snapshot-id": snapshot_id}
+            ]
+            refs = dict(meta.get("refs", {}))
+            refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+            meta["refs"] = refs
+            meta["metadata-log"] = list(meta["metadata-log"]) + [
+                {
+                    "timestamp-ms": self.metadata["last-updated-ms"],
+                    "metadata-file": self._version_path(self.location, self.version),
+                }
+            ]
+            try:
+                self._write_version(self.version + 1, meta)
+            except CommitConflict:
+                os.unlink(mlist_path)
+                for m in new_manifests:
+                    os.unlink(m["manifest_path"])
+                continue
+            self.metadata = meta
+            self.version += 1
+            return {
+                "rewritten_files": len(rewrite_paths),
+                "added_files": len(infos),
+                "groups": len(todo),
+                "snapshot_id": snapshot_id,
+            }
+        _abort_staged()
+        raise CommitConflict("lost the version race 20 times (rewrite_data_files)")
 
     # -- schema evolution --------------------------------------------------
 

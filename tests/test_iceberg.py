@@ -1459,3 +1459,116 @@ def test_run_once_drain_flushes_windows_from_python_source(spark, tmp_path):
     out = sink.read_committed(spark).filter(F.col("codec") != SENTINEL_CODEC)
     assert out.agg(F.sum("n_clips")).collect()[0][0] == 120
     assert out.groupBy("window_start", "codec").count().filter("count > 1").count() == 0
+
+
+def test_rewrite_data_files_bin_packs_small_files(spark, tmpdir):
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema, partition_by=("part",))
+    # one big append (stays) + many tiny appends (packed): the shape an
+    # exactly-once streaming sink leaves behind
+    t.append(_sample_df(spark, 3000))
+    big_paths = {f["file_path"] for f in t._live_entries()[0]}
+    for i in range(5):
+        t.append(_sample_df(spark, 6, offset=3000 + 6 * i))
+    pre_snapshot = t.current_snapshot()["snapshot-id"]
+    expect = sorted(r.k for r in t.scan(spark).collect())
+    data, _ = t._live_entries()
+    n_small_before = sum(1 for f in data if f["file_path"] not in big_paths)
+    assert n_small_before >= 10  # 5 appends x 3 partitions
+
+    # threshold chosen between tiny-append and big-append file sizes
+    big_min = min(
+        f["file_size_in_bytes"] for f in data if f["file_path"] in big_paths
+    )
+    small_max = max(
+        f["file_size_in_bytes"] for f in data if f["file_path"] not in big_paths
+    )
+    assert small_max < big_min  # the threshold below separates the two
+    res = t.rewrite_data_files(
+        spark, target_file_size_bytes=2 * big_min, min_input_files=2, small_ratio=0.5
+    )
+    assert res["rewritten_files"] == n_small_before
+    assert res["groups"] == 3  # one per partition value
+    assert 0 < res["added_files"] < n_small_before
+
+    # content identical; big files untouched; small files replaced
+    assert sorted(r.k for r in t.scan(spark).collect()) == expect
+    data2, _ = t._live_entries()
+    paths2 = {f["file_path"] for f in data2}
+    assert big_paths <= paths2
+    assert len(data2) == len(big_paths) + res["added_files"]
+    assert t.current_snapshot()["summary"]["operation"] == "replace"
+    # time travel to the pre-rewrite snapshot still works
+    assert sorted(r.k for r in t.scan(spark, snapshot_id=pre_snapshot).collect()) == expect
+
+
+def test_rewrite_data_files_materializes_deletes(spark, tmpdir):
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema, partition_by=("part",))
+    for i in range(4):
+        t.append(_sample_df(spark, 10, offset=10 * i))
+    t.delete_where(spark, "k % 5 = 0")
+    expect = sorted(r.k for r in t.scan(spark).collect())
+    _, deletes_before = t._live_entries()
+    assert deletes_before  # pending position deletes exist
+
+    res = t.rewrite_data_files(spark, target_file_size_bytes=1 << 20, min_input_files=2)
+    assert res["rewritten_files"] > 0
+    assert sorted(r.k for r in t.scan(spark).collect()) == expect
+    # the rewritten files no longer depend on the delete files: reading
+    # the NEW data files raw (no delete application) shows no deleted key
+    data2, _ = t._live_entries()
+    new_paths = [f["file_path"] for f in data2]
+    raw = spark.read.option("basePath", tmpdir + "/t/data").parquet(*new_paths)
+    assert sorted(r.k for r in raw.select("k").collect()) == expect
+
+
+def test_rewrite_data_files_respects_min_input_files(spark, tmpdir):
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema)
+    t.append(_sample_df(spark, 5).coalesce(1))  # exactly one small file
+    res = t.rewrite_data_files(spark, target_file_size_bytes=1 << 20, min_input_files=2)
+    assert res == {
+        "rewritten_files": 0,
+        "added_files": 0,
+        "groups": 0,
+        "snapshot_id": t.current_snapshot()["snapshot-id"],
+    }
+
+
+def test_rewrite_data_files_survives_spec_evolution(spark, tmpdir):
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema, partition_by=("part",))
+    t.append(_sample_df(spark, 9))          # spec 0 files (small, kept or packed)
+    t.update_spec(partition_by=())          # drop partitioning
+    t.append(_sample_df(spark, 6, offset=9))   # spec 1 files
+    t.append(_sample_df(spark, 6, offset=15))  # spec 1 files
+    expect = sorted(r.k for r in t.scan(spark).collect())
+    res = t.rewrite_data_files(spark, target_file_size_bytes=1 << 20, min_input_files=2)
+    assert res["rewritten_files"] > 0
+    assert sorted(r.k for r in t.scan(spark).collect()) == expect
+    # rewritten files were written under the CURRENT (unpartitioned)
+    # spec; any kept old-spec entries keep their own layout
+    assert sorted(r.k for r in t.scan(spark).collect()) == expect
+
+
+def test_streaming_source_skips_rewrite_snapshots(spark, tmpdir):
+    import tempfile as _tf
+
+    from benthos_spark.iceberg import source as ice_source
+
+    loc = tmpdir + "/t"
+    t = IcebergTable.create(loc, _sample_df(spark).schema)
+    for i in range(3):
+        t.append(_sample_df(spark, 4, offset=4 * i))
+    t.rewrite_data_files(spark, target_file_size_bytes=1 << 20, min_input_files=2)
+    t.append(_sample_df(spark, 4, offset=12))
+
+    ice_source.register(spark)
+    out_dir, ckpt = _tf.mkdtemp(prefix="bs_rw_out_"), _tf.mkdtemp(prefix="bs_rw_ck_")
+    q = (
+        spark.readStream.format("benthos_iceberg").option("path", loc).load()
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = sorted(r.k for r in spark.read.parquet(out_dir).collect())
+    # every row exactly once: the replace snapshot's re-added files are
+    # skipped; appends before AND after the rewrite are all delivered
+    assert got == list(range(16))
