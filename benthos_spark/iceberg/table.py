@@ -1640,16 +1640,79 @@ class IcebergTable:
             self.scan(spark), summary={"benthos-spark.compaction": "true", **(summary or {})}
         )
 
+    def _existing_entries_manifest(
+        self, entries: list[dict], sid: int, snapshot_id: int, seq: int, content: int
+    ) -> dict:
+        """Write one manifest of STATUS_EXISTING entries under partition
+        spec ``sid`` (each spec has its own partition struct — stamping
+        an evolved table's old-spec entries with the default spec id
+        drops their identity-partition values on scan) and return its
+        manifest-list record. Shared by :meth:`rewrite_manifests` and
+        :meth:`rewrite_data_files`."""
+        try:
+            spec_fields = self.partition_spec_by_id(sid)
+        except StopIteration:
+            spec_fields = self.partition_spec
+        mpath = os.path.join(self.location, "metadata", f"{uuid.uuid4().hex}-m0.avro")
+        mlen = M.write_manifest(
+            mpath,
+            entries,
+            self._partition_avro_fields(spec_fields),
+            schema_json=self.schema_json,
+            partition_spec_json=spec_fields,
+            partition_spec_id=sid,
+        )
+        summaries = None
+        if spec_fields and content == 0:
+            summaries = []
+            for pf in spec_fields:
+                src_type = self._partition_value_type(pf)
+                vals = [e["data_file"]["partition"].get(pf["name"]) for e in entries]
+                non_null = [v for v in vals if v is not None]
+                summaries.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": False,
+                        "lower_bound": M.encode_bound(min(non_null), src_type)
+                        if non_null
+                        else None,
+                        "upper_bound": M.encode_bound(max(non_null), src_type)
+                        if non_null
+                        else None,
+                    }
+                )
+        return {
+            "manifest_path": mpath,
+            "manifest_length": mlen,
+            "partition_spec_id": sid,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": min(e["sequence_number"] for e in entries),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": len(entries),
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+            "deleted_rows_count": 0,
+            "partitions": summaries,
+            "key_metadata": None,
+        }
+
     def rewrite_manifests(self) -> int:
         """Metadata compaction: fold the current snapshot's many small
         manifests (streaming appends leave one per micro-batch) into ONE
-        data manifest (+ one delete manifest when present) of EXISTING
-        entries that KEEP each file's original data sequence number —
-        position/equality delete scoping depends on it. Data files are
-        untouched; scan planning drops from O(appends) manifest reads to
-        O(1). Commits an Iceberg ``replace`` snapshot through the usual
-        version race; pre-rewrite snapshots stay time-travelable until
-        expire_snapshots reclaims them."""
+        data manifest PER PARTITION SPEC (+ delete manifests likewise) of
+        EXISTING entries that KEEP each file's original data sequence
+        number — position/equality delete scoping depends on it — and its
+        original spec id (an evolved table's old-spec files have a
+        different partition struct; re-stamping them under the default
+        spec silently nulls their identity-partition columns on scan).
+        Data files are untouched; scan planning drops from O(appends)
+        manifest reads to O(specs). Commits an Iceberg ``replace``
+        snapshot through the usual version race; pre-rewrite snapshots
+        stay time-travelable until expire_snapshots reclaims them."""
+        default_sid = self.metadata["default-spec-id"]
         for _attempt in range(20):
             self.refresh()
             parent = self.current_snapshot()
@@ -1660,9 +1723,9 @@ class IcebergTable:
                 return parent["snapshot-id"]
             snapshot_id = _new_snapshot_id()
             seq = self.metadata["last-sequence-number"] + 1
-            pfields = self._partition_avro_fields()
-            groups: dict[int, list[dict]] = {0: [], 1: []}
+            groups: dict[tuple[int, int], list[dict]] = {}
             for mf in old:
+                sid = mf.get("partition_spec_id", default_sid)
                 for entry in M.read_manifest(mf["manifest_path"]):
                     if entry["status"] == M.STATUS_DELETED:
                         continue
@@ -1671,7 +1734,7 @@ class IcebergTable:
                         if entry.get("sequence_number") is not None
                         else mf["sequence_number"]
                     )
-                    groups[mf["content"]].append(
+                    groups.setdefault((mf["content"], sid), []).append(
                         {
                             "status": M.STATUS_EXISTING,
                             "snapshot_id": entry["snapshot_id"],
@@ -1680,64 +1743,11 @@ class IcebergTable:
                             "data_file": entry["data_file"],
                         }
                     )
-            new_manifests = []
-            for content, entries in groups.items():
-                if not entries:
-                    continue
-                mpath = os.path.join(
-                    self.location, "metadata", f"{uuid.uuid4().hex}-m0.avro"
-                )
-                mlen = M.write_manifest(
-                    mpath,
-                    entries,
-                    pfields,
-                    schema_json=self.schema_json,
-                    partition_spec_json=self.partition_spec,
-                    partition_spec_id=self.metadata["default-spec-id"],
-                )
-                summaries = None
-                spec = self.partition_spec
-                if spec and content == 0:
-                    summaries = []
-                    for pf in spec:
-                        src_type = self._partition_value_type(pf)
-                        vals = [
-                            e["data_file"]["partition"].get(pf["name"]) for e in entries
-                        ]
-                        non_null = [v for v in vals if v is not None]
-                        summaries.append(
-                            {
-                                "contains_null": any(v is None for v in vals),
-                                "contains_nan": False,
-                                "lower_bound": M.encode_bound(min(non_null), src_type)
-                                if non_null
-                                else None,
-                                "upper_bound": M.encode_bound(max(non_null), src_type)
-                                if non_null
-                                else None,
-                            }
-                        )
-                new_manifests.append(
-                    {
-                        "manifest_path": mpath,
-                        "manifest_length": mlen,
-                        "partition_spec_id": self.metadata["default-spec-id"],
-                        "content": content,
-                        "sequence_number": seq,
-                        "min_sequence_number": min(e["sequence_number"] for e in entries),
-                        "added_snapshot_id": snapshot_id,
-                        "added_files_count": 0,
-                        "existing_files_count": len(entries),
-                        "deleted_files_count": 0,
-                        "added_rows_count": 0,
-                        "existing_rows_count": sum(
-                            e["data_file"]["record_count"] for e in entries
-                        ),
-                        "deleted_rows_count": 0,
-                        "partitions": summaries,
-                        "key_metadata": None,
-                    }
-                )
+            new_manifests = [
+                self._existing_entries_manifest(entries, sid, snapshot_id, seq, content)
+                for (content, sid), entries in sorted(groups.items())
+                if entries
+            ]
             mlist_path = os.path.join(
                 self.location,
                 "metadata",
@@ -1921,64 +1931,8 @@ class IcebergTable:
                 )
             new_manifests = [self._build_manifest(infos, snapshot_id, seq)]
             for sid, entries in sorted(kept_by_spec.items()):
-                try:
-                    spec_fields = self.partition_spec_by_id(sid)
-                except StopIteration:
-                    spec_fields = self.partition_spec
-                mpath = os.path.join(
-                    self.location, "metadata", f"{uuid.uuid4().hex}-m0.avro"
-                )
-                mlen = M.write_manifest(
-                    mpath,
-                    entries,
-                    self._partition_avro_fields(spec_fields),
-                    schema_json=self.schema_json,
-                    partition_spec_json=spec_fields,
-                    partition_spec_id=sid,
-                )
-                summaries = None
-                if spec_fields:
-                    summaries = []
-                    for pf in spec_fields:
-                        src_type = self._partition_value_type(pf)
-                        vals = [
-                            e["data_file"]["partition"].get(pf["name"]) for e in entries
-                        ]
-                        non_null = [v for v in vals if v is not None]
-                        summaries.append(
-                            {
-                                "contains_null": any(v is None for v in vals),
-                                "contains_nan": False,
-                                "lower_bound": M.encode_bound(min(non_null), src_type)
-                                if non_null
-                                else None,
-                                "upper_bound": M.encode_bound(max(non_null), src_type)
-                                if non_null
-                                else None,
-                            }
-                        )
                 new_manifests.append(
-                    {
-                        "manifest_path": mpath,
-                        "manifest_length": mlen,
-                        "partition_spec_id": sid,
-                        "content": 0,
-                        "sequence_number": seq,
-                        "min_sequence_number": min(
-                            e["sequence_number"] for e in entries
-                        ),
-                        "added_snapshot_id": snapshot_id,
-                        "added_files_count": 0,
-                        "existing_files_count": len(entries),
-                        "deleted_files_count": 0,
-                        "added_rows_count": 0,
-                        "existing_rows_count": sum(
-                            e["data_file"]["record_count"] for e in entries
-                        ),
-                        "deleted_rows_count": 0,
-                        "partitions": summaries,
-                        "key_metadata": None,
-                    }
+                    self._existing_entries_manifest(entries, sid, snapshot_id, seq, 0)
                 )
             mlist_path = os.path.join(
                 self.location,

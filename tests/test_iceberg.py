@@ -1572,3 +1572,21 @@ def test_streaming_source_skips_rewrite_snapshots(spark, tmpdir):
     # every row exactly once: the replace snapshot's re-added files are
     # skipped; appends before AND after the rewrite are all delivered
     assert got == list(range(16))
+
+
+def test_rewrite_manifests_preserves_evolved_spec_layouts(spark, tmpdir):
+    # regression: rewrite_manifests used to stamp EVERY entry with the
+    # default spec id; old-spec files have a different partition struct
+    # (identity values live in hive dirs), so their partition columns
+    # silently came back NULL after a metadata compaction.
+    t = IcebergTable.create(tmpdir + "/t", _sample_df(spark).schema, partition_by=("part",))
+    t.append(_sample_df(spark, 6))           # spec 0 (partitioned)
+    t.update_spec(partition_by=())           # spec 1 (unpartitioned)
+    t.append(_sample_df(spark, 6, offset=6)) # spec 1
+    expect = {r.k: r.part for r in t.scan(spark).collect()}
+    assert all(p is not None for p in expect.values())
+    t.rewrite_manifests()
+    got = {r.k: r.part for r in t.scan(spark).collect()}
+    assert got == expect  # no nulled partition columns
+    # per-spec manifests keep identity pruning working for old files
+    assert len(t.plan_files("part = 1")) < len(t._live_entries()[0])
