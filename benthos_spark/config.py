@@ -531,6 +531,18 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "tempo_perturb":
+        from benthos_spark.operators.audio import TempoPerturb
+
+        conf = conf or {}
+        return TempoPerturb(
+            factors=tuple(conf.get("factors", (0.9, 1.0, 1.1))),
+            fanout=conf.get("fanout", False),
+            id_col=conf.get("id_col", "clip_id"),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
     if name == "gain_perturb":
         from benthos_spark.operators.audio import GainPerturb
 
@@ -668,8 +680,8 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
         "pitch_measure, quality_measure, quality_gate, vad_segment, "
-        "speed_perturb, gain_perturb, noise_mix, reverb, fbank_augment, augment, "
-        "speaking_rate, cmvn, "
+        "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
+        "augment, speaking_rate, cmvn, "
         "subprocess, command, http, sequence_match, funnel_match, absence_match"
     )
 

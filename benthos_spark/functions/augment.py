@@ -291,3 +291,52 @@ def augment_chain_map_in_pandas(
             yield pd.DataFrame(out)
 
     return fn
+
+
+def time_stretch(x: np.ndarray, rate: float, frame: int = 1024) -> np.ndarray:
+    """WSOLA time stretch (Verhelst & Roelands 1993, public algorithm):
+    change duration by 1/rate while PRESERVING pitch — the complement of
+    :func:`speed_perturb` (which shifts pitch by the factor). Synthesis
+    frames advance by Hs = frame/2 with a 50%-overlap periodic Hann
+    (constant OLA sum); each frame is picked within ±Hs/2 of its nominal
+    analysis position by maximizing cross-correlation with the natural
+    continuation of the previously copied segment (one (2Δ+1, frame) @
+    (frame,) matmul per frame — no per-sample Python). Deterministic:
+    no randomness anywhere."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    hs = frame // 2
+    delta = hs // 2
+    if rate == 1.0 or n < frame + 2 * delta + hs:
+        return x.astype(np.float32)
+    n_out = max(frame, int(round(n / rate)))
+    k_frames = (n_out - frame) // hs + 1
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)  # periodic Hann
+    out = np.zeros(n_out + frame, dtype=np.float64)
+    wsum = np.zeros(n_out + frame, dtype=np.float64)
+    swv = np.lib.stride_tricks.sliding_window_view(x, frame)
+    p_prev = 0
+    for k in range(k_frames):
+        nominal = int(round(k * hs * rate))
+        if k == 0:
+            p = 0
+        else:
+            lo = max(0, min(nominal - delta, n - frame))
+            hi = max(lo, min(nominal + delta, n - frame))
+            template = x[p_prev + hs : p_prev + hs + frame]
+            if len(template) < frame or hi == lo:
+                p = lo
+            else:
+                # (hi-lo+1, frame) candidate matrix @ template
+                scores = swv[lo : hi + 1] @ template
+                p = lo + int(np.argmax(scores))
+        seg = x[p : p + frame]
+        pos = k * hs
+        out[pos : pos + frame] += seg * win
+        wsum[pos : pos + frame] += win
+        p_prev = p
+    out = out[:n_out]
+    wsum = wsum[:n_out]
+    nz = wsum > 1e-8
+    out[nz] /= wsum[nz]
+    return np.clip(out, -1.0, 1.0).astype(np.float32)

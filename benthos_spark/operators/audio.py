@@ -398,15 +398,28 @@ class SpeedPerturb(Processor):
     codec_col: str = "codec"
     sr_col: str = "sr_hz"
 
+    # subclass knobs: id suffix tag, RNG stream, factor column, kernel
+    _tag = "sp"
+    _stream = 40
+    _factor_col = "speed_factor"
+
+    @staticmethod
+    def _kernel(x, fs, f, taps):
+        from benthos_spark.functions import augment as G
+
+        return G.speed_perturb(x, fs, f, taps=taps)
+
     def __call__(self, df: DataFrame) -> DataFrame:
         import numpy as np
 
         factors = tuple(float(f) for f in self.factors)
         fanout, taps, id_col = self.fanout, int(self.taps), self.id_col
+        tag, stream, factor_col = self._tag, self._stream, self._factor_col
+        kernel = type(self)._kernel
         work, renames = _renamed(df, self.bytes_col, self.codec_col, self.sr_col)
         cols = list(work.columns)
         has_dur = "dur_ms" in cols
-        schema = _schema_plus(work, "speed_factor double")
+        schema = _schema_plus(work, f"{factor_col} double")
 
         def fn(batches):
             import pandas as pd
@@ -432,15 +445,15 @@ class SpeedPerturb(Processor):
                     if fanout:
                         picks = factors
                     else:
-                        u = G.rand_u01(G.seed_from_id(cid), 40, 1)[0]
+                        u = G.rand_u01(G.seed_from_id(cid), stream, 1)[0]
                         picks = (factors[int(u * len(factors))],)
                     for f in picks:
-                        y = G.speed_perturb(x, fs, f, taps=taps)
+                        y = kernel(x, fs, f, taps)
                         for c in cols:
                             if c == "bytes":
                                 rows[c].append(A.encode(y, codec, fs))
                             elif c == id_col and fanout:
-                                rows[c].append(f"{cid}#sp{f:g}")
+                                rows[c].append(f"{cid}#{tag}{f:g}")
                             elif c == "dur_ms" and has_dur:
                                 rows[c].append(int(round(len(y) * 1000.0 / fs)))
                             else:
@@ -450,10 +463,31 @@ class SpeedPerturb(Processor):
                 for c in cols:  # restore non-object dtypes Arrow can map
                     if c not in ("bytes", id_col, "codec"):
                         out[c] = out[c].infer_objects()
-                out["speed_factor"] = np.asarray(facs, dtype=np.float64)
+                out[factor_col] = np.asarray(facs, dtype=np.float64)
                 yield out
 
         return _unrenamed(work.mapInPandas(fn, schema=schema), renames)
+
+
+@dataclass
+class TempoPerturb(SpeedPerturb):
+    """WSOLA tempo perturbation (functions/augment.py time_stretch):
+    change each clip's duration by 1/factor while PRESERVING pitch —
+    the complement of :class:`SpeedPerturb`, which shifts pitch by the
+    factor. Same pick/fanout semantics (``#tp<factor>`` suffixes, an
+    independent RNG stream so chaining both draws independently). Adds
+    ``tempo_factor``; updates ``dur_ms`` when present. Deterministic:
+    WSOLA has no randomness."""
+
+    _tag = "tp"
+    _stream = 45
+    _factor_col = "tempo_factor"
+
+    @staticmethod
+    def _kernel(x, fs, f, taps):
+        from benthos_spark.functions import augment as G
+
+        return G.time_stretch(x, f)
 
 
 def _payload_augment(work: DataFrame, cols, extra_name, fn_one):
@@ -677,7 +711,7 @@ class AugmentChain(Processor):
     sr_col: str = "sr_hz"
 
     def __post_init__(self):
-        known = {"speed", "gain", "noise", "reverb"}
+        known = {"speed", "tempo", "gain", "noise", "reverb"}
         norm = []
         for st in self.stages:
             if not isinstance(st, dict) or len(st) != 1:
@@ -722,15 +756,16 @@ class AugmentChain(Processor):
                         # per-stage stream base keeps draws independent
                         # across stages AND across chain positions
                         base = 100 + 10 * si
-                        if kind == "speed":
+                        if kind in ("speed", "tempo"):
                             facs = tuple(float(f) for f in conf.get("factors", (0.9, 1.0, 1.1)))
                             u = G.rand_u01(seed, base, 1)[0]
                             f = facs[int(u * len(facs))]
-                            x = np.asarray(
-                                G.speed_perturb(x, fs, f, taps=int(conf.get("taps", 16))),
-                                dtype=np.float64,
-                            )
-                            applied.append({"speed": round(f, 4)})
+                            if kind == "speed":
+                                y = G.speed_perturb(x, fs, f, taps=int(conf.get("taps", 16)))
+                            else:
+                                y = G.time_stretch(x, f)
+                            x = np.asarray(y, dtype=np.float64)
+                            applied.append({kind: round(f, 4)})
                         elif kind == "gain":
                             lo = float(conf.get("min_db", -6.0))
                             hi = float(conf.get("max_db", 6.0))

@@ -361,3 +361,64 @@ def test_cmvn_deterministic_and_config(spark):
     for (_, ra), (_, rb) in zip(a.iterrows(), b.iterrows()):
         assert np.array_equal(np.asarray(ra["fbank"]), np.asarray(rb["fbank"]))
     feats.unpersist()
+
+
+# --------------------------------------------------------- time stretch
+
+
+def test_time_stretch_preserves_pitch():
+    x = _harmonic(200.0)
+    for rate in (0.8, 1.1, 1.25):
+        y = G.time_stretch(x, rate)
+        assert abs(len(y) - len(x) / rate) < 16
+        med, frac, _ = pitch_stats(np.asarray(y, dtype=np.float64), SR)
+        assert frac > 0.9
+        assert abs(med / 200.0 - 1.0) < 0.01, (rate, med)  # pitch UNCHANGED
+    # identity rate and too-short inputs pass through
+    assert np.array_equal(G.time_stretch(x, 1.0), x.astype(np.float32))
+    short = x[:100]
+    assert np.array_equal(G.time_stretch(short, 1.3), short.astype(np.float32))
+    # deterministic (no randomness in WSOLA)
+    assert np.array_equal(G.time_stretch(x, 1.2), G.time_stretch(x, 1.2))
+
+
+def test_tempo_vs_speed_pitch_contrast():
+    # the whole point of having both: same factor, opposite pitch fates
+    x = _harmonic(220.0)
+    sp = G.speed_perturb(x, SR, 1.2)
+    tp = G.time_stretch(x, 1.2)
+    med_sp, _, _ = pitch_stats(np.asarray(sp, dtype=np.float64), SR)
+    med_tp, _, _ = pitch_stats(np.asarray(tp, dtype=np.float64), SR)
+    assert abs(med_sp / (220.0 * 1.2) - 1.0) < 0.02  # speed shifts pitch
+    assert abs(med_tp / 220.0 - 1.0) < 0.01          # tempo preserves it
+
+
+def test_tempo_perturb_processor(spark):
+    from benthos_spark.operators.audio import TempoPerturb
+
+    df = _clips_df(spark, n=4, secs=1.0)
+    out = TempoPerturb(factors=(0.8, 1.25), fanout=True)(df).toPandas()
+    assert len(out) == 8 and "tempo_factor" in out.columns
+    for _, r in out.iterrows():
+        assert r["clip_id"].endswith(f"#tp{r['tempo_factor']:g}")
+        y = np.asarray(A.decode(bytes(r["bytes"]), r["codec"]), dtype=np.float64)
+        assert abs(len(y) - r["dur_ms"] * SR / 1000.0) < SR * 0.01
+        med, frac, _ = pitch_stats(y, SR)
+        f0 = 120.0 + 40.0 * int(r["clip_id"].split("-")[1].split("#")[0])
+        assert abs(med / f0 - 1.0) < 0.02, (r["clip_id"], med, f0)
+
+
+def test_tempo_in_chain_and_config(spark):
+    import json
+
+    from benthos_spark.config import _proc
+
+    df = _clips_df(spark, n=2, secs=1.0)
+    out = _proc(
+        {"augment": {"stages": [{"tempo": {"factors": [1.25]}}, {"gain": {"min_db": 1.0, "max_db": 1.0}}]}}
+    )(df).toPandas()
+    for _, r in out.iterrows():
+        applied = json.loads(r["aug_params"])
+        assert applied[0] == {"tempo": 1.25}
+    out2 = _proc({"tempo_perturb": {"factors": [0.9, 1.1]}})(df)
+    assert "tempo_factor" in out2.columns and out2.count() == 2
