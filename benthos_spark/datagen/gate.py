@@ -53,7 +53,7 @@ _TABLES = (
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 11
+GATE_VERSION = 12
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -321,6 +321,9 @@ def ensure_gate_tables(sf_name: str) -> None:
                     "f0_med": np.float64(round(med, 4)),
                     "voiced_frac": np.float64(round(frac, 6)),
                     "n_pitch_frames": np.int64(nf),
+                    # decoded sample count: the tempo entry's SQL side
+                    # re-derives WSOLA's closed-form output length from it
+                    "n_samples": np.int64(len(x)),
                 }
             )
         _write_atomic(pd.DataFrame(rows), p)

@@ -2649,6 +2649,66 @@ def iceberg_roundtrip_orders(spark, sf_dir):
 
 
 @register(
+    "iceberg_rewrite_files_orders",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_live,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 16 < 6 AND o_orderkey % 32 <> 3
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_rewrite_files_orders(spark, sf_dir):
+    """Selective bin-packing compaction under the hash gate
+    (iceberg/table.py rewrite_data_files): six small appends (the
+    per-micro-batch file shape an exactly-once streaming sink leaves),
+    position-delete tombstones, then a rewrite that MATERIALIZES the
+    pending deletes into packed replacement files and swaps only the
+    rewritten entries in ONE `replace` snapshot. The oracle states the
+    surviving predicate in closed form straight from orders, so the
+    kept/rewritten entry bookkeeping, delete materialization, and the
+    post-compaction scan must all land exactly. The entry also asserts
+    the file count actually dropped — a no-op rewrite fails the gate."""
+    import shutil
+    import tempfile
+
+    from benthos_spark.iceberg import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="bs_iceberg_rw_")
+    try:
+        t = IcebergTable.create(tmp + "/t", o.schema, partition_by=("o_orderstatus",))
+        for i in range(6):
+            t.append(o.filter(F.col("o_orderkey") % 16 == i))
+        t.delete_where(spark, "o_orderkey % 32 = 3")
+        n_before = len(t._live_entries()[0])
+        res = t.rewrite_data_files(
+            spark, target_file_size_bytes=1 << 30, min_input_files=2
+        )
+        n_after = len(t._live_entries()[0])
+        if not (res["rewritten_files"] > 0 and n_after < n_before):
+            raise AssertionError(
+                f"rewrite was a no-op: {n_before} -> {n_after} files ({res})"
+            )
+        out = (
+            t.scan(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "iceberg_delete_where_orders",
     """
     SELECT o_orderstatus,
@@ -3140,6 +3200,73 @@ def audio_pitch_rollup(spark, sf_dir):
         (
             (F.col("f0_med") > 0)
             & (F.abs(F.col("f0_med") / F.col("f0_true") - 1.0) < 0.02)
+        ).alias("pitch_ok"),
+    )
+
+
+@register(
+    "audio_tempo_rollup",
+    f"""
+    SELECT clip_id,
+           CASE WHEN n_samples < 2048 THEN n_samples
+                ELSE greatest(1024, CAST(round(n_samples / 1.25) AS BIGINT))
+           END AS n_out,
+           TRUE AS pitch_ok
+    FROM read_parquet('{_CLIPS_PITCH_GATE}')
+    """,
+)
+def audio_tempo_rollup(spark, sf_dir):
+    """WSOLA time stretch under a FULLY ANALYTIC oracle: stretch every
+    harmonic gate clip by a fixed 1.25× tempo (functions/augment.py
+    time_stretch) and require (a) the output length to equal the
+    algorithm's closed form — which DuckDB re-derives INDEPENDENTLY
+    from the stored decoded sample count, no measured ground truth —
+    and (b) the pitch tracker to still recover the synthesis F0 within
+    2% on the STRETCHED signal (pitch preservation is the defining
+    property vs speed perturbation, which would land at 1.25·F0 and
+    fail). Arrow mapInPandas, one scan, no shuffle."""
+    import numpy as np
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_tempo_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    tbl = spark.read.parquet(_gate.table_path(sf, "clips_pitch"))
+
+    def stretch_stats(batches):
+        import pandas as pd
+
+        from benthos_spark.functions import audio as A
+        from benthos_spark.functions.augment import time_stretch
+        from benthos_spark.functions.pitch import pitch_stats
+
+        for pdf in batches:
+            n = len(pdf)
+            nout = np.empty(n, dtype=np.int64)
+            med = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                x = np.asarray(
+                    A.decode(pdf["bytes"].iat[i], pdf["codec"].iat[i]), dtype=np.float64
+                )
+                y = time_stretch(x, 1.25)
+                nout[i] = len(y)
+                med[i], _, _ = pitch_stats(
+                    np.asarray(y, dtype=np.float64), int(pdf["sr_hz"].iat[i])
+                )
+            yield pd.DataFrame(
+                {"clip_id": pdf["clip_id"], "n_out": nout, "f0_stretched": med}
+            )
+
+    measured = tbl.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        stretch_stats, schema="clip_id string, n_out bigint, f0_stretched double"
+    )
+    truth = tbl.select("clip_id", "f0_true")
+    return measured.join(truth, "clip_id").select(
+        "clip_id",
+        "n_out",
+        (
+            (F.col("f0_stretched") > 0)
+            & (F.abs(F.col("f0_stretched") / F.col("f0_true") - 1.0) < 0.02)
         ).alias("pitch_ok"),
     )
 
