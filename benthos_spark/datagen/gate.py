@@ -49,11 +49,12 @@ _TABLES = (
     "clips_quality",
     "clips_augment",
     "videos_mjpeg",
+    "videos_h264",
 )
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 12
+GATE_VERSION = 13
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -434,6 +435,14 @@ def ensure_gate_tables(sf_name: str) -> None:
         # a real container + JPEG decode; frame counts must be exact.
         ids = np.arange(sizes["videos"] // 4, dtype=np.int64)
         _write_atomic(videos_pdf(ids, codec="mjpeg", with_expected=True), p)
+    p = table_path(sf_name, "videos_h264")
+    if not os.path.exists(p):
+        # the same deterministic videos as a from-scratch Annex-B H.264
+        # I_PCM stream (functions/h264.py): gray carriage is bit-exact,
+        # so the gate requires the decoded mean_lum to reproduce the
+        # pre-encode value EXACTLY (unlike mjpeg's lossy tolerance).
+        ids = np.arange(sizes["videos"] // 4, dtype=np.int64)
+        _write_atomic(videos_pdf(ids, codec="h264", with_expected=True), p)
     tmp_v = f"{version_file}.tmp.{os.getpid()}"
     os.makedirs(os.path.dirname(tmp_v), exist_ok=True)
     with open(tmp_v, "w") as fh:

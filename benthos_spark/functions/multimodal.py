@@ -23,9 +23,13 @@ Container codec status:
 - ``mjpeg`` (RIFF-AVI) — REAL decode/encode (functions/avi.py,
   from-scratch container per the public AVI spec; one of our baseline
   JPEGs per ``00dc`` chunk). ``gif`` animations frame-sample too.
-- ``h264`` (the one video codec left) raises ``NotImplementedError``
-  at the kernel boundary — swap in PIL/cv2 kernels on a real cluster;
-  the Spark side is codec-agnostic.
+- ``h264`` — REAL decode/encode of the I_PCM subset (functions/h264.py,
+  from-scratch Annex-B per the public Rec. H.264: Exp-Golomb headers,
+  SPS/PPS/IDR slices, emulation prevention, VUI timing, cropping).
+  Our encoder's streams are fully conformant Baseline bitstreams any
+  real decoder plays; entropy-coded (non-PCM) macroblocks from foreign
+  encoders raise with a clear message — that residual path still needs
+  ffmpeg/cv2 on a real cluster.
 """
 
 from __future__ import annotations
@@ -211,6 +215,11 @@ def decode_video_frames(raw: bytes, codec: str, width: int, height: int, n_frame
         from benthos_spark.functions import gif as _gif
 
         return [fr[:, :, :3] for fr in _gif.decode_frames(raw)]
+    if codec == "h264":
+        from benthos_spark.functions import h264 as _h264
+
+        frames, _fps = _h264.decode(raw)
+        return frames
     raise NotImplementedError(
         f"video codec {codec!r} needs ffmpeg/cv2 — not in this sandbox"
     )
@@ -319,11 +328,14 @@ def videos_pdf(ids: np.ndarray, height: int = 24, width: int = 32, n_frames: int
 
     ``codec="mjpeg"`` wraps the SAME deterministic frames in an MJPEG
     RIFF-AVI container (functions/avi.py, our own T.81 codec per frame,
-    quality 95). ``with_expected=True`` adds ``mean_lum`` computed from
-    the frames BEFORE encoding — for lossy MJPEG the gate checks the
-    decoded mean against it within a tolerance (JPEG is lossy by
-    nature), while frame counts must match exactly."""
+    quality 95); ``codec="h264"`` wraps them as an Annex-B H.264 I_PCM
+    stream (functions/h264.py) whose gray carriage is BIT-EXACT.
+    ``with_expected=True`` adds ``mean_lum`` computed from the frames
+    BEFORE encoding — for lossy MJPEG the gate checks the decoded mean
+    against it within a tolerance (JPEG is lossy by nature), for h264 it
+    must match exactly; frame counts must always match exactly."""
     from benthos_spark.functions import avi as _avi
+    from benthos_spark.functions import h264 as _h264
 
     yy, xx = np.mgrid[0:height, 0:width]
     base = ((xx + yy) % 256).astype(np.uint8)
@@ -334,6 +346,8 @@ def videos_pdf(ids: np.ndarray, height: int = 24, width: int = 32, n_frames: int
         frames = [((base.astype(np.int64) + int(i) + f) % 256).astype(np.uint8) for f in range(n_frames)]
         if codec == "mjpeg":
             blob = _avi.encode(frames, fps=8.0, quality=95)
+        elif codec == "h264":
+            blob = _h264.encode(frames, fps=8.0)
         else:
             blob = b"".join(fr.tobytes() for fr in frames)
         rows["video_id"].append(f"vid-{int(i):010d}")

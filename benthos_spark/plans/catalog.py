@@ -2596,6 +2596,58 @@ def video_mjpeg_frame_sample(spark, sf_dir):
     )
 
 
+_VIDEOS_H264_GATE = _gate.table_path("sf0.01", "videos_h264")
+
+
+@register(
+    "video_h264_frame_sample",
+    f"""
+    SELECT video_id,
+           n_frames::BIGINT AS n_frames_decoded,
+           TRUE AS lum_ok
+    FROM read_parquet('{_VIDEOS_H264_GATE}')
+    """,
+)
+def video_h264_frame_sample(spark, sf_dir):
+    """H.264 video path under the hash gate: the deterministic videos as
+    from-scratch Annex-B I_PCM streams (functions/h264.py — conformant
+    Baseline SPS/PPS/IDR slices per the public Rec. H.264), exploded
+    frame-by-frame through the frame-sampling UDTF and luminance-
+    measured. Unlike the lossy MJPEG twin, gray I_PCM carriage is
+    BIT-EXACT, so the decoded per-video mean luminance must reproduce
+    the pre-encode ground truth to 1e-9 — a wrong Exp-Golomb parse,
+    emulation-prevention slip, or macroblock raster error fails the
+    hash. Reference parity: opaque-bytes payload processors
+    (/root/reference/internal/message/part.go:8-11)."""
+    from benthos_spark.functions import multimodal as mm
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("video_h264_frame_sample runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    tbl = spark.read.parquet(_gate.table_path(sf, "videos_h264"))
+    vids = tbl.select("video_id", "bytes", "width", "height", "n_frames", "fps", "codec")
+    frames = vids.mapInPandas(mm.frame_sample_map_in_pandas(every_n=1), schema=mm.IMAGE_SCHEMA)
+    feats = frames.mapInPandas(
+        mm.image_features_map_in_pandas(["image_id"]),
+        schema="image_id string, " + mm.IMAGE_FEATURE_FIELDS,
+    )
+    per_video = (
+        feats.withColumn("video_id", F.split(F.col("image_id"), "#")[0])
+        .groupBy("video_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_decoded"),
+            F.avg("mean_lum").alias("dec_mean"),
+        )
+    )
+    expected = tbl.select("video_id", F.col("mean_lum").alias("exp_mean"))
+    return per_video.join(expected, "video_id").select(
+        "video_id",
+        "n_frames_decoded",
+        (F.abs(F.col("dec_mean") - F.col("exp_mean")) < F.lit(1e-9)).alias("lum_ok"),
+    )
+
+
 @register(
     "iceberg_roundtrip_orders",
     """

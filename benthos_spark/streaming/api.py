@@ -155,6 +155,20 @@ class WatchedRun:
             with self._lock, open(self.path) as f:
                 conf = f.read()
                 try:
+                    # Drain before stopping: an in-flight micro-batch whose
+                    # output is visible but whose offsets aren't committed
+                    # yet would otherwise REPLAY into the new config's sink
+                    # (a different sink path keeps its own file-sink
+                    # metadata log, so Spark's own dedup can't cover a
+                    # cross-config restart). processAllAvailable blocks
+                    # until everything readable is processed AND committed
+                    # on this checkpoint; bound it so a wedged source can't
+                    # hang the watcher forever.
+                    drained = threading.Thread(
+                        target=self.query.processAllAvailable, daemon=True
+                    )
+                    drained.start()
+                    drained.join(60)
                     self.query.stop()
                     self.query.awaitTermination(30)
                 except Exception:
