@@ -50,11 +50,12 @@ _TABLES = (
     "clips_augment",
     "videos_mjpeg",
     "videos_h264",
+    "clips_diar",
 )
 
 # Bump when ground-truth columns change shape: stale gate parquet is
 # deleted and regenerated (the VERSION marker file per sf dir).
-GATE_VERSION = 13
+GATE_VERSION = 14
 
 
 def gate_sf_name(sf_dir: str) -> str | None:
@@ -435,6 +436,79 @@ def ensure_gate_tables(sf_name: str) -> None:
         # a real container + JPEG decode; frame counts must be exact.
         ids = np.arange(sizes["videos"] // 4, dtype=np.int64)
         _write_atomic(videos_pdf(ids, codec="mjpeg", with_expected=True), p)
+    p = table_path(sf_name, "clips_diar")
+    if not os.path.exists(p):
+        # diarization ground truth: clips with TWO planted "speakers" —
+        # distinct harmonic envelopes (disjoint dominant partials, seeded
+        # F0s in non-overlapping ranges) — alternating A,B,A,... with
+        # 300 ms silences between turns. truth columns are synthesis
+        # parameters (true_speakers/true_turns/true_labels); the measured
+        # columns run the SAME kernel the query uses
+        # (functions/diarize.py) after the encode→decode round trip, and
+        # generation ASSERTS the kernel recovers the plant exactly, so
+        # the gate proves decode + VAD + embedding + clustering
+        # reproduction AND genuine speaker recovery.
+        import pandas as pd
+
+        from benthos_spark.datagen.clips import _hash_u01
+        from benthos_spark.functions import audio as A
+        from benthos_spark.functions.diarize import diarize_metrics
+
+        ids = np.arange(sizes["clips"] // 6, dtype=np.int64)
+        rows = []
+        for i in ids:
+            sr = 16000 if i % 2 == 0 else 8000
+            codec = "wav" if i % 2 == 0 else "pcm_s16le"
+            arr = np.array([int(i)], dtype=np.uint64)
+            f0_a = 120.0 + _hash_u01(arr, 70)[0] * 60.0  # 120-180 Hz
+            f0_b = 260.0 + _hash_u01(arr, 71)[0] * 80.0  # 260-340 Hz
+            n_turns_true = 2 + int(_hash_u01(arr, 72)[0] * 4)  # 2-5 turns
+            amps = {0: (1.0, 0.5, 0.25, 0.1), 1: (0.35, 1.0, 0.15, 0.6)}
+            f0s = {0: f0_a, 1: f0_b}
+            pieces = []
+            labels = []
+            for k in range(n_turns_true + 1):
+                spk = k % 2
+                dur_s = 0.4 + _hash_u01(arr, 73 + k)[0] * 0.3
+                n = int(round(sr * dur_s))
+                t = np.arange(n, dtype=np.float64) / sr
+                sig = sum(
+                    a * np.sin(2 * np.pi * f0s[spk] * (j + 1) * t + j)
+                    for j, a in enumerate(amps[spk])
+                )
+                sig = 0.3 * sig / max(1e-9, np.abs(sig).max())
+                pieces.append(sig)
+                pieces.append(np.zeros(int(0.3 * sr)))
+                labels.append(spk)
+            x0 = np.concatenate(pieces[:-1])
+            b = A.encode(x0, codec, sr)
+            x = np.asarray(A.decode(b, codec), dtype=np.float64)
+            n_seg, n_spk, n_trn, sp_ms, labs = diarize_metrics(x, sr)
+            true_labs = ",".join(str(v) for v in labels)
+            assert (n_seg, n_spk, n_trn, labs) == (
+                len(labels),
+                2,
+                n_turns_true,
+                true_labs,
+            ), f"diarizer missed gate clip {i}: {(n_seg, n_spk, n_trn, labs)}"
+            rows.append(
+                {
+                    "clip_id": f"dia-{i:010d}",
+                    "bytes": b,
+                    "sr_hz": np.int32(sr),
+                    "dur_ms": np.int32(round(1000.0 * len(x) / sr)),
+                    "codec": codec,
+                    "true_speakers": np.int64(2),
+                    "true_turns": np.int64(n_turns_true),
+                    "true_labels": true_labs,
+                    "n_segments": np.int64(n_seg),
+                    "n_speakers": np.int64(n_spk),
+                    "n_turns": np.int64(n_trn),
+                    "speech_ms": np.int64(sp_ms),
+                    "turn_labels": labs,
+                }
+            )
+        _write_atomic(pd.DataFrame(rows), p)
     p = table_path(sf_name, "videos_h264")
     if not os.path.exists(p):
         # the same deterministic videos as a from-scratch Annex-B H.264

@@ -351,6 +351,41 @@ class VadSegment(Processor):
         )
 
 
+@dataclass
+class Diarize(Processor):
+    """Append speaker-diarization columns (functions/diarize.py:
+    energy-VAD segmentation → gain-invariant mean-log-mel segment
+    embeddings → average-linkage clustering on cosine distance):
+    ``n_segments``, ``n_speakers``, ``n_turns``, ``speech_ms``,
+    ``turn_labels``. Rows with undecodable codecs pass through with
+    ``n_segments = -1`` (never fail a batch on a foreign row). All
+    per-clip work inside one Arrow batch — no shuffle, no state."""
+
+    threshold_db: float = -35.0
+    min_silence_ms: int = 200
+    min_speech_ms: int = 100
+    ahc_threshold: float = 0.2
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from benthos_spark.functions.diarize import DIAR_FIELDS, diarize_map_in_pandas
+
+        work, renames = _renamed(df, self.bytes_col, self.codec_col, self.sr_col)
+        out = work.mapInPandas(
+            diarize_map_in_pandas(
+                list(work.columns),
+                self.threshold_db,
+                self.min_silence_ms,
+                self.min_speech_ms,
+                self.ahc_threshold,
+            ),
+            schema=_schema_plus(work, DIAR_FIELDS),
+        )
+        return _unrenamed(out, renames)
+
+
 # ---------------------------------------------------------------------------
 # Augmentation stages (functions/augment.py) — the training-data expansion
 # pass. All randomness is counter-based splitmix64 keyed on the clip id

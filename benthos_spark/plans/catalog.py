@@ -3585,6 +3585,73 @@ def audio_segmentation_rollup(spark, sf_dir):
     )
 
 
+_CLIPS_DIAR_GATE = _gate.table_path("sf0.01", "clips_diar")
+
+
+@register(
+    "audio_diarization_rollup",
+    f"""
+    SELECT clip_id,
+           n_segments,
+           n_speakers,
+           n_turns,
+           speech_ms,
+           turn_labels,
+           TRUE AS plant_ok
+    FROM read_parquet('{_CLIPS_DIAR_GATE}')
+    ORDER BY clip_id
+    """,
+)
+def audio_diarization_rollup(spark, sf_dir):
+    """Speaker diarization (functions/diarize.py: energy-VAD spans →
+    gain-invariant mean-log-mel segment embeddings → average-linkage
+    clustering on cosine distance) over clips with two PLANTED speakers
+    (distinct harmonic envelopes, seeded alternating turns,
+    datagen/gate.py clips_diar). The stored ground truth was measured
+    through the same kernel at generation time AND asserted equal to
+    the synthesis plant, so this hash passes only if decode, VAD
+    framing, the embedding DSP, and the clustering all reproduce
+    bit-for-bit and the clustering genuinely recovers the planted
+    speaker structure. plant_ok re-checks the plant on the query side
+    (n_speakers == true_speakers, turn sequence == planted sequence).
+    Per-clip work inside one Arrow batch — no shuffle; 100 TB diarizes
+    as a linear mapInPandas projection."""
+    from benthos_spark.functions.diarize import DIAR_FIELDS, diarize_map_in_pandas
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_diarization_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    tbl = spark.read.parquet(_gate.table_path(sf, "clips_diar"))
+    clips = tbl.select("clip_id", "bytes", "sr_hz", "codec")
+    measured = clips.mapInPandas(
+        diarize_map_in_pandas(["clip_id"]), schema="clip_id string, " + DIAR_FIELDS
+    )
+    truth = tbl.select(
+        "clip_id",
+        F.col("true_speakers").alias("t_spk"),
+        F.col("true_turns").alias("t_trn"),
+        F.col("true_labels").alias("t_lab"),
+    )
+    return (
+        measured.join(truth, "clip_id")
+        .select(
+            "clip_id",
+            "n_segments",
+            "n_speakers",
+            "n_turns",
+            "speech_ms",
+            "turn_labels",
+            (
+                (F.col("n_speakers") == F.col("t_spk"))
+                & (F.col("n_turns") == F.col("t_trn"))
+                & (F.col("turn_labels") == F.col("t_lab"))
+            ).alias("plant_ok"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 @register(
     "text_repetition_docs",
     r"""
