@@ -51,6 +51,7 @@ _TABLES = (
     "videos_mjpeg",
     "videos_h264",
     "clips_diar",
+    "clips_emb_topk",
 )
 
 # Bump when ground-truth columns change shape: stale gate parquet is
@@ -508,6 +509,58 @@ def ensure_gate_tables(sf_name: str) -> None:
                     "turn_labels": labs,
                 }
             )
+        _write_atomic(pd.DataFrame(rows), p)
+    p = table_path(sf_name, "clips_emb_topk")
+    if not os.path.exists(p):
+        # audio-similarity ground truth: clip-mean MFCC embeddings of
+        # EVERY clip (decode → functions/audio_dsp.mfcc_mean, the same
+        # kernel the query's mapInPandas stage runs), then brute-force
+        # cosine top-5 for the 10 lexicographically-first clips. All
+        # arithmetic mirrors the Spark plan exactly: dot products and
+        # norms are sequential left folds (matching F.aggregate),
+        # rounding is floor(x*1e4 + 0.5)/1e4 (the same floor expression
+        # JVM-side). The only residual drift is ~1 ulp in the BLAS mel
+        # matmul across processes, absorbed by the 4-decimal rounding.
+        import math
+
+        import pandas as pd
+
+        from benthos_spark.functions import audio as A
+        from benthos_spark.functions import audio_dsp
+
+        clips = pd.read_parquet(table_path(sf_name, "clips"))
+        embs: dict[str, np.ndarray] = {}
+        for r in clips.itertuples():
+            x = np.asarray(A.decode(r.bytes, r.codec), dtype=np.float64)
+            embs[str(r.clip_id)] = audio_dsp.mfcc_mean(x, int(r.sr_hz))
+
+        def fold_dot(a, b):
+            s = 0.0
+            for j in range(len(a)):
+                s += float(a[j]) * float(b[j])
+            return s
+
+        ids_sorted = sorted(embs)
+        norms = {cid: math.sqrt(fold_dot(v, v)) for cid, v in embs.items()}
+        rows = []
+        for qid in ids_sorted[:10]:
+            qa = embs[qid]
+            scored = []
+            for cid in ids_sorted:
+                if cid == qid:
+                    continue
+                cos = fold_dot(qa, embs[cid]) / (norms[qid] * norms[cid])
+                scored.append((math.floor(cos * 10000.0 + 0.5) / 10000.0, cid))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            for rank, (cos_r, cid) in enumerate(scored[:5], 1):
+                rows.append(
+                    {
+                        "q_id": qid,
+                        "cand_id": cid,
+                        "cos": np.float64(cos_r),
+                        "rank": np.int32(rank),
+                    }
+                )
         _write_atomic(pd.DataFrame(rows), p)
     p = table_path(sf_name, "videos_h264")
     if not os.path.exists(p):

@@ -632,6 +632,33 @@ def mfcc_fp_map_in_pandas(passthrough_cols: list[str], with_hashes: bool = False
     return fn
 
 
+def mfcc_embed_map_in_pandas(passthrough_cols: list[str]):
+    """``mapInPandas`` stage: decode → clip-mean MFCC vector as the
+    clip's similarity embedding (``emb array<double>``, N_MFCC dims).
+    The timbre-summary embedding behind audio similarity search; rows
+    whose payload can't decode emit a null embedding. Same float64
+    numpy kernel as the generation-side gate truth (equal to ~1 ulp —
+    the mel matmul is BLAS, whose blocking can differ per process)."""
+    from benthos_spark.functions import audio_dsp
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs: list[list[float] | None] = []
+            for i in range(len(pdf)):
+                try:
+                    x = decode(pdf["bytes"].iat[i], pdf["codec"].iat[i])
+                    embs.append(
+                        [float(v) for v in audio_dsp.mfcc_mean(x, int(pdf["sr_hz"].iat[i]))]
+                    )
+                except Exception:
+                    embs.append(None)
+            out = pdf[passthrough_cols].copy()
+            out["emb"] = embs
+            yield out
+
+    return fn
+
+
 def adpcm_dup_lane_map_in_pandas(dup_every: int):
     """``mapInPandas`` stage for the fingerprint-dedup corpus's transcode
     lane: for clips whose numeric index is divisible by ``dup_every``,

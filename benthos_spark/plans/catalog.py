@@ -3585,6 +3585,80 @@ def audio_segmentation_rollup(spark, sf_dir):
     )
 
 
+_CLIPS_EMB_TOPK_GATE = _gate.table_path("sf0.01", "clips_emb_topk")
+
+
+@register(
+    "audio_embedding_topk",
+    f"""
+    SELECT q_id, cand_id, cos, rank
+    FROM read_parquet('{_CLIPS_EMB_TOPK_GATE}')
+    ORDER BY q_id, rank
+    """,
+)
+def audio_embedding_topk(spark, sf_dir):
+    """Audio similarity search end-to-end under the hash gate: decode →
+    clip-mean MFCC embedding (mapInPandas, linear), then brute-force
+    cosine top-5 for the 10 first clips — the audio analog of
+    embedding_cosine_topk, except the embeddings themselves come from
+    the payload DSP path, not a stored column. The generation-side
+    truth used sequential left-fold dots/norms and floor-based rounding
+    mirroring this plan's F.aggregate folds exactly — any drift in
+    decode, the MFCC kernel, or the fold arithmetic beyond the ~1-ulp
+    cross-process BLAS tolerance (absorbed by round-4) fails the hash.
+    Scale shape: queries broadcast (10 rows), candidates stream — no
+    shuffle of the big side; the O(n²) all-pairs variant is deliberately
+    absent (see embedding_neardup_lsh_pairs for the scale path)."""
+    from pyspark.sql.window import Window
+
+    from benthos_spark.functions import audio as A
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_embedding_topk runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    clips = spark.read.parquet(_gate.table_path(sf, "clips")).select(
+        "clip_id", "bytes", "sr_hz", "codec"
+    )
+    emb = clips.mapInPandas(
+        A.mfcc_embed_map_in_pandas(["clip_id"]),
+        schema="clip_id string, emb array<double>",
+    ).filter(F.col("emb").isNotNull())
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb = emb.withColumn("nrm", norm)
+    q = (
+        emb.orderBy("clip_id")
+        .limit(10)
+        .select(
+            F.col("clip_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    c = emb.select(
+        F.col("clip_id").alias("cand_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("q_nrm") * F.col("c_nrm"))
+    cos_r = F.floor(cos * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select("q_id", "cand_id", cos_r.alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "cand_id", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("q_id", "rank")
+    )
+
+
 _CLIPS_DIAR_GATE = _gate.table_path("sf0.01", "clips_diar")
 
 

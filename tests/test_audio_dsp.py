@@ -260,3 +260,44 @@ def test_adpcm_dup_lane_stage_spark(spark):
     ids = sorted(r["fp_id"] for r in out)
     assert ids == [f"clip-{i:012d}~adpcm" for i in range(0, 20, 5)]
     assert all(r["n_fp"] == len(r["fp_hashes"]) for r in out)
+
+
+def test_mfcc_embed_stage_spark(spark):
+    from benthos_spark.functions import audio_dsp
+
+    df = clips.generate_clips(spark, 10, partitions=2)
+    out = df.mapInPandas(
+        audio.mfcc_embed_map_in_pandas(["clip_id", "bytes", "sr_hz", "codec"]),
+        schema="clip_id string, bytes binary, sr_hz int, codec string, emb array<double>",
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["emb"] is not None and len(r["emb"]) == audio_dsp.N_MFCC
+        # Spark-side embedding matches the local kernel to ~1 ulp (the
+        # mel matmul is BLAS, whose blocking may differ across worker
+        # processes; the catalog entry's round-4 output absorbs this)
+        x = audio.decode(bytes(r["bytes"]), r["codec"])
+        local = audio_dsp.mfcc_mean(np.asarray(x, dtype=np.float64), r["sr_hz"])
+        np.testing.assert_allclose(np.asarray(r["emb"]), local, rtol=0, atol=1e-12)
+
+
+def test_mfcc_embed_stage_foreign_codec(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["bad"],
+            "bytes": [b"\x00\x01"],
+            "sr_hz": np.array([16000], dtype=np.int32),
+            "codec": ["opus"],
+        }
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .mapInPandas(
+            audio.mfcc_embed_map_in_pandas(["clip_id"]),
+            schema="clip_id string, emb array<double>",
+        )
+        .collect()
+    )
+    assert out[0]["emb"] is None
