@@ -1627,6 +1627,176 @@ class IcebergTable:
         end = ordered.index(until_snapshot_id) + 1
         return ordered[start:end]
 
+    @staticmethod
+    def _norm_path(p: str) -> str:
+        import re as _re
+
+        return _re.sub("^file:/+", "/", p)
+
+    def _added_entries(self, snapshot_id: int, data: bool) -> list[dict]:
+        """Manifest entries ADDED by exactly this snapshot — data files
+        (``data=True``) or delete files, tagged with _seq/_spec_id the
+        way _live_entries tags them."""
+        snap = self.snapshot(snapshot_id)
+        out = []
+        for mf in M.read_manifest_list(snap["manifest-list"]):
+            if mf["added_snapshot_id"] != snapshot_id:
+                continue
+            if data != (mf["content"] == 0):
+                continue
+            for entry in M.read_manifest(mf["manifest_path"]):
+                if entry["status"] != M.STATUS_ADDED:
+                    continue
+                f = entry["data_file"]
+                f["_seq"] = (
+                    entry["sequence_number"]
+                    if entry.get("sequence_number") is not None
+                    else mf["sequence_number"]
+                )
+                f["_spec_id"] = mf.get("partition_spec_id", self.metadata["default-spec-id"])
+                out.append(f)
+        return out
+
+    def changelog_scan(
+        self,
+        spark: SparkSession,
+        after_snapshot_id: int | None = None,
+        until_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level change stream for snapshots in (after, until]: the
+        table schema plus ``_change_type`` ('insert' | 'delete'),
+        ``_snapshot_id`` and ``_commit_order`` (1-based position within
+        the requested range) — the engine-native analog of Iceberg's
+        ``create_changelog_view`` procedure, and the downstream half of
+        the CDC story (operators/cdc.py writes changelogs in; this reads
+        them back out for incremental consumers).
+
+        Per-snapshot semantics, derived from the operation the writer
+        stamped (7.x writers in this module):
+
+        - ``append``      → inserts from the files the snapshot added.
+        - ``delete``      → pre-images of rows killed by the snapshot's
+          new position-delete files (exact (file, pos) lookup) or
+          equality-delete files (null-safe key semi-join against the
+          parent's live rows — the spec's strictly-smaller-sequence
+          scope means exactly those rows die).
+        - ``overwrite``   → both of the above plus pre-images of rows in
+          data files the snapshot REMOVED (full-table overwrites); an
+          upsert therefore reads as delete(old image) + insert(new).
+        - ``replace`` and compaction-flagged overwrites (rewrite_data_
+          files / rewrite_manifests / compact) change nothing logically
+          and emit nothing — same caveat as Iceberg's own changelog.
+
+        Updates are emitted as delete+insert pairs (no pre/post-image
+        pairing column); consumers that need upsert semantics key on the
+        natural key and take the last _commit_order. Scale: each
+        snapshot touches only its own added files / delete files /
+        removed files — never a full-history scan; the parent-side key
+        semi-join for equality deletes is the same key-shuffle profile
+        as the merge-on-read scan path."""
+        self.refresh()
+        cur = self.current_snapshot()
+        if until_snapshot_id is None:
+            if cur is None:
+                return self._changelog_empty(spark)
+            until_snapshot_id = cur["snapshot-id"]
+        parts: list[DataFrame] = []
+        base_cols = [f.name for f in self.spark_schema.fields]
+
+        def tag(df: DataFrame, ct: str, sid: int, order: int) -> DataFrame:
+            return df.select(base_cols).withColumns(
+                {
+                    "_change_type": F.lit(ct),
+                    "_snapshot_id": F.lit(sid).cast("long"),
+                    "_commit_order": F.lit(order).cast("int"),
+                }
+            )
+
+        for order, sid in enumerate(
+            self.snapshots_between(after_snapshot_id, until_snapshot_id), 1
+        ):
+            snap = self.snapshot(sid)
+            summary = snap.get("summary", {})
+            op = summary.get("operation")
+            if op == "replace" or summary.get("benthos-spark.compaction") == "true":
+                continue
+            parent_id = snap.get("parent-snapshot-id")
+            parent_data, parent_dels = (
+                self._live_entries(parent_id) if parent_id is not None else ([], [])
+            )
+            added_data = self._added_entries(sid, data=True)
+            if added_data:
+                parts.append(tag(self._df_for_files(spark, added_data), "insert", sid, order))
+            # pre-images of rows in data files this snapshot removed
+            snap_paths = {
+                self._norm_path(f["file_path"]) for f in self._live_entries(sid)[0]
+            }
+            removed = [
+                f for f in parent_data if self._norm_path(f["file_path"]) not in snap_paths
+            ]
+            if removed:
+                gone = self._df_for_files(spark, removed, delete_files=parent_dels)
+                parts.append(tag(gone, "delete", sid, order))
+            added_dels = self._added_entries(sid, data=False)
+            pos_new = [f for f in added_dels if f["content"] == M.CONTENT_POSITION_DELETES]
+            eq_new = [f for f in added_dels if f["content"] == M.CONTENT_EQUALITY_DELETES]
+            if pos_new and parent_data:
+                dd = spark.read.parquet(*[f["file_path"] for f in pos_new]).select(
+                    self._norm_path_col(F.col("file_path")).alias("_del_file"),
+                    F.col("pos").alias("_del_pos"),
+                )
+                ref_paths = {r["_del_file"] for r in dd.select("_del_file").distinct().collect()}
+                refs = [
+                    f for f in parent_data if self._norm_path(f["file_path"]) in ref_paths
+                ]
+                if refs:
+                    rows = self._df_for_files(spark, refs, with_meta=True)
+                    killed = rows.join(
+                        dd,
+                        (rows["_bs_file"] == dd["_del_file"])
+                        & (rows["_bs_pos"] == dd["_del_pos"]),
+                        "left_semi",
+                    )
+                    parts.append(tag(killed, "delete", sid, order))
+            if eq_new and parent_data:
+                id2name = {f["id"]: f["name"] for f in self.schema_json["fields"]}
+                live_parent = self._df_for_files(
+                    spark, parent_data, delete_files=parent_dels
+                )
+                groups: dict[tuple[int, ...], list[dict]] = {}
+                for f in eq_new:
+                    groups.setdefault(tuple(f["equality_ids"] or ()), []).append(f)
+                for eq_ids, dfiles in groups.items():
+                    if not eq_ids:
+                        continue
+                    key_cols = [id2name[i] for i in eq_ids]
+                    keys = (
+                        spark.read.parquet(*[f["file_path"] for f in dfiles])
+                        .select([F.col(c).alias(f"_ck_{c}") for c in key_cols])
+                        .distinct()
+                    )
+                    cond = None
+                    for c in key_cols:
+                        clause = live_parent[c].eqNullSafe(keys[f"_ck_{c}"])
+                        cond = clause if cond is None else (cond & clause)
+                    killed = live_parent.join(keys, cond, "left_semi")
+                    parts.append(tag(killed, "delete", sid, order))
+        if not parts:
+            return self._changelog_empty(spark)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _changelog_empty(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame([], self.spark_schema).withColumns(
+            {
+                "_change_type": F.lit(None).cast("string"),
+                "_snapshot_id": F.lit(None).cast("long"),
+                "_commit_order": F.lit(None).cast("int"),
+            }
+        )
+
     def compact(self, spark: SparkSession, summary: dict[str, str] | None = None) -> int:
         """Major compaction: rewrite the table as one overwrite snapshot
         of its current live rows — folds accumulated position-delete

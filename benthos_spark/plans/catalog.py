@@ -2701,6 +2701,85 @@ def iceberg_roundtrip_orders(spark, sf_dir):
 
 
 @register(
+    "iceberg_changelog_orders",
+    """
+    WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+    b AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1),
+    upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS tp FROM orders
+            WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 = 0),
+    nw AS (SELECT o_orderkey, o_totalprice AS tp FROM orders
+           WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0),
+    live3 AS (
+      SELECT o_orderkey, o_totalprice AS tp FROM a WHERE o_orderkey % 5 <> 0
+      UNION ALL SELECT o_orderkey, o_totalprice FROM b
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM nw
+    ),
+    chg AS (
+      SELECT 1 AS commit_order, 'insert' AS change_type, o_orderkey, o_totalprice AS tp FROM a
+      UNION ALL SELECT 2, 'insert', o_orderkey, o_totalprice FROM b
+      UNION ALL SELECT 3, 'delete', o_orderkey, o_totalprice FROM a WHERE o_orderkey % 5 = 0
+      UNION ALL SELECT 3, 'insert', o_orderkey, tp FROM upd
+      UNION ALL SELECT 3, 'insert', o_orderkey, tp FROM nw
+      UNION ALL SELECT 4, 'delete', o_orderkey, tp FROM live3 WHERE tp > 250000.0
+    )
+    SELECT commit_order, change_type,
+           count(*) AS n,
+           sum(CAST(round(tp * 100.0, 0) AS BIGINT)) AS total_cents,
+           count(DISTINCT o_orderkey) AS n_keys
+    FROM chg GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def iceberg_changelog_orders(spark, sf_dir):
+    """Row-level changelog scan (iceberg/table.py changelog_scan — the
+    create_changelog_view analog, the downstream half of the CDC story):
+    a 4-commit history (two appends, an equality-delete upsert that
+    updates every 5th key of commit 1 and inserts new keys, then a
+    delete_where) read back as insert/delete pre- and post-images. The
+    DuckDB oracle replays the same operations as pure SQL CTEs, so the
+    per-commit image sets must land exactly. Money sums are integer
+    cents per row before aggregation — order-independent, no float-sum
+    tolerance."""
+    import shutil
+    import tempfile
+
+    from benthos_spark.iceberg import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="bs_iceberg_chlog_")
+    try:
+        t = IcebergTable.create(tmp + "/t", o.schema)
+        t.append(o.filter(F.col("o_orderkey") % 3 == 0))
+        t.append(o.filter(F.col("o_orderkey") % 3 == 1))
+        upd = o.filter((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 5 == 0)).select(
+            "o_orderkey", (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice")
+        )
+        new = o.filter((F.col("o_orderkey") % 3 == 2) & (F.col("o_orderkey") % 7 == 0))
+        t.upsert(spark, upd.unionByName(new), on=["o_orderkey"])
+        t.delete_where(spark, "o_totalprice > 250000.0")
+        out = (
+            t.changelog_scan(spark)
+            .groupBy(
+                F.col("_commit_order").alias("commit_order"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+                ).alias("total_cents"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+            )
+            .orderBy("commit_order", "change_type")
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "iceberg_rewrite_files_orders",
     """
     SELECT o_orderstatus,
@@ -3899,7 +3978,10 @@ GATE_PRIORITY: list[str] = [
     # Iceberg table format (round 3+)
     "iceberg_roundtrip_orders",
     "iceberg_upsert_orders",
-    "iceberg_delete_where_orders",
+    # changelog_scan's 4-commit history EXERCISES delete_where + upsert
+    # pre-images, strictly more coverage than the plain delete entry
+    # (which stays hash-checked in the local gate outside the window)
+    "iceberg_changelog_orders",
     "iceberg_refs_meta_orders",
     "iceberg_spec_evolution_orders",
     # CDC changelog -> MERGE
@@ -3924,7 +4006,9 @@ GATE_PRIORITY: list[str] = [
     "audio_vad_rollup",
     "audio_pitch_rollup",
     "audio_quality_rollup",
-    "audio_segmentation_rollup",
+    # diarization = VAD segmentation + embedding + clustering: subsumes
+    # the plain segmentation entry (which stays in the local gate)
+    "audio_diarization_rollup",
     "audio_augment_rollup",
     # image / video / binary-content (mjpeg folds under video_frame_sample's
     # family — it stays hash-checked in the local gate outside the window)
