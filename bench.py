@@ -275,8 +275,20 @@ def main() -> None:
         t0 = time.time()
         aug_chain(aug_clips).write.mode("overwrite").format("noop").save()
         aug_best = min(aug_best, time.time() - t0)
-    aug_clips.unpersist()
     timings["augment_chain_batch"] = round(aug_best, 3)
+
+    # diarization throughput: decode → VAD → mel embeddings → clustering
+    # per clip (operators/audio.Diarize) over the same persisted corpus
+    from benthos_spark.operators.audio import Diarize
+
+    diar = Diarize()
+    diar_best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        diar(aug_clips).write.mode("overwrite").format("noop").save()
+        diar_best = min(diar_best, time.time() - t0)
+    aug_clips.unpersist()
+    timings["diarize_batch"] = round(diar_best, 3)
 
     total = time.time() - total0
     print(
@@ -294,6 +306,7 @@ def main() -> None:
                 "flagship_iceberg_exec_sec": round(ice_exec, 3),
                 "n_clips": n_clips,
                 "augment_clips_per_sec": round(N_CLIPS / aug_best, 2),
+                "diarize_clips_per_sec": round(N_CLIPS / diar_best, 2),
                 "clips_datagen_sec": round(datagen_sec, 3),
                 # host-load context: single-thread numpy canary, quiet-
                 # host reference ~0.27s — scale per-query readings by

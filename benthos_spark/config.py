@@ -486,6 +486,20 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "align_transcript":
+        from benthos_spark.operators.audio import AlignTranscript
+
+        conf = conf or {}
+        return AlignTranscript(
+            id_col=conf.get("id_col", "clip_id"),
+            transcript_col=conf.get("transcript_col", "transcript"),
+            threshold_db=conf.get("threshold_db", -35.0),
+            min_silence_ms=conf.get("min_silence_ms", 200),
+            min_speech_ms=conf.get("min_speech_ms", 100),
+            bytes_col=conf.get("bytes_col", "bytes"),
+            codec_col=conf.get("codec_col", "codec"),
+            sr_col=conf.get("sr_col", "sr_hz"),
+        )
     if name == "pitch_measure":
         from benthos_spark.operators.audio import PitchMeasure
 
@@ -693,6 +707,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
         "pitch_measure, quality_measure, quality_gate, vad_segment, diarize, "
+        "align_transcript, "
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
         "subprocess, command, http, sequence_match, funnel_match, absence_match"

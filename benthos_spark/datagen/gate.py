@@ -52,6 +52,7 @@ _TABLES = (
     "videos_h264",
     "clips_diar",
     "clips_emb_topk",
+    "clips_align",
 )
 
 # Bump when ground-truth columns change shape: stale gate parquet is
@@ -507,6 +508,74 @@ def ensure_gate_tables(sf_name: str) -> None:
                     "n_turns": np.int64(n_trn),
                     "speech_ms": np.int64(sp_ms),
                     "turn_labels": labs,
+                }
+            )
+        _write_atomic(pd.DataFrame(rows), p)
+    p = table_path(sf_name, "clips_align")
+    if not os.path.exists(p):
+        # word-alignment ground truth: the clips_vad construction (two
+        # seeded silence spans) plus a seeded transcript; the alignment
+        # digest columns run the SAME integer-ms kernel the query uses
+        # (functions/align.py) after the encode→decode round trip, and
+        # generation ASSERTS the structural invariants (every word
+        # placed, monotone non-overlapping spans, every span inside a
+        # VAD segment) so the gate proves decode + VAD + layout
+        # reproduction AND a structurally valid alignment.
+        import pandas as pd
+
+        from benthos_spark.datagen.clips import (
+            _hash_u01,
+            clip_params,
+            make_transcript,
+            reference_signal,
+        )
+        from benthos_spark.functions import audio as A
+        from benthos_spark.functions.align import align_words
+        from benthos_spark.functions.vad import vad_segments
+
+        ids = np.arange(sizes["clips"] // 6, dtype=np.int64)
+        params = clip_params(ids)
+        rows = []
+        for i in ids:
+            sr = int(params["sr_hz"][i])
+            dur = int(params["dur_ms"][i])
+            codec = "wav" if i % 2 == 0 else "pcm_s16le"
+            transcript = make_transcript(int(i), dur)
+            sig = reference_signal(int(i), sr, dur).copy()
+            arr = np.array([int(i)], dtype=np.uint64)
+            for k in range(2):
+                off = _hash_u01(arr, 50 + 2 * k)[0]
+                ln = 0.10 + 0.15 * _hash_u01(arr, 51 + 2 * k)[0]
+                s0 = int(off * (1 - ln) * len(sig))
+                sig[s0 : s0 + int(ln * len(sig))] = 0.0
+            b = A.encode(sig, codec, sr)
+            x = np.asarray(A.decode(b, codec), dtype=np.float64)
+            words = align_words(x, sr, transcript)
+            segs = vad_segments(x, sr)
+            assert len(words) == len(transcript.split()), f"clip {i}: word dropped"
+            prev_end = {-1: -1}
+            for w, j, k2, s, e in words:
+                assert s <= e, f"clip {i}: negative span"
+                assert s >= prev_end.get(k2, -1), f"clip {i}: overlap in seg {k2}"
+                prev_end[k2] = e
+                if k2 >= 0:
+                    ss, se = segs[k2]
+                    assert ss <= s and e <= se, f"clip {i}: span outside segment"
+            rows.append(
+                {
+                    "clip_id": f"aln-{i:010d}",
+                    "bytes": b,
+                    "sr_hz": np.int32(sr),
+                    "dur_ms": np.int32(dur),
+                    "codec": codec,
+                    "transcript": transcript,
+                    "n_words": np.int64(len(words)),
+                    "n_segs_used": np.int64(len({k2 for _, _, k2, _, _ in words})),
+                    "sum_start_ms": np.int64(sum(s for *_, s, _ in words)),
+                    "sum_end_ms": np.int64(sum(e for *_, _, e in words)),
+                    "map_digest": np.int64(
+                        sum((j + 1) * (k2 + 2) for _, j, k2, _, _ in words)
+                    ),
                 }
             )
         _write_atomic(pd.DataFrame(rows), p)

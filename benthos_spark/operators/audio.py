@@ -352,6 +352,38 @@ class VadSegment(Processor):
 
 
 @dataclass
+class AlignTranscript(Processor):
+    """Explode each clip into per-word alignment rows (functions/
+    align.py: VAD speech timeline + proportional word layout — the
+    model-free forced-alignment baseline). OUTPUT SCHEMA CHANGES to
+    ``<id_col>, word, word_idx, seg_idx, start_ms, end_ms``."""
+
+    id_col: str = "clip_id"
+    transcript_col: str = "transcript"
+    threshold_db: float = -35.0
+    min_silence_ms: int = 200
+    min_speech_ms: int = 100
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    sr_col: str = "sr_hz"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from benthos_spark.functions.align import ALIGN_FIELDS, align_map_in_pandas
+
+        work, _ = _renamed(df, self.bytes_col, self.codec_col, self.sr_col)
+        return work.mapInPandas(
+            align_map_in_pandas(
+                self.id_col,
+                self.transcript_col,
+                self.threshold_db,
+                self.min_silence_ms,
+                self.min_speech_ms,
+            ),
+            schema=f"{self.id_col} string, " + ALIGN_FIELDS,
+        )
+
+
+@dataclass
 class Diarize(Processor):
     """Append speaker-diarization columns (functions/diarize.py:
     energy-VAD segmentation → gain-invariant mean-log-mel segment

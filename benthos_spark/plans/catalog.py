@@ -3738,6 +3738,55 @@ def audio_embedding_topk(spark, sf_dir):
     )
 
 
+_CLIPS_ALIGN_GATE = _gate.table_path("sf0.01", "clips_align")
+
+
+@register(
+    "audio_align_rollup",
+    f"""
+    SELECT clip_id, n_words, n_segs_used, sum_start_ms, sum_end_ms, map_digest
+    FROM read_parquet('{_CLIPS_ALIGN_GATE}')
+    ORDER BY clip_id
+    """,
+)
+def audio_align_rollup(spark, sf_dir):
+    """Transcript word alignment (functions/align.py: VAD speech
+    timeline + proportional word layout — the model-free forced-
+    alignment baseline ASR corpus builds bootstrap from): each clip of
+    the clips_align gate table (planted silence spans + seeded
+    transcript) explodes into per-word timestamp rows through the
+    alignment UDTF, then rolls back up to per-clip digests. The stored
+    truth ran the same integer-ms kernel at generation time with
+    structural invariants asserted (every word placed, monotone
+    non-overlapping spans, spans inside VAD segments), so the hash
+    passes only on bit-exact decode + VAD framing + layout arithmetic.
+    Per-clip work in one Arrow batch; the rollup is one keyed agg."""
+    from benthos_spark.functions.align import ALIGN_FIELDS, align_map_in_pandas
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("audio_align_rollup runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    tbl = spark.read.parquet(_gate.table_path(sf, "clips_align"))
+    clips = tbl.select("clip_id", "bytes", "sr_hz", "codec", "transcript")
+    words = clips.mapInPandas(
+        align_map_in_pandas("clip_id"), schema="clip_id string, " + ALIGN_FIELDS
+    )
+    return (
+        words.groupBy("clip_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("seg_idx").alias("n_segs_used"),
+            F.sum("start_ms").alias("sum_start_ms"),
+            F.sum("end_ms").alias("sum_end_ms"),
+            F.sum(
+                (F.col("word_idx") + F.lit(1)) * (F.col("seg_idx") + F.lit(2))
+            ).cast("long").alias("map_digest"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 _CLIPS_DIAR_GATE = _gate.table_path("sf0.01", "clips_diar")
 
 

@@ -65,6 +65,14 @@ AUDITED = [
     "audio_augment_rollup",
     "audio_cmvn_stats",
     "speaking_rate_clips",
+    # round-4 fourth session: diarization + h264 frame sampling are
+    # designed mapInPandas decode stages (one scan, linear, no state);
+    # audio_embedding_topk must show the broadcast on the QUERY side
+    # only (candidates stream)
+    "audio_diarization_rollup",
+    "video_h264_frame_sample",
+    "audio_embedding_topk",
+    "audio_align_rollup",
     # iceberg_*/cdc_* gate entries materialize state and return collected
     # rows (their returned frame is a LocalTableScan); their plan story
     # is told by test_partition_pruning_reaches_scan + the scan audit
