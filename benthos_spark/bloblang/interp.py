@@ -942,9 +942,14 @@ _GO_TO_PY = [
     ("05", "%S"),
     ("Z07:00", "%:z"),
     ("-07:00", "%:z"),
+    ("Z0700", "%z"),
+    ("-0700", "%z"),
     ("MST", "%Z"),
     ("03", "%I"),
     ("PM", "%p"),
+    # two-digit year: replaced LAST so every other "06"-bearing token
+    # ("2006") has already been consumed
+    ("06", "%y"),
 ]
 
 _GO_FRAC_RE = _re.compile(r"\.(9+|0+)")

@@ -486,6 +486,17 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "awk":
+        from benthos_spark.operators.awk import AwkProcessor
+
+        conf = conf or {}
+        if "program" not in conf:
+            raise ConfigError("awk processor needs a `program`")
+        return AwkProcessor(
+            program=conf["program"],
+            codec=conf.get("codec", "text"),
+            col=conf.get("col", "content"),
+        )
     if name == "align_transcript":
         from benthos_spark.operators.audio import AlignTranscript
 
@@ -707,7 +718,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
         "pitch_measure, quality_measure, quality_gate, vad_segment, diarize, "
-        "align_transcript, "
+        "align_transcript, awk, "
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
         "subprocess, command, http, sequence_match, funnel_match, absence_match"

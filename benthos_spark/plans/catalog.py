@@ -3738,6 +3738,62 @@ def audio_embedding_topk(spark, sf_dir):
     )
 
 
+@register(
+    "awk_orders_tiers",
+    """
+    SELECT CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS tier,
+           count(*) AS n,
+           count(DISTINCT o_orderkey) AS n_keys,
+           sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS total_cents
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def awk_orders_tiers(spark, sf_dir):
+    """`awk` processor under the hash gate (operators/awk.py over the
+    from-scratch POSIX-AWK-subset interpreter, functions/awk.py —
+    reference embeds goawk, internal/impl/awk/processor.go:26): each
+    order rides as a JSON message, the program classifies it with
+    json_get + a numeric ternary and prints a derived line, and the
+    rollup of the re-parsed output must match DuckDB computing the same
+    tiering in SQL. Full-precision parity: json_get marshals doubles
+    with round-tripping repr, so the awk-side comparison sees exactly
+    the stored double. Money sums are integer cents per row."""
+    from benthos_spark.operators.awk import AwkProcessor
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.to_json(F.struct("o_orderkey", "o_totalprice")).alias("content")
+        )
+    )
+    prog = (
+        '{ print json_get("o_orderkey") "|" '
+        '(json_get("o_totalprice") + 0 > 200000 ? "big" : "small") "|" '
+        'json_get("o_totalprice") }'
+    )
+    out = AwkProcessor(program=prog, codec="none")(o)
+    parts = F.split(F.col("content"), r"\|")
+    return (
+        out.select(
+            parts[0].cast("long").alias("o_orderkey"),
+            parts[1].alias("tier"),
+            parts[2].cast("double").alias("o_totalprice"),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum(
+                F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+            ).alias("total_cents"),
+        )
+        .orderBy("tier")
+    )
+
+
 _CLIPS_ALIGN_GATE = _gate.table_path("sf0.01", "clips_align")
 
 
@@ -4076,7 +4132,10 @@ GATE_PRIORITY: list[str] = [
     "text_repetition_docs",
     "pii_scrub_docs",
     "minhash_lsh_neardup",
-    "simhash_docs",
+    # awk is a NEW family (plugin-language processor surface); simhash
+    # cedes its slot — near-dup keeps minhash + embedding LSH reps and
+    # simhash stays hash-checked in the local gate
+    "awk_orders_tiers",
     "embedding_neardup_lsh_pairs",
     "embedding_ann_ivf_topk",
     # processor routing + skew
