@@ -139,6 +139,62 @@ def run_echo(path: str) -> int:
     return 0
 
 
+def component_registry() -> dict[str, list[str]]:
+    """Component names per section, extracted from the compiler's own
+    unknown-component errors — the single source of truth, so `list`
+    can never drift from what actually dispatches."""
+    from benthos_spark.config import ConfigError, _cache_resource, _input, _output, _proc
+
+    out: dict[str, list[str]] = {}
+    probes = {
+        "inputs": lambda: _input({"__nope__": {}}, None),
+        "processors": lambda: _proc({"__nope__": {}}, None),
+        "outputs": lambda: _output({"__nope__": {}}, None),
+        "caches": lambda: _cache_resource({"label": "x", "__nope__": {}}),
+    }
+    for section, probe in probes.items():
+        try:
+            probe()
+        except ConfigError as e:
+            known = str(e).split("known:", 1)[1]
+            out[section] = sorted(
+                n.strip() for n in known.replace("\n", " ").split(",") if n.strip()
+            )
+        except Exception:
+            out[section] = []
+    return out
+
+
+def run_list() -> int:
+    """`benthos list` (internal/cli/list.go): print every registered
+    component per section."""
+    for section, names in component_registry().items():
+        print(section.upper())
+        for n in names:
+            print(f"  {n}")
+    return 0
+
+
+def run_create(kind: str = "") -> int:
+    """`benthos create` (internal/cli/create.go): print a starter config
+    (optionally `input/processor/output` as a path triple)."""
+    parts = (kind or "parquet/mapping/exactly_once").split("/")
+    inp = parts[0] if len(parts) > 0 and parts[0] else "parquet"
+    proc = parts[1] if len(parts) > 1 and parts[1] else "mapping"
+    outp = parts[2] if len(parts) > 2 and parts[2] else "exactly_once"
+    print(
+        f"""input:
+  {inp}: {{path: /path/to/input, streaming: true}}
+pipeline:
+  processors:
+    - {proc}: {{}}
+output:
+  {outp}: {{dir: /path/to/output}}
+"""
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "blobl":
@@ -149,6 +205,10 @@ def main(argv: list[str] | None = None) -> int:
         return run_lint(argv[1:])
     if argv and argv[0] == "echo":
         return run_echo(argv[1])
+    if argv and argv[0] == "list":
+        return run_list()
+    if argv and argv[0] == "create":
+        return run_create(argv[1] if len(argv) > 1 else "")
     ap = argparse.ArgumentParser(prog="benthos_spark")
     ap.add_argument("-c", "--config", required=True, help="pipeline YAML path")
     ap.add_argument("--checkpoint", required=True)

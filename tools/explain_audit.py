@@ -73,6 +73,7 @@ AUDITED = [
     "video_h264_frame_sample",
     "audio_embedding_topk",
     "audio_align_rollup",
+    "awk_orders_tiers",
     # iceberg_*/cdc_* gate entries materialize state and return collected
     # rows (their returned frame is a LocalTableScan); their plan story
     # is told by test_partition_pruning_reaches_scan + the scan audit
