@@ -195,8 +195,55 @@ output:
     return 0
 
 
+def run_template_lint(paths: list[str]) -> int:
+    """`benthos template lint` (internal/cli/template): parse each
+    template file and run its embedded expansion tests."""
+    from benthos_spark.templates import TemplateError, parse_template, run_template_tests
+
+    failed = 0
+    for path in paths:
+        try:
+            with open(path) as f:
+                t = parse_template(f.read())
+        except (TemplateError, OSError) as e:
+            print(f"LINT {path}: {e}")
+            failed += 1
+            continue
+        failures = run_template_tests(t)
+        for msg in failures:
+            print(f"LINT {path}: {msg}")
+        failed += len(failures)
+        if not failures:
+            print(f"OK   {path}")
+    return 1 if failed else 0
+
+
+def _load_templates_opt(argv: list[str]) -> list[str]:
+    """Consume -t/--templates FILE options (repeatable) and register the
+    templates; returns argv with the options removed."""
+    from benthos_spark.templates import load_template_files
+
+    out: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] in ("-t", "--templates") and i + 1 < len(argv):
+            for lint in load_template_files([argv[i + 1]]):
+                print(f"WARN {lint}", file=sys.stderr)
+            i += 2
+        else:
+            out.append(argv[i])
+            i += 1
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "template":
+        if len(argv) >= 2 and argv[1] == "lint":
+            return run_template_lint(argv[2:])
+        print("usage: python -m benthos_spark template lint <files...>", file=sys.stderr)
+        return 2
+    argv = _load_templates_opt(argv)
     if argv and argv[0] == "blobl":
         return run_blobl(argv[1:])
     if argv and argv[0] == "test":

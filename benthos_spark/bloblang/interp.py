@@ -215,24 +215,41 @@ def _get_path(v, path):
 
 def _set_path(container, path, value):
     """Create nested objects along the way (gabs-style assignment,
-    mapping/assignment.go)."""
+    mapping/assignment.go). The segment ``-`` on a LIST target appends
+    (gabs array-append — what config templates use to build processor
+    lists, internal/template/template.go)."""
     if not path:
         return value
-    if not isinstance(container, dict):
+    if not isinstance(container, (dict, list)):
         container = {}
+    root = container
     cur = container
-    for seg in path[:-1]:
-        nxt = cur.get(seg)
-        if not isinstance(nxt, dict):
+    for i, seg in enumerate(path[:-1]):
+        if isinstance(cur, list) and seg == "-":
+            nxt = {}
+            cur.append(nxt)
+            cur = nxt
+            continue
+        nxt = cur.get(seg) if isinstance(cur, dict) else None
+        if path[i + 1] == "-":
+            # the next segment appends: this level must be a list
+            if not isinstance(nxt, list):
+                nxt = []
+                cur[seg] = nxt
+        elif not isinstance(nxt, dict):
             nxt = {}
             cur[seg] = nxt
         cur = nxt
     last = path[-1]
+    if isinstance(cur, list) and last == "-":
+        if value is not DELETED:
+            cur.append(value)
+        return root
     if value is DELETED:
         cur.pop(last, None)
     else:
         cur[last] = value
-    return container
+    return root
 
 
 def _icompare(a, b) -> bool:

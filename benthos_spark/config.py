@@ -101,6 +101,11 @@ def _cache_resource(item: dict):
     elif kind == "file":
         c = C.FileCache(directory=conf["directory"])
     else:
+        expanded = _try_template(
+            "cache", kind, conf, lambda spec, _res: _cache_resource({"label": "t", **spec}), None
+        )
+        if expanded is not None:
+            return expanded
         raise ConfigError(f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file")
     for k, v in (conf.get("init_values") or {}).items():
         c.set(k, v)
@@ -108,6 +113,35 @@ def _cache_resource(item: dict):
 
 
 # -- inputs -----------------------------------------------------------------
+
+
+_TPL_DEPTH = 0
+
+
+def _try_template(ttype: str, name: str, conf, dispatch, resources):
+    """Template expansion hook (internal/template/template.go
+    ExpandToNode): if `name` is a registered template of this component
+    type, render its Bloblang mapping over the field values and compile
+    the produced component config. Returns None when no template
+    matches (the caller raises its unknown-component error). Depth-
+    capped so a self-referential template fails with a clear message."""
+    global _TPL_DEPTH
+    from benthos_spark import templates as _templates
+
+    t = _templates.lookup(ttype, name)
+    if t is None:
+        return None
+    if _TPL_DEPTH >= 25:
+        raise ConfigError(f"template expansion too deep at {name!r} (cycle?)")
+    _TPL_DEPTH += 1
+    try:
+        try:
+            expanded = _templates.expand(t, conf)
+        except _templates.TemplateError as e:
+            raise ConfigError(str(e))
+        return dispatch(expanded, resources)
+    finally:
+        _TPL_DEPTH -= 1
 
 
 def _input(spec: dict, resources: Resources | None = None) -> S.Source:
@@ -269,6 +303,9 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
                 size_col=pol.get("size_col"),
             ),
         )
+    expanded = _try_template("input", name, conf, _input, resources)
+    if expanded is not None:
+        return expanded
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, resource"
@@ -712,6 +749,9 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             how=conf.get("how", "left"),
             prefix=conf.get("prefix", ""),
         )
+    expanded = _try_template("processor", name, conf, _proc, resources)
+    if expanded is not None:
+        return expanded
     raise ConfigError(
         f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
@@ -861,6 +901,9 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             args_mapping=conf.get("args_mapping"),
             driver=conf.get("driver"),
         )
+    expanded = _try_template("output", name, conf, _output, resources)
+    if expanded is not None:
+        return expanded
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, websocket, resource"
