@@ -35,6 +35,7 @@ _ENDPOINTS = {
     "/endpoints": "Returns this map of endpoints.",
     "/streams": "Active streaming queries with progress.",
     "/metrics": "Per-batch pipeline counters (when a metrics listener is attached).",
+    "/metrics/prometheus": "The same counters in Prometheus text exposition format.",
     "/debug/config/json": "Returns the loaded config as JSON (when provided).",
 }
 
@@ -91,6 +92,36 @@ class ApiServer:
                         except OSError:
                             recs = []
                         self._send(200, recs)
+                elif self.path == "/metrics/prometheus":
+                    # Prometheus text exposition (the reference's
+                    # prometheus metrics exporter surface,
+                    # internal/impl/prometheus): running totals of the
+                    # reference-named counters plus per-stream gauges
+                    lines = []
+                    m = outer.metrics
+                    totals = dict(getattr(m, "totals", {}) or {})
+                    for k in sorted(totals):
+                        name = f"benthos_{k}"
+                        lines.append(f"# TYPE {name} counter")
+                        lines.append(f"{name} {totals[k]:g}")
+                    lines.append("# TYPE benthos_stream_active gauge")
+                    for q in outer.spark.streams.active:
+                        label = str(q.name or q.id).replace('"', "'")
+                        lines.append(
+                            f'benthos_stream_active{{stream="{label}"}} '
+                            f"{1 if q.isActive else 0}"
+                        )
+                        prog = q.lastProgress
+                        if prog and prog.get("inputRowsPerSecond") is not None:
+                            lines.append(
+                                f'benthos_input_rows_per_second{{stream="{label}"}} '
+                                f"{prog['inputRowsPerSecond']:g}"
+                            )
+                    self._send(
+                        200,
+                        ("\n".join(lines) + "\n").encode(),
+                        "text/plain; version=0.0.4",
+                    )
                 elif self.path == "/debug/config/json":
                     if outer.config is None:
                         self._send(404, {"error": "no config loaded"})

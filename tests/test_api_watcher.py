@@ -118,3 +118,25 @@ def test_config_watcher_reload(spark, tmp_path):
         assert "seed" not in got
     finally:
         run.stop()
+
+
+def test_metrics_prometheus_exposition(spark, tmp_path):
+    import urllib.request
+
+    from benthos_spark.streaming.api import serve_api
+    from benthos_spark.streaming.metrics import MetricsListener
+
+    m = MetricsListener(metrics_path=str(tmp_path / "m.jsonl"))
+    m.totals["input_received"] = 42
+    api = serve_api(spark, metrics=m)
+    try:
+        with urllib.request.urlopen(f"http://{api.address}/metrics/prometheus") as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        assert "# TYPE benthos_input_received counter" in body
+        assert "benthos_input_received 42" in body
+        assert "# TYPE benthos_stream_active gauge" in body
+        with urllib.request.urlopen(f"http://{api.address}/endpoints") as r:
+            assert "/metrics/prometheus" in r.read().decode()
+    finally:
+        api.stop()
