@@ -236,8 +236,44 @@ def _load_templates_opt(argv: list[str]) -> list[str]:
     return out
 
 
+def run_streams(argv: list[str]) -> int:
+    """`benthos streams [dir]` (internal/cli/run.go streams mode): run
+    many named configs in one engine with the CRUD HTTP API
+    (/streams/{id} POST/GET/PUT/DELETE, /streams GET/POST)."""
+    import time
+
+    ap = argparse.ArgumentParser(prog="benthos_spark streams")
+    ap.add_argument("dir", nargs="?", help="directory of *.yaml stream configs")
+    ap.add_argument("--checkpoint-root", required=True)
+    ap.add_argument("--port", type=int, default=4195)
+    ap.add_argument("--host", default="127.0.0.1")
+    args = ap.parse_args(argv)
+
+    from benthos_spark.streaming.api import serve_api
+    from benthos_spark.streaming.streams import StreamsManager, load_stream_dir
+
+    spark = get_spark(app="benthos-spark:streams")
+    mgr = StreamsManager(spark, args.checkpoint_root)
+    if args.dir:
+        for sid in load_stream_dir(mgr, args.dir):
+            print(f"started stream {sid}")
+    api = serve_api(spark, host=args.host, port=args.port, streams=mgr)
+    print(f"streams API listening on {api.address}")
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        mgr.stop_all()
+        api.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "streams":
+        return run_streams(argv[1:])
     if argv and argv[0] == "template":
         if len(argv) >= 2 and argv[1] == "lint":
             return run_template_lint(argv[2:])

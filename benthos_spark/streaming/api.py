@@ -42,10 +42,11 @@ _ENDPOINTS = {
 
 class ApiServer:
     def __init__(self, spark, host="127.0.0.1", port=0, config: Optional[dict] = None,
-                 metrics=None):
+                 metrics=None, streams=None):
         self.spark = spark
         self.config = config
         self.metrics = metrics
+        self.streams_manager = streams
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -78,7 +79,15 @@ class ApiServer:
                             "lastBatchId": prog.get("batchId") if prog else None,
                             "inputRowsPerSecond": prog.get("inputRowsPerSecond") if prog else None,
                         }
+                    if outer.streams_manager is not None:
+                        out["managed"] = outer.streams_manager.list()
                     self._send(200, out)
+                elif self.path.startswith("/streams/") and outer.streams_manager is not None:
+                    sid = self.path.split("/streams/", 1)[1]
+                    try:
+                        self._send(200, outer.streams_manager.read(sid))
+                    except KeyError:
+                        self._send(404, {"error": f"stream {sid!r} does not exist"})
                 elif self.path == "/metrics":
                     m = outer.metrics
                     if m is None:
@@ -130,6 +139,64 @@ class ApiServer:
                 else:
                     self._send(404, {"error": f"unknown endpoint {self.path}"})
 
+            # ---- streams-mode CRUD (stream/manager/api.go:264) ----
+            def _body(self) -> str:
+                n = int(self.headers.get("Content-Length") or 0)
+                return self.rfile.read(n).decode() if n else ""
+
+            def _crud(self, method: str):
+                mgr = outer.streams_manager
+                if mgr is None or not self.path.startswith("/streams"):
+                    self._send(404, {"error": f"unknown endpoint {self.path}"})
+                    return
+                from benthos_spark.config import ConfigError
+                from benthos_spark.streaming.streams import StreamExists
+
+                try:
+                    if self.path == "/streams" and method == "POST":
+                        # replace the whole set: {id: config, ...}
+                        body = json.loads(self._body())
+                        mgr.set_all(
+                            {
+                                sid: conf if isinstance(conf, str) else json.dumps(conf)
+                                for sid, conf in body.items()
+                            }
+                        )
+                        self._send(200, {"replaced": sorted(body)})
+                        return
+                    sid = self.path.split("/streams/", 1)[1] if "/streams/" in self.path else ""
+                    if not sid:
+                        self._send(400, {"error": "stream id must be set"})
+                        return
+                    if method == "POST":
+                        mgr.create(sid, self._body())
+                        self._send(200, {"created": sid})
+                    elif method == "PUT":
+                        mgr.update(sid, self._body())
+                        self._send(200, {"updated": sid})
+                    elif method == "DELETE":
+                        mgr.delete(sid)
+                        self._send(200, {"deleted": sid})
+                    else:
+                        self._send(405, {"error": f"unsupported method {method}"})
+                except StreamExists as e:
+                    self._send(400, {"error": str(e)})
+                except KeyError:
+                    self._send(404, {"error": f"stream {sid!r} does not exist"})
+                except ConfigError as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:
+                    self._send(502, {"error": str(e)})
+
+            def do_POST(self):
+                self._crud("POST")
+
+            def do_PUT(self):
+                self._crud("PUT")
+
+            def do_DELETE(self):
+                self._crud("DELETE")
+
             def log_message(self, *a):
                 pass
 
@@ -142,8 +209,10 @@ class ApiServer:
         self._server.server_close()
 
 
-def serve_api(spark, host="127.0.0.1", port=0, config=None, metrics=None) -> ApiServer:
-    return ApiServer(spark, host=host, port=port, config=config, metrics=metrics)
+def serve_api(spark, host="127.0.0.1", port=0, config=None, metrics=None,
+              streams=None) -> ApiServer:
+    return ApiServer(spark, host=host, port=port, config=config, metrics=metrics,
+                     streams=streams)
 
 
 class WatchedRun:
