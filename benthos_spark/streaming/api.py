@@ -84,10 +84,20 @@ class ApiServer:
                     self._send(200, out)
                 elif self.path.startswith("/streams/") and outer.streams_manager is not None:
                     sid = self.path.split("/streams/", 1)[1]
+                    want_stats = sid.endswith("/stats")
+                    if want_stats:
+                        sid = sid[: -len("/stats")]
                     try:
-                        self._send(200, outer.streams_manager.read(sid))
+                        info = outer.streams_manager.read(sid)
                     except KeyError:
                         self._send(404, {"error": f"stream {sid!r} does not exist"})
+                        return
+                    if want_stats:
+                        # /streams/{id}/stats (stream/manager/api.go:45):
+                        # the structured metrics object for one stream
+                        self._send(200, outer.streams_manager.stats(sid))
+                    else:
+                        self._send(200, info)
                 elif self.path == "/metrics":
                     m = outer.metrics
                     if m is None:

@@ -75,6 +75,38 @@ class StreamsManager:
             items = list(self._streams.items())
         return {sid: self._status(sid, ent) for sid, ent in items}
 
+    def stats(self, stream_id: str) -> dict:
+        """/streams/{id}/stats: the structured per-stream metrics object
+        (stream/manager/api.go HandleStreamStats) from the query's last
+        StreamingQueryProgress."""
+        import json as _json
+
+        with self._lock:
+            ent = self._streams.get(stream_id)
+        if ent is None:
+            raise StreamNotFound(stream_id)
+        q = ent.get("query")
+        out = {"uptime_ns": int((time.time() - ent["created"]) * 1e9)}
+        if q is None:
+            out["batch"] = None
+            return out
+        prog = q.lastProgress
+        if isinstance(prog, str):
+            prog = _json.loads(prog)
+        if prog:
+            out.update(
+                {
+                    "batch_id": prog.get("batchId"),
+                    "input_received": prog.get("numInputRows"),
+                    "input_rows_per_second": prog.get("inputRowsPerSecond"),
+                    "processed_rows_per_second": prog.get("processedRowsPerSecond"),
+                    "duration_ms": prog.get("durationMs"),
+                    "state": prog.get("stateOperators"),
+                    "watermark": (prog.get("eventTime") or {}).get("watermark"),
+                }
+            )
+        return out
+
     def set_all(self, configs: dict[str, str]) -> None:
         """POST /streams: replace the entire set (reference api.go)."""
         with self._lock:

@@ -85,6 +85,11 @@ def test_crud_lifecycle_over_http(spark, tmp_path, mgr):
         _seed(spark, src, [4, 5])
         rows_b = _wait_rows(spark, out_b, 2)
         assert sorted(r.v for r in rows_b) == [4, 5]  # no replay of 1..3
+        # STATS
+        code, body = _req(api.address, "/streams/s1/stats")
+        assert code == 200 and body["uptime_ns"] > 0
+        code, _ = _req(api.address, "/streams/ghost/stats")
+        assert code == 404
         # DELETE
         code, body = _req(api.address, "/streams/s1", "DELETE")
         assert code == 200 and body == {"deleted": "s1"}
