@@ -315,6 +315,20 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
 # -- processors -------------------------------------------------------------
 
 
+_DUR_UNITS = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def _duration_s(v) -> float:
+    """Go-style duration strings ("10m", "60s", "1h") → seconds; bare
+    numbers pass through as seconds."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ns|us|ms|s|m|h)", str(v).strip())
+    if not m:
+        raise ConfigError(f"invalid duration {v!r}")
+    return float(m.group(1)) * _DUR_UNITS[m.group(2)]
+
+
 def _exprs(d: dict) -> dict:
     return {k: F.expr(v) if isinstance(v, str) else F.lit(v) for k, v in d.items()}
 
@@ -749,6 +763,26 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             how=conf.get("how", "left"),
             prefix=conf.get("prefix", ""),
         )
+    if name == "schema_registry_decode":
+        from benthos_spark.operators.confluent import SchemaRegistryDecode
+
+        return SchemaRegistryDecode(
+            url=conf["url"],
+            col=conf.get("col", "value"),
+            out_col=conf.get("out_col"),
+            avro_raw_json=conf.get("avro_raw_json", False),
+        )
+    if name == "schema_registry_encode":
+        from benthos_spark.operators.confluent import SchemaRegistryEncode
+
+        return SchemaRegistryEncode(
+            url=conf["url"],
+            subject=conf["subject"],
+            col=conf.get("col", "value"),
+            out_col=conf.get("out_col"),
+            avro_raw_json=conf.get("avro_raw_json", False),
+            refresh_period=_duration_s(conf.get("refresh_period", "10m")),
+        )
     expanded = _try_template("processor", name, conf, _proc, resources)
     if expanded is not None:
         return expanded
@@ -761,7 +795,8 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "align_transcript, awk, "
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
-        "subprocess, command, http, sequence_match, funnel_match, absence_match"
+        "subprocess, command, http, sequence_match, funnel_match, absence_match, "
+        "schema_registry_encode, schema_registry_decode"
     )
 
 
