@@ -715,6 +715,23 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             codec_col=conf.get("codec_col", "codec"),
             sr_col=conf.get("sr_col", "sr_hz"),
         )
+    if name == "wasm":
+        from benthos_spark.operators.wasm import Wasm
+
+        conf = conf or {}
+        module_bytes = b""
+        if conf.get("module_bytes_b64"):
+            import base64
+
+            module_bytes = base64.b64decode(conf["module_bytes_b64"])
+        elif not conf.get("module_path"):
+            raise ConfigError("wasm processor needs a `module_path`")
+        return Wasm(
+            module_path=conf.get("module_path", ""),
+            module_bytes=module_bytes,
+            function=conf.get("function", "process"),
+            col=conf.get("col", "value"),
+        )
     if name == "subprocess":
         from benthos_spark.operators.subproc import Subprocess
 
@@ -795,7 +812,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "align_transcript, awk, "
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
-        "subprocess, command, http, sequence_match, funnel_match, absence_match, "
+        "subprocess, command, http, wasm, sequence_match, funnel_match, absence_match, "
         "schema_registry_encode, schema_registry_decode"
     )
 
