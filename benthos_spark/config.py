@@ -732,6 +732,19 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             function=conf.get("function", "process"),
             col=conf.get("col", "value"),
         )
+    if name == "javascript":
+        from benthos_spark.operators.js import JavaScript
+
+        conf = conf or {}
+        if bool(conf.get("code")) == bool(conf.get("file")):
+            raise ConfigError(
+                "javascript processor: exactly one of `code` or `file` "
+                "must be specified")
+        return JavaScript(
+            code=conf.get("code", ""),
+            file=conf.get("file", ""),
+            col=conf.get("col", "value"),
+        )
     if name == "subprocess":
         from benthos_spark.operators.subproc import Subprocess
 
@@ -812,7 +825,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "align_transcript, awk, "
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
-        "subprocess, command, http, wasm, sequence_match, funnel_match, absence_match, "
+        "subprocess, command, http, wasm, javascript, sequence_match, funnel_match, absence_match, "
         "schema_registry_encode, schema_registry_decode"
     )
 

@@ -1,0 +1,3036 @@
+"""From-scratch JavaScript interpreter (ES5.1 core + the ES6 pieces
+the reference's processor corpus uses: arrow functions, let/const,
+template literals, for-of, shorthand object literals).
+
+The reference's `javascript` processor embeds the goja engine
+(internal/impl/javascript/processor.go:26, vm.go:24). This environment
+has no JS runtime, so the language itself is implemented here from the
+public ECMAScript specification: a regex lexer with automatic-semicolon
+insertion, a recursive-descent/Pratt parser, and a tree-walking
+evaluator over plain Python values (dict = object, list = array,
+float/int = Number with double semantics, str, None = null, UNDEF).
+
+Scope notes (honest gates, not stubs):
+- no `with`, no getters/setters, no generators/async, no Proxy/Symbol,
+- regex literals support the Python-compatible common subset
+  (translated flags g/i/m/s); named backrefs and lookbehind pass
+  through to `re` and may raise a clear JSThrow,
+- prototypes are internal dispatch tables — user code can't extend
+  built-in prototypes (a module trying gets a clear error),
+- Math.random / Date.now are deterministic (counter / fixed epoch) so
+  exactly-once redelivery reproduces bytes; documented divergence.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Any, Callable, Optional
+
+
+class JSError(ValueError):
+    """Parse-time error (SyntaxError analog)."""
+
+
+class JSThrow(Exception):
+    """A thrown JS value (catchable by `try`)."""
+
+    def __init__(self, value):
+        self.value = value
+        super().__init__(js_to_display(value))
+
+
+class _Undefined:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "undefined"
+
+    def __bool__(self):
+        return False
+
+
+UNDEF = _Undefined()
+
+
+# =============================================================================
+# Lexer
+# =============================================================================
+
+_KEYWORDS = {
+    "var", "let", "const", "function", "return", "if", "else", "for", "while",
+    "do", "break", "continue", "new", "delete", "typeof", "instanceof", "in",
+    "of", "this", "null", "true", "false", "undefined", "throw", "try",
+    "catch", "finally", "switch", "case", "default", "void",
+}
+
+_PUNCT = [
+    "===", "!==", ">>>=", "**=", "...", ">>>", "<<=", ">>=", "&&=", "||=",
+    "??=", "=>", "==", "!=", "<=", ">=", "&&", "||", "??", "++", "--", "+=",
+    "-=", "*=", "/=", "%=", "&=", "|=", "^=", "<<", ">>", "**", "{", "}",
+    "(", ")", "[", "]", ";", ",", "<", ">", "+", "-", "*", "/", "%", "&",
+    "|", "^", "!", "~", "?", ":", "=", ".",
+]
+
+_NUM_RE = re.compile(
+    r"0[xX][0-9a-fA-F]+|0[oO][0-7]+|0[bB][01]+|"
+    r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+)
+_IDENT_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+class Tok:
+    __slots__ = ("kind", "value", "nl_before", "pos")
+
+    def __init__(self, kind, value, nl_before, pos):
+        self.kind = kind          # num str ident keyword punct regex template eof
+        self.value = value
+        self.nl_before = nl_before
+        self.pos = pos
+
+    def __repr__(self):
+        return f"Tok({self.kind},{self.value!r})"
+
+
+def _scan_string(src: str, i: int) -> tuple:
+    quote = src[i]
+    out = []
+    i += 1
+    while i < len(src):
+        c = src[i]
+        if c == quote:
+            return "".join(out), i + 1
+        if c == "\n":
+            raise JSError("unterminated string literal")
+        if c == "\\":
+            i += 1
+            if i >= len(src):
+                break
+            e = src[i]
+            if e == "n":
+                out.append("\n")
+            elif e == "t":
+                out.append("\t")
+            elif e == "r":
+                out.append("\r")
+            elif e == "b":
+                out.append("\b")
+            elif e == "f":
+                out.append("\f")
+            elif e == "v":
+                out.append("\v")
+            elif e == "0" and (i + 1 >= len(src) or not src[i + 1].isdigit()):
+                out.append("\0")
+            elif e == "x":
+                out.append(chr(int(src[i + 1 : i + 3], 16)))
+                i += 2
+            elif e == "u":
+                if src[i + 1] == "{":
+                    j = src.index("}", i)
+                    out.append(chr(int(src[i + 2 : j], 16)))
+                    i = j
+                else:
+                    out.append(chr(int(src[i + 1 : i + 5], 16)))
+                    i += 4
+            elif e == "\n":
+                pass  # line continuation
+            else:
+                out.append(e)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise JSError("unterminated string literal")
+
+
+def _scan_template(src: str, i: int) -> tuple:
+    """Scan `...${...}...` from the backtick; returns (parts, i) where
+    parts alternate literal strings and RAW expression source strings:
+    ["lit", ("expr", src), "lit", ...]."""
+    parts: list = []
+    cur: list = []
+    i += 1
+    while i < len(src):
+        c = src[i]
+        if c == "`":
+            parts.append("".join(cur))
+            return parts, i + 1
+        if c == "\\":
+            seg, j = _scan_string("`" + src[i - 1 + 1 :], 0) if False else (None, None)
+            # reuse escape handling: fall through simple cases
+            e = src[i + 1]
+            mapping = {"n": "\n", "t": "\t", "r": "\r", "`": "`", "$": "$", "\\": "\\"}
+            cur.append(mapping.get(e, e))
+            i += 2
+            continue
+        if c == "$" and i + 1 < len(src) and src[i + 1] == "{":
+            parts.append("".join(cur))
+            cur = []
+            depth = 1
+            j = i + 2
+            start = j
+            while j < len(src) and depth:
+                if src[j] == "{":
+                    depth += 1
+                elif src[j] == "}":
+                    depth -= 1
+                elif src[j] in "\"'":
+                    _, j2 = _scan_string(src, j)
+                    j = j2 - 1
+                j += 1
+            if depth:
+                raise JSError("unterminated template expression")
+            parts.append(("expr", src[start : j - 1]))
+            i = j
+            continue
+        cur.append(c)
+        i += 1
+    raise JSError("unterminated template literal")
+
+
+_REGEX_ALLOWED_AFTER = {
+    None, "(", ",", "=", ":", "[", "!", "&", "|", "?", "{", "}", ";",
+    "return", "typeof", "case", "=>", "==", "===", "!=", "!==", "&&", "||",
+    "+", "-", "*", "/", "%",
+}
+
+
+def tokenize(src: str) -> list:
+    toks: list = []
+    i = 0
+    nl = False
+    prev_relevant = None
+    n = len(src)
+    while i < n:
+        c = src[i]
+        if c == "\n":
+            nl = True
+            i += 1
+            continue
+        m = _WS_RE.match(src, i)
+        if m:
+            i = m.end()
+            continue
+        if src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if src.startswith("/*", i):
+            j = src.find("*/", i)
+            if j < 0:
+                raise JSError("unterminated comment")
+            if "\n" in src[i:j]:
+                nl = True
+            i = j + 2
+            continue
+        if c in "\"'":
+            val, i = _scan_string(src, i)
+            toks.append(Tok("str", val, nl, i))
+            nl = False
+            prev_relevant = "str"
+            continue
+        if c == "`":
+            parts, i = _scan_template(src, i)
+            toks.append(Tok("template", parts, nl, i))
+            nl = False
+            prev_relevant = "str"
+            continue
+        if c == "/" and prev_relevant in _REGEX_ALLOWED_AFTER:
+            # regex literal
+            j = i + 1
+            in_class = False
+            while j < n:
+                ch = src[j]
+                if ch == "\\":
+                    j += 2
+                    continue
+                if ch == "[":
+                    in_class = True
+                elif ch == "]":
+                    in_class = False
+                elif ch == "/" and not in_class:
+                    break
+                elif ch == "\n":
+                    raise JSError("unterminated regex literal")
+                j += 1
+            if j >= n:
+                raise JSError("unterminated regex literal")
+            body = src[i + 1 : j]
+            j += 1
+            fm = _IDENT_RE.match(src, j)
+            flags = fm.group(0) if fm and fm.start() == j else ""
+            toks.append(Tok("regex", (body, flags), nl, i))
+            i = j + len(flags)
+            nl = False
+            prev_relevant = "str"
+            continue
+        m = _NUM_RE.match(src, i)
+        if m and (c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit())):
+            text = m.group(0)
+            if text[:2].lower() == "0x":
+                val = float(int(text, 16))
+            elif text[:2].lower() == "0o":
+                val = float(int(text, 8))
+            elif text[:2].lower() == "0b":
+                val = float(int(text, 2))
+            else:
+                val = float(text)
+            toks.append(Tok("num", val, nl, i))
+            i = m.end()
+            nl = False
+            prev_relevant = "num"
+            continue
+        m = _IDENT_RE.match(src, i)
+        if m:
+            word = m.group(0)
+            kind = "keyword" if word in _KEYWORDS else "ident"
+            toks.append(Tok(kind, word, nl, i))
+            i = m.end()
+            nl = False
+            prev_relevant = word if kind == "keyword" else "ident"
+            continue
+        for p in _PUNCT:
+            if src.startswith(p, i):
+                toks.append(Tok("punct", p, nl, i))
+                i += len(p)
+                nl = False
+                prev_relevant = p
+                break
+        else:
+            raise JSError(f"unexpected character {c!r} at {i}")
+    toks.append(Tok("eof", None, nl, n))
+    return toks
+
+
+# =============================================================================
+# Parser  → tuple AST: (node_type, ...)
+# =============================================================================
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # -- token helpers -----------------------------------------------------
+
+    def peek(self, k=0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def at(self, value, kind="punct") -> bool:
+        t = self.peek()
+        return t.kind == kind and t.value == value
+
+    def at_kw(self, word) -> bool:
+        return self.at(word, "keyword")
+
+    def eat(self, value, kind="punct") -> bool:
+        if self.at(value, kind):
+            self.next()
+            return True
+        return False
+
+    def expect(self, value, kind="punct") -> Tok:
+        t = self.peek()
+        if t.kind != kind or t.value != value:
+            raise JSError(f"expected {value!r}, got {t.value!r} at {t.pos}")
+        return self.next()
+
+    def semicolon(self):
+        """Consume `;` with automatic semicolon insertion."""
+        if self.eat(";"):
+            return
+        t = self.peek()
+        if t.kind == "eof" or (t.kind == "punct" and t.value == "}"):
+            return
+        if t.nl_before:
+            return
+        raise JSError(f"expected ';' before {t.value!r} at {t.pos}")
+
+    # -- program / statements ------------------------------------------------
+
+    def parse_program(self) -> tuple:
+        body = []
+        while self.peek().kind != "eof":
+            body.append(self.statement())
+        return ("program", body)
+
+    def statement(self) -> tuple:
+        t = self.peek()
+        if t.kind == "punct":
+            if t.value == "{":
+                return self.block()
+            if t.value == ";":
+                self.next()
+                return ("empty",)
+        if t.kind == "keyword":
+            v = t.value
+            if v in ("var", "let", "const"):
+                d = self.var_decl()
+                self.semicolon()
+                return d
+            if v == "function":
+                return self.function_decl()
+            if v == "if":
+                return self.if_stmt()
+            if v == "for":
+                return self.for_stmt()
+            if v == "while":
+                self.next()
+                self.expect("(")
+                cond = self.expression()
+                self.expect(")")
+                return ("while", cond, self.statement())
+            if v == "do":
+                self.next()
+                body = self.statement()
+                self.expect("while", "keyword")
+                self.expect("(")
+                cond = self.expression()
+                self.expect(")")
+                self.eat(";")
+                return ("dowhile", cond, body)
+            if v == "return":
+                self.next()
+                t2 = self.peek()
+                if (t2.kind == "punct" and t2.value in (";", "}")) or \
+                        t2.kind == "eof" or t2.nl_before:
+                    self.semicolon() if not self.eat(";") else None
+                    return ("return", None)
+                e = self.expression()
+                self.semicolon()
+                return ("return", e)
+            if v == "break":
+                self.next()
+                self.semicolon()
+                return ("break",)
+            if v == "continue":
+                self.next()
+                self.semicolon()
+                return ("continue",)
+            if v == "throw":
+                self.next()
+                if self.peek().nl_before:
+                    raise JSError("newline after throw")
+                e = self.expression()
+                self.semicolon()
+                return ("throw", e)
+            if v == "try":
+                return self.try_stmt()
+            if v == "switch":
+                return self.switch_stmt()
+        # labelled statement?  ident ':' — rare; treat as expression stmt
+        e = self.expression()
+        self.semicolon()
+        return ("expr", e)
+
+    def block(self) -> tuple:
+        self.expect("{")
+        body = []
+        while not self.at("}"):
+            if self.peek().kind == "eof":
+                raise JSError("unterminated block")
+            body.append(self.statement())
+        self.expect("}")
+        return ("block", body)
+
+    def var_decl(self) -> tuple:
+        kind = self.next().value  # var/let/const
+        decls = []
+        while True:
+            target = self.binding_target()
+            init = None
+            if self.eat("="):
+                init = self.assignment()
+            decls.append((target, init))
+            if not self.eat(","):
+                break
+        return ("vardecl", kind, decls)
+
+    def binding_target(self):
+        """identifier, or array/object destructuring pattern."""
+        if self.at("["):
+            self.next()
+            elems = []
+            while not self.at("]"):
+                if self.eat(","):
+                    elems.append(None)
+                    continue
+                rest = self.eat("...")
+                name = self.ident_name()
+                default = self.assignment() if self.eat("=") else None
+                elems.append(("rest" if rest else "elem", name, default))
+                if not self.at("]"):
+                    self.expect(",")
+            self.expect("]")
+            return ("apat", elems)
+        if self.at("{"):
+            self.next()
+            props = []
+            while not self.at("}"):
+                key = self.ident_name()
+                alias = key
+                if self.eat(":"):
+                    alias = self.ident_name()
+                default = self.assignment() if self.eat("=") else None
+                props.append((key, alias, default))
+                if not self.at("}"):
+                    self.expect(",")
+            self.expect("}")
+            return ("opat", props)
+        return ("id", self.ident_name())
+
+    def ident_name(self) -> str:
+        t = self.peek()
+        if t.kind == "ident" or (t.kind == "keyword" and t.value in
+                                 ("of", "in", "default", "undefined")):
+            self.next()
+            return t.value
+        raise JSError(f"expected identifier, got {t.value!r} at {t.pos}")
+
+    def function_decl(self) -> tuple:
+        self.expect("function", "keyword")
+        name = self.ident_name()
+        params = self.param_list()
+        body = self.block()
+        return ("funcdecl", name, params, body)
+
+    def param_list(self) -> list:
+        self.expect("(")
+        params = []
+        while not self.at(")"):
+            rest = self.eat("...")
+            name = self.ident_name()
+            default = self.assignment() if self.eat("=") else None
+            params.append(("rest" if rest else "param", name, default))
+            if not self.at(")"):
+                self.expect(",")
+        self.expect(")")
+        return params
+
+    def if_stmt(self) -> tuple:
+        self.expect("if", "keyword")
+        self.expect("(")
+        cond = self.expression()
+        self.expect(")")
+        then = self.statement()
+        alt = None
+        if self.eat("else", "keyword"):
+            alt = self.statement()
+        return ("if", cond, then, alt)
+
+    def for_stmt(self) -> tuple:
+        self.expect("for", "keyword")
+        self.expect("(")
+        init = None
+        if not self.at(";"):
+            if self.peek().kind == "keyword" and self.peek().value in (
+                    "var", "let", "const"):
+                init = self.var_decl()
+                # for-in / for-of with a declaration
+                if self.at_kw("in") or self.at_kw("of"):
+                    is_of = self.next().value == "of"
+                    obj = self.expression()
+                    self.expect(")")
+                    body = self.statement()
+                    kind, decls = init[1], init[2]
+                    if len(decls) != 1 or decls[0][1] is not None:
+                        raise JSError("bad for-in/of declaration")
+                    return ("forin_of", is_of, ("decl", kind, decls[0][0]),
+                            obj, body)
+            else:
+                init = ("expr", self.expression(no_in=True))
+                if self.at_kw("in") or self.at_kw("of"):
+                    is_of = self.next().value == "of"
+                    obj = self.expression()
+                    self.expect(")")
+                    body = self.statement()
+                    return ("forin_of", is_of, ("target", init[1]), obj, body)
+        self.expect(";")
+        cond = None if self.at(";") else self.expression()
+        self.expect(";")
+        step = None if self.at(")") else self.expression()
+        self.expect(")")
+        body = self.statement()
+        return ("for", init, cond, step, body)
+
+    def try_stmt(self) -> tuple:
+        self.expect("try", "keyword")
+        block = self.block()
+        catch = None
+        fin = None
+        if self.eat("catch", "keyword"):
+            param = None
+            if self.eat("("):
+                param = self.binding_target()
+                self.expect(")")
+            catch = (param, self.block())
+        if self.eat("finally", "keyword"):
+            fin = self.block()
+        if catch is None and fin is None:
+            raise JSError("try needs catch or finally")
+        return ("try", block, catch, fin)
+
+    def switch_stmt(self) -> tuple:
+        self.expect("switch", "keyword")
+        self.expect("(")
+        disc = self.expression()
+        self.expect(")")
+        self.expect("{")
+        cases = []
+        default_idx = None
+        while not self.at("}"):
+            if self.eat("case", "keyword"):
+                test = self.expression()
+                self.expect(":")
+                stmts = []
+                while not (self.at("}") or self.at_kw("case") or
+                           self.at_kw("default")):
+                    stmts.append(self.statement())
+                cases.append((test, stmts))
+            elif self.eat("default", "keyword"):
+                self.expect(":")
+                stmts = []
+                while not (self.at("}") or self.at_kw("case") or
+                           self.at_kw("default")):
+                    stmts.append(self.statement())
+                default_idx = len(cases)
+                cases.append((None, stmts))
+            else:
+                raise JSError("expected case/default in switch")
+        self.expect("}")
+        return ("switch", disc, cases, default_idx)
+
+    # -- expressions -----------------------------------------------------------
+
+    def expression(self, no_in=False) -> tuple:
+        e = self.assignment(no_in=no_in)
+        while self.at(","):
+            self.next()
+            e = ("comma", e, self.assignment(no_in=no_in))
+        return e
+
+    _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=",
+                   "<<=", ">>=", ">>>=", "**=", "&&=", "||=", "??="}
+
+    def assignment(self, no_in=False) -> tuple:
+        arrow = self.try_arrow()
+        if arrow is not None:
+            return arrow
+        left = self.conditional(no_in=no_in)
+        t = self.peek()
+        if t.kind == "punct" and t.value in self._ASSIGN_OPS:
+            self.next()
+            right = self.assignment(no_in=no_in)
+            return ("assign", t.value, left, right)
+        return left
+
+    def try_arrow(self) -> Optional[tuple]:
+        """Detect `ident =>` or `( params ) =>` with bounded lookahead."""
+        t = self.peek()
+        if t.kind == "ident" and self.peek(1).kind == "punct" and \
+                self.peek(1).value == "=>":
+            self.next()
+            self.next()
+            return self.arrow_body([("param", t.value, None)])
+        if t.kind == "punct" and t.value == "(":
+            # scan to the matching paren
+            depth = 0
+            j = self.i
+            while j < len(self.toks):
+                tk = self.toks[j]
+                if tk.kind == "punct":
+                    if tk.value == "(":
+                        depth += 1
+                    elif tk.value == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j += 1
+            nxt = self.toks[j + 1] if j + 1 < len(self.toks) else None
+            if nxt is not None and nxt.kind == "punct" and nxt.value == "=>":
+                params = self.param_list()
+                self.expect("=>")
+                return self.arrow_body(params)
+        return None
+
+    def arrow_body(self, params) -> tuple:
+        if self.at("{"):
+            return ("arrow", params, self.block(), False)
+        return ("arrow", params, self.assignment(), True)
+
+    def conditional(self, no_in=False) -> tuple:
+        cond = self.binary(0, no_in=no_in)
+        if self.eat("?"):
+            a = self.assignment()
+            self.expect(":")
+            b = self.assignment(no_in=no_in)
+            return ("cond", cond, a, b)
+        return cond
+
+    _BIN_PREC = {
+        "??": 1, "||": 2, "&&": 3, "|": 4, "^": 5, "&": 6,
+        "==": 7, "!=": 7, "===": 7, "!==": 7,
+        "<": 8, ">": 8, "<=": 8, ">=": 8, "instanceof": 8, "in": 8,
+        "<<": 9, ">>": 9, ">>>": 9,
+        "+": 10, "-": 10,
+        "*": 11, "/": 11, "%": 11,
+        "**": 12,
+    }
+
+    def binary(self, min_prec: int, no_in=False) -> tuple:
+        left = self.unary()
+        while True:
+            t = self.peek()
+            op = None
+            if t.kind == "punct" and t.value in self._BIN_PREC:
+                op = t.value
+            elif t.kind == "keyword" and t.value in ("instanceof", "in"):
+                if t.value == "in" and no_in:
+                    break
+                op = t.value
+            if op is None:
+                break
+            prec = self._BIN_PREC[op]
+            if prec < min_prec:
+                break
+            self.next()
+            right = self.binary(prec + (0 if op == "**" else 1), no_in=no_in)
+            left = ("bin", op, left, right)
+        return left
+
+    def unary(self) -> tuple:
+        t = self.peek()
+        if t.kind == "punct" and t.value in ("!", "~", "+", "-", "++", "--"):
+            self.next()
+            if t.value in ("++", "--"):
+                return ("update", t.value, self.unary(), True)
+            return ("unary", t.value, self.unary())
+        if t.kind == "keyword" and t.value in ("typeof", "delete", "void"):
+            self.next()
+            return ("unary", t.value, self.unary())
+        return self.postfix()
+
+    def postfix(self) -> tuple:
+        e = self.call_member()
+        t = self.peek()
+        if t.kind == "punct" and t.value in ("++", "--") and not t.nl_before:
+            self.next()
+            return ("update", t.value, e, False)
+        return e
+
+    def call_member(self) -> tuple:
+        if self.at_kw("new"):
+            self.next()
+            callee = self.call_member_no_call()
+            args = self.arguments() if self.at("(") else []
+            e = ("new", callee, args)
+        else:
+            e = self.primary()
+        while True:
+            if self.at("."):
+                self.next()
+                name = self.property_name()
+                e = ("member", e, ("lit", name), False)
+            elif self.at("["):
+                self.next()
+                idx = self.expression()
+                self.expect("]")
+                e = ("member", e, idx, True)
+            elif self.at("("):
+                e = ("call", e, self.arguments())
+            else:
+                return e
+
+    def call_member_no_call(self) -> tuple:
+        e = self.primary()
+        while True:
+            if self.at("."):
+                self.next()
+                e = ("member", e, ("lit", self.property_name()), False)
+            elif self.at("["):
+                self.next()
+                idx = self.expression()
+                self.expect("]")
+                e = ("member", e, idx, True)
+            else:
+                return e
+
+    def property_name(self) -> str:
+        t = self.next()
+        if t.kind in ("ident", "keyword"):
+            return t.value
+        raise JSError(f"expected property name, got {t.value!r}")
+
+    def arguments(self) -> list:
+        self.expect("(")
+        args = []
+        while not self.at(")"):
+            if self.eat("..."):
+                args.append(("spread", self.assignment()))
+            else:
+                args.append(self.assignment())
+            if not self.at(")"):
+                self.expect(",")
+        self.expect(")")
+        return args
+
+    def primary(self) -> tuple:
+        t = self.peek()
+        if t.kind == "num":
+            self.next()
+            return ("lit", t.value)
+        if t.kind == "str":
+            self.next()
+            return ("lit", t.value)
+        if t.kind == "template":
+            self.next()
+            parts = []
+            for p in t.value:
+                if isinstance(p, tuple):
+                    sub = Parser(p[1])
+                    parts.append(("expr", sub.expression()))
+                    if sub.peek().kind != "eof":
+                        raise JSError("bad template expression")
+                else:
+                    parts.append(("str", p))
+            return ("template", parts)
+        if t.kind == "regex":
+            self.next()
+            return ("regex", t.value[0], t.value[1])
+        if t.kind == "ident":
+            self.next()
+            return ("id", t.value)
+        if t.kind == "keyword":
+            v = t.value
+            if v == "true":
+                self.next()
+                return ("lit", True)
+            if v == "false":
+                self.next()
+                return ("lit", False)
+            if v == "null":
+                self.next()
+                return ("lit", None)
+            if v == "undefined":
+                self.next()
+                return ("lit", UNDEF)
+            if v == "this":
+                self.next()
+                return ("this",)
+            if v == "function":
+                self.next()
+                name = None
+                if self.peek().kind == "ident":
+                    name = self.next().value
+                params = self.param_list()
+                body = self.block()
+                return ("funcexpr", name, params, body)
+            if v in ("of", "in", "default"):  # contextual as identifier
+                self.next()
+                return ("id", v)
+        if t.kind == "punct":
+            if t.value == "(":
+                self.next()
+                e = self.expression()
+                self.expect(")")
+                return e
+            if t.value == "[":
+                self.next()
+                elems = []
+                while not self.at("]"):
+                    if self.at(","):
+                        self.next()
+                        elems.append(("lit", UNDEF))
+                        continue
+                    if self.eat("..."):
+                        elems.append(("spread", self.assignment()))
+                    else:
+                        elems.append(self.assignment())
+                    if not self.at("]"):
+                        self.expect(",")
+                self.expect("]")
+                return ("array", elems)
+            if t.value == "{":
+                return self.object_literal()
+        raise JSError(f"unexpected token {t.value!r} at {t.pos}")
+
+    def object_literal(self) -> tuple:
+        self.expect("{")
+        props = []
+        while not self.at("}"):
+            if self.eat("..."):
+                props.append(("spread", self.assignment()))
+            else:
+                computed = False
+                t = self.peek()
+                if self.at("["):
+                    self.next()
+                    key = self.assignment()
+                    self.expect("]")
+                    computed = True
+                elif t.kind == "str":
+                    self.next()
+                    key = ("lit", t.value)
+                elif t.kind == "num":
+                    self.next()
+                    key = ("lit", js_number_to_string(t.value))
+                else:
+                    key = ("lit", self.property_name())
+                if self.at("(") and not computed:
+                    # method shorthand
+                    params = self.param_list()
+                    body = self.block()
+                    props.append(("kv", key, ("funcexpr", key[1], params, body)))
+                elif self.eat(":"):
+                    props.append(("kv", key, self.assignment()))
+                else:
+                    # shorthand {a}
+                    props.append(("kv", key, ("id", key[1])))
+            if not self.at("}"):
+                self.expect(",")
+        self.expect("}")
+        return ("object", props)
+
+
+def parse_js(src: str) -> tuple:
+    return Parser(src).parse_program()
+
+
+# =============================================================================
+# Values & conversions (spec §7 abstract operations)
+# =============================================================================
+
+
+class JSFunction:
+    __slots__ = ("name", "params", "body", "env", "is_arrow", "is_expr",
+                 "this_val")
+
+    def __init__(self, name, params, body, env, is_arrow=False, is_expr=False,
+                 this_val=UNDEF):
+        self.name = name or ""
+        self.params = params
+        self.body = body
+        self.env = env
+        self.is_arrow = is_arrow
+        self.is_expr = is_expr          # arrow with expression body
+        self.this_val = this_val        # captured `this` for arrows
+
+
+class NativeFunction:
+    __slots__ = ("name", "fn")
+
+    def __init__(self, name, fn):
+        self.name = name
+        self.fn = fn                    # fn(interp, this, args) -> value
+
+
+class JSRegExp:
+    __slots__ = ("source", "flags", "pattern", "last_index")
+
+    def __init__(self, source: str, flags: str):
+        self.source = source
+        self.flags = flags
+        pyflags = 0
+        if "i" in flags:
+            pyflags |= re.IGNORECASE
+        if "m" in flags:
+            pyflags |= re.MULTILINE
+        if "s" in flags:
+            pyflags |= re.DOTALL
+        try:
+            self.pattern = re.compile(_js_regex_to_py(source), pyflags)
+        except re.error as e:
+            raise JSThrow(f"SyntaxError: Invalid regular expression: {e}")
+        self.last_index = 0
+
+
+def _js_regex_to_py(src: str) -> str:
+    # the common subset is compatible; translate \d etc. as-is and JS
+    # escapes Python's re also understands. Convert (?<name>) fine too.
+    return src
+
+
+def js_typeof(v) -> str:
+    if v is UNDEF:
+        return "undefined"
+    if v is None:
+        return "object"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, (JSFunction, NativeFunction, _CallableNamespace)):
+        return "function"
+    return "object"
+
+
+def js_truthy(v) -> bool:
+    if v is UNDEF or v is None:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return not (v == 0 or (isinstance(v, float) and math.isnan(v)))
+    if isinstance(v, str):
+        return len(v) > 0
+    return True
+
+
+def js_number_to_string(n) -> str:
+    if isinstance(n, bool):
+        return "true" if n else "false"
+    f = float(n)
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
+    if f == int(f) and abs(f) < 1e21:
+        return str(int(f))
+    r = repr(f)
+    if "e" in r:
+        # JS style: 1e+30 / 1e-07 -> 1e-7
+        mant, exp = r.split("e")
+        exp_i = int(exp)
+        if mant.endswith(".0"):
+            mant = mant[:-2]
+        return f"{mant}e{'+' if exp_i >= 0 else '-'}{abs(exp_i)}"
+    return r
+
+
+def js_to_string(v, interp=None) -> str:
+    if isinstance(v, str):
+        return v
+    if v is UNDEF:
+        return "undefined"
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return js_number_to_string(v)
+    if isinstance(v, list):
+        return ",".join(
+            "" if e is UNDEF or e is None else js_to_string(e, interp)
+            for e in v
+        )
+    if isinstance(v, dict):
+        ts = v.get("toString")
+        if isinstance(ts, (JSFunction, NativeFunction)) and interp is not None:
+            return js_to_string(interp.call_function(ts, v, []), interp)
+        if "message" in v and v.get("name"):
+            return f"{v['name']}: {js_to_string(v['message'], interp)}"
+        return "[object Object]"
+    if isinstance(v, (JSFunction, NativeFunction)):
+        return f"function {v.name}() {{ [native code] }}"
+    if isinstance(v, JSRegExp):
+        return f"/{v.source}/{v.flags}"
+    return str(v)
+
+
+def js_to_display(v) -> str:
+    try:
+        return js_to_string(v)
+    except Exception:
+        return repr(v)
+
+
+def js_to_number(v) -> float:
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if v is UNDEF:
+        return float("nan")
+    if v is None:
+        return 0.0
+    if isinstance(v, str):
+        s = v.strip()
+        if s == "":
+            return 0.0
+        try:
+            if s[:2].lower() == "0x":
+                return float(int(s, 16))
+            if s[:2].lower() == "0o":
+                return float(int(s, 8))
+            if s[:2].lower() == "0b":
+                return float(int(s, 2))
+            if s == "Infinity" or s == "+Infinity":
+                return float("inf")
+            if s == "-Infinity":
+                return float("-inf")
+            return float(s)
+        except ValueError:
+            return float("nan")
+    if isinstance(v, list):
+        if len(v) == 0:
+            return 0.0
+        if len(v) == 1:
+            return js_to_number(v[0])
+        return float("nan")
+    return float("nan")
+
+
+def js_to_int32(v) -> int:
+    f = js_to_number(v)
+    if math.isnan(f) or math.isinf(f):
+        return 0
+    i = int(f) & 0xFFFFFFFF
+    return i - 0x100000000 if i & 0x80000000 else i
+
+
+def js_to_uint32(v) -> int:
+    f = js_to_number(v)
+    if math.isnan(f) or math.isinf(f):
+        return 0
+    return int(f) & 0xFFFFFFFF
+
+
+def js_strict_eq(a, b) -> bool:
+    if a is UNDEF and b is UNDEF:
+        return True
+    if a is None and b is None:
+        return True
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return False
+        return fa == fb
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    return a is b
+
+
+def js_loose_eq(a, b) -> bool:
+    if js_strict_eq(a, b):
+        return True
+    nullish_a = a is None or a is UNDEF
+    nullish_b = b is None or b is UNDEF
+    if nullish_a or nullish_b:
+        return nullish_a and nullish_b
+    na = isinstance(a, (int, float)) and not isinstance(a, bool)
+    nb = isinstance(b, (int, float)) and not isinstance(b, bool)
+    if na and isinstance(b, str):
+        return js_strict_eq(a, js_to_number(b))
+    if isinstance(a, str) and nb:
+        return js_strict_eq(js_to_number(a), b)
+    if isinstance(a, bool):
+        return js_loose_eq(js_to_number(a), b)
+    if isinstance(b, bool):
+        return js_loose_eq(a, js_to_number(b))
+    if (na or isinstance(a, str)) and isinstance(b, (dict, list)):
+        return js_loose_eq(a, js_to_primitive(b))
+    if isinstance(a, (dict, list)) and (nb or isinstance(b, str)):
+        return js_loose_eq(js_to_primitive(a), b)
+    return False
+
+
+def js_to_primitive(v):
+    if isinstance(v, (dict, list)):
+        return js_to_string(v)
+    return v
+
+
+def js_add(a, b):
+    pa, pb = js_to_primitive(a), js_to_primitive(b)
+    if isinstance(pa, str) or isinstance(pb, str):
+        return js_to_string(pa) + js_to_string(pb)
+    return js_to_number(pa) + js_to_number(pb)
+
+
+def js_mod(a: float, b: float) -> float:
+    if b == 0 or math.isnan(a) or math.isnan(b) or math.isinf(a):
+        return float("nan")
+    if math.isinf(b):
+        return a
+    if a == 0:
+        return a
+    return math.fmod(a, b)
+
+
+# =============================================================================
+# Environment & control flow
+# =============================================================================
+
+
+class Env:
+    __slots__ = ("vars", "parent", "consts")
+
+    def __init__(self, parent=None):
+        self.vars: dict = {}
+        self.parent = parent
+        self.consts: set = set()
+
+    def lookup(self, name: str):
+        e = self
+        while e is not None:
+            if name in e.vars:
+                return e.vars[name]
+            e = e.parent
+        raise JSThrow(f"ReferenceError: {name} is not defined")
+
+    def has(self, name: str) -> bool:
+        e = self
+        while e is not None:
+            if name in e.vars:
+                return True
+            e = e.parent
+        return False
+
+    def assign(self, name: str, value) -> None:
+        e = self
+        while e is not None:
+            if name in e.vars:
+                if name in e.consts:
+                    raise JSThrow(
+                        f"TypeError: Assignment to constant variable.")
+                e.vars[name] = value
+                return
+            e = e.parent
+        # sloppy-mode implicit global
+        root = self
+        while root.parent is not None:
+            root = root.parent
+        root.vars[name] = value
+
+    def declare(self, name: str, value, const=False) -> None:
+        self.vars[name] = value
+        if const:
+            self.consts.add(name)
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+# =============================================================================
+# Interpreter
+# =============================================================================
+
+
+def _hoist(body: list, env: Env, interp) -> None:
+    """Hoist `var` names (as undefined) and function declarations."""
+    def walk_stmt(s):
+        t = s[0]
+        if t == "vardecl" and s[1] == "var":
+            for target, _ in s[2]:
+                for name in _pattern_names(target):
+                    if name not in env.vars:
+                        env.declare(name, UNDEF)
+        elif t == "funcdecl":
+            env.declare(s[1], JSFunction(s[1], s[2], s[3], env))
+        elif t == "if":
+            walk_stmt(s[2])
+            if s[3]:
+                walk_stmt(s[3])
+        elif t == "block":
+            for st in s[1]:
+                walk_stmt(st)
+        elif t in ("while", "dowhile"):
+            walk_stmt(s[2])
+        elif t == "for":
+            if s[1] is not None and s[1][0] == "vardecl":
+                walk_stmt(s[1])
+            walk_stmt(s[4])
+        elif t == "forin_of":
+            if s[2][0] == "decl" and s[2][1] == "var":
+                for name in _pattern_names(s[2][2]):
+                    if name not in env.vars:
+                        env.declare(name, UNDEF)
+            walk_stmt(s[4])
+        elif t == "try":
+            walk_stmt(s[1])
+            if s[2]:
+                walk_stmt(s[2][1])
+            if s[3]:
+                walk_stmt(s[3])
+        elif t == "switch":
+            for _, stmts in s[2]:
+                for st in stmts:
+                    walk_stmt(st)
+
+    for s in body:
+        walk_stmt(s)
+
+
+def _pattern_names(target) -> list:
+    t = target[0]
+    if t == "id":
+        return [target[1]]
+    if t == "apat":
+        out = []
+        for e in target[1]:
+            if e is not None:
+                out.append(e[1])
+        return out
+    if t == "opat":
+        return [alias for _, alias, _ in target[1]]
+    return []
+
+
+class Interpreter:
+    def __init__(self, extra_globals: Optional[dict] = None,
+                 console_writer: Optional[Callable] = None,
+                 max_ops: int = 50_000_000):
+        self.global_env = Env()
+        self.console_writer = console_writer or (lambda lvl, msg: None)
+        self._ops = 0
+        self.max_ops = max_ops
+        self._rand_state = 0x9E3779B97F4A7C15
+        install_globals(self)
+        if extra_globals:
+            for k, v in extra_globals.items():
+                self.global_env.declare(k, v)
+
+    # -- public API ---------------------------------------------------------
+
+    def run(self, program) -> Any:
+        if isinstance(program, str):
+            program = parse_js(program)
+        env = self.global_env
+        _hoist(program[1], env, self)
+        result = UNDEF
+        for stmt in program[1]:
+            result = self.exec_stmt(stmt, env)
+        return result
+
+    def call_function(self, fn, this, args: list):
+        if isinstance(fn, NativeFunction):
+            return fn.fn(self, this, args)
+        if isinstance(fn, _CallableNamespace):
+            return fn.fn(self, this, args)
+        if not isinstance(fn, JSFunction):
+            raise JSThrow(f"TypeError: {js_to_display(fn)} is not a function")
+        env = Env(fn.env)
+        if fn.name and not fn.is_arrow:
+            # named function expressions can call themselves by name
+            env.declare(fn.name, fn)
+        this_val = fn.this_val if fn.is_arrow else this
+        env.declare("this", this_val)
+        if not fn.is_arrow:
+            env.declare("arguments", list(args))
+        i = 0
+        for kind, name, default in fn.params:
+            if kind == "rest":
+                env.declare(name, list(args[i:]))
+                i = len(args)
+            else:
+                v = args[i] if i < len(args) else UNDEF
+                if v is UNDEF and default is not None:
+                    v = self.eval_expr(default, env)
+                env.declare(name, v)
+                i += 1
+        if fn.is_expr:
+            return self.eval_expr(fn.body, env)
+        _hoist(fn.body[1], env, self)
+        try:
+            for stmt in fn.body[1]:
+                self.exec_stmt(stmt, env)
+        except _Return as r:
+            return r.value
+        return UNDEF
+
+    # -- statements ----------------------------------------------------------
+
+    def exec_stmt(self, s, env: Env):
+        self._ops += 1
+        if self._ops > self.max_ops:
+            raise JSThrow("RangeError: script exceeded operation budget")
+        t = s[0]
+        if t == "expr":
+            return self.eval_expr(s[1], env)
+        if t == "vardecl":
+            kind = s[1]
+            for target, init in s[2]:
+                v = self.eval_expr(init, env) if init is not None else UNDEF
+                self._bind_pattern(target, v, env, declare=kind,
+                                   const=(kind == "const"))
+            return UNDEF
+        if t == "funcdecl":
+            env.declare(s[1], JSFunction(s[1], s[2], s[3], env))
+            return UNDEF
+        if t == "block":
+            benv = Env(env)
+            r = UNDEF
+            for st in s[1]:
+                r = self.exec_stmt(st, benv)
+            return r
+        if t == "if":
+            if js_truthy(self.eval_expr(s[1], env)):
+                return self.exec_stmt(s[2], env)
+            if s[3] is not None:
+                return self.exec_stmt(s[3], env)
+            return UNDEF
+        if t == "while":
+            while js_truthy(self.eval_expr(s[1], env)):
+                try:
+                    self.exec_stmt(s[2], env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return UNDEF
+        if t == "dowhile":
+            while True:
+                try:
+                    self.exec_stmt(s[2], env)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if not js_truthy(self.eval_expr(s[1], env)):
+                    break
+            return UNDEF
+        if t == "for":
+            fenv = Env(env)
+            init, cond, step, body = s[1], s[2], s[3], s[4]
+            if init is not None:
+                if init[0] == "vardecl":
+                    self.exec_stmt(init, fenv)
+                else:
+                    self.eval_expr(init[1], fenv)
+            while cond is None or js_truthy(self.eval_expr(cond, fenv)):
+                try:
+                    self.exec_stmt(body, Env(fenv))
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if step is not None:
+                    self.eval_expr(step, fenv)
+            return UNDEF
+        if t == "forin_of":
+            return self._exec_forin_of(s, env)
+        if t == "return":
+            raise _Return(UNDEF if s[1] is None else self.eval_expr(s[1], env))
+        if t == "break":
+            raise _Break()
+        if t == "continue":
+            raise _Continue()
+        if t == "throw":
+            raise JSThrow(self.eval_expr(s[1], env))
+        if t == "try":
+            _, block, catch, fin = s
+            try:
+                try:
+                    self.exec_stmt(block, env)
+                except JSThrow as e:
+                    if catch is None:
+                        raise
+                    cenv = Env(env)
+                    if catch[0] is not None:
+                        self._bind_pattern(catch[0], e.value, cenv,
+                                           declare="let")
+                    self.exec_stmt(catch[1], cenv)
+            finally:
+                if fin is not None:
+                    self.exec_stmt(fin, env)
+            return UNDEF
+        if t == "switch":
+            _, disc_e, cases, default_idx = s
+            disc = self.eval_expr(disc_e, env)
+            senv = Env(env)
+            start = None
+            for idx, (test, _) in enumerate(cases):
+                if test is not None and js_strict_eq(
+                        disc, self.eval_expr(test, senv)):
+                    start = idx
+                    break
+            if start is None:
+                start = default_idx
+            if start is not None:
+                try:
+                    for _, stmts in cases[start:]:
+                        for st in stmts:
+                            self.exec_stmt(st, senv)
+                except _Break:
+                    pass
+            return UNDEF
+        if t == "empty":
+            return UNDEF
+        raise JSError(f"unknown statement {t}")
+
+    def _exec_forin_of(self, s, env: Env):
+        _, is_of, binding, obj_e, body = s
+        obj = self.eval_expr(obj_e, env)
+        if is_of:
+            if isinstance(obj, str):
+                seq = list(obj)
+            elif isinstance(obj, list):
+                seq = list(obj)
+            elif isinstance(obj, dict):
+                raise JSThrow("TypeError: object is not iterable")
+            else:
+                raise JSThrow(
+                    f"TypeError: {js_to_display(obj)} is not iterable")
+        else:
+            if isinstance(obj, dict):
+                seq = list(obj.keys())
+            elif isinstance(obj, list):
+                seq = [str(i) for i in range(len(obj))]
+            elif isinstance(obj, str):
+                seq = [str(i) for i in range(len(obj))]
+            elif obj is None or obj is UNDEF:
+                seq = []
+            else:
+                seq = []
+        for item in seq:
+            ienv = Env(env)
+            if binding[0] == "decl":
+                self._bind_pattern(binding[2], item, ienv, declare=binding[1],
+                                   const=(binding[1] == "const"))
+            else:
+                self._assign_target(binding[1], item, ienv)
+            try:
+                self.exec_stmt(body, ienv)
+            except _Break:
+                break
+            except _Continue:
+                continue
+        return UNDEF
+
+    def _bind_pattern(self, target, value, env: Env, declare=None,
+                      const=False):
+        t = target[0]
+        if t == "id":
+            if declare == "var":
+                # var goes to nearest function/global env — approximated
+                # by assignment after hoisting declared it there
+                if env.has(target[1]):
+                    env.assign(target[1], value)
+                else:
+                    env.declare(target[1], value)
+            elif declare in ("let", "const"):
+                env.declare(target[1], value, const=const)
+            else:
+                env.assign(target[1], value)
+            return
+        if t == "apat":
+            src = value if isinstance(value, list) else (
+                list(value) if isinstance(value, str) else None)
+            if src is None:
+                raise JSThrow("TypeError: cannot destructure non-array")
+            for i, e in enumerate(target[1]):
+                if e is None:
+                    continue
+                kind, name, default = e
+                if kind == "rest":
+                    self._bind_pattern(("id", name), src[i:], env,
+                                       declare=declare, const=const)
+                    break
+                v = src[i] if i < len(src) else UNDEF
+                if v is UNDEF and default is not None:
+                    v = self.eval_expr(default, env)
+                self._bind_pattern(("id", name), v, env, declare=declare,
+                                   const=const)
+            return
+        if t == "opat":
+            if not isinstance(value, dict):
+                raise JSThrow("TypeError: cannot destructure non-object")
+            for key, alias, default in target[1]:
+                v = value.get(key, UNDEF)
+                if v is UNDEF and default is not None:
+                    v = self.eval_expr(default, env)
+                self._bind_pattern(("id", alias), v, env, declare=declare,
+                                   const=const)
+            return
+        raise JSError(f"bad binding target {t}")
+
+    # -- expressions -----------------------------------------------------------
+
+    def eval_expr(self, e, env: Env):
+        self._ops += 1
+        if self._ops > self.max_ops:
+            raise JSThrow("RangeError: script exceeded operation budget")
+        t = e[0]
+        if t == "lit":
+            return e[1]
+        if t == "id":
+            return env.lookup(e[1])
+        if t == "this":
+            return env.lookup("this") if env.has("this") else UNDEF
+        if t == "template":
+            out = []
+            for p in e[1]:
+                if p[0] == "str":
+                    out.append(p[1])
+                else:
+                    out.append(js_to_string(self.eval_expr(p[1], env), self))
+            return "".join(out)
+        if t == "regex":
+            return JSRegExp(e[1], e[2])
+        if t == "array":
+            out = []
+            for el in e[1]:
+                if el[0] == "spread":
+                    v = self.eval_expr(el[1], env)
+                    if isinstance(v, list):
+                        out.extend(v)
+                    elif isinstance(v, str):
+                        out.extend(list(v))
+                    else:
+                        raise JSThrow("TypeError: spread of non-iterable")
+                else:
+                    out.append(self.eval_expr(el, env))
+            return out
+        if t == "object":
+            obj: dict = {}
+            for p in e[1]:
+                if p[0] == "spread":
+                    v = self.eval_expr(p[1], env)
+                    if isinstance(v, dict):
+                        obj.update(v)
+                    continue
+                _, key_e, val_e = p
+                key = key_e[1] if key_e[0] == "lit" else js_to_string(
+                    self.eval_expr(key_e, env), self)
+                obj[js_to_string(key, self)] = self.eval_expr(val_e, env)
+            return obj
+        if t == "funcexpr":
+            return JSFunction(e[1], e[2], e[3], env)
+        if t == "arrow":
+            this_val = env.lookup("this") if env.has("this") else UNDEF
+            return JSFunction("", e[1], e[2], env, is_arrow=True,
+                              is_expr=e[3], this_val=this_val)
+        if t == "cond":
+            return self.eval_expr(
+                e[2] if js_truthy(self.eval_expr(e[1], env)) else e[3], env)
+        if t == "comma":
+            self.eval_expr(e[1], env)
+            return self.eval_expr(e[2], env)
+        if t == "bin":
+            return self._eval_bin(e, env)
+        if t == "unary":
+            return self._eval_unary(e, env)
+        if t == "update":
+            return self._eval_update(e, env)
+        if t == "assign":
+            return self._eval_assign(e, env)
+        if t == "member":
+            obj = self.eval_expr(e[1], env)
+            key = e[2][1] if e[2][0] == "lit" and not e[3] else \
+                self.eval_expr(e[2], env)
+            return self.get_property(obj, key)
+        if t == "call":
+            return self._eval_call(e, env)
+        if t == "new":
+            return self._eval_new(e, env)
+        raise JSError(f"unknown expression {t}")
+
+    def _eval_bin(self, e, env):
+        op = e[1]
+        if op == "&&":
+            l = self.eval_expr(e[2], env)
+            return self.eval_expr(e[3], env) if js_truthy(l) else l
+        if op == "||":
+            l = self.eval_expr(e[2], env)
+            return l if js_truthy(l) else self.eval_expr(e[3], env)
+        if op == "??":
+            l = self.eval_expr(e[2], env)
+            return self.eval_expr(e[3], env) if l is None or l is UNDEF else l
+        a = self.eval_expr(e[2], env)
+        b = self.eval_expr(e[3], env)
+        if op == "+":
+            return js_add(a, b)
+        if op == "-":
+            return js_to_number(a) - js_to_number(b)
+        if op == "*":
+            return js_to_number(a) * js_to_number(b)
+        if op == "/":
+            na, nb = js_to_number(a), js_to_number(b)
+            if nb == 0:
+                if na == 0 or math.isnan(na):
+                    return float("nan")
+                sign = math.copysign(1, na) * math.copysign(1, nb)
+                return float("inf") * sign
+            return na / nb
+        if op == "%":
+            return js_mod(js_to_number(a), js_to_number(b))
+        if op == "**":
+            try:
+                r = js_to_number(a) ** js_to_number(b)
+                return float(r)
+            except OverflowError:
+                return float("inf")
+        if op == "==":
+            return js_loose_eq(a, b)
+        if op == "!=":
+            return not js_loose_eq(a, b)
+        if op == "===":
+            return js_strict_eq(a, b)
+        if op == "!==":
+            return not js_strict_eq(a, b)
+        if op in ("<", ">", "<=", ">="):
+            if isinstance(a, str) and isinstance(b, str):
+                return {"<": a < b, ">": a > b, "<=": a <= b, ">=": a >= b}[op]
+            na, nb = js_to_number(a), js_to_number(b)
+            if math.isnan(na) or math.isnan(nb):
+                return False
+            return {"<": na < nb, ">": na > nb,
+                    "<=": na <= nb, ">=": na >= nb}[op]
+        if op == "&":
+            return float(js_to_int32(js_to_int32(a) & js_to_int32(b)))
+        if op == "|":
+            return float(js_to_int32(js_to_int32(a) | js_to_int32(b)))
+        if op == "^":
+            return float(js_to_int32(js_to_int32(a) ^ js_to_int32(b)))
+        if op == "<<":
+            return float(js_to_int32(
+                (js_to_int32(a) << (js_to_uint32(b) & 31)) & 0xFFFFFFFF))
+        if op == ">>":
+            return float(js_to_int32(a) >> (js_to_uint32(b) & 31))
+        if op == ">>>":
+            return float(js_to_uint32(a) >> (js_to_uint32(b) & 31))
+        if op == "instanceof":
+            return self._instanceof(a, b)
+        if op == "in":
+            if isinstance(b, dict):
+                return js_to_string(a, self) in b
+            if isinstance(b, list):
+                n = js_to_number(a)
+                return not math.isnan(n) and 0 <= int(n) < len(b)
+            raise JSThrow("TypeError: 'in' on non-object")
+        raise JSError(f"unknown binary op {op}")
+
+    def _instanceof(self, a, b):
+        name = getattr(b, "name", None)
+        if name == "Array":
+            return isinstance(a, list)
+        if name == "Object":
+            return isinstance(a, (dict, list))
+        if name == "Function":
+            return isinstance(a, (JSFunction, NativeFunction))
+        if name == "RegExp":
+            return isinstance(a, JSRegExp)
+        if name in ("Error", "TypeError", "RangeError", "SyntaxError"):
+            return isinstance(a, dict) and "message" in a and "name" in a
+        return False
+
+    def _eval_unary(self, e, env):
+        op = e[1]
+        if op == "typeof":
+            if e[2][0] == "id" and not env.has(e[2][1]):
+                return "undefined"
+            return js_typeof(self.eval_expr(e[2], env))
+        if op == "delete":
+            target = e[2]
+            if target[0] != "member":
+                return True
+            obj = self.eval_expr(target[1], env)
+            key = target[2][1] if target[2][0] == "lit" and not target[3] \
+                else self.eval_expr(target[2], env)
+            if isinstance(obj, dict):
+                obj.pop(js_to_string(key, self), None)
+                return True
+            if isinstance(obj, list):
+                n = js_to_number(key)
+                i = int(n) if not math.isnan(n) else -1
+                if 0 <= i < len(obj):
+                    obj[i] = UNDEF
+                return True
+            return True
+        v = self.eval_expr(e[2], env)
+        if op == "!":
+            return not js_truthy(v)
+        if op == "-":
+            return -js_to_number(v)
+        if op == "+":
+            return js_to_number(v)
+        if op == "~":
+            return float(~js_to_int32(v) if js_to_int32(v) != -0x80000000
+                         else 0x7FFFFFFF)
+        if op == "void":
+            return UNDEF
+        raise JSError(f"unknown unary {op}")
+
+    def _eval_update(self, e, env):
+        _, op, target, prefix = e
+        old = js_to_number(self._read_target(target, env))
+        new = old + (1 if op == "++" else -1)
+        self._assign_target(target, new, env)
+        return new if prefix else old
+
+    def _read_target(self, target, env):
+        if target[0] == "id":
+            return env.lookup(target[1])
+        if target[0] == "member":
+            obj = self.eval_expr(target[1], env)
+            key = target[2][1] if target[2][0] == "lit" and not target[3] \
+                else self.eval_expr(target[2], env)
+            return self.get_property(obj, key)
+        raise JSThrow("ReferenceError: invalid assignment target")
+
+    def _assign_target(self, target, value, env):
+        if target[0] == "id":
+            env.assign(target[1], value)
+            return
+        if target[0] == "member":
+            obj = self.eval_expr(target[1], env)
+            key = target[2][1] if target[2][0] == "lit" and not target[3] \
+                else self.eval_expr(target[2], env)
+            self.set_property(obj, key, value)
+            return
+        if target[0] in ("apat", "opat", "array", "object"):
+            # destructuring assignment (without declaration)
+            pat = _expr_to_pattern(target)
+            self._bind_pattern(pat, value, env, declare=None)
+            return
+        raise JSThrow("ReferenceError: invalid assignment target")
+
+    _COMPOUND = {
+        "+=": js_add,
+        "-=": lambda a, b: js_to_number(a) - js_to_number(b),
+        "*=": lambda a, b: js_to_number(a) * js_to_number(b),
+        "/=": lambda a, b: js_to_number(a) / js_to_number(b)
+        if js_to_number(b) != 0 else float("inf") * math.copysign(
+            1, js_to_number(a)) if js_to_number(a) != 0 else float("nan"),
+        "%=": lambda a, b: js_mod(js_to_number(a), js_to_number(b)),
+        "&=": lambda a, b: float(js_to_int32(a) & js_to_int32(b)),
+        "|=": lambda a, b: float(js_to_int32(a) | js_to_int32(b)),
+        "^=": lambda a, b: float(js_to_int32(a) ^ js_to_int32(b)),
+        "**=": lambda a, b: float(js_to_number(a) ** js_to_number(b)),
+        "<<=": lambda a, b: float(js_to_int32(
+            (js_to_int32(a) << (js_to_uint32(b) & 31)) & 0xFFFFFFFF)),
+        ">>=": lambda a, b: float(js_to_int32(a) >> (js_to_uint32(b) & 31)),
+        ">>>=": lambda a, b: float(js_to_uint32(a) >> (js_to_uint32(b) & 31)),
+    }
+
+    def _eval_assign(self, e, env):
+        _, op, target, value_e = e
+        if op == "=":
+            v = self.eval_expr(value_e, env)
+            self._assign_target(target, v, env)
+            return v
+        if op in ("&&=", "||=", "??="):
+            cur = self._read_target(target, env)
+            if op == "&&=" and not js_truthy(cur):
+                return cur
+            if op == "||=" and js_truthy(cur):
+                return cur
+            if op == "??=" and not (cur is None or cur is UNDEF):
+                return cur
+            v = self.eval_expr(value_e, env)
+            self._assign_target(target, v, env)
+            return v
+        cur = self._read_target(target, env)
+        v = self._COMPOUND[op](cur, self.eval_expr(value_e, env))
+        self._assign_target(target, v, env)
+        return v
+
+    def _eval_call(self, e, env):
+        _, callee, arg_es = e
+        args = []
+        for a in arg_es:
+            if a[0] == "spread":
+                v = self.eval_expr(a[1], env)
+                if isinstance(v, list):
+                    args.extend(v)
+                elif isinstance(v, str):
+                    args.extend(list(v))
+                else:
+                    raise JSThrow("TypeError: spread of non-iterable")
+            else:
+                args.append(self.eval_expr(a, env))
+        if callee[0] == "member":
+            obj = self.eval_expr(callee[1], env)
+            key = callee[2][1] if callee[2][0] == "lit" and not callee[3] \
+                else js_to_string(self.eval_expr(callee[2], env), self)
+            fn = self.get_property(obj, key)
+            if fn is UNDEF or fn is None:
+                raise JSThrow(
+                    f"TypeError: {js_to_display(obj)[:40]}.{key} is not a "
+                    "function")
+            return self.call_function(fn, obj, args)
+        fn = self.eval_expr(callee, env)
+        return self.call_function(fn, UNDEF, args)
+
+    def _eval_new(self, e, env):
+        _, callee_e, arg_es = e
+        fn = self.eval_expr(callee_e, env)
+        args = [self.eval_expr(a, env) for a in arg_es]
+        name = getattr(fn, "name", "")
+        if name in ("Error", "TypeError", "RangeError", "SyntaxError"):
+            msg = js_to_string(args[0], self) if args else ""
+            return {"name": name, "message": msg,
+                    "stack": f"{name}: {msg}"}
+        if name == "Array":
+            if len(args) == 1 and isinstance(args[0], (int, float)):
+                return [UNDEF] * int(args[0])
+            return list(args)
+        if name == "Object":
+            return {}
+        if name == "RegExp":
+            src = args[0] if args else ""
+            if isinstance(src, JSRegExp):
+                return src
+            return JSRegExp(js_to_string(src, self),
+                            js_to_string(args[1], self) if len(args) > 1
+                            else "")
+        if name == "Map" or name == "Set" or name == "Date":
+            raise JSThrow(
+                f"TypeError: {name} is not supported by this engine "
+                "(deterministic subset)")
+        if isinstance(fn, JSFunction):
+            obj: dict = {}
+            r = self.call_function(fn, obj, args)
+            return r if isinstance(r, (dict, list)) else obj
+        raise JSThrow(f"TypeError: {js_to_display(fn)} is not a constructor")
+
+    # -- property access ------------------------------------------------------
+
+    def get_property(self, obj, key):
+        if obj is None or obj is UNDEF:
+            raise JSThrow(
+                f"TypeError: Cannot read properties of "
+                f"{'null' if obj is None else 'undefined'} (reading "
+                f"'{js_to_display(key)}')")
+        if isinstance(key, (int, float)) and not isinstance(key, bool):
+            if isinstance(obj, list):
+                i = int(key)
+                if 0 <= i < len(obj):
+                    return obj[i]
+                return UNDEF
+            if isinstance(obj, str):
+                i = int(key)
+                if 0 <= i < len(obj):
+                    return obj[i]
+                return UNDEF
+            key = js_number_to_string(key)
+        key = js_to_string(key, self)
+        if isinstance(obj, dict):
+            if key in obj:
+                return obj[key]
+            return _object_proto(self, obj, key)
+        if isinstance(obj, list):
+            if key == "length":
+                return float(len(obj))
+            if key.lstrip("-").isdigit():
+                i = int(key)
+                return obj[i] if 0 <= i < len(obj) else UNDEF
+            return _array_proto(self, obj, key)
+        if isinstance(obj, str):
+            if key == "length":
+                return float(len(obj))
+            if key.isdigit():
+                i = int(key)
+                return obj[i] if i < len(obj) else UNDEF
+            return _string_proto(self, obj, key)
+        if isinstance(obj, bool):
+            return _generic_proto(self, obj, key)
+        if isinstance(obj, (int, float)):
+            return _number_proto(self, obj, key)
+        if isinstance(obj, JSRegExp):
+            if key == "source":
+                return obj.source
+            if key == "flags":
+                return obj.flags
+            if key == "lastIndex":
+                return float(obj.last_index)
+            if key == "global":
+                return "g" in obj.flags
+            return _regex_proto(self, obj, key)
+        if isinstance(obj, (JSFunction, NativeFunction)):
+            if key == "name":
+                return obj.name
+            if key == "call":
+                return NativeFunction("call", lambda i, t, a: i.call_function(
+                    obj, a[0] if a else UNDEF, a[1:]))
+            if key == "apply":
+                return NativeFunction("apply", lambda i, t, a: i.call_function(
+                    obj, a[0] if a else UNDEF,
+                    a[1] if len(a) > 1 and isinstance(a[1], list) else []))
+            if key == "bind":
+                def _bind(i, t, a):
+                    bound_this = a[0] if a else UNDEF
+                    pre = a[1:]
+                    return NativeFunction(
+                        obj.name,
+                        lambda i2, t2, a2: i2.call_function(
+                            obj, bound_this, pre + a2))
+                return NativeFunction("bind", _bind)
+            return UNDEF
+        return UNDEF
+
+    def set_property(self, obj, key, value):
+        if isinstance(obj, dict):
+            obj[js_to_string(key, self)] = value
+            return
+        if isinstance(obj, list):
+            if isinstance(key, str) and key == "length":
+                n = int(js_to_number(value))
+                del obj[n:]
+                while len(obj) < n:
+                    obj.append(UNDEF)
+                return
+            n = js_to_number(key)
+            if math.isnan(n):
+                raise JSThrow("TypeError: bad array index")
+            i = int(n)
+            while len(obj) <= i:
+                obj.append(UNDEF)
+            obj[i] = value
+            return
+        if isinstance(obj, JSRegExp) and key == "lastIndex":
+            obj.last_index = int(js_to_number(value))
+            return
+        if obj is None or obj is UNDEF:
+            raise JSThrow(
+                f"TypeError: Cannot set properties of "
+                f"{'null' if obj is None else 'undefined'}")
+        # setting on primitives is a silent no-op in sloppy mode
+
+
+def _expr_to_pattern(e):
+    """Convert an expression AST used as a destructuring assignment
+    target into a binding pattern."""
+    if e[0] in ("apat", "opat", "id"):
+        return e
+    if e[0] == "array":
+        elems = []
+        for el in e[1]:
+            if el[0] == "id":
+                elems.append(("elem", el[1], None))
+            elif el[0] == "lit" and el[1] is UNDEF:
+                elems.append(None)
+            else:
+                raise JSThrow("SyntaxError: unsupported destructuring")
+        return ("apat", elems)
+    if e[0] == "object":
+        props = []
+        for p in e[1]:
+            if p[0] != "kv" or p[1][0] != "lit" or p[2][0] != "id":
+                raise JSThrow("SyntaxError: unsupported destructuring")
+            props.append((p[1][1], p[2][1], None))
+        return ("opat", props)
+    raise JSThrow("SyntaxError: unsupported destructuring target")
+
+
+# =============================================================================
+# Built-in prototypes (dispatch tables, spec §21-25 subset)
+# =============================================================================
+
+
+def _nf(name):
+    def deco(fn):
+        return NativeFunction(name, fn)
+    return deco
+
+
+def _cmp_default(a, b) -> int:
+    sa, sb = js_to_string(a), js_to_string(b)
+    return -1 if sa < sb else (1 if sa > sb else 0)
+
+
+def _array_proto(interp, arr: list, key: str):
+    if key == "push":
+        return NativeFunction("push", lambda i, t, a: (
+            t.extend(a), float(len(t)))[1])
+    if key == "pop":
+        return NativeFunction("pop", lambda i, t, a: t.pop() if t else UNDEF)
+    if key == "shift":
+        return NativeFunction("shift", lambda i, t, a: t.pop(0) if t else UNDEF)
+    if key == "unshift":
+        def _unshift(i, t, a):
+            t[0:0] = a
+            return float(len(t))
+        return NativeFunction("unshift", _unshift)
+    if key == "slice":
+        def _slice(i, t, a):
+            s = int(js_to_number(a[0])) if a and a[0] is not UNDEF else 0
+            e = int(js_to_number(a[1])) if len(a) > 1 and a[1] is not UNDEF \
+                else len(t)
+            return t[slice(*slice(s, e).indices(len(t)))] if False else \
+                t[_norm_idx(s, len(t)):_norm_idx(e, len(t))]
+        return NativeFunction("slice", _slice)
+    if key == "splice":
+        def _splice(i, t, a):
+            start = _norm_idx(int(js_to_number(a[0])) if a else 0, len(t))
+            dc = int(js_to_number(a[1])) if len(a) > 1 else len(t) - start
+            dc = max(0, min(dc, len(t) - start))
+            removed = t[start:start + dc]
+            t[start:start + dc] = list(a[2:])
+            return removed
+        return NativeFunction("splice", _splice)
+    if key == "indexOf":
+        def _indexof(i, t, a):
+            x = a[0] if a else UNDEF
+            for idx, v in enumerate(t):
+                if js_strict_eq(v, x):
+                    return float(idx)
+            return -1.0
+        return NativeFunction("indexOf", _indexof)
+    if key == "lastIndexOf":
+        def _lindexof(i, t, a):
+            x = a[0] if a else UNDEF
+            for idx in range(len(t) - 1, -1, -1):
+                if js_strict_eq(t[idx], x):
+                    return float(idx)
+            return -1.0
+        return NativeFunction("lastIndexOf", _lindexof)
+    if key == "includes":
+        def _includes(i, t, a):
+            x = a[0] if a else UNDEF
+            for v in t:
+                if js_strict_eq(v, x) or (
+                        isinstance(v, float) and isinstance(x, float)
+                        and math.isnan(v) and math.isnan(x)):
+                    return True
+            return False
+        return NativeFunction("includes", _includes)
+    if key == "join":
+        def _join(i, t, a):
+            sep = js_to_string(a[0], i) if a and a[0] is not UNDEF else ","
+            return sep.join(
+                "" if v is None or v is UNDEF else js_to_string(v, i)
+                for v in t)
+        return NativeFunction("join", _join)
+    if key == "map":
+        def _map(i, t, a):
+            f = a[0]
+            return [i.call_function(f, UNDEF, [v, float(ix), t])
+                    for ix, v in enumerate(t)]
+        return NativeFunction("map", _map)
+    if key == "filter":
+        def _filter(i, t, a):
+            f = a[0]
+            return [v for ix, v in enumerate(t) if js_truthy(
+                i.call_function(f, UNDEF, [v, float(ix), t]))]
+        return NativeFunction("filter", _filter)
+    if key == "forEach":
+        def _foreach(i, t, a):
+            f = a[0]
+            for ix, v in enumerate(t):
+                i.call_function(f, UNDEF, [v, float(ix), t])
+            return UNDEF
+        return NativeFunction("forEach", _foreach)
+    if key == "reduce":
+        def _reduce(i, t, a):
+            f = a[0]
+            if len(a) > 1:
+                acc = a[1]
+                start = 0
+            else:
+                if not t:
+                    raise JSThrow(
+                        "TypeError: Reduce of empty array with no initial "
+                        "value")
+                acc = t[0]
+                start = 1
+            for ix in range(start, len(t)):
+                acc = i.call_function(f, UNDEF, [acc, t[ix], float(ix), t])
+            return acc
+        return NativeFunction("reduce", _reduce)
+    if key == "concat":
+        def _concat(i, t, a):
+            out = list(t)
+            for v in a:
+                if isinstance(v, list):
+                    out.extend(v)
+                else:
+                    out.append(v)
+            return out
+        return NativeFunction("concat", _concat)
+    if key == "reverse":
+        def _reverse(i, t, a):
+            t.reverse()
+            return t
+        return NativeFunction("reverse", _reverse)
+    if key == "sort":
+        def _sort(i, t, a):
+            import functools
+
+            if a and a[0] is not UNDEF:
+                f = a[0]
+
+                def cmp(x, y):
+                    r = js_to_number(i.call_function(f, UNDEF, [x, y]))
+                    return -1 if r < 0 else (1 if r > 0 else 0)
+            else:
+                cmp = _cmp_default
+            undef = [v for v in t if v is UNDEF]
+            rest = [v for v in t if v is not UNDEF]
+            rest.sort(key=functools.cmp_to_key(cmp))
+            t[:] = rest + undef
+            return t
+        return NativeFunction("sort", _sort)
+    if key == "find":
+        def _find(i, t, a):
+            f = a[0]
+            for ix, v in enumerate(t):
+                if js_truthy(i.call_function(f, UNDEF, [v, float(ix), t])):
+                    return v
+            return UNDEF
+        return NativeFunction("find", _find)
+    if key == "findIndex":
+        def _findix(i, t, a):
+            f = a[0]
+            for ix, v in enumerate(t):
+                if js_truthy(i.call_function(f, UNDEF, [v, float(ix), t])):
+                    return float(ix)
+            return -1.0
+        return NativeFunction("findIndex", _findix)
+    if key == "some":
+        def _some(i, t, a):
+            f = a[0]
+            return any(js_truthy(i.call_function(f, UNDEF, [v, float(ix), t]))
+                       for ix, v in enumerate(t))
+        return NativeFunction("some", _some)
+    if key == "every":
+        def _every(i, t, a):
+            f = a[0]
+            return all(js_truthy(i.call_function(f, UNDEF, [v, float(ix), t]))
+                       for ix, v in enumerate(t))
+        return NativeFunction("every", _every)
+    if key == "flat":
+        def _flat(i, t, a):
+            depth = int(js_to_number(a[0])) if a and a[0] is not UNDEF else 1
+
+            def go(lst, d):
+                out = []
+                for v in lst:
+                    if isinstance(v, list) and d > 0:
+                        out.extend(go(v, d - 1))
+                    else:
+                        out.append(v)
+                return out
+            return go(t, depth)
+        return NativeFunction("flat", _flat)
+    if key == "toString":
+        return NativeFunction("toString",
+                              lambda i, t, a: js_to_string(t, i))
+    if key == "keys" or key == "values" or key == "entries":
+        raise JSThrow(
+            f"TypeError: Array.prototype.{key} iterators are not supported "
+            "by this engine (use for-of / Object.keys)")
+    return UNDEF
+
+
+def _norm_idx(i: int, n: int) -> int:
+    if i < 0:
+        return max(0, n + i)
+    return min(i, n)
+
+
+def _string_proto(interp, s: str, key: str):
+    if key == "charAt":
+        return NativeFunction("charAt", lambda i, t, a: (
+            t[int(js_to_number(a[0]))] if a and 0 <= int(js_to_number(a[0]))
+            < len(t) else ""))
+    if key == "charCodeAt":
+        def _cca(i, t, a):
+            ix = int(js_to_number(a[0])) if a else 0
+            return float(ord(t[ix])) if 0 <= ix < len(t) else float("nan")
+        return NativeFunction("charCodeAt", _cca)
+    if key == "codePointAt":
+        def _cpa(i, t, a):
+            ix = int(js_to_number(a[0])) if a else 0
+            return float(ord(t[ix])) if 0 <= ix < len(t) else UNDEF
+        return NativeFunction("codePointAt", _cpa)
+    if key == "indexOf":
+        return NativeFunction("indexOf", lambda i, t, a: float(
+            t.find(js_to_string(a[0], i) if a else "undefined",
+                   int(js_to_number(a[1])) if len(a) > 1 else 0)))
+    if key == "lastIndexOf":
+        return NativeFunction("lastIndexOf", lambda i, t, a: float(
+            t.rfind(js_to_string(a[0], i) if a else "undefined")))
+    if key == "includes":
+        return NativeFunction("includes", lambda i, t, a: (
+            js_to_string(a[0], i) in t) if a else False)
+    if key == "startsWith":
+        return NativeFunction("startsWith", lambda i, t, a: t.startswith(
+            js_to_string(a[0], i)) if a else False)
+    if key == "endsWith":
+        return NativeFunction("endsWith", lambda i, t, a: t.endswith(
+            js_to_string(a[0], i)) if a else False)
+    if key == "slice":
+        def _slice(i, t, a):
+            st = int(js_to_number(a[0])) if a and a[0] is not UNDEF else 0
+            en = int(js_to_number(a[1])) if len(a) > 1 and a[1] is not UNDEF \
+                else len(t)
+            return t[_norm_idx(st, len(t)):_norm_idx(en, len(t))]
+        return NativeFunction("slice", _slice)
+    if key == "substring":
+        def _substring(i, t, a):
+            st = max(0, min(len(t), int(js_to_number(a[0])) if a else 0))
+            en = max(0, min(len(t), int(js_to_number(a[1]))
+                            if len(a) > 1 and a[1] is not UNDEF else len(t)))
+            if st > en:
+                st, en = en, st
+            return t[st:en]
+        return NativeFunction("substring", _substring)
+    if key == "substr":
+        def _substr(i, t, a):
+            st = int(js_to_number(a[0])) if a else 0
+            if st < 0:
+                st = max(0, len(t) + st)
+            ln = int(js_to_number(a[1])) if len(a) > 1 and a[1] is not UNDEF \
+                else len(t) - st
+            return t[st:st + max(0, ln)]
+        return NativeFunction("substr", _substr)
+    if key == "toUpperCase":
+        return NativeFunction("toUpperCase", lambda i, t, a: t.upper())
+    if key == "toLowerCase":
+        return NativeFunction("toLowerCase", lambda i, t, a: t.lower())
+    if key == "trim":
+        return NativeFunction("trim", lambda i, t, a: t.strip(
+            " \t\n\r\f\v ﻿"))
+    if key == "trimStart":
+        return NativeFunction("trimStart", lambda i, t, a: t.lstrip(
+            " \t\n\r\f\v ﻿"))
+    if key == "trimEnd":
+        return NativeFunction("trimEnd", lambda i, t, a: t.rstrip(
+            " \t\n\r\f\v ﻿"))
+    if key == "split":
+        def _split(i, t, a):
+            if not a or a[0] is UNDEF:
+                return [t]
+            sep = a[0]
+            limit = int(js_to_number(a[1])) if len(a) > 1 and \
+                a[1] is not UNDEF else -1
+            if isinstance(sep, JSRegExp):
+                parts = sep.pattern.split(t)
+            else:
+                sep = js_to_string(sep, i)
+                parts = list(t) if sep == "" else t.split(sep)
+            if limit >= 0:
+                parts = parts[:limit]
+            return parts
+        return NativeFunction("split", _split)
+    if key == "replace" or key == "replaceAll":
+        all_mode = key == "replaceAll"
+
+        def _replace(i, t, a):
+            pat, rep = a[0], a[1] if len(a) > 1 else UNDEF
+
+            def rep_fn(m):
+                if isinstance(rep, (JSFunction, NativeFunction)):
+                    groups = [g if g is not None else UNDEF
+                              for g in m.groups()]
+                    return js_to_string(i.call_function(
+                        rep, UNDEF,
+                        [m.group(0), *groups, float(m.start()), t]), i)
+                r = js_to_string(rep, i)
+                out = []
+                k = 0
+                while k < len(r):
+                    if r[k] == "$" and k + 1 < len(r):
+                        c = r[k + 1]
+                        if c == "$":
+                            out.append("$")
+                            k += 2
+                            continue
+                        if c == "&":
+                            out.append(m.group(0))
+                            k += 2
+                            continue
+                        if c.isdigit():
+                            gi = int(c)
+                            if gi <= len(m.groups()):
+                                out.append(m.group(gi) or "")
+                                k += 2
+                                continue
+                    out.append(r[k])
+                    k += 1
+                return "".join(out)
+            if isinstance(pat, JSRegExp):
+                count = 0 if ("g" in pat.flags or all_mode) else 1
+                return pat.pattern.sub(rep_fn, t, count=count)
+            ps = js_to_string(pat, i)
+            if isinstance(rep, (JSFunction, NativeFunction)):
+                idx = t.find(ps)
+                if idx < 0:
+                    return t
+                rv = js_to_string(i.call_function(
+                    rep, UNDEF, [ps, float(idx), t]), i)
+                if all_mode:
+                    # call per occurrence
+                    out, start = [], 0
+                    while True:
+                        idx = t.find(ps, start)
+                        if idx < 0:
+                            out.append(t[start:])
+                            break
+                        out.append(t[start:idx])
+                        out.append(js_to_string(i.call_function(
+                            rep, UNDEF, [ps, float(idx), t]), i))
+                        start = idx + max(1, len(ps))
+                    return "".join(out)
+                return t[:idx] + rv + t[idx + len(ps):]
+            rs = js_to_string(rep, i)
+            return t.replace(ps, rs) if all_mode else t.replace(ps, rs, 1)
+        return NativeFunction(key, _replace)
+    if key == "match":
+        def _match(i, t, a):
+            pat = a[0] if a else UNDEF
+            rx = pat if isinstance(pat, JSRegExp) else JSRegExp(
+                js_to_string(pat, i), "")
+            if "g" in rx.flags:
+                out = [m.group(0) for m in rx.pattern.finditer(t)]
+                return out if out else None
+            m = rx.pattern.search(t)
+            if m is None:
+                return None
+            res = [m.group(0)] + [g if g is not None else UNDEF
+                                  for g in m.groups()]
+            return res
+        return NativeFunction("match", _match)
+    if key == "search":
+        def _search(i, t, a):
+            pat = a[0] if a else UNDEF
+            rx = pat if isinstance(pat, JSRegExp) else JSRegExp(
+                js_to_string(pat, i), "")
+            m = rx.pattern.search(t)
+            return float(m.start()) if m else -1.0
+        return NativeFunction("search", _search)
+    if key == "repeat":
+        return NativeFunction("repeat", lambda i, t, a: t * int(
+            js_to_number(a[0])) if a else "")
+    if key == "padStart":
+        def _padstart(i, t, a):
+            n = int(js_to_number(a[0])) if a else 0
+            fill = js_to_string(a[1], i) if len(a) > 1 and a[1] is not UNDEF \
+                else " "
+            if len(t) >= n or not fill:
+                return t
+            pad = (fill * n)[: n - len(t)]
+            return pad + t
+        return NativeFunction("padStart", _padstart)
+    if key == "padEnd":
+        def _padend(i, t, a):
+            n = int(js_to_number(a[0])) if a else 0
+            fill = js_to_string(a[1], i) if len(a) > 1 and a[1] is not UNDEF \
+                else " "
+            if len(t) >= n or not fill:
+                return t
+            pad = (fill * n)[: n - len(t)]
+            return t + pad
+        return NativeFunction("padEnd", _padend)
+    if key == "concat":
+        return NativeFunction("concat", lambda i, t, a: t + "".join(
+            js_to_string(x, i) for x in a))
+    if key == "toString" or key == "valueOf":
+        return NativeFunction(key, lambda i, t, a: t)
+    if key == "localeCompare":
+        def _lc(i, t, a):
+            o = js_to_string(a[0], i) if a else "undefined"
+            return -1.0 if t < o else (1.0 if t > o else 0.0)
+        return NativeFunction("localeCompare", _lc)
+    return UNDEF
+
+
+def _number_proto(interp, n, key: str):
+    if key == "toString":
+        def _tostr(i, t, a):
+            if a and a[0] is not UNDEF:
+                radix = int(js_to_number(a[0]))
+                if radix == 10:
+                    return js_number_to_string(t)
+                iv = int(t)
+                if iv != t:
+                    raise JSThrow(
+                        "RangeError: non-integer radix toString not "
+                        "supported")
+                digs = "0123456789abcdefghijklmnopqrstuvwxyz"
+                neg = iv < 0
+                iv = abs(iv)
+                out = ""
+                while True:
+                    out = digs[iv % radix] + out
+                    iv //= radix
+                    if iv == 0:
+                        break
+                return ("-" if neg else "") + out
+            return js_number_to_string(t)
+        return NativeFunction("toString", _tostr)
+    if key == "toFixed":
+        def _tofixed(i, t, a):
+            d = int(js_to_number(a[0])) if a and a[0] is not UNDEF else 0
+            return f"{float(t):.{d}f}"
+        return NativeFunction("toFixed", _tofixed)
+    if key == "toPrecision":
+        def _toprec(i, t, a):
+            if not a or a[0] is UNDEF:
+                return js_number_to_string(t)
+            p = int(js_to_number(a[0]))
+            return f"{float(t):.{p}g}"
+        return NativeFunction("toPrecision", _toprec)
+    if key == "valueOf":
+        return NativeFunction("valueOf", lambda i, t, a: t)
+    return UNDEF
+
+
+def _generic_proto(interp, v, key: str):
+    if key == "toString":
+        return NativeFunction("toString", lambda i, t, a: js_to_string(t, i))
+    if key == "valueOf":
+        return NativeFunction("valueOf", lambda i, t, a: t)
+    return UNDEF
+
+
+def _object_proto(interp, obj: dict, key: str):
+    if key == "hasOwnProperty":
+        return NativeFunction("hasOwnProperty", lambda i, t, a: (
+            js_to_string(a[0], i) in t) if a else False)
+    if key == "toString":
+        return NativeFunction("toString", lambda i, t, a: js_to_string(t, i))
+    if key == "valueOf":
+        return NativeFunction("valueOf", lambda i, t, a: t)
+    return UNDEF
+
+
+def _regex_proto(interp, rx: JSRegExp, key: str):
+    if key == "test":
+        def _test(i, t, a):
+            s = js_to_string(a[0], i) if a else "undefined"
+            return t.pattern.search(s) is not None
+        return NativeFunction("test", _test)
+    if key == "exec":
+        def _exec(i, t, a):
+            s = js_to_string(a[0], i) if a else "undefined"
+            pos = t.last_index if "g" in t.flags else 0
+            m = t.pattern.search(s, pos)
+            if m is None:
+                t.last_index = 0
+                return None
+            if "g" in t.flags:
+                t.last_index = m.end()
+            res = [m.group(0)] + [g if g is not None else UNDEF
+                                  for g in m.groups()]
+            return res
+        return NativeFunction("exec", _exec)
+    if key == "toString":
+        return NativeFunction("toString", lambda i, t, a: js_to_string(t, i))
+    return UNDEF
+
+
+# =============================================================================
+# Globals
+# =============================================================================
+
+
+def _json_stringify(interp, value, indent=None) -> Any:
+    """JSON.stringify semantics: undefined/function at the root ->
+    undefined; inside objects -> skipped; inside arrays -> null."""
+
+    def enc(v, depth):
+        if depth > 200:
+            raise JSThrow("TypeError: Converting circular structure to JSON")
+        if v is None:
+            return "null"
+        if v is UNDEF or isinstance(v, (JSFunction, NativeFunction)):
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            f = float(v)
+            if math.isnan(f) or math.isinf(f):
+                return "null"
+            return js_number_to_string(f)
+        if isinstance(v, str):
+            return json.dumps(v, ensure_ascii=False)
+        if isinstance(v, list):
+            items = []
+            for e in v:
+                s = enc(e, depth + 1)
+                items.append("null" if s is None else s)
+            if indent:
+                if not items:
+                    return "[]"
+                pad = indent * (depth + 1)
+                inner = (",\n" + pad).join(items)
+                return "[\n" + pad + inner + "\n" + indent * depth + "]"
+            return "[" + ",".join(items) + "]"
+        if isinstance(v, dict):
+            items = []
+            for k, e in v.items():
+                s = enc(e, depth + 1)
+                if s is None:
+                    continue
+                ks = json.dumps(str(k), ensure_ascii=False)
+                if indent:
+                    items.append(f"{ks}: {s}")
+                else:
+                    items.append(f"{ks}:{s}")
+            if indent:
+                if not items:
+                    return "{}"
+                pad = indent * (depth + 1)
+                inner = (",\n" + pad).join(items)
+                return "{\n" + pad + inner + "\n" + indent * depth + "}"
+            return "{" + ",".join(items) + "}"
+        if isinstance(v, JSRegExp):
+            return "{}"
+        return None
+
+    out = enc(value, 0)
+    return UNDEF if out is None else out
+
+
+def _splitmix64(state: int) -> tuple:
+    state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z = z ^ (z >> 31)
+    return state, z
+
+
+def install_globals(interp: Interpreter) -> None:
+    g = interp.global_env
+
+    # -- Object ---------------------------------------------------------------
+    def _keys(i, t, a):
+        v = a[0] if a else UNDEF
+        if isinstance(v, dict):
+            return list(v.keys())
+        if isinstance(v, list):
+            return [str(ix) for ix in range(len(v))]
+        if isinstance(v, str):
+            return [str(ix) for ix in range(len(v))]
+        return []
+
+    def _values(i, t, a):
+        v = a[0] if a else UNDEF
+        if isinstance(v, dict):
+            return list(v.values())
+        if isinstance(v, list):
+            return list(v)
+        return []
+
+    def _entries(i, t, a):
+        v = a[0] if a else UNDEF
+        if isinstance(v, dict):
+            return [[k, val] for k, val in v.items()]
+        if isinstance(v, list):
+            return [[str(ix), val] for ix, val in enumerate(v)]
+        return []
+
+    def _assign(i, t, a):
+        if not a or not isinstance(a[0], dict):
+            raise JSThrow("TypeError: Object.assign target must be object")
+        tgt = a[0]
+        for src in a[1:]:
+            if isinstance(src, dict):
+                tgt.update(src)
+        return tgt
+
+    def _freeze(i, t, a):
+        return a[0] if a else UNDEF
+
+    obj_ns = {
+        "keys": NativeFunction("keys", _keys),
+        "values": NativeFunction("values", _values),
+        "entries": NativeFunction("entries", _entries),
+        "assign": NativeFunction("assign", _assign),
+        "freeze": NativeFunction("freeze", _freeze),
+        "fromEntries": NativeFunction("fromEntries", lambda i, t, a: {
+            js_to_string(kv[0], i): kv[1] for kv in (a[0] if a else [])}),
+        "getOwnPropertyNames": NativeFunction("getOwnPropertyNames", _keys),
+        "create": NativeFunction("create", lambda i, t, a: {}),
+    }
+    object_fn = NativeFunction(
+        "Object", lambda i, t, a: a[0] if a and isinstance(
+            a[0], (dict, list)) else {})
+    for k, v in obj_ns.items():
+        pass
+    # attach statics via a dict wrapper: member access on NativeFunction
+    # doesn't reach dicts, so Object is exposed as a dict of statics that
+    # is ALSO callable through _instanceof/new handling by name.
+    obj_dict = dict(obj_ns)
+    g.declare("Object", _CallableNamespace("Object", object_fn, obj_dict))
+
+    # -- JSON -----------------------------------------------------------------
+    def _stringify(i, t, a):
+        v = a[0] if a else UNDEF
+        indent = None
+        if len(a) > 2 and a[2] is not UNDEF:
+            sp = a[2]
+            if isinstance(sp, (int, float)) and not isinstance(sp, bool):
+                indent = " " * min(10, int(sp))
+            elif isinstance(sp, str):
+                indent = sp[:10]
+            if indent == "":
+                indent = None
+        return _json_stringify(i, v, indent)
+
+    def _parse(i, t, a):
+        s = js_to_string(a[0], i) if a else "undefined"
+        try:
+            return json.loads(s, parse_int=float, parse_float=float)
+        except json.JSONDecodeError as e:
+            raise JSThrow(f"SyntaxError: Unexpected token in JSON: {e.msg}")
+
+    g.declare("JSON", {
+        "stringify": NativeFunction("stringify", _stringify),
+        "parse": NativeFunction("parse", _parse),
+    })
+
+    # -- Math -----------------------------------------------------------------
+    def _random(i, t, a):
+        i._rand_state, z = _splitmix64(i._rand_state)
+        return (z >> 11) / float(1 << 53)
+
+    def _minmax(fn, empty):
+        def go(i, t, a):
+            if not a:
+                return empty
+            nums = [js_to_number(x) for x in a]
+            if any(math.isnan(x) for x in nums):
+                return float("nan")
+            return fn(nums)
+        return go
+
+    def _round(i, t, a):
+        x = js_to_number(a[0]) if a else float("nan")
+        if math.isnan(x) or math.isinf(x):
+            return x
+        return float(math.floor(x + 0.5))  # JS rounds .5 up (toward +inf)
+
+    math_ns = {
+        "floor": NativeFunction("floor", lambda i, t, a: float(math.floor(
+            js_to_number(a[0]))) if a and not math.isnan(js_to_number(a[0]))
+            and not math.isinf(js_to_number(a[0])) else js_to_number(
+                a[0] if a else UNDEF)),
+        "ceil": NativeFunction("ceil", lambda i, t, a: float(math.ceil(
+            js_to_number(a[0]))) if a and not math.isnan(js_to_number(a[0]))
+            and not math.isinf(js_to_number(a[0])) else js_to_number(
+                a[0] if a else UNDEF)),
+        "round": NativeFunction("round", _round),
+        "trunc": NativeFunction("trunc", lambda i, t, a: float(math.trunc(
+            js_to_number(a[0]))) if a and not math.isnan(js_to_number(a[0]))
+            and not math.isinf(js_to_number(a[0])) else js_to_number(
+                a[0] if a else UNDEF)),
+        "abs": NativeFunction("abs", lambda i, t, a: abs(js_to_number(
+            a[0])) if a else float("nan")),
+        "sign": NativeFunction("sign", lambda i, t, a: (
+            float("nan") if math.isnan(js_to_number(a[0]))
+            else float(0) if js_to_number(a[0]) == 0
+            else math.copysign(1.0, js_to_number(a[0]))) if a
+            else float("nan")),
+        "min": NativeFunction("min", _minmax(min, float("inf"))),
+        "max": NativeFunction("max", _minmax(max, float("-inf"))),
+        "pow": NativeFunction("pow", lambda i, t, a: float(
+            js_to_number(a[0]) ** js_to_number(a[1])) if len(a) > 1
+            else float("nan")),
+        "sqrt": NativeFunction("sqrt", lambda i, t, a: math.sqrt(
+            js_to_number(a[0])) if a and js_to_number(a[0]) >= 0
+            else float("nan")),
+        "cbrt": NativeFunction("cbrt", lambda i, t, a: math.copysign(
+            abs(js_to_number(a[0])) ** (1 / 3), js_to_number(a[0]))
+            if a else float("nan")),
+        "log": NativeFunction("log", lambda i, t, a: math.log(js_to_number(
+            a[0])) if a and js_to_number(a[0]) > 0 else (
+            float("-inf") if a and js_to_number(a[0]) == 0
+            else float("nan"))),
+        "log2": NativeFunction("log2", lambda i, t, a: math.log2(
+            js_to_number(a[0])) if a and js_to_number(a[0]) > 0
+            else float("nan")),
+        "log10": NativeFunction("log10", lambda i, t, a: math.log10(
+            js_to_number(a[0])) if a and js_to_number(a[0]) > 0
+            else float("nan")),
+        "exp": NativeFunction("exp", lambda i, t, a: math.exp(js_to_number(
+            a[0])) if a else float("nan")),
+        "sin": NativeFunction("sin", lambda i, t, a: math.sin(js_to_number(
+            a[0])) if a else float("nan")),
+        "cos": NativeFunction("cos", lambda i, t, a: math.cos(js_to_number(
+            a[0])) if a else float("nan")),
+        "tan": NativeFunction("tan", lambda i, t, a: math.tan(js_to_number(
+            a[0])) if a else float("nan")),
+        "atan2": NativeFunction("atan2", lambda i, t, a: math.atan2(
+            js_to_number(a[0]), js_to_number(a[1])) if len(a) > 1
+            else float("nan")),
+        "hypot": NativeFunction("hypot", lambda i, t, a: math.hypot(
+            *[js_to_number(x) for x in a])),
+        "random": NativeFunction("random", _random),
+        "PI": math.pi,
+        "E": math.e,
+        "LN2": math.log(2),
+        "LN10": math.log(10),
+        "SQRT2": math.sqrt(2),
+    }
+    g.declare("Math", math_ns)
+
+    # -- constructors / conversion fns ----------------------------------------
+    g.declare("Array", _CallableNamespace(
+        "Array",
+        NativeFunction("Array", lambda i, t, a: (
+            [UNDEF] * int(a[0]) if len(a) == 1 and isinstance(
+                a[0], (int, float)) and not isinstance(a[0], bool)
+            else list(a))),
+        {
+            "isArray": NativeFunction("isArray", lambda i, t, a: isinstance(
+                a[0] if a else UNDEF, list)),
+            "from": NativeFunction("from", lambda i, t, a: _array_from(
+                i, a)),
+            "of": NativeFunction("of", lambda i, t, a: list(a)),
+        }))
+    g.declare("String", _CallableNamespace(
+        "String",
+        NativeFunction("String", lambda i, t, a: js_to_string(
+            a[0], i) if a else ""),
+        {
+            "fromCharCode": NativeFunction("fromCharCode", lambda i, t, a:
+                                           "".join(chr(int(js_to_number(x)))
+                                                   for x in a)),
+        }))
+    g.declare("Number", _CallableNamespace(
+        "Number",
+        NativeFunction("Number", lambda i, t, a: js_to_number(
+            a[0]) if a else 0.0),
+        {
+            "isInteger": NativeFunction("isInteger", lambda i, t, a: (
+                isinstance(a[0], (int, float)) and not isinstance(
+                    a[0], bool) and not math.isnan(float(a[0]))
+                and not math.isinf(float(a[0]))
+                and float(a[0]) == int(a[0])) if a else False),
+            "isFinite": NativeFunction("isFinite", lambda i, t, a: (
+                isinstance(a[0], (int, float)) and not isinstance(
+                    a[0], bool) and math.isfinite(float(a[0])))
+                if a else False),
+            "isNaN": NativeFunction("isNaN", lambda i, t, a: (
+                isinstance(a[0], float) and math.isnan(a[0]))
+                if a else False),
+            "parseFloat": NativeFunction("parseFloat", lambda i, t, a:
+                                         _parse_float(i, a)),
+            "parseInt": NativeFunction("parseInt", lambda i, t, a:
+                                       _parse_int(i, a)),
+            "MAX_SAFE_INTEGER": float(2**53 - 1),
+            "MIN_SAFE_INTEGER": float(-(2**53 - 1)),
+            "MAX_VALUE": 1.7976931348623157e308,
+            "MIN_VALUE": 5e-324,
+            "EPSILON": 2.220446049250313e-16,
+            "POSITIVE_INFINITY": float("inf"),
+            "NEGATIVE_INFINITY": float("-inf"),
+            "NaN": float("nan"),
+        }))
+    g.declare("Boolean", NativeFunction(
+        "Boolean", lambda i, t, a: js_truthy(a[0]) if a else False))
+    for name in ("Error", "TypeError", "RangeError", "SyntaxError"):
+        g.declare(name, NativeFunction(name, (
+            lambda nm: lambda i, t, a: {
+                "name": nm,
+                "message": js_to_string(a[0], i) if a else "",
+                "stack": f"{nm}: {js_to_string(a[0], i) if a else ''}",
+            })(name)))
+    g.declare("RegExp", NativeFunction(
+        "RegExp", lambda i, t, a: JSRegExp(
+            js_to_string(a[0], i) if a else "",
+            js_to_string(a[1], i) if len(a) > 1 and a[1] is not UNDEF
+            else "")))
+    g.declare("Function", NativeFunction("Function", lambda i, t, a: (
+        (_ for _ in ()).throw(JSThrow(
+            "TypeError: Function constructor is not supported")))))
+    g.declare("parseInt", NativeFunction(
+        "parseInt", lambda i, t, a: _parse_int(i, a)))
+    g.declare("parseFloat", NativeFunction(
+        "parseFloat", lambda i, t, a: _parse_float(i, a)))
+    g.declare("isNaN", NativeFunction("isNaN", lambda i, t, a: math.isnan(
+        js_to_number(a[0] if a else UNDEF))))
+    g.declare("isFinite", NativeFunction(
+        "isFinite", lambda i, t, a: math.isfinite(
+            js_to_number(a[0] if a else UNDEF))))
+    g.declare("NaN", float("nan"))
+    g.declare("Infinity", float("inf"))
+    g.declare("globalThis", {})
+    g.declare("encodeURIComponent", NativeFunction(
+        "encodeURIComponent", lambda i, t, a: _uri_encode(
+            js_to_string(a[0], i) if a else "undefined",
+            safe="!'()*-._~")))
+    g.declare("decodeURIComponent", NativeFunction(
+        "decodeURIComponent", lambda i, t, a: _uri_decode(
+            js_to_string(a[0], i) if a else "undefined")))
+    g.declare("encodeURI", NativeFunction(
+        "encodeURI", lambda i, t, a: _uri_encode(
+            js_to_string(a[0], i) if a else "undefined",
+            safe="!#$&'()*+,-./:;=?@_~")))
+    g.declare("decodeURI", NativeFunction(
+        "decodeURI", lambda i, t, a: _uri_decode(
+            js_to_string(a[0], i) if a else "undefined")))
+
+    # -- console → host logger ---------------------------------------------
+    def _console(level):
+        def fn(i, t, a):
+            i.console_writer(level, " ".join(js_to_display(x) for x in a))
+            return UNDEF
+        return NativeFunction(level, fn)
+
+    g.declare("console", {
+        "log": _console("log"),
+        "info": _console("log"),
+        "warn": _console("warn"),
+        "error": _console("error"),
+        "debug": _console("log"),
+    })
+
+    # -- Date: deterministic minimal gate ------------------------------------
+    g.declare("Date", _CallableNamespace(
+        "Date",
+        NativeFunction("Date", lambda i, t, a: (_ for _ in ()).throw(
+            JSThrow("TypeError: Date is not supported by this engine "
+                    "(deterministic subset); pass timestamps in as data"))),
+        {"now": NativeFunction("now", lambda i, t, a: 0.0)}))
+
+
+class _CallableNamespace(dict):
+    """A callable global (String(...), Array(...)) that also carries
+    static members (String.fromCharCode) — a dict subclass so
+    get_property's object path finds the statics, plus a .fn slot so
+    call_function can invoke it."""
+
+    def __init__(self, name: str, call_fn: NativeFunction, statics: dict):
+        super().__init__(statics)
+        self.name = name
+        self.fn = call_fn.fn
+
+
+def _array_from(interp, a):
+    src = a[0] if a else UNDEF
+    if isinstance(src, list):
+        out = list(src)
+    elif isinstance(src, str):
+        out = list(src)
+    elif isinstance(src, dict) and "length" in src:
+        n = int(js_to_number(src["length"]))
+        out = [src.get(str(ix), UNDEF) for ix in range(n)]
+    else:
+        out = []
+    if len(a) > 1 and isinstance(a[1], (JSFunction, NativeFunction)):
+        out = [interp.call_function(a[1], UNDEF, [v, float(ix)])
+               for ix, v in enumerate(out)]
+    return out
+
+
+def _parse_int(interp, a):
+    s = js_to_string(a[0], interp).strip() if a else "undefined"
+    radix = int(js_to_number(a[1])) if len(a) > 1 and a[1] is not UNDEF else 0
+    sign = 1
+    if s[:1] in "+-":
+        if s[0] == "-":
+            sign = -1
+        s = s[1:]
+    if radix == 0:
+        if s[:2].lower() == "0x":
+            radix = 16
+            s = s[2:]
+        else:
+            radix = 10
+    elif radix == 16 and s[:2].lower() == "0x":
+        s = s[2:]
+    digs = "0123456789abcdefghijklmnopqrstuvwxyz"[:radix]
+    out = 0
+    seen = False
+    for c in s.lower():
+        d = digs.find(c)
+        if d < 0:
+            break
+        out = out * radix + d
+        seen = True
+    return float(sign * out) if seen else float("nan")
+
+
+def _parse_float(interp, a):
+    s = js_to_string(a[0], interp).strip() if a else "undefined"
+    m = re.match(r"[+-]?(?:Infinity|\d+\.?\d*(?:[eE][+-]?\d+)?|"
+                 r"\.\d+(?:[eE][+-]?\d+)?)", s)
+    if not m:
+        return float("nan")
+    tok = m.group(0)
+    if tok.endswith("Infinity"):
+        return float("-inf") if tok.startswith("-") else float("inf")
+    return float(tok)
+
+
+def _uri_encode(s: str, safe: str) -> str:
+    out = []
+    for b in s.encode("utf-8"):
+        c = chr(b)
+        if c.isalnum() and c.isascii() or c in safe:
+            out.append(c)
+        else:
+            out.append(f"%{b:02X}")
+    return "".join(out)
+
+
+def _uri_decode(s: str) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        if s[i] == "%" and i + 2 < len(s) + 1:
+            try:
+                out.append(int(s[i + 1:i + 3], 16))
+                i += 3
+                continue
+            except ValueError:
+                raise JSThrow("URIError: URI malformed")
+        out.extend(s[i].encode("utf-8"))
+        i += 1
+    try:
+        return out.decode("utf-8")
+    except UnicodeDecodeError:
+        raise JSThrow("URIError: URI malformed")
+
+
+# =============================================================================
+# Host boundary (goja Export analog, casts.go)
+# =============================================================================
+
+
+def js_export(v):
+    """JS value → plain Python (goja's Export: integral floats become
+    ints, undefined → None)."""
+    if v is UNDEF:
+        return None
+    if isinstance(v, bool) or v is None or isinstance(v, str):
+        return v
+    if isinstance(v, (int, float)):
+        f = float(v)
+        if math.isfinite(f) and f == int(f) and abs(f) <= 2**53:
+            return int(f)
+        return f
+    if isinstance(v, list):
+        return [js_export(e) for e in v]
+    if isinstance(v, dict):
+        return {str(k): js_export(val) for k, val in v.items()
+                if not isinstance(val, (JSFunction, NativeFunction))}
+    if isinstance(v, (JSFunction, NativeFunction)):
+        return None
+    if isinstance(v, JSRegExp):
+        return f"/{v.source}/{v.flags}"
+    return v
+
+
+def js_import(v):
+    """Plain Python → JS value (numbers stay as-is; None → null)."""
+    if isinstance(v, dict):
+        return {str(k): js_import(val) for k, val in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [js_import(e) for e in v]
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v

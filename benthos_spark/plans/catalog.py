@@ -3794,6 +3794,49 @@ def awk_orders_tiers(spark, sf_dir):
     )
 
 
+@register(
+    "wasm_uppercase_docs",
+    """
+    SELECT doc_id,
+           md5(translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ')) AS up_md5,
+           length(text) AS n_chars
+    FROM documents
+    WHERE doc_id % 41 = 0
+    ORDER BY doc_id
+    """,
+)
+def wasm_uppercase_docs(spark, sf_dir):
+    """`wasm` processor under the hash gate (operators/wasm.py running
+    the from-scratch core-spec interpreter, functions/wasm.py — the
+    reference embeds wazero, internal/impl/wasm/processor_wazero.go:26):
+    each document's UTF-8 bytes ride through the hand-assembled
+    uppercase module (the analog of the reference's tinygo
+    uppercase.wasm example), which ASCII-uppercases in place via the
+    benthos_wasm host ABI; DuckDB computes the same ASCII-only
+    uppercasing with translate() and both sides hash the md5 of the
+    resulting bytes. Plugin escape hatch by design: per-message
+    interpreted execution, applied to a modulo-sampled slice."""
+    from benthos_spark.functions.wasm_examples import uppercase_module
+    from benthos_spark.operators.wasm import Wasm
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 41 == 0)
+        .select("doc_id", F.length("text").alias("n_chars"),
+                F.encode(F.col("text"), "UTF-8").alias("value"))
+    )
+    out = Wasm(module_bytes=uppercase_module(), col="value")(d)
+    return (
+        out.select(
+            "doc_id",
+            F.md5("value").alias("up_md5"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _CLIPS_ALIGN_GATE = _gate.table_path("sf0.01", "clips_align")
 
 
@@ -4110,7 +4153,10 @@ GATE_PRIORITY: list[str] = [
     "audio_resample_sinc_rollup",
     "audio_vad_rollup",
     "audio_pitch_rollup",
-    "audio_quality_rollup",
+    # wasm is a NEW family (WASM plugin processor surface); the audio
+    # quality projection cedes its slot (decode/features + pitch keep
+    # the DSP path covered; quality stays hash-checked locally)
+    "wasm_uppercase_docs",
     # diarization = VAD segmentation + embedding + clustering: subsumes
     # the plain segmentation entry (which stays in the local gate)
     "audio_diarization_rollup",

@@ -1,0 +1,386 @@
+"""From-scratch JavaScript engine (functions/js.py) + the `javascript`
+processor (operators/js.py) — the reference's processor_test.go corpus
+ported verbatim plus language-semantics pins against goja/spec
+behavior (internal/impl/javascript/)."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import math
+import threading
+
+import pytest
+
+from benthos_spark.functions import js as J
+from benthos_spark.operators.js import JavaScript, _Runner, go_json_error
+
+
+def ev(src: str):
+    return J.Interpreter().run(src)
+
+
+# -- language semantics --------------------------------------------------------
+
+
+@pytest.mark.parametrize("src,want", [
+    ("[1,2,3].map(x => x*2).join(',')", "2,4,6"),
+    ("'Hello'.toUpperCase() + '!'", "HELLO!"),
+    ("JSON.stringify({a:1,b:[true,null,'x']})", '{"a":1,"b":[true,null,"x"]}'),
+    ("Object.keys({x:1,y:2}).length", 2.0),
+    ("(function f(n){ return n<=1?1:n*f(n-1); })(5)", 120.0),
+    ("typeof undefined_var", "undefined"),
+    ("typeof null", "object"),
+    ("typeof (()=>1)", "function"),
+    ("'a,b,,c'.split(',').length", 4.0),
+    ("var s=0; for (let i=0;i<10;i++){ if(i%2) continue; s+=i; } s", 20.0),
+    ("let o={}; o['k']=5; delete o.k; JSON.stringify(o)", "{}"),
+    ("`x=${1+2} ${'a'.repeat(3)}`", "x=3 aaa"),
+    ("/ab+c/i.test('xABBc!')", True),
+    ("'2019-05-06'.replace(/-/g, '/')", "2019/05/06"),
+    ("[3,1,2].sort().join('')", "123"),
+    ("[3,1,2].sort((a,b)=>b-a).join('')", "321"),
+    ("parseInt('42px')", 42.0),
+    ("parseInt('ff', 16)", 255.0),
+    ("(5).toFixed(2)", "5.00"),
+    ("String(123.0)", "123"),
+    ("String(1.5)", "1.5"),
+    ("JSON.parse('{\"n\": 3}').n + 1", 4.0),
+    ("[1,[2,[3]]].flat(2).join('')", "123"),
+    ("let {a, b: c = 9} = {a: 1}; a + c", 10.0),
+    ("let [p, ...q] = [1,2,3]; p + q.length", 3.0),
+    ("-7 % 3", -1.0),
+    ("7 % -3", 1.0),
+    ("(1/0) + ''", "Infinity"),
+    ("1/'x' === 1/'x'", False),          # NaN !== NaN
+    ("null == undefined", True),
+    ("null === undefined", False),
+    ("'5' == 5", True),
+    ("'5' === 5", False),
+    ("[] + []", ""),
+    ("[] + {}", "[object Object]"),
+    ("1 + '2'", "12"),
+    ("'3' * '4'", 12.0),
+    ("true + true", 2.0),
+    ("do { var z = 1; } while (false); z", 1.0),
+    ("var t = 0; try { throw 5; } catch (e) { t = e; } finally { t += 1; } t",
+     6.0),
+    ("let f = (a, b = a + 1) => a + b; f(2)", 5.0),
+    ("let xs = [...[1,2], 3]; xs.length", 3.0),
+    ("let o2 = {...{a:1}, b:2}; JSON.stringify(o2)", '{"a":1,"b":2}'),
+    ("[10, 20, 30].reduce((acc, v) => acc + v, 0)", 60.0),
+    ("[1,2,3,4].filter(x => x % 2 === 0).length", 2.0),
+    ("'abc'.charCodeAt(1)", 98.0),
+    ("String.fromCharCode(72, 105)", "Hi"),
+    ("Math.max(1, 5, 3)", 5.0),
+    ("Math.floor(-1.5)", -2.0),
+    ("Math.round(2.5)", 3.0),
+    ("Math.round(-2.5)", -2.0),          # JS rounds .5 toward +inf
+    ("(255).toString(16)", "ff"),
+    ("5 & 3", 1.0),
+    ("-1 >>> 28", 15.0),
+    ("1 << 31", -2147483648.0),
+    ("~5", -6.0),
+    ("let obj = {n: 2, twice() { return this.n * 2; }}; obj.twice()", 4.0),
+    ("var c=0; switch('b'){case 'a': c=1; case 'b': c=2; case 'c': c+=10; "
+     "break; default: c=99;} c", 12.0),  # fallthrough
+    ("(() => { let s = ''; for (const k in {x:1,y:2}) s += k; return s; })()",
+     "xy"),
+    ("(() => { let s = 0; for (const v of [1,2,3]) s += v; return s; })()",
+     6.0),
+    ("'  pad  '.trim()", "pad"),
+    ("'5'.padStart(3, '0')", "005"),
+    ("JSON.stringify([undefined, function(){}])", "[null,null]"),
+    ("JSON.stringify({u: undefined, f: function(){}, k: 1})", '{"k":1}'),
+    ("encodeURIComponent('a b&c')", "a%20b%26c"),
+    ("decodeURIComponent('a%20b%26c')", "a b&c"),
+    ("[1,2,3].indexOf(9)", -1.0),
+    ("'abcdef'.slice(-3)", "def"),
+    ("'abcdef'.substring(4, 1)", "bcd"),  # substring swaps
+    ("var n = 0; while (n < 5) { n++; if (n === 3) break; } n", 3.0),
+    ("(x => x)(9)", 9.0),
+    ("let m = /(\\d+)-(\\d+)/.exec('a 12-34 b'); m[1] + '/' + m[2]", "12/34"),
+    ("'aaa'.replace('a', 'b')", "baa"),
+    ("'aaa'.replaceAll('a', 'b')", "bbb"),
+    ("'x1y2'.match(/\\d/g).join('')", "12"),
+])
+def test_semantics(src, want):
+    got = ev(src)
+    if isinstance(want, float):
+        assert isinstance(got, (int, float)) and float(got) == want, (src, got)
+    else:
+        assert got == want, (src, got)
+
+
+def test_number_string_edges():
+    assert ev("0.1 + 0.2") == 0.30000000000000004
+    assert ev("(0.1 + 0.2) + ''") == "0.30000000000000004"
+    assert ev("1e21 + ''") == "1e+21"
+    assert math.isnan(ev("parseInt('zz')"))
+    assert ev("1/0") == float("inf")
+    assert ev("-1/0") == float("-inf")
+    assert math.isnan(ev("0/0"))
+
+
+def test_closures_and_scope():
+    src = """
+    function counter() {
+      let n = 0;
+      return () => { n += 1; return n; };
+    }
+    var c1 = counter(), c2 = counter();
+    c1(); c1(); c2();
+    [c1(), c2()].join('-')
+    """
+    assert ev(src) == "3-2"
+
+
+def test_var_hoisting_and_function_hoisting():
+    assert ev("function g() { return h() + v(); } "
+              "function h() { return 1; } var v = () => 2; g()") == 3.0
+    assert ev("var seen = typeof hoisted; var hoisted = 5; seen") == \
+        "undefined"
+
+
+def test_this_binding_arrow_vs_method():
+    src = """
+    var obj = {
+      x: 10,
+      getArrow: function() { return () => this.x; },
+      plain: function() { return this.x; }
+    };
+    obj.getArrow()() + obj.plain()
+    """
+    assert ev(src) == 20.0
+
+
+def test_deterministic_math_random():
+    a = J.Interpreter().run("[Math.random(), Math.random()]")
+    b = J.Interpreter().run("[Math.random(), Math.random()]")
+    assert a == b            # counter-based: same per fresh interpreter
+    assert a[0] != a[1]
+    assert 0 <= a[0] < 1
+
+
+def test_date_gated_with_clear_error():
+    with pytest.raises(J.JSThrow, match="Date is not supported"):
+        ev("new Date()")
+
+
+def test_operation_budget_stops_runaway_loops():
+    it = J.Interpreter(max_ops=100_000)
+    with pytest.raises(J.JSThrow, match="operation budget"):
+        it.run("while (true) {}")
+
+
+def test_uncaught_throw_and_error_objects():
+    with pytest.raises(J.JSThrow) as ei:
+        ev("throw new TypeError('bad thing')")
+    assert ei.value.value["message"] == "bad thing"
+    assert ei.value.value["name"] == "TypeError"
+    assert ev("var r; try { null.x; } catch (e) { r = 'caught'; } r") == \
+        "caught"
+
+
+# -- go_json_error parity --------------------------------------------------------
+
+
+def test_go_json_error_strings():
+    # pinned against Go encoding/json (processor_test.go:216)
+    assert go_json_error("not a structured message") == \
+        "invalid character 'o' in literal null (expecting 'u')"
+    assert go_json_error("xyz") == \
+        "invalid character 'x' looking for beginning of value"
+    assert go_json_error("truthy") == \
+        "invalid character 't' in literal true (expecting 'e')"
+    assert go_json_error("{1: 2}") == \
+        "invalid character '1' looking for beginning of object key string"
+    assert go_json_error("") == "unexpected end of JSON input"
+    assert go_json_error('{"a":1} extra') == \
+        "invalid character 'e' after top-level value"
+
+
+# -- reference processor corpus (processor_test.go, ported verbatim) -----------
+
+
+_BASIC = """
+(() => {
+  let foo = "hello world"
+  benthos.v0_msg_set_string(benthos.v0_msg_as_string() + foo);
+})();
+"""
+
+
+def test_processor_basic_repeated():
+    r = _Runner(_BASIC)
+    for msg in (b"first ", b"second "):
+        content, meta, err = r.run(msg, {})
+        assert err is None
+        assert content == msg + b"hello world"
+    # runtime reuse across many invocations (reference loops 1000x)
+    for i in range(200):
+        content, _, err = r.run(f"hello world {i}".encode(), {})
+        assert err is None
+        assert content == f"hello world {i}hello world".encode()
+
+
+def test_processor_no_encapsulation():
+    r = _Runner(
+        'benthos.v0_msg_set_string(benthos.v0_msg_as_string() + '
+        '"hello world");')
+    content, _, err = r.run(b"first ", {})
+    assert err is None and content == b"first hello world"
+
+
+def test_processor_metadata():
+    r = _Runner("""
+(() => {
+  benthos.v0_msg_set_meta("testa", "hello world");
+  benthos.v0_msg_set_meta("testb", benthos.v0_msg_get_meta("testa") + " two");
+  benthos.v0_msg_set_meta("testc", ["first","second"]);
+  benthos.v0_msg_set_meta("testd", 123.4);
+})();
+""")
+    content, meta, err = r.run(b"first", {})
+    assert err is None
+    assert content == b"first"
+    assert meta == {
+        "testa": "hello world",
+        "testb": "hello world two",
+        "testc": ["first", "second"],
+        "testd": 123.4,
+    }
+
+
+def test_processor_structured():
+    r = _Runner("""
+(() => {
+  let thing = benthos.v0_msg_as_structured();
+  thing.num_keys = Object.keys(thing).length;
+  delete thing["b"];
+  benthos.v0_msg_set_structured(thing);
+})();
+""")
+    content, _, err = r.run(b'{"a":"a value","b":"b value"}', {})
+    assert err is None
+    assert content == b'{"a":"a value","num_keys":2}'
+
+
+def test_processor_structured_imut():
+    r = _Runner("""
+(() => {
+  let thing = benthos.v0_msg_as_structured();
+  thing.num_keys = Object.keys(thing).length;
+  delete thing["b"];
+  benthos.v0_msg_set_meta("result", thing);
+})();
+""")
+    content, meta, err = r.run(b'{"a":"a value","b":"b value"}', {})
+    assert err is None
+    assert content == b'{"a":"a value","b":"b value"}'  # unchanged
+    # goja Export: integral float -> int (casts.go / Export semantics)
+    assert meta["result"] == {"a": "a value", "num_keys": 2}
+    assert isinstance(meta["result"]["num_keys"], int)
+
+
+def test_processor_error_handling():
+    r = _Runner("""
+(() => {
+  try {
+    let thing = benthos.v0_msg_as_structured();
+    benthos.v0_msg_set_meta("no_err", thing);
+  } catch (e) {
+    benthos.v0_msg_set_meta("err", e);
+  }
+})();
+""")
+    content, meta, err = r.run(b"not a structured message", {})
+    assert err is None
+    assert content == b"not a structured message"
+    assert meta == {
+        "err": "invalid character 'o' in literal null (expecting 'u')"}
+
+
+def test_processor_basic_from_file(tmp_path):
+    p = tmp_path / "foo.js"
+    p.write_text(_BASIC)
+    proc = JavaScript(file=str(p))
+    r = _Runner(proc.code)
+    content, _, err = r.run(b"first ", {})
+    assert err is None and content == b"first hello world"
+
+
+def test_processor_http_fetch():
+    class Echo(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"echo: " + body.upper())
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Echo)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+        r = _Runner(f"""
+(() => {{
+  let foo = benthos.v0_fetch("{url}", {{}}, "GET", benthos.v0_msg_as_string());
+  benthos.v0_msg_set_string(foo.status.toString() + ": " + foo.body);
+}})();
+""")
+        content, _, err = r.run(b"first", {})
+        assert err is None
+        assert content == b"200: echo: FIRST"
+        content, _, err = r.run(b"second", {})
+        assert content == b"200: echo: SECOND"
+    finally:
+        srv.shutdown()
+
+
+def test_uncaught_script_error_marks_message():
+    r = _Runner("benthos.v0_msg_get_meta('missing');")
+    content, meta, err = r.run(b"body", {})
+    assert content == b"body"
+    assert err == "key not found"
+
+
+# -- Spark processor ------------------------------------------------------------
+
+
+def test_javascript_processor_spark(spark):
+    df = spark.createDataFrame(
+        [(1, '{"n": 2}'), (2, '{"n": 5}')], "i int, value string")
+    proc = JavaScript(code="""
+(() => {
+  let m = benthos.v0_msg_as_structured();
+  m.n2 = m.n * m.n;
+  benthos.v0_msg_set_structured(m);
+  benthos.v0_msg_set_meta("seen", "yes");
+})();
+""")
+    rows = {r.i: r for r in proc(df).collect()}
+    assert json.loads(rows[1].value) == {"n": 2, "n2": 4}
+    assert json.loads(rows[2].value) == {"n": 5, "n2": 25}
+    assert rows[1]._meta["seen"] == "yes"
+    assert rows[1]._error is None
+
+
+def test_javascript_config_wired(spark):
+    from benthos_spark.config import ConfigError, _proc
+
+    proc = _proc({"javascript": {
+        "code": 'benthos.v0_msg_set_string('
+                'benthos.v0_msg_as_string().toUpperCase());'}})
+    df = spark.createDataFrame([("hello",)], "value string")
+    out = proc(df).collect()
+    assert out[0].value == "HELLO"
+
+    with pytest.raises(ConfigError):
+        _proc({"javascript": {}})
+    with pytest.raises(ConfigError):
+        _proc({"javascript": {"code": "1;", "file": "/tmp/x.js"}})
