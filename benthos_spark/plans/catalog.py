@@ -3795,6 +3795,63 @@ def awk_orders_tiers(spark, sf_dir):
 
 
 @register(
+    "javascript_orders_score",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               * (CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END)) AS score_cents
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def javascript_orders_score(spark, sf_dir):
+    """`javascript` processor under the hash gate (operators/js.py over
+    the from-scratch ES5 engine, functions/js.py — reference embeds
+    goja, internal/impl/javascript/processor.go:26): each order rides
+    as a JSON message, the script parses it with v0_msg_as_structured,
+    computes an integer-cents score (doubled for finished orders) and
+    re-emits the structured message; the Spark-side rollup of the
+    script's output must match DuckDB computing the same scoring in
+    SQL. Integer cents keep the sum aggregation-order-independent."""
+    from benthos_spark.operators.js import JavaScript
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            F.to_json(
+                F.struct("o_orderkey", "o_orderstatus", "o_orderpriority",
+                         "o_totalprice")
+            ).alias("value")
+        )
+    )
+    code = """
+(() => {
+  let m = benthos.v0_msg_as_structured();
+  let cents = Math.floor(m.o_totalprice * 100.0 + 0.5);
+  m.score_cents = cents * (m.o_orderstatus === "F" ? 2 : 1);
+  benthos.v0_msg_set_structured(m);
+})();
+"""
+    out = JavaScript(code=code)(o)
+    parsed = out.select(
+        F.get_json_object("value", "$.o_orderpriority").alias("priority"),
+        F.get_json_object("value", "$.score_cents").cast("long")
+        .alias("score_cents"),
+    )
+    return (
+        parsed.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score_cents").alias("score_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
     "wasm_uppercase_docs",
     """
     SELECT doc_id,
@@ -4164,7 +4221,10 @@ GATE_PRIORITY: list[str] = [
     # image / video / binary-content (mjpeg folds under video_frame_sample's
     # family — it stays hash-checked in the local gate outside the window)
     "image_features_rollup",
-    "image_png_decode_rollup",
+    # javascript is a NEW family (goja-analog plugin surface); the png
+    # decode entry cedes its slot (features + webp keep image decode
+    # covered; png stays hash-checked in the local gate)
+    "javascript_orders_score",
     "image_webp_decode_rollup",
     "video_frame_sample",
     "content_dedupe_clips",
