@@ -732,6 +732,18 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             function=conf.get("function", "process"),
             col=conf.get("col", "value"),
         )
+    if name == "xml":
+        # reference: internal/impl/xml/processor.go — sole operator
+        # to_json parses the content as XML into the structured form;
+        # delegates to the same ToMap conventions as parse_xml
+        conf = conf or {}
+        op = conf.get("operator", "")
+        if op != "to_json":
+            raise ConfigError(f"operator not recognised: {op}")
+        from benthos_spark.bloblang import BloblangMapping
+
+        cast = "true" if conf.get("cast", False) else "false"
+        return BloblangMapping(f"root = content().parse_xml(cast: {cast})")
     if name == "javascript":
         from benthos_spark.operators.js import JavaScript
 

@@ -397,3 +397,43 @@ def test_cli_lint_and_echo(tmp_path, capsys):
     assert run_echo(str(good)) == 0
     out = capsys.readouterr().out
     assert "generate" in out and "LINT" in out
+
+
+def test_xml_processor_to_json(spark):
+    """`xml` processor operator to_json (impl/xml/processor.go docs
+    example, ported verbatim: attributes -> "-attr", simple elements
+    with attributes -> "#text", repeated elements -> array)."""
+    import json
+
+    from benthos_spark.config import ConfigError, _proc
+
+    xmldoc = (
+        "<root>\n"
+        "  <title>This is a title</title>\n"
+        '  <description tone="boring">This is a description</description>\n'
+        '  <elements id="1">foo1</elements>\n'
+        '  <elements id="2">foo2</elements>\n'
+        "  <elements>foo3</elements>\n"
+        "</root>"
+    )
+    df = spark.createDataFrame([(xmldoc,)], "value string")
+    out = _proc({"xml": {"operator": "to_json"}})(df).collect()
+    assert json.loads(out[0].value) == {
+        "root": {
+            "title": "This is a title",
+            "description": {"-tone": "boring",
+                            "#text": "This is a description"},
+            "elements": [{"-id": "1", "#text": "foo1"},
+                         {"-id": "2", "#text": "foo2"}, "foo3"],
+        }
+    }
+    # cast: numbers/bools typed (docs.FieldBool("cast", ...))
+    df2 = spark.createDataFrame([("<r><n>7</n><b>true</b></r>",)],
+                                "value string")
+    out2 = _proc({"xml": {"operator": "to_json", "cast": True}})(df2).collect()
+    assert json.loads(out2[0].value) == {"r": {"n": 7, "b": True}}
+    # operator gate (processor.go:111)
+    import pytest
+
+    with pytest.raises(ConfigError, match="operator not recognised"):
+        _proc({"xml": {"operator": "nope"}})
