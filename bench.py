@@ -71,6 +71,10 @@ BATCH_QUERIES = [
     "q9_product_profit",
     "q18_large_volume_customers",
     "iceberg_spec_evolution_orders",
+    # round-4 fifth session: plugin-language processors — per-message
+    # interpreted escape hatches; benched to keep their cost visible
+    "javascript_orders_score",
+    "wasm_uppercase_docs",
 ]
 
 

@@ -74,6 +74,11 @@ AUDITED = [
     "audio_embedding_topk",
     "audio_align_rollup",
     "awk_orders_tiers",
+    # round-4 fifth session: plugin-language processors (wasm / js) are
+    # per-message interpreted escape hatches BY DESIGN — the audit rows
+    # document the single Arrow-batched Python stage + agg-only shuffle
+    "wasm_uppercase_docs",
+    "javascript_orders_score",
     # iceberg_*/cdc_* gate entries materialize state and return collected
     # rows (their returned frame is a LocalTableScan); their plan story
     # is told by test_partition_pruning_reaches_scan + the scan audit
