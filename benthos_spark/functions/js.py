@@ -163,8 +163,6 @@ def _scan_template(src: str, i: int) -> tuple:
             parts.append("".join(cur))
             return parts, i + 1
         if c == "\\":
-            seg, j = _scan_string("`" + src[i - 1 + 1 :], 0) if False else (None, None)
-            # reuse escape handling: fall through simple cases
             e = src[i + 1]
             mapping = {"n": "\n", "t": "\t", "r": "\r", "`": "`", "$": "$", "\\": "\\"}
             cur.append(mapping.get(e, e))
@@ -2065,8 +2063,7 @@ def _array_proto(interp, arr: list, key: str):
             s = int(js_to_number(a[0])) if a and a[0] is not UNDEF else 0
             e = int(js_to_number(a[1])) if len(a) > 1 and a[1] is not UNDEF \
                 else len(t)
-            return t[slice(*slice(s, e).indices(len(t)))] if False else \
-                t[_norm_idx(s, len(t)):_norm_idx(e, len(t))]
+            return t[_norm_idx(s, len(t)):_norm_idx(e, len(t))]
         return NativeFunction("slice", _slice)
     if key == "splice":
         def _splice(i, t, a):
