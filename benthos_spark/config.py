@@ -837,7 +837,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "align_transcript, awk, "
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
-        "subprocess, command, http, wasm, javascript, sequence_match, funnel_match, absence_match, "
+        "subprocess, command, http, wasm, javascript, xml, sequence_match, funnel_match, absence_match, "
         "schema_registry_encode, schema_registry_decode"
     )
 

@@ -384,3 +384,40 @@ def test_javascript_config_wired(spark):
         _proc({"javascript": {}})
     with pytest.raises(ConfigError):
         _proc({"javascript": {"code": "1;", "file": "/tmp/x.js"}})
+
+
+def test_javascript_streaming_exactly_once(spark, tmp_path):
+    """The JS plugin path is streaming-safe: deterministic per-message
+    execution through a config-compiled pipeline into the exactly-once
+    sink (same shape as the reference running its goja processor inside
+    a stream)."""
+    from benthos_spark.config import run_config
+    from benthos_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from benthos_spark.streaming.pipeline import run_to_completion
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(f'{{"id": {i}, "v": {i * 3}}}',) for i in range(20)],
+        "value string",
+    ).repartition(2).write.parquet(src)
+    out_dir = str(tmp_path / "out")
+    code = ("let m = benthos.v0_msg_as_structured(); "
+            "m.sq = m.v * m.v; benthos.v0_msg_set_structured(m);")
+    cfg = f"""
+input:
+  parquet: {{path: {src}, streaming: true}}
+pipeline:
+  processors:
+    - javascript:
+        code: '{code}'
+output:
+  exactly_once: {{dir: {out_dir}}}
+"""
+    q = run_config(spark, cfg, checkpoint=str(tmp_path / "ckpt"))
+    run_to_completion(q, timeout_s=300)
+    got = ExactlyOnceParquetSink(out_dir).read_committed(spark)
+    rows = sorted(
+        (json.loads(r.value)["id"], json.loads(r.value)["sq"])
+        for r in got.collect()
+    )
+    assert rows == [(i, (i * 3) ** 2) for i in range(20)]
