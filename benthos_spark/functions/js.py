@@ -1311,6 +1311,10 @@ class Interpreter:
     def run(self, program) -> Any:
         if isinstance(program, str):
             program = parse_js(program)
+        # the op budget bounds ONE program execution — the runner pool
+        # reuses interpreters across messages, so a cumulative counter
+        # would start failing healthy messages after enough traffic
+        self._ops = 0
         env = self.global_env
         _hoist(program[1], env, self)
         result = UNDEF

@@ -421,3 +421,13 @@ output:
         for r in got.collect()
     )
     assert rows == [(i, (i * 3) ** 2) for i in range(20)]
+
+
+def test_op_budget_is_per_execution_not_cumulative():
+    """The runner pool reuses interpreters across messages; the op
+    budget must reset per program run or long-lived executors start
+    failing healthy messages after enough traffic."""
+    it = J.Interpreter(max_ops=200_000)
+    prog = J.parse_js("var s = 0; for (var i = 0; i < 10000; i++) s += i; s")
+    for _ in range(40):     # cumulative ops would blow the budget ~8x over
+        assert it.run(prog) == 49995000.0
