@@ -53,11 +53,25 @@ def _pack(ptr: int, length: int) -> int:
     return ((ptr & 0xFFFFFFFF) << 32) | (length & 0xFFFFFFFF)
 
 
+# A module whose allocator never reclaims (arena/bump malloc — common
+# in toolchain output) grows linear memory monotonically across the
+# millions of messages a long-lived executor sees. Past this watermark
+# the runner reinstantiates the module: per-message state must not
+# outlive the call anyway (the reference frees all inbound allocations
+# after each process call, processor_wazero.go:206-230).
+_MEMORY_WATERMARK_BYTES = 256 * 1024 * 1024
+
+
 class _Runner:
     """moduleRunner analog (processor_wazero.go:176): one instantiated
     module plus the per-message target slots."""
 
     def __init__(self, binary: bytes, function: str):
+        self._binary = binary
+        self._function = function
+        self._instantiate(binary, function)
+
+    def _instantiate(self, binary: bytes, function: str):
         from benthos_spark.functions import wasm
 
         module = wasm.parse_module(binary)
@@ -215,6 +229,10 @@ class _Runner:
                         self.free(ptr)
                     except Exception:
                         pass
+        if len(self.inst.memory) > _MEMORY_WATERMARK_BYTES:
+            content, meta, err = self.content, self.meta, self.err
+            self._instantiate(self._binary, self._function)
+            return content, meta, err
         return self.content, self.meta, self.err
 
 

@@ -356,3 +356,17 @@ def test_wasm_processor_config_wired(spark):
 
     with pytest.raises(ConfigError):
         _proc({"wasm": {}})
+
+
+def test_runner_reinstantiates_past_memory_watermark(monkeypatch):
+    """Arena allocators grow linear memory monotonically; a long-lived
+    runner must reinstantiate past the watermark instead of letting a
+    worker's memory grow without bound."""
+    import benthos_spark.operators.wasm as OW
+
+    monkeypatch.setattr(OW, "_MEMORY_WATERMARK_BYTES", 4 * W.PAGE)
+    r = _Runner(uppercase_module(), "process")
+    for i in range(200):
+        content, _, err = r.run(b"x" * 3000, {})
+        assert err is None and content == b"X" * 3000
+        assert len(r.inst.memory) <= 5 * W.PAGE  # watermark + one grow
