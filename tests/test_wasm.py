@@ -7,6 +7,7 @@ pinned against the W3C core-spec tables (traps, rounding, saturation).
 from __future__ import annotations
 
 import base64
+import math
 
 import pytest
 
@@ -370,3 +371,81 @@ def test_runner_reinstantiates_past_memory_watermark(monkeypatch):
         content, _, err = r.run(b"x" * 3000, {})
         assert err is None and content == b"X" * 3000
         assert len(r.inst.memory) <= 5 * W.PAGE  # watermark + one grow
+
+
+# -- randomized differential ALU check ------------------------------------------
+# hypothesis drives random (op, a, b) triples through a one-function
+# module; the expected value is computed by an INDEPENDENT two's-
+# complement model in this test (spec §4.3.2 integer ops).
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+_I32_OPS = {
+    "i32.add": lambda a, b: (a + b) & 0xFFFFFFFF,
+    "i32.sub": lambda a, b: (a - b) & 0xFFFFFFFF,
+    "i32.mul": lambda a, b: (a * b) & 0xFFFFFFFF,
+    "i32.and": lambda a, b: a & b,
+    "i32.or": lambda a, b: a | b,
+    "i32.xor": lambda a, b: a ^ b,
+    "i32.shl": lambda a, b: (a << (b % 32)) & 0xFFFFFFFF,
+    "i32.shr_u": lambda a, b: a >> (b % 32),
+    "i32.rotl": lambda a, b: ((a << (b % 32)) | (a >> ((32 - b) % 32)))
+    & 0xFFFFFFFF if b % 32 else a,
+    "i32.eq": lambda a, b: int(a == b),
+    "i32.lt_u": lambda a, b: int(a < b),
+    "i32.gt_s": lambda a, b: int(_sgn32(a) > _sgn32(b)),
+}
+
+
+def _sgn32(v):
+    return v - 0x100000000 if v & 0x80000000 else v
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        op=st.sampled_from(sorted(_I32_OPS)),
+        a=st.integers(min_value=0, max_value=0xFFFFFFFF),
+        b=st.integers(min_value=0, max_value=0xFFFFFFFF),
+    )
+    def test_i32_alu_differential(op, a, b):
+        got = _run([], ["i32"], [
+            ("i32.const", _sgn32(a)), ("i32.const", _sgn32(b)), op,
+        ])[0]
+        want = _sgn32(_I32_OPS[op](a, b))
+        assert got == want, (op, a, b, got, want)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        b=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        op=st.sampled_from(["i64.add", "i64.sub", "i64.mul", "i64.xor"]),
+    )
+    def test_i64_alu_differential(a, b, op):
+        got = _run([], ["i64"], [("i64.const", a), ("i64.const", b), op])[0]
+        mask = 0xFFFFFFFFFFFFFFFF
+        ua, ub = a & mask, b & mask
+        fn = {"i64.add": ua + ub, "i64.sub": ua - ub,
+              "i64.mul": ua * ub, "i64.xor": ua ^ ub}[op] & mask
+        want = fn - 0x10000000000000000 if fn >> 63 else fn
+        assert got == want, (op, a, b, got, want)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=st.floats(allow_nan=False, allow_infinity=False, width=64),
+        b=st.floats(allow_nan=False, allow_infinity=False, width=64),
+        op=st.sampled_from(["f64.add", "f64.sub", "f64.mul"]),
+    )
+    def test_f64_alu_differential(a, b, op):
+        got = _run([], ["f64"], [("f64.const", a), ("f64.const", b), op])[0]
+        want = {"f64.add": a + b, "f64.sub": a - b, "f64.mul": a * b}[op]
+        assert (got == want) or (math.isnan(got) and math.isnan(want)), (
+            op, a, b, got, want)
+
