@@ -1169,12 +1169,13 @@ def js_mod(a: float, b: float) -> float:
 
 
 class Env:
-    __slots__ = ("vars", "parent", "consts")
+    __slots__ = ("vars", "parent", "consts", "lexical")
 
     def __init__(self, parent=None):
         self.vars: dict = {}
         self.parent = parent
         self.consts: set = set()
+        self.lexical: set = set()   # names declared via let/const here
 
     def lookup(self, name: str):
         e = self
@@ -1208,8 +1209,24 @@ class Env:
             root = root.parent
         root.vars[name] = value
 
-    def declare(self, name: str, value, const=False) -> None:
+    def declare(self, name: str, value, const=False, kind=None) -> None:
+        """kind: "let"/"const" enforce the spec's no-redeclaration rule
+        (goja parity: a global `let` re-run without IIFE encapsulation
+        fails on the second invocation — the reference documents this
+        exact caveat in the javascript processor's examples); "var" may
+        not shadow a lexical name in the same scope; None (internal:
+        params, this, arguments, hoisted functions) never errors."""
+        if kind in ("let", "const") and name in self.vars:
+            raise JSThrow(
+                f"SyntaxError: Identifier '{name}' has already been "
+                "declared")
+        if kind == "var" and name in self.lexical:
+            raise JSThrow(
+                f"SyntaxError: Identifier '{name}' has already been "
+                "declared")
         self.vars[name] = value
+        if kind in ("let", "const"):
+            self.lexical.add(name)
         if const:
             self.consts.add(name)
 
@@ -1296,6 +1313,9 @@ class Interpreter:
     def __init__(self, extra_globals: Optional[dict] = None,
                  console_writer: Optional[Callable] = None,
                  max_ops: int = 50_000_000):
+        # builtins live in a PARENT scope of the user's global scope
+        # (the global-object analog): `let Math = 5` legally shadows,
+        # while re-declaring a user-level `let` errors like goja.
         self.global_env = Env()
         self.console_writer = console_writer or (lambda lvl, msg: None)
         self._ops = 0
@@ -1305,6 +1325,7 @@ class Interpreter:
         if extra_globals:
             for k, v in extra_globals.items():
                 self.global_env.declare(k, v)
+        self.global_env = Env(self.global_env)
 
     # -- public API ---------------------------------------------------------
 
@@ -1529,7 +1550,7 @@ class Interpreter:
                 else:
                     env.declare(target[1], value)
             elif declare in ("let", "const"):
-                env.declare(target[1], value, const=const)
+                env.declare(target[1], value, const=const, kind=declare)
             else:
                 env.assign(target[1], value)
             return

@@ -401,8 +401,10 @@ def test_javascript_streaming_exactly_once(spark, tmp_path):
         "value string",
     ).repartition(2).write.parquet(src)
     out_dir = str(tmp_path / "out")
-    code = ("let m = benthos.v0_msg_as_structured(); "
-            "m.sq = m.v * m.v; benthos.v0_msg_set_structured(m);")
+    # IIFE-wrapped per the reference's own guidance: runtimes are
+    # reused, so a bare global `let` would error on the second message
+    code = ("(() => { let m = benthos.v0_msg_as_structured(); "
+            "m.sq = m.v * m.v; benthos.v0_msg_set_structured(m); })();")
     cfg = f"""
 input:
   parquet: {{path: {src}, streaming: true}}
@@ -431,3 +433,35 @@ def test_op_budget_is_per_execution_not_cumulative():
     prog = J.parse_js("var s = 0; for (var i = 0; i < 10000; i++) s += i; s")
     for _ in range(40):     # cumulative ops would blow the budget ~8x over
         assert it.run(prog) == 49995000.0
+
+
+def test_global_let_redeclaration_errors_like_goja():
+    """The reference documents that reused runtimes fail on duplicate
+    global declarations unless the program IIFE-encapsulates — pin the
+    same behavior (and that builtins may still be shadowed: they live
+    in the global-object scope, not the user's lexical scope)."""
+    it = J.Interpreter()
+    prog = J.parse_js('let foo = "hello"')
+    it.run(prog)
+    with pytest.raises(J.JSThrow, match="already been declared"):
+        it.run(prog)
+    # per-message error, not a poisoned runtime: IIFE code still runs
+    it.run("(() => { let foo = 1; })();")
+    assert J.Interpreter().run("let Math = 5; Math") == 5.0
+    with pytest.raises(J.JSThrow, match="already been declared"):
+        ev("let x = 1; let x = 2;")
+    with pytest.raises(J.JSThrow, match="already been declared"):
+        ev("let y = 1; var y = 2;")
+
+
+def test_runner_survives_non_iife_program():
+    """A non-encapsulated program marks messages failed from the second
+    one on (the reference's documented caveat) without crashing the
+    stream."""
+    r = _Runner('let n = benthos.v0_msg_as_string(); '
+                'benthos.v0_msg_set_string(n + "!");')
+    content, _, err = r.run(b"a", {})
+    assert err is None and content == b"a!"
+    content, _, err = r.run(b"b", {})
+    assert content == b"b"          # unchanged
+    assert "already been declared" in err
