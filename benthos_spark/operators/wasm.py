@@ -281,10 +281,15 @@ class Wasm(Processor):
                 out_e.append(err)
             return pd.DataFrame({"v": out_v, "m": out_m, "e": out_e})
 
-        res = run(F.col(self.col), F.col(META_COL))
+        # string content columns ride as UTF-8 and come back as string
+        # (messages are bytes in the reference; the cast keeps the
+        # DataFrame column type stable either way)
+        is_binary = dict(df.dtypes).get(self.col) == "binary"
+        res = run(F.col(self.col).cast("binary"), F.col(META_COL))
+        out_v = F.col("_w.v") if is_binary else F.col("_w.v").cast("string")
         return (
             df.withColumn("_w", res)
-            .withColumn(self.col, F.col("_w.v"))
+            .withColumn(self.col, out_v)
             .withColumn(META_COL, F.col("_w.m"))
             .withColumn(ERROR_COL, F.coalesce(F.col(ERROR_COL), F.col("_w.e")))
             .drop("_w")

@@ -449,3 +449,12 @@ if _HAVE_HYP:
         assert (got == want) or (math.isnan(got) and math.isnan(want)), (
             op, a, b, got, want)
 
+
+
+def test_wasm_processor_string_column(spark):
+    """String content columns ride as UTF-8 bytes and come back as
+    string — the column type stays stable through the processor."""
+    df = spark.createDataFrame([("hello",), ("world",)], "value string")
+    out = Wasm(module_bytes=uppercase_module())(df)
+    assert dict(out.dtypes)["value"] == "string"
+    assert sorted(r.value for r in out.collect()) == ["HELLO", "WORLD"]
