@@ -465,3 +465,45 @@ def test_runner_survives_non_iife_program():
     content, _, err = r.run(b"b", {})
     assert content == b"b"          # unchanged
     assert "already been declared" in err
+
+
+# -- randomized JSON roundtrip -------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _json_vals = st.recursive(
+        st.none() | st.booleans()
+        | st.floats(allow_nan=False, allow_infinity=False)
+        | st.integers(min_value=-(2**53), max_value=2**53)
+        | st.text(max_size=20),
+        lambda children: st.lists(children, max_size=4)
+        | st.dictionaries(st.text(max_size=8), children, max_size=4),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(v=_json_vals)
+    def test_json_stringify_parse_roundtrip(v):
+        """JSON.parse(JSON.stringify(x)) is identity over the JSON value
+        domain (numbers land as doubles on both paths)."""
+        it = J.Interpreter()
+        jsv = J.js_import(
+            json.loads(json.dumps(v), parse_int=float, parse_float=float))
+        it.global_env.declare("input", jsv)
+        out = it.run("JSON.parse(JSON.stringify(input))")
+
+        def norm(x):
+            if isinstance(x, dict):
+                return {k: norm(y) for k, y in x.items()}
+            if isinstance(x, list):
+                return [norm(y) for y in x]
+            if isinstance(x, bool) or x is None:
+                return x
+            if isinstance(x, (int, float)):
+                return float(x)
+            return x
+        assert norm(out) == norm(jsv)
+except ImportError:  # pragma: no cover
+    pass
