@@ -732,6 +732,11 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             function=conf.get("function", "process"),
             col=conf.get("col", "value"),
         )
+    if name == "sleep":
+        conf = conf or {}
+        if isinstance(conf, str):
+            conf = {"duration": conf}
+        return P.Sleep(duration=conf.get("duration", ""))
     if name == "xml":
         # reference: internal/impl/xml/processor.go — sole operator
         # to_json parses the content as XML into the structured form;
@@ -837,7 +842,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "align_transcript, awk, "
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
-        "subprocess, command, http, wasm, javascript, xml, sequence_match, funnel_match, absence_match, "
+        "subprocess, command, http, wasm, javascript, xml, sleep, sequence_match, funnel_match, absence_match, "
         "schema_registry_encode, schema_registry_decode"
     )
 

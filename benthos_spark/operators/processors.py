@@ -689,6 +689,81 @@ class Noop(Processor):
         return df
 
 
+_GO_DUR_RE = None
+
+
+def _go_duration_seconds(s: str) -> float:
+    """Go time.ParseDuration subset: "300ms", "1.5s", "2m45s"."""
+    global _GO_DUR_RE
+    import re as _re
+
+    if _GO_DUR_RE is None:
+        _GO_DUR_RE = _re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+    s = s.strip()
+    if not s:
+        raise ValueError("empty duration")
+    neg = s.startswith("-")
+    if s[0] in "+-":
+        s = s[1:]
+    unit_s = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+              "s": 1.0, "m": 60.0, "h": 3600.0}
+    total = 0.0
+    pos = 0
+    for m in _GO_DUR_RE.finditer(s):
+        if m.start() != pos:
+            raise ValueError(f"invalid duration {s!r}")
+        total += float(m.group(1)) * unit_s[m.group(2)]
+        pos = m.end()
+    if pos != len(s):
+        raise ValueError(f"invalid duration {s!r}")
+    return -total if neg else total
+
+
+@dataclass
+class Sleep(Processor):
+    """`sleep` processor (internal/impl/pure/processor_sleep.go:26):
+    sleep the interpolated Go-duration per message. A throttling /
+    testing utility — the sleep happens inside the Arrow batch scan on
+    the executor, so it rate-shapes each partition exactly like the
+    reference shapes each pipeline lane. Interpolation failures follow
+    the reference: log-and-skip, never fail the message."""
+
+    duration: str = ""
+
+    def __post_init__(self):
+        if not self.duration:
+            raise ValueError("sleep processor needs a `duration`")
+        if "${!" not in self.duration:
+            _go_duration_seconds(self.duration)  # fail fast on the driver
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        from benthos_spark.functions.bloblang import interpolate
+
+        dur_col = (
+            interpolate(self.duration)
+            if "${!" in self.duration
+            else F.lit(self.duration)
+        )
+        out_schema = df.schema
+        cols = df.columns
+        tmp = df.withColumn("_sleep_dur", dur_col)
+
+        def run(batches):
+            import time as _time
+
+            for pdf in batches:
+                for d in pdf["_sleep_dur"]:
+                    try:
+                        secs = _go_duration_seconds(str(d))
+                    except ValueError:
+                        continue  # reference logs and moves on
+                    if secs > 0:
+                        _time.sleep(secs)
+                yield pdf[cols]
+
+        return tmp.mapInPandas(run, schema=out_schema)
+
+
 @dataclass
 class Observe(Processor):
     """`log`/`metric` processors (internal/impl/pure/processor_log.go:26,

@@ -617,3 +617,36 @@ def test_snappy_lz4_hypothesis_roundtrip():
         assert lz4frame.decompress(lz4frame.compress(data)) == data
 
     check_rep()
+
+
+def test_sleep_processor(spark):
+    """`sleep` (processor_sleep.go): per-message Go-duration throttle;
+    interpolated durations resolve per row; bad durations log-and-skip
+    without failing the message."""
+    import time as _time
+
+    import pytest
+
+    from benthos_spark.config import _proc
+    from benthos_spark.operators.processors import Sleep, _go_duration_seconds
+
+    assert _go_duration_seconds("300ms") == 0.3
+    assert _go_duration_seconds("1.5s") == 1.5
+    assert _go_duration_seconds("2m45s") == 165.0
+    with pytest.raises(ValueError):
+        _go_duration_seconds("nope")
+
+    df = spark.createDataFrame([(i,) for i in range(4)], "i int").coalesce(1)
+    t0 = _time.monotonic()
+    out = Sleep(duration="50ms")(df).collect()
+    elapsed = _time.monotonic() - t0
+    assert len(out) == 4 and elapsed >= 0.2
+
+    # interpolated duration + bad-duration tolerance
+    df2 = spark.createDataFrame(
+        [("60ms",), ("garbage",)], "value string").coalesce(1)
+    proc = _proc({"sleep": {"duration": "${! value }"}})
+    assert proc(df2).count() == 2
+
+    with pytest.raises(ValueError):
+        Sleep()
