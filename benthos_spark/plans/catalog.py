@@ -3859,7 +3859,7 @@ def javascript_orders_score(spark, sf_dir):
                                'ABCDEFGHIJKLMNOPQRSTUVWXYZ')) AS up_md5,
            length(text) AS n_chars
     FROM documents
-    WHERE doc_id % 41 = 0
+    WHERE doc_id % 7 = 0
     ORDER BY doc_id
     """,
 )
@@ -3879,7 +3879,7 @@ def wasm_uppercase_docs(spark, sf_dir):
 
     d = (
         _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 41 == 0)
+        .filter(F.col("doc_id") % 7 == 0)
         .select("doc_id", F.length("text").alias("n_chars"),
                 F.encode(F.col("text"), "UTF-8").alias("value"))
     )

@@ -458,3 +458,49 @@ def test_wasm_processor_string_column(spark):
     out = Wasm(module_bytes=uppercase_module())(df)
     assert dict(out.dtypes)["value"] == "string"
     assert sorted(r.value for r in out.collect()) == ["HELLO", "WORLD"]
+
+
+def test_wasi_shim_fd_write_and_random():
+    """Modules built with -target=wasi import wasi_snapshot_preview1;
+    the shim must satisfy fd_write (count bytes, discard) and
+    random_get (deterministic bytes — exactly-once redelivery must
+    reproduce payloads)."""
+    b = ModuleBuilder()
+    fd_write = b.import_func(
+        "wasi_snapshot_preview1", "fd_write",
+        ["i32", "i32", "i32", "i32"], ["i32"])
+    random_get = b.import_func(
+        "wasi_snapshot_preview1", "random_get", ["i32", "i32"], ["i32"])
+    b.add_memory(1)
+    b.add_data(1024, b"hi")
+    # iovec at 16: base=1024, len=2; nwritten at 24
+    b.add_func("go", [], ["i32", "i32", "i32", "i32"], [], [
+        ("i32.const", 16), ("i32.const", 1024), ("i32.store", 0),
+        ("i32.const", 20), ("i32.const", 2), ("i32.store", 0),
+        ("i32.const", 1), ("i32.const", 16), ("i32.const", 1),
+        ("i32.const", 24), ("call", fd_write),
+        ("i32.const", 24), ("i32.load", 0),
+        ("i32.const", 64), ("i32.const", 8), ("call", random_get),
+        ("i32.const", 64), ("i32.load", 0),
+    ], export=True)
+    binary = b.build()
+
+    # _Runner requires malloc; bypass by instantiating with the wasi
+    # imports only (module has no benthos imports)
+    import benthos_spark.operators.wasm as OW
+    from benthos_spark.functions import wasm as W2
+
+    runner = object.__new__(OW._Runner)
+    module = W2.parse_module(binary)
+    imports = {("wasi_snapshot_preview1", i.name): runner._wasi_fn(i.name)
+               for i in module.imports}
+    runner.inst = W2.Instance(module, imports)
+    errno, nwritten, errno2, rand_word = runner.inst.invoke("go")
+    assert errno == 0 and nwritten == 2 and errno2 == 0
+    # deterministic: a second instance reads identical "random" bytes
+    runner2 = object.__new__(OW._Runner)
+    module2 = W2.parse_module(binary)
+    imports2 = {("wasi_snapshot_preview1", i.name): runner2._wasi_fn(i.name)
+                for i in module2.imports}
+    runner2.inst = W2.Instance(module2, imports2)
+    assert runner2.inst.invoke("go")[3] == rand_word
