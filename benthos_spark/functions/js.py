@@ -413,12 +413,18 @@ class Parser:
                 return ("return", e)
             if v == "break":
                 self.next()
+                label = None
+                if self.peek().kind == "ident" and not self.peek().nl_before:
+                    label = self.next().value
                 self.semicolon()
-                return ("break",)
+                return ("break", label)
             if v == "continue":
                 self.next()
+                label = None
+                if self.peek().kind == "ident" and not self.peek().nl_before:
+                    label = self.next().value
                 self.semicolon()
-                return ("continue",)
+                return ("continue", label)
             if v == "throw":
                 self.next()
                 if self.peek().nl_before:
@@ -430,7 +436,12 @@ class Parser:
                 return self.try_stmt()
             if v == "switch":
                 return self.switch_stmt()
-        # labelled statement?  ident ':' — rare; treat as expression stmt
+        # labelled statement: ident ':' statement
+        if t.kind == "ident" and self.peek(1).kind == "punct" and \
+                self.peek(1).value == ":":
+            label = self.next().value
+            self.next()
+            return ("label", label, self.statement())
         e = self.expression()
         self.semicolon()
         return ("expr", e)
@@ -1232,11 +1243,13 @@ class Env:
 
 
 class _Break(Exception):
-    pass
+    def __init__(self, label=None):
+        self.label = label
 
 
 class _Continue(Exception):
-    pass
+    def __init__(self, label=None):
+        self.label = label
 
 
 class _Return(Exception):
@@ -1289,6 +1302,8 @@ def _hoist(body: list, env: Env, interp) -> None:
             for _, stmts in s[2]:
                 for st in stmts:
                     walk_stmt(st)
+        elif t == "label":
+            walk_stmt(s[2])
 
     for s in body:
         walk_stmt(s)
@@ -1410,52 +1425,24 @@ class Interpreter:
             if s[3] is not None:
                 return self.exec_stmt(s[3], env)
             return UNDEF
-        if t == "while":
-            while js_truthy(self.eval_expr(s[1], env)):
-                try:
-                    self.exec_stmt(s[2], env)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
-            return UNDEF
-        if t == "dowhile":
-            while True:
-                try:
-                    self.exec_stmt(s[2], env)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
-                if not js_truthy(self.eval_expr(s[1], env)):
-                    break
-            return UNDEF
-        if t == "for":
-            fenv = Env(env)
-            init, cond, step, body = s[1], s[2], s[3], s[4]
-            if init is not None:
-                if init[0] == "vardecl":
-                    self.exec_stmt(init, fenv)
-                else:
-                    self.eval_expr(init[1], fenv)
-            while cond is None or js_truthy(self.eval_expr(cond, fenv)):
-                try:
-                    self.exec_stmt(body, Env(fenv))
-                except _Break:
-                    break
-                except _Continue:
-                    pass
-                if step is not None:
-                    self.eval_expr(step, fenv)
-            return UNDEF
-        if t == "forin_of":
-            return self._exec_forin_of(s, env)
+        if t in ("while", "dowhile", "for", "forin_of"):
+            return self._exec_loop(s, env, None)
+        if t == "label":
+            body = s[2]
+            try:
+                if body[0] in ("while", "dowhile", "for", "forin_of"):
+                    return self._exec_loop(body, env, s[1])
+                return self.exec_stmt(body, env)
+            except _Break as b:
+                if b.label != s[1]:
+                    raise
+                return UNDEF
         if t == "return":
             raise _Return(UNDEF if s[1] is None else self.eval_expr(s[1], env))
         if t == "break":
-            raise _Break()
+            raise _Break(s[1])
         if t == "continue":
-            raise _Continue()
+            raise _Continue(s[1])
         if t == "throw":
             raise JSThrow(self.eval_expr(s[1], env))
         if t == "try":
@@ -1492,14 +1479,67 @@ class Interpreter:
                     for _, stmts in cases[start:]:
                         for st in stmts:
                             self.exec_stmt(st, senv)
-                except _Break:
-                    pass
+                except _Break as b:
+                    if b.label is not None:
+                        raise
             return UNDEF
         if t == "empty":
             return UNDEF
         raise JSError(f"unknown statement {t}")
 
-    def _exec_forin_of(self, s, env: Env):
+    def _exec_loop(self, s, env: Env, label):
+        t = s[0]
+        if t == "while":
+            while js_truthy(self.eval_expr(s[1], env)):
+                try:
+                    self.exec_stmt(s[2], env)
+                except _Break as b:
+                    if b.label not in (None, label):
+                        raise
+                    break
+                except _Continue as c:
+                    if c.label not in (None, label):
+                        raise
+                    continue
+            return UNDEF
+        if t == "dowhile":
+            while True:
+                try:
+                    self.exec_stmt(s[2], env)
+                except _Break as b:
+                    if b.label not in (None, label):
+                        raise
+                    break
+                except _Continue as c:
+                    if c.label not in (None, label):
+                        raise
+                if not js_truthy(self.eval_expr(s[1], env)):
+                    break
+            return UNDEF
+        if t == "for":
+            fenv = Env(env)
+            init, cond, step, body = s[1], s[2], s[3], s[4]
+            if init is not None:
+                if init[0] == "vardecl":
+                    self.exec_stmt(init, fenv)
+                else:
+                    self.eval_expr(init[1], fenv)
+            while cond is None or js_truthy(self.eval_expr(cond, fenv)):
+                try:
+                    self.exec_stmt(body, Env(fenv))
+                except _Break as b:
+                    if b.label not in (None, label):
+                        raise
+                    break
+                except _Continue as c:
+                    if c.label not in (None, label):
+                        raise
+                if step is not None:
+                    self.eval_expr(step, fenv)
+            return UNDEF
+        return self._exec_forin_of(s, env, label)
+
+    def _exec_forin_of(self, s, env: Env, label=None):
         _, is_of, binding, obj_e, body = s
         obj = self.eval_expr(obj_e, env)
         if is_of:
@@ -1532,9 +1572,13 @@ class Interpreter:
                 self._assign_target(binding[1], item, ienv)
             try:
                 self.exec_stmt(body, ienv)
-            except _Break:
+            except _Break as b:
+                if b.label not in (None, label):
+                    raise
                 break
-            except _Continue:
+            except _Continue as c:
+                if c.label not in (None, label):
+                    raise
                 continue
         return UNDEF
 

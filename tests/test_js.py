@@ -507,3 +507,15 @@ try:
         assert norm(out) == norm(jsv)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_labeled_statements():
+    src = ("var out=''; outer: for (var i=0;i<3;i++){ "
+           "for (var j=0;j<3;j++){ if (j===1 && i===1) continue outer; "
+           "if (i===2) break outer; out += ''+i+j; } } out")
+    assert ev(src) == "00010210"
+    assert ev("var n=0; lbl: { n=1; break lbl; n=2; } n") == 1.0
+    src2 = ("var s=''; loop1: for (var a of [1,2,3]) { "
+            "for (var b of [1,2,3]) { if (b===2) continue loop1; "
+            "s+=''+a+b; } } s")
+    assert ev(src2) == "112131"
