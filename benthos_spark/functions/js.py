@@ -2287,6 +2287,34 @@ def _array_proto(interp, arr: list, key: str):
                 return out
             return go(t, depth)
         return NativeFunction("flat", _flat)
+    if key == "at":
+        def _at(i, t, a):
+            ix = int(js_to_number(a[0])) if a and a[0] is not UNDEF else 0
+            if ix < 0:
+                ix += len(t)
+            return t[ix] if 0 <= ix < len(t) else UNDEF
+        return NativeFunction("at", _at)
+    if key == "fill":
+        def _fill(i, t, a):
+            v = a[0] if a else UNDEF
+            s = _norm_idx(int(js_to_number(a[1])), len(t)) \
+                if len(a) > 1 and a[1] is not UNDEF else 0
+            e = _norm_idx(int(js_to_number(a[2])), len(t)) \
+                if len(a) > 2 and a[2] is not UNDEF else len(t)
+            for ix in range(s, e):
+                t[ix] = v
+            return t
+        return NativeFunction("fill", _fill)
+    if key == "findLast" or key == "findLastIndex":
+        want_index = key == "findLastIndex"
+
+        def _findlast(i, t, a):
+            f = a[0]
+            for ix in range(len(t) - 1, -1, -1):
+                if js_truthy(i.call_function(f, UNDEF, [t[ix], float(ix), t])):
+                    return float(ix) if want_index else t[ix]
+            return -1.0 if want_index else UNDEF
+        return NativeFunction(key, _findlast)
     if key == "toString":
         return NativeFunction("toString",
                               lambda i, t, a: js_to_string(t, i))
@@ -2308,6 +2336,13 @@ def _string_proto(interp, s: str, key: str):
         return NativeFunction("charAt", lambda i, t, a: (
             t[int(js_to_number(a[0]))] if a and 0 <= int(js_to_number(a[0]))
             < len(t) else ""))
+    if key == "at":
+        def _sat(i, t, a):
+            ix = int(js_to_number(a[0])) if a and a[0] is not UNDEF else 0
+            if ix < 0:
+                ix += len(t)
+            return t[ix] if 0 <= ix < len(t) else UNDEF
+        return NativeFunction("at", _sat)
     if key == "charCodeAt":
         def _cca(i, t, a):
             ix = int(js_to_number(a[0])) if a else 0

@@ -103,6 +103,11 @@ def ev(src: str):
     ("'aaa'.replace('a', 'b')", "baa"),
     ("'aaa'.replaceAll('a', 'b')", "bbb"),
     ("'x1y2'.match(/\\d/g).join('')", "12"),
+    ("[10,20,30].at(-1)", 30.0),
+    ("'abc'.at(-2)", "b"),
+    ("[0,0,0,0].fill(7, 1, 3).join('')", "0770"),
+    ("[1,2,3,4].findLast(x => x < 4)", 3.0),
+    ("[1,2,3,4].findLastIndex(x => x % 2 === 0)", 3.0),
 ])
 def test_semantics(src, want):
     got = ev(src)
