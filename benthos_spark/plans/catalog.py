@@ -119,15 +119,17 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """Multi-join + agg + deterministic top-k. Only the *filtered customer
-    dimension* is broadcast; orders⨝lineitem is a shuffle join (AQE upgrades
-    it to broadcast at small SF, but at 100 TB the BUILDING-segment orders
-    are fact-cardinality and must not be forced driver-side)."""
+    """Multi-join + agg + deterministic top-k. No forced broadcasts:
+    BUILDING-filtered customer is SF-scaling (SF×150k rows before the
+    ~20%-selective filter — billions at 100 TB), so the customer⨝orders
+    and orders⨝lineitem joins are declared as plain shuffle joins and AQE
+    size-picks broadcast at small SF. Same policy tpch_ext q7/q8/q9 got
+    in round 4."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = (
-        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        li.join(o.join(c, o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy(li.l_orderkey.alias("orderkey"))
         .agg(
@@ -154,10 +156,13 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """Star join: only true dims (region/nation/supplier, bounded
-    cardinality) are broadcast. customer⨝orders⨝lineitem go through
-    shuffle joins — the per-ASIA-order intermediate is fact-cardinality
-    and would OOM executors at 100 TB if forced broadcast."""
+    """Star join: only true SF-invariant dims (the 25-row nation and
+    5-row region) keep forced broadcasts. supplier is SF×10k — the exact
+    class round 4 un-forced in tpch_ext q7/q8/q9 — so it joins by
+    shuffle and AQE upgrades it to broadcast when the runtime size
+    allows. customer⨝orders⨝lineitem likewise go through shuffle joins:
+    the per-ASIA-order intermediate is fact-cardinality and would OOM
+    executors at 100 TB if forced broadcast."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -172,7 +177,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
     joined = (
         li.join(dims, li.l_orderkey == dims.o_orderkey)
-        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == dims.n_nationkey))
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == dims.n_nationkey))
     )
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
         F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue")
@@ -2725,7 +2730,7 @@ def iceberg_roundtrip_orders(spark, sf_dir):
     )
     SELECT commit_order, change_type,
            count(*) AS n,
-           sum(CAST(round(tp * 100.0, 0) AS BIGINT)) AS total_cents,
+           CAST(sum(CAST(round(tp * 100.0, 0) AS BIGINT)) AS BIGINT) AS total_cents,
            count(DISTINCT o_orderkey) AS n_keys
     FROM chg GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -3410,8 +3415,10 @@ _CLIPS_QUALITY_GATE = _gate.table_path("sf0.01", "clips_quality")
     f"""
     SELECT codec,
            count(*) AS n_clips,
-           sum(CASE WHEN clipped_frac > 0.01 THEN 1 ELSE 0 END) AS n_clipped,
-           sum(CASE WHEN abs(dc_offset) > 0.05 THEN 1 ELSE 0 END) AS n_dc_bad,
+           CAST(sum(CASE WHEN clipped_frac > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped,
+           CAST(sum(CASE WHEN abs(dc_offset) > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dc_bad,
            round(avg(rms_db), 4) AS avg_rms_db,
            round(avg(crest_db), 4) AS avg_crest_db,
            round(sum(clipped_frac), 4) AS total_clipped_frac
@@ -3631,7 +3638,8 @@ def speaking_rate_clips(spark, sf_dir):
     SELECT codec,
            sum(n_segments)::BIGINT AS total_segments,
            sum(speech_ms)::BIGINT AS total_speech_ms,
-           sum(CASE WHEN n_segments > 0 THEN 1 ELSE 0 END) AS n_clips_with_speech
+           CAST(sum(CASE WHEN n_segments > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clips_with_speech
     FROM read_parquet('{_CLIPS_VAD_GATE}')
     GROUP BY codec
     """,
@@ -3744,7 +3752,8 @@ def audio_embedding_topk(spark, sf_dir):
     SELECT CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS tier,
            count(*) AS n,
            count(DISTINCT o_orderkey) AS n_keys,
-           sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM orders
     WHERE o_orderkey % 10 = 0
     GROUP BY 1 ORDER BY 1
@@ -3799,8 +3808,9 @@ def awk_orders_tiers(spark, sf_dir):
     """
     SELECT o_orderpriority AS priority,
            count(*) AS n,
-           sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-               * (CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END)) AS score_cents
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               * (CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END)) AS BIGINT)
+               AS score_cents
     FROM orders
     WHERE o_orderkey % 13 = 0
     GROUP BY 1 ORDER BY 1

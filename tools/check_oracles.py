@@ -26,6 +26,32 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# DuckDB result types the driver's hasher is known to normalize the same
+# way as Spark's. Anything else — above all HUGEINT, which DuckDB returns
+# for sum() over any integer type — hashes differently driver-side even
+# when the values are identical (root cause of the 3 round-4 hash-fails).
+SAFE_ORACLE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT",
+    "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE", "BLOB",
+}
+
+
+def oracle_type_problems(duck_types):
+    """Return lint messages for oracle column types outside the safe set."""
+    out = []
+    for col, typ in duck_types:
+        base = str(typ).split("(")[0].strip().upper()
+        if base.endswith("[]"):
+            base = base[:-2]
+        if base not in SAFE_ORACLE_TYPES:
+            out.append(
+                f"oracle column {col!r} has DuckDB type {typ} — outside the "
+                f"driver-hash-safe set {sorted(SAFE_ORACLE_TYPES)}; cast it "
+                f"(sum over integers returns HUGEINT: wrap as CAST(sum(...) AS BIGINT))"
+            )
+    return out
+
 
 def norm_val(v):
     if v is None:
@@ -100,13 +126,14 @@ def main():
             continue
         try:
             ores = con.sql(oracles[name])
+            otypes = list(zip(ores.columns, ores.types))
             orows = ores.fetchall()
             ocols = ores.columns
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        problems = []
+        problems = oracle_type_problems(otypes)
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
