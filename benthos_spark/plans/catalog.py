@@ -4180,83 +4180,72 @@ def pii_scrub_docs(spark, sf_dir):
 # registration order — nothing is dropped, only reordered.
 # =====================================================================
 
+# Round-5 rotation: the window holds (a) 28 fixed FAMILY ANCHORS — one
+# or more representatives of every operator family, including the three
+# recast round-4 hash-fail entries (iceberg_changelog / awk / javascript)
+# and the two whose plans changed this round (q3, q5) — plus (b) ALL 22
+# entries that had no driver row in rounds 1-4 (TPC-H q8/q10/q12/q14/
+# q15/q16/q17/q19/q20, iceberg rewrite/delete_where, cep strict
+# sequence, png/mjpeg/h264 decode, audio tempo/quality/cmvn/speaking-
+# rate/segmentation/embedding-topk/align). Entries rotated OUT (q6/q7/
+# q9/q13/q18/q22, refs_meta, spec_evolution, cdc_iceberg_merge,
+# cep_absence, loudness/resample/vad/pitch, webp, lang_id/quality/
+# repetition/pii, simhash-adjacent embedding_neardup, switch, salted)
+# all carry r1-r4 driver rows AND stay hash-checked in the local
+# 105-entry gate every round.
 GATE_PRIORITY: list[str] = [
-    # TPC-H base + extension pack
+    # --- fixed family anchors (28) ---
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q18_large_volume_customers",
-    "q22_dormant_customers",
-    # Iceberg table format (round 3+)
+    "q3_shipping_priority",       # replanned r5: forced broadcast dropped
+    "q5_local_supplier_volume",   # replanned r5: forced broadcast dropped
     "iceberg_roundtrip_orders",
     "iceberg_upsert_orders",
-    # changelog_scan's 4-commit history EXERCISES delete_where + upsert
-    # pre-images, strictly more coverage than the plain delete entry
-    # (which stays hash-checked in the local gate outside the window)
-    "iceberg_changelog_orders",
-    "iceberg_refs_meta_orders",
-    "iceberg_spec_evolution_orders",
-    # CDC changelog -> MERGE
+    "iceberg_changelog_orders",   # recast r5: hugeint oracle -> BIGINT
     "cdc_merge_apply_orders",
-    "cdc_iceberg_merge_orders",
-    # CEP matchers
     "cep_funnel_events",
-    "cep_absence_events",
-    # jq / jmespath programs (columnar compilers)
     "jq_program_events",
     "jmespath_orders_digest",
-    # SQL enrichment + group chains + Bloblang
     "sql_select_enrich_customers",
     "group_by_chains_orders",
     "bloblang_mapping_orders",
-    # audio family (decode / FLAC / loudness / fingerprint / resample / VAD)
-    "audio_flac_decode_rollup",
-    "audio_loudness_rollup",
     "audio_decode_features",
     "audio_fingerprint_dedup",
-    "audio_resample_sinc_rollup",
-    "audio_vad_rollup",
-    "audio_pitch_rollup",
-    # wasm is a NEW family (WASM plugin processor surface); the audio
-    # quality projection cedes its slot (decode/features + pitch keep
-    # the DSP path covered; quality stays hash-checked locally)
-    "wasm_uppercase_docs",
-    # diarization = VAD segmentation + embedding + clustering: subsumes
-    # the plain segmentation entry (which stays in the local gate)
     "audio_diarization_rollup",
     "audio_augment_rollup",
-    # image / video / binary-content (mjpeg folds under video_frame_sample's
-    # family — it stays hash-checked in the local gate outside the window)
+    "wasm_uppercase_docs",
+    "javascript_orders_score",    # recast r5: hugeint oracle -> BIGINT
+    "awk_orders_tiers",           # recast r5: hugeint oracle -> BIGINT
     "image_features_rollup",
-    # javascript is a NEW family (goja-analog plugin surface); the png
-    # decode entry cedes its slot (features + webp keep image decode
-    # covered; png stays hash-checked in the local gate)
-    "javascript_orders_score",
-    "image_webp_decode_rollup",
     "video_frame_sample",
     "content_dedupe_clips",
-    # windows (canonical covers tumbling + lateness; session is stateful)
     "window_session_events",
     "window_canonical_traffic",
-    # text-pipeline + dedup/similarity
     "dedupe_documents",
-    "lang_id_docs",
-    "text_quality_docs",
-    "text_repetition_docs",
-    "pii_scrub_docs",
     "minhash_lsh_neardup",
-    # awk is a NEW family (plugin-language processor surface); simhash
-    # cedes its slot — near-dup keeps minhash + embedding LSH reps and
-    # simhash stays hash-checked in the local gate
-    "awk_orders_tiers",
-    "embedding_neardup_lsh_pairs",
     "embedding_ann_ivf_topk",
-    # processor routing + skew
-    "switch_route_orders",
-    "salted_agg_events",
+    # --- round-5 rotation: every never-driver-checked entry (22) ---
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_lines",         # recast r5: hugeint oracle -> BIGINT
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_promo_part_suppliers",
+    "iceberg_rewrite_files_orders",
+    "iceberg_delete_where_orders",
+    "cep_strict_sequence_events",
+    "image_png_decode_rollup",
+    "video_mjpeg_frame_sample",
+    "video_h264_frame_sample",
+    "audio_tempo_rollup",
+    "audio_quality_rollup",       # recast r5: hugeint oracle -> BIGINT
+    "audio_cmvn_stats",
+    "speaking_rate_clips",
+    "audio_segmentation_rollup",  # recast r5: hugeint oracle -> BIGINT
+    "audio_embedding_topk",
+    "audio_align_rollup",
 ]
 
 

@@ -249,3 +249,108 @@ def test_sessionize_with_state_burst_closure(spark, tmp_path):
         assert r["n_events"] == 5
         assert r["session_start"] == base
         assert r["session_end"] == base + dt.timedelta(minutes=4)
+
+
+def test_stateful_join_fn_vectorized_parity():
+    """The round-5 mask-vectorized ingest in _make_stateful_join_fn must be
+    row-for-row identical to the original scalar itertuples walk — emitted
+    frames AND carried state — across randomized multi-batch scenarios
+    (mixed clip/transcript interleavings, carried halves, emit-and-clear).
+    No Spark needed: the function is exercised directly with a fake
+    GroupState, the same harness style as the CEP parity tests."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from benthos_spark.operators.state import _make_stateful_join_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v = None
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def old_fn(key, pdfs, state):
+        # the pre-round-5 scalar walk, kept verbatim as the semantic oracle
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (clip_bytes, sr, dur, codec, transcript, ts_ms) = (
+            state.get if state.exists else (None,) * 6
+        )
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                side_bytes = getattr(r, "bytes", None)
+                side_tr = getattr(r, "transcript", None)
+                if side_bytes is not None:
+                    clip_bytes, sr, dur, codec = (
+                        bytes(side_bytes), int(r.sr_hz), int(r.dur_ms), r.codec,
+                    )
+                    ts_ms = int(r.event_ts.timestamp() * 1000)
+                if isinstance(side_tr, str):
+                    transcript = side_tr
+                    if ts_ms is None:
+                        ts_ms = int(r.event_ts.timestamp() * 1000)
+        if clip_bytes is not None and transcript is not None:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "clip_id": [key[0]], "bytes": [clip_bytes], "sr_hz": [sr],
+                    "dur_ms": [dur], "codec": [codec], "transcript": [transcript],
+                    "event_ts": [dt.datetime.utcfromtimestamp(ts_ms / 1000.0)],
+                }
+            )
+        else:
+            state.update((clip_bytes, sr, dur, codec, transcript, ts_ms))
+
+    def make_pdf(n, seed):
+        rng = np.random.default_rng(seed)
+        is_clip = rng.random(n) < 0.5
+        ts0 = dt.datetime(2026, 1, 1)
+        return pd.DataFrame(
+            {
+                "clip_id": ["k"] * n,
+                "bytes": [b"\x01\x02" * 8 if c else None for c in is_clip],
+                "sr_hz": [16000 if c else None for c in is_clip],
+                "dur_ms": [1000 if c else None for c in is_clip],
+                "codec": ["pcm16" if c else None for c in is_clip],
+                "transcript": [None if c else f"t{i}" for i, c in enumerate(is_clip)],
+                "event_ts": [ts0 + dt.timedelta(milliseconds=int(i)) for i in range(n)],
+            }
+        )
+
+    new_fn = _make_stateful_join_fn(None)
+    rng = np.random.default_rng(0)
+    for trial in range(40):
+        n = int(rng.integers(1, 400))
+        p = make_pdf(n, seed=trial)
+        if n > 4:
+            parts = np.sort(rng.choice(np.arange(1, n), size=3, replace=False))
+            chunks = np.split(np.arange(n), parts)
+        else:
+            chunks = [np.arange(n)]
+        so, sn = FakeState(), FakeState()
+        oo = [x for ch in chunks for x in old_fn(("k",), iter([p.iloc[ch]]), so)]
+        nn = [x for ch in chunks for x in new_fn(("k",), iter([p.iloc[ch]]), sn)]
+        assert len(oo) == len(nn), (trial, len(oo), len(nn))
+        for a, b in zip(oo, nn):
+            pd.testing.assert_frame_equal(
+                a.reset_index(drop=True), b.reset_index(drop=True)
+            )
+        assert so._v == sn._v, (trial, so._v, sn._v)
