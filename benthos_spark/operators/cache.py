@@ -239,15 +239,35 @@ class CacheWriteSink:
     upsert (key, value) rows into the resource. Driver-side by design —
     meant for control-plane-sized results (rollups, markers), not the
     data plane; at data-plane scale the 'cache' is a table and the write
-    is an exactly-once append."""
+    is an exactly-once append.
 
-    def __init__(self, cache: Cache, key_col: str, value_col: str):
+    ``max_rows`` (default 100k) is the scale guard enforcing that
+    contract: the batch streams through ``toLocalIterator`` (never a
+    full driver collect) and the sink refuses once the bound is crossed
+    instead of silently becoming a driver bottleneck. Cache ``set`` is
+    an idempotent upsert, so rows written before the refusal are safe
+    under the retry. Pass ``max_rows=None`` to opt out explicitly."""
+
+    def __init__(self, cache: Cache, key_col: str, value_col: str,
+                 max_rows: Optional[int] = 100_000):
         self.cache = cache
         self.key_col = key_col
         self.value_col = value_col
+        self.max_rows = max_rows
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
-        for row in df.select(self.key_col, self.value_col).toLocalIterator():
+        for i, row in enumerate(df.select(self.key_col, self.value_col).toLocalIterator()):
+            if self.max_rows is not None and i >= self.max_rows:
+                raise ValueError(
+                    f"CacheWriteSink batch {batch_id} exceeds max_rows="
+                    f"{self.max_rows}: the cache output is a control-plane "
+                    "sink (rollups, markers, idempotency keys). For "
+                    "data-plane-sized keyed state use an exactly-once table "
+                    "sink (sinks.exactly_once.ExactlyOnceParquetSink / "
+                    "sinks.iceberg) or a stateful operator backed by the "
+                    "RocksDB state store (operators.state), or pass "
+                    "max_rows=None to accept the driver bottleneck."
+                )
             self.cache.set(str(row[self.key_col]), row[self.value_col])
 
 

@@ -80,6 +80,24 @@ def test_cache_write_sink(spark):
     assert cache.get("k1") == 10 and cache.get("k2") == 20
 
 
+def test_cache_write_sink_scale_guard(spark):
+    """A data-plane-sized batch must NOT materialize into the driver-side
+    cache: the sink streams via toLocalIterator and refuses once max_rows
+    is crossed, pointing at the exactly-once table / state-store path."""
+    import pytest
+
+    cache = MemoryCache()
+    big = spark.range(5000).selectExpr("cast(id as string) as k", "id as v")
+    sink = CacheWriteSink(cache, "k", "v", max_rows=1000)
+    with pytest.raises(ValueError, match="exactly-once table"):
+        sink(big, batch_id=0)
+    # the guard fired at the bound — the cache holds at most max_rows
+    assert len(cache.items()) <= 1000
+    # idempotent upsert: the retry with the guard lifted converges
+    CacheWriteSink(cache, "k", "v", max_rows=None)(big, batch_id=0)
+    assert cache.get("4999") == 4999
+
+
 def test_token_bucket():
     tb = TokenBucket(count=5, interval_s=0.5)
     assert all(tb.try_acquire() for _ in range(5))
