@@ -42,7 +42,15 @@ pipelines use:
   ``CompiledJq.uses_merge``), and stream limiting ``limit(n; f)`` /
   ``first(f)`` / ``last(f)``
 
-Anything else (``..`` recursion, ``$__loc__``, computed object keys)
+- ``..`` / argless ``recurse`` (depth-BOUNDED compile: pre-order
+  expansion to ``RECURSE_MAX_DEPTH`` nested transform/flatten levels;
+  the processor row-splits on ``recurse_depth_exceeded`` and routes
+  deeper documents to the interpreter, so the bound picks the TIER per
+  row, never the answer) and the jq type filters ``numbers``/
+  ``strings``/``booleans``/``nulls``/``objects``/``arrays``/
+  ``iterables``/``scalars`` (≡ select(type == ...))
+
+Anything else (``recurse(f)``, ``$__loc__``, computed object keys)
 raises
 ``JqCompileError`` and the caller falls back to the interpreter, so
 coverage is a pure optimization, never a semantics change. Numbers render with gojq normalization: integral floats in the
@@ -252,7 +260,40 @@ def _elements_of(vc: Column) -> Column:
     return F.coalesce(arr, objvals, _empty_varr())
 
 
-_STREAM_TAGS = ("iterate", "comma", "rangegen", "rangegen_dyn")
+_STREAM_TAGS = ("iterate", "comma", "rangegen", "rangegen_dyn", "recurse")
+
+# `..` compiles to a DEPTH-BOUNDED pre-order expansion: nested
+# transform/flatten lambdas, one level per depth. Documents whose depth
+# exceeds the bound are detected per row by ``recurse_depth_exceeded``
+# and the processor routes THOSE ROWS to the interpreter (row-level
+# tiering — semantics never change, the bound only decides which tier
+# runs a row). 12 levels keeps the expression tree small while covering
+# anything a sane pipeline document nests.
+RECURSE_MAX_DEPTH = 12
+
+
+def _recurse_elems(vc: Column, depth: int) -> Column:
+    """jq ``..`` output stream of one variant value as array<variant>,
+    depth-first pre-order (the value itself first, then descendants via
+    ``_elements_of`` — arrays document order, objects sorted-key order
+    like all compiled object iteration), truncated at ``depth``."""
+    if depth <= 0:
+        return F.array(vc)
+    return F.concat(
+        F.array(vc),
+        F.flatten(F.transform(_elements_of(vc), lambda x: _recurse_elems(x, depth - 1))),
+    )
+
+
+def recurse_depth_exceeded(variant_col: Column, depth: int = RECURSE_MAX_DEPTH) -> Column:
+    """True when the DOCUMENT nests deeper than ``depth`` — conservative
+    per-row overflow signal for bounded ``..``: any value `..` can apply
+    to is a descendant of the root, so root-depth ≤ bound guarantees
+    every compiled recursion in the program is complete."""
+    frontier = F.array(variant_col)
+    for _ in range(depth):
+        frontier = F.flatten(F.transform(frontier, _elements_of))
+    return F.exists(frontier, lambda x: F.size(_elements_of(x)) > 0)
 
 
 def _node_has_iterate(x) -> bool:
@@ -448,6 +489,19 @@ def _arith(a: CV, b: CV, op: str) -> CV:
 # ---------------------------------------------------------------------------
 
 
+# jq type-filter builtins → the `type` strings they select
+_TYPE_FILTER_TYPES = {
+    "numbers": ("number",),
+    "strings": ("string",),
+    "booleans": ("boolean",),
+    "nulls": ("null",),
+    "objects": ("object",),
+    "arrays": ("array",),
+    "iterables": ("array", "object"),
+    "scalars": ("null", "boolean", "number", "string"),
+}
+
+
 class _SubsetParser:
     """Recursive descent over the shared tokenizer; anything outside the
     compilable grammar raises JqCompileError (→ interpreter fallback)."""
@@ -628,6 +682,9 @@ class _SubsetParser:
         if kind == "field":
             self.next()
             return ("field", ("identity",), val[1:])
+        if val == "..":
+            self.next()
+            return ("recurse",)
         if val == ".":
             self.next()
             if self.peek()[1] == "[":  # .[0] / .["k"] handled by postfix
@@ -712,6 +769,18 @@ class _SubsetParser:
                 orelse = self.pipe()
             self.expect("end")
             return ("if", cond, then, elifs, orelse)
+        if name == "recurse":
+            if self.peek()[1] == "(":
+                raise JqCompileError("recurse(f) is interpreter-only (`..`/argless recurse compile)")
+            return ("recurse",)
+        if name in _TYPE_FILTER_TYPES:
+            # jq type filters (`numbers`, `strings`, ...) desugar to
+            # select(type == "..."), streaming naturally as pipe stages
+            types = _TYPE_FILTER_TYPES[name]
+            cond = ("cmp", "==", ("call0", "type"), ("lit_str", types[0]))
+            for t in types[1:]:
+                cond = ("or", cond, ("cmp", "==", ("call0", "type"), ("lit_str", t)))
+            return ("select", cond)
         if name in ("select", "map"):
             self.expect("(")
             arg = self.pipe()
@@ -1592,6 +1661,11 @@ def _stream_eval(node, cur: CV, keep: Optional[Column]):
             return keep, None, _elements_of(_to_variant(cv))
         # nested generator: flatten (elements_of never yields null)
         return keep, None, F.flatten(F.transform(elems, _elements_of))
+    if tag == "recurse":
+        # `..`: bounded pre-order expansion of the current value (rows
+        # deeper than RECURSE_MAX_DEPTH are routed to the interpreter by
+        # the processor via recurse_depth_exceeded — never truncated)
+        return keep, None, _recurse_elems(_to_variant(cur), RECURSE_MAX_DEPTH)
     if tag == "rangegen":
         # literal bounds → the values are known at compile time; emit a
         # constant variant array (jq: half-open, step-signed)
@@ -1919,6 +1993,10 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
         for a in node[1]:
             _validate(a, scope)
         return
+    if tag == "recurse":
+        if not stream_ok:
+            raise JqCompileError("`..` compiles only in stream positions")
+        return
     if tag in ("field", "index", "neg", "select", "map", "call0", "has", "call1s"):
         if tag in ("field", "index") and isinstance(node[1], tuple):
             # a stream base is navigable per element (.a[].b)
@@ -1965,6 +2043,14 @@ def _validate(node, scope: frozenset, stream_ok: bool = False):
     raise JqCompileError(f"node {tag!r} not compiled")
 
 
+def _node_has_tag(x, tag: str) -> bool:
+    if isinstance(x, (tuple, list)):
+        if isinstance(x, tuple) and x and x[0] == tag:
+            return True
+        return any(_node_has_tag(c, tag) for c in x)
+    return False
+
+
 def _uses_plus(node) -> bool:
     if isinstance(node, tuple):
         if node and node[0] == "arith" and node[1] == "+":
@@ -1986,6 +2072,9 @@ class CompiledJq:
         # spark.sql.mapKeyDedupPolicy=LAST_WIN — the processor sets it
         # when this flag is on (same contract as CompiledJmes.uses_merge)
         self.uses_merge = _uses_plus(self.ast)
+        # `..` compiles depth-bounded: the processor must row-split on
+        # recurse_depth_exceeded and interpret the too-deep rows
+        self.uses_recurse = _node_has_tag(self.ast, "recurse")
 
     def apply(self, variant_col: Column) -> tuple[Optional[Column], Column]:
         """(keep predicate or None, rendered compact-JSON output column).

@@ -64,7 +64,7 @@ _TOKEN = re.compile(
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<field>\.[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>==|!=|<=|>=|\|\||//|and\b|or\b|[.\[\](){}|,:;?<>=+\-*/%])
+  | (?P<op>==|!=|<=|>=|\|\||//|\.\.|and\b|or\b|[.\[\](){}|,:;?<>=+\-*/%])
     """,
     re.VERBOSE,
 )
@@ -223,6 +223,12 @@ class _P:
 
     def primary(self):
         t = self.peek()
+        if t[0] == "op" and t[1] == "..":
+            # `..` ≡ recurse: the value itself, then every descendant,
+            # depth-first pre-order (arrays in document order, object
+            # VALUES in document order)
+            self.next()
+            return _mk_recurse(None)
         if t[0] == "op" and t[1] == ".":
             self.next()
             nxt = self.peek()
@@ -759,8 +765,64 @@ def _one(node, v, env):
         raise JqError("expected a value")
 
 
+def _recurse_all(v):
+    """`..` output stream: v, then descendants depth-first pre-order.
+    Arrays descend per element in document order; objects per VALUE in
+    document order (matching `.[]?` — scalars terminate silently)."""
+    stack = [v]
+    while stack:
+        x = stack.pop()
+        yield x
+        if isinstance(x, list):
+            stack.extend(reversed(x))
+        elif isinstance(x, dict):
+            stack.extend(reversed(list(x.values())))
+
+
+def _mk_recurse(f):
+    """jq `recurse` (gojq builtin `def recurse: recurse(.[]?)` /
+    `def recurse(f): def r: ., (f | r); r`): argless walks containers
+    leniently; recurse(f) re-applies f depth-first, errors propagating
+    (suppress with `?` inside f, exactly jq's contract)."""
+
+    def fn(v, env):
+        if f is None:
+            yield from _recurse_all(v)
+            return
+
+        def r(x):
+            yield x
+            for out in f(x, env):
+                yield from r(out)
+
+        yield from r(v)
+
+    return fn
+
+
+# jq type filters: `numbers` ≡ select(type=="number") etc. — the usual
+# companions of `..` (e.g. `[.. | numbers]`)
+_TYPE_FILTERS = {
+    "numbers": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+    "strings": lambda v: isinstance(v, str),
+    "booleans": lambda v: isinstance(v, bool),
+    "nulls": lambda v: v is None,
+    "objects": lambda v: isinstance(v, dict),
+    "arrays": lambda v: isinstance(v, list),
+    "iterables": lambda v: isinstance(v, (list, dict)),
+    "scalars": lambda v: not isinstance(v, (list, dict)),
+}
+
+
 def _mk_func(name, args):
     def fn(v, env):
+        if name == "recurse":
+            yield from _mk_recurse(args[0] if args else None)(v, env)
+            return
+        if name in _TYPE_FILTERS:
+            if _TYPE_FILTERS[name](v):
+                yield v
+            return
         if name == "select":
             for c in args[0](v, env):
                 if _truthy(c):
@@ -1028,7 +1090,10 @@ class JqProcessor:
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if self.columnar:
-            from benthos_spark.functions.jq_columnar import try_compile
+            from benthos_spark.functions.jq_columnar import (
+                recurse_depth_exceeded,
+                try_compile,
+            )
 
             compiled = try_compile(self.query)
             if compiled is not None:
@@ -1039,18 +1104,31 @@ class JqProcessor:
                         "spark.sql.mapKeyDedupPolicy", "LAST_WIN"
                     )
                 try:
-                    v = F.parse_json(F.col(self.col).cast("string"))
-                    keep, rendered = compiled.apply(v)
+                    if getattr(compiled, "uses_recurse", False):
+                        # `..` compiles depth-bounded: ROW-LEVEL tiering.
+                        # Documents within the bound take the compiled
+                        # path; deeper ones (conservative root-depth
+                        # check) go through the interpreter — semantics
+                        # identical, the bound only picks the tier.
+                        v = F.parse_json(F.col(self.col).cast("string"))
+                        deep = F.coalesce(recurse_depth_exceeded(v), F.lit(False))
+                        shallow_out = self._apply_compiled(df.filter(~deep), compiled)
+                        return shallow_out.unionByName(self._interpret(df.filter(deep)))
+                    return self._apply_compiled(df, compiled)
                 except JqError:
                     # apply-time type rejections (e.g. indexing a
                     # literal) — the interpreter is always the fallback
                     return self._interpret(df)
-                out = df if keep is None else df.filter(keep)
-                out_col = self.out_col or self.col
-                out = out.withColumn(out_col, rendered)
-                # the interpreter path replaces the input column
-                return out.drop(self.col) if out_col != self.col else out
         return self._interpret(df)
+
+    def _apply_compiled(self, df: DataFrame, compiled) -> DataFrame:
+        v = F.parse_json(F.col(self.col).cast("string"))
+        keep, rendered = compiled.apply(v)
+        out = df if keep is None else df.filter(keep)
+        out_col = self.out_col or self.col
+        out = out.withColumn(out_col, rendered)
+        # the interpreter path replaces the input column
+        return out.drop(self.col) if out_col != self.col else out
 
     def _interpret(self, df: DataFrame) -> DataFrame:
         import pandas as pd

@@ -260,7 +260,8 @@ PROGRAMS = [
 FALLBACK_PROGRAMS = [
     # computed object keys `{(EXPR): v}` are interpreter-only
     'reduce .[] as $x ({}; . + {($x | tostring): 1})',
-    "..|numbers",
+    # `..`/argless recurse compile (round 5); recurse(f) stays interpreter-only
+    "recurse(.children[]?)",
     "$metadata.topic",
 ]
 
@@ -392,3 +393,130 @@ def test_interpreter_forced_path_still_works(spark):
     df = spark.createDataFrame([(1, '{"k": 5}'), (2, '{"k": null}')], "i int, value string")
     out = JqProcessor('select(.k != null) | {k: .k}', columnar=False)(df).collect()
     assert len(out) == 1 and out[0]["value"] == '{"k":5}'
+
+
+# ---------------------------------------------------------------------------
+# `..` recursive descent (round 5): bounded columnar compile + row-level
+# interpreter fallback past RECURSE_MAX_DEPTH
+# ---------------------------------------------------------------------------
+
+# sorted-key docs so both tiers emit the same object-value order (the
+# sorted-vs-document order divergence is pinned separately above)
+RECURSE_DOCS = [
+    {"a": [1, 2], "b": 3},
+    {"a": [1, {"c": "x"}], "b": True},
+    {"a": {"b": {"c": [None, "s", 4.5]}}},
+    [1, [2, [3, [4]]]],
+    "scalar",
+    7,
+    None,
+    {},
+    [],
+]
+
+RECURSE_PROGRAMS = [
+    "[..]",
+    "[.. | numbers]",
+    ".. | numbers",
+    "[.. | strings]",
+    "[.. | booleans]",
+    "[.. | nulls]",
+    "[.. | arrays]",
+    "[.. | objects]",
+    "[.. | iterables]",
+    "[.. | scalars]",
+    "[recurse]",
+    "[.a | ..]",
+    '[.. | select(type == "number")]',
+]
+
+
+def _deep_doc(depth, leaf=99):
+    v = leaf
+    for _ in range(depth):
+        v = [v]
+    return v
+
+
+def _deep_obj(depth, leaf=99):
+    # object nesting, so field navigation (.a) stays legal on the deep
+    # row in BOTH tiers (the interpreter errors on .a over an array —
+    # jq-correct strictness the lenient columnar tier doesn't share)
+    v = leaf
+    for _ in range(depth):
+        v = {"a": v}
+    return v
+
+
+def test_recurse_compiles_with_flag():
+    for prog in RECURSE_PROGRAMS:
+        c = try_compile(prog)
+        assert c is not None and c.uses_recurse, prog
+    # type filters alone don't force the recurse row-split
+    c = try_compile(".k | numbers")
+    assert c is not None and not c.uses_recurse
+
+
+def test_recurse_dual_backend_conformance(spark):
+    docs = RECURSE_DOCS + [_deep_obj(20)]  # last doc exceeds the bound
+    rows = [(i, json.dumps(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "i int, value string")
+    mismatches = []
+    for prog in RECURSE_PROGRAMS:
+        expect = _interp_rows(prog, docs)
+        got = {r["i"]: r["value"] for r in JqProcessor(prog)(df).collect()}
+        for i in range(len(docs)):
+            e = expect.get(i)
+            if e == "<error>":
+                continue
+            if not _json_equal(e, got.get(i)):
+                mismatches.append((prog, i, e, got.get(i)))
+    assert not mismatches, mismatches[:10]
+
+
+def test_recurse_deep_doc_is_complete_not_truncated(spark):
+    """A document deeper than RECURSE_MAX_DEPTH must take the interpreter
+    row-split and come back COMPLETE — the bound picks the tier, never
+    truncates the answer."""
+    from benthos_spark.functions.jq_columnar import RECURSE_MAX_DEPTH
+
+    deep = _deep_doc(RECURSE_MAX_DEPTH + 8)
+    df = spark.createDataFrame([(1, json.dumps(deep))], "i int, value string")
+    out = JqProcessor("[.. | numbers]")(df).collect()
+    assert json.loads(out[0]["value"]) == [99]
+    out2 = JqProcessor("[..]")(df).collect()
+    # pre-order: every nesting level once, then the leaf
+    assert len(json.loads(out2[0]["value"])) == RECURSE_MAX_DEPTH + 8 + 1
+
+
+def test_recurse_depth_exceeded_boundary(spark):
+    from pyspark.sql import functions as F
+
+    from benthos_spark.functions.jq_columnar import (
+        RECURSE_MAX_DEPTH,
+        recurse_depth_exceeded,
+    )
+
+    docs = [_deep_doc(RECURSE_MAX_DEPTH), _deep_doc(RECURSE_MAX_DEPTH + 1)]
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)], "i int, value string"
+    )
+    v = F.parse_json(F.col("value"))
+    got = {
+        r["i"]: r["deep"]
+        for r in df.select("i", recurse_depth_exceeded(v).alias("deep")).collect()
+    }
+    assert got == {0: False, 1: True}
+
+
+def test_recurse_shallow_rows_stay_jvm_side(spark):
+    """With `..`, the plan's compiled branch carries the shallow rows; the
+    interpreter branch exists but receives only rows past the depth bound
+    — on an all-shallow input every row flows JVM-side."""
+    deep = _deep_doc(30)
+    df = spark.createDataFrame(
+        [(1, '{"a":[1,2]}'), (2, json.dumps(deep))], "i int, value string"
+    )
+    out = {r["i"]: r["value"] for r in JqProcessor("[.. | numbers]")(df).collect()}
+    assert json.loads(out[1]) == [1, 2]
+    assert json.loads(out[2]) == [99]
