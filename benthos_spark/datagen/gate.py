@@ -50,6 +50,7 @@ _TABLES = (
     "clips_augment",
     "videos_mjpeg",
     "videos_h264",
+    "videos_h264c",
     "clips_diar",
     "clips_emb_topk",
     "clips_align",
@@ -639,6 +640,16 @@ def ensure_gate_tables(sf_name: str) -> None:
         # pre-encode value EXACTLY (unlike mjpeg's lossy tolerance).
         ids = np.arange(sizes["videos"] // 4, dtype=np.int64)
         _write_atomic(videos_pdf(ids, codec="h264", with_expected=True), p)
+    p = table_path(sf_name, "videos_h264c")
+    if not os.path.exists(p):
+        # round 5: ENTROPY-CODED streams (CAVLC Intra_4x4/Intra_16x16,
+        # functions/h264_cavlc.py) with deterministic per-video noise so
+        # residual coding is real. Lossy — the stored mean_lum is the
+        # decoder-exact reconstruction computed at generation time from
+        # the encoder's normative reconstruction loop, and the gate
+        # requires the Spark-side decode to reproduce it EXACTLY.
+        ids = np.arange(sizes["videos"] // 4, dtype=np.int64)
+        _write_atomic(videos_pdf(ids, codec="h264_cavlc", with_expected=True), p)
     tmp_v = f"{version_file}.tmp.{os.getpid()}"
     os.makedirs(os.path.dirname(tmp_v), exist_ok=True)
     with open(tmp_v, "w") as fh:

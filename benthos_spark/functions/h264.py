@@ -1,15 +1,22 @@
-"""From-scratch H.264/AVC (ITU-T Rec. H.264) Annex-B codec — I_PCM only.
+"""From-scratch H.264/AVC (ITU-T Rec. H.264) Annex-B codec.
 
-The encoder emits a fully spec-conformant Baseline-profile (profile_idc
-66) byte stream: SPS (with VUI timing info so fps round-trips), PPS and
-one IDR slice per frame in which every macroblock is I_PCM (mb_type 25
-in I slices, Table 7-11) — uncompressed 4:2:0 samples carried
-bit-exactly through the bitstream.  Any conforming H.264 decoder can
-play these streams; our decoder parses the same subset (Exp-Golomb
-headers, emulation prevention, frame cropping, CAVLC-mode slice data)
-and rejects entropy-coded residual macroblocks with a clear message —
-transform/prediction decoding is the one thing out of scope in this
-sandbox (no ffmpeg/cv2 to validate against).
+Two encode paths share one decoder:
+
+- :func:`encode` emits a spec-conformant Baseline (profile_idc 66)
+  stream in which every macroblock is I_PCM (mb_type 25 in I slices,
+  Table 7-11) — uncompressed 4:2:0 samples carried bit-exactly.
+- :func:`encode_cavlc` (round 5) is a genuinely *compressing* encoder:
+  CAVLC entropy-coded Intra_4x4 / Intra_16x16 macroblocks with forward
+  transform + quantization (functions/h264_cavlc.py), lossy with
+  quality set by ``qp``.
+
+The decoder handles the union: Exp-Golomb headers, emulation
+prevention, frame cropping, and all I-slice macroblock types (I_PCM,
+Intra_4x4, Intra_16x16 — CAVLC residuals, intra prediction, inverse
+transforms).  Remaining honest gates: CABAC entropy coding, inter (P/B)
+slices, and the in-loop deblocking filter — entropy-coded streams must
+signal disable_deblocking_filter_idc == 1 or decoding refuses (output
+would be non-conformant otherwise).
 
 This closes the last env-gated container in the multimodal family
 (functions/multimodal.py): the reference moves every payload as opaque
@@ -38,6 +45,8 @@ __all__ = [
     "decode",
     "encode_ycbcr",
     "decode_ycbcr",
+    "encode_cavlc",
+    "encode_ycbcr_cavlc",
     "H264Error",
 ]
 
@@ -257,7 +266,7 @@ def _sps_rbsp(mb_w: int, mb_h: int, crop_right: int, crop_bottom: int, fps: floa
     return w.getvalue()
 
 
-def _pps_rbsp() -> bytes:
+def _pps_rbsp(qp: int = 26, deblocking_control: bool = False) -> bytes:
     w = _BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -268,10 +277,13 @@ def _pps_rbsp() -> bytes:
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
     w.u(0, 1)  # weighted_pred_flag
     w.u(0, 2)  # weighted_bipred_idc
-    w.se(0)  # pic_init_qp_minus26
+    w.se(qp - 26)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
     w.se(0)  # chroma_qp_index_offset
-    w.u(0, 1)  # deblocking_filter_control_present_flag
+    # the CAVLC encoder signals deblocking control so its slice headers
+    # can disable the (unimplemented) in-loop filter; the I_PCM carriage
+    # keeps 0 — its MBs decode at QPY 0 where the filter is a no-op
+    w.u(1 if deblocking_control else 0, 1)
     w.u(0, 1)  # constrained_intra_pred_flag
     w.u(0, 1)  # redundant_pic_cnt_present_flag
     w.rbsp_trailing()
@@ -306,6 +318,31 @@ def _idr_slice_rbsp(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, mb_w: int, mb
             w.bytes_raw(
                 np.ascontiguousarray(cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]).tobytes()
             )
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def _idr_slice_rbsp_cavlc(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, idr_pic_id: int, qp: int
+) -> bytes:
+    """IDR I-slice with CAVLC entropy-coded macroblocks
+    (functions/h264_cavlc.py) — a genuinely compressing encode path.
+    disable_deblocking_filter_idc = 1: the in-loop filter is not
+    implemented, so streams declare it off (conformant; x264's
+    --no-deblock does the same)."""
+    from benthos_spark.functions.h264_cavlc import encode_i_slice_macroblocks
+
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type: I (all slices of the picture)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(0, 4)  # frame_num
+    w.ue(idr_pic_id)
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    w.se(0)  # slice_qp_delta (SliceQPY = 26 + pic_init_qp_minus26)
+    w.ue(1)  # disable_deblocking_filter_idc (PPS signals control)
+    encode_i_slice_macroblocks(w, y, cb, cr, qp)
     w.rbsp_trailing()
     return w.getvalue()
 
@@ -391,6 +428,58 @@ def encode(frames: list[np.ndarray], fps: float = 25.0) -> bytes:
     return encode_ycbcr(planes, fps=fps)
 
 
+def encode_ycbcr_cavlc(
+    planes: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    fps: float = 25.0,
+    qp: int = 26,
+) -> bytes:
+    """Encode 4:2:0 planes with CAVLC entropy-coded intra macroblocks —
+    the compressing counterpart of :func:`encode_ycbcr` (lossy, quality
+    set by ``qp`` 0..51).  Use :func:`reconstruct_ycbcr_cavlc` for the
+    decoder-exact frames this stream reconstructs to, pass the result
+    through :func:`decode_ycbcr` (the encoder's internal reconstruction
+    loop is decoder-identical, pinned by tests)."""
+    if not planes:
+        raise H264Error("no frames to encode")
+    if not 0 <= qp <= 51:
+        raise H264Error(f"qp must be 0..51, got {qp}")
+    y0, _, _ = planes[0]
+    h, wd = y0.shape
+    if h % 2 or wd % 2:
+        raise H264Error(f"frame dims must be even for 4:2:0, got {wd}x{h}")
+    mb_w, mb_h = -(-wd // 16), -(-h // 16)
+    crop_right, crop_bottom = mb_w * 16 - wd, mb_h * 16 - h
+    out = bytearray()
+    out += _nal(7, 3, _sps_rbsp(mb_w, mb_h, crop_right, crop_bottom, fps))
+    out += _nal(8, 3, _pps_rbsp(qp=qp, deblocking_control=True))
+    for k, (y, cb, cr) in enumerate(planes):
+        if y.shape != (h, wd):
+            raise H264Error("all frames must share one geometry")
+        yp = _pad_to(np.asarray(y, dtype=np.uint8), mb_h * 16, mb_w * 16)
+        cbp = _pad_to(np.asarray(cb, dtype=np.uint8), mb_h * 8, mb_w * 8)
+        crp = _pad_to(np.asarray(cr, dtype=np.uint8), mb_h * 8, mb_w * 8)
+        out += _nal(5, 3, _idr_slice_rbsp_cavlc(yp, cbp, crp, idr_pic_id=k % 2, qp=qp))
+    return bytes(out)
+
+
+def encode_cavlc(frames: list[np.ndarray], fps: float = 25.0, qp: int = 26) -> bytes:
+    """CAVLC-compressed counterpart of :func:`encode` (gray or RGB)."""
+    planes = []
+    for fr in frames:
+        fr = np.asarray(fr, dtype=np.uint8)
+        if fr.ndim == 3 and fr.shape[2] == 1:
+            fr = fr[:, :, 0]
+        if fr.ndim == 2:
+            h, wd = fr.shape
+            flat = np.full((h // 2, wd // 2), 128, dtype=np.uint8)
+            planes.append((fr, flat, flat.copy()))
+        elif fr.ndim == 3 and fr.shape[2] == 3:
+            planes.append(_rgb_to_ycbcr420(fr))
+        else:
+            raise H264Error(f"unsupported frame shape {fr.shape}")
+    return encode_ycbcr_cavlc(planes, fps=fps, qp=qp)
+
+
 def _parse_sps(rbsp: bytes) -> dict:
     r = _BitReader(rbsp)
     profile_idc = r.u(8)
@@ -464,8 +553,31 @@ def _parse_pps(rbsp: bytes) -> dict:
     r.ue()  # sps id
     entropy = r.u(1)
     if entropy:
-        raise H264Error("CABAC slice data not supported (CAVLC I_PCM only)")
-    return {"entropy_coding_mode": entropy, "pic_order_present": r.u(1)}
+        raise H264Error("CABAC slice data not supported (Baseline is CAVLC)")
+    pic_order_present = r.u(1)
+    if r.ue():  # num_slice_groups_minus1
+        raise H264Error("FMO slice groups not supported")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.u(1)  # weighted_pred_flag
+    r.u(2)  # weighted_bipred_idc
+    pic_init_qp = 26 + r.se()
+    r.se()  # pic_init_qs_minus26
+    chroma_qp_offset = r.se()
+    deblocking_control = r.u(1)
+    constrained_intra = r.u(1)
+    if constrained_intra:
+        # all-I streams are unaffected by constrained intra pred; noted
+        # for completeness (it only restricts inter-neighbour use)
+        pass
+    r.u(1)  # redundant_pic_cnt_present_flag
+    return {
+        "entropy_coding_mode": entropy,
+        "pic_order_present": pic_order_present,
+        "pic_init_qp": pic_init_qp,
+        "chroma_qp_offset": chroma_qp_offset,
+        "deblocking_control": deblocking_control,
+    }
 
 
 def decode_ycbcr(data: bytes) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray]], float]:
@@ -514,32 +626,27 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict, idr: bool, ref_idc: int):
         else:
             if r.u(1):  # adaptive_ref_pic_marking_mode_flag
                 raise H264Error("adaptive ref pic marking not supported")
-    r.se()  # slice_qp_delta
+    qp = pps["pic_init_qp"] + r.se()  # slice_qp_delta
+    deblocking_disabled = False
+    if pps.get("deblocking_control"):
+        idc = r.ue()  # disable_deblocking_filter_idc
+        deblocking_disabled = idc == 1
+        if idc != 1:
+            r.se()  # slice_alpha_c0_offset_div2
+            r.se()  # slice_beta_offset_div2
+    from benthos_spark.functions.h264_cavlc import decode_i_slice_macroblocks
+
     mb_w, mb_h = sps["mb_w"], sps["mb_h"]
-    y = np.empty((mb_h * 16, mb_w * 16), dtype=np.uint8)
-    cb = np.empty((mb_h * 8, mb_w * 8), dtype=np.uint8)
-    cr = np.empty((mb_h * 8, mb_w * 8), dtype=np.uint8)
-    for my in range(mb_h):
-        for mx in range(mb_w):
-            mb_type = r.ue()
-            if mb_type != _I_PCM_MB_TYPE:
-                raise H264Error(
-                    f"macroblock at ({mx},{my}) has mb_type {mb_type}; only "
-                    "I_PCM (25) streams are decodable in this sandbox — "
-                    "entropy-coded residuals need a full AVC decoder"
-                )
-            while not r.byte_aligned():
-                if r.u(1):
-                    raise H264Error("pcm_alignment_zero_bit was 1")
-            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.frombuffer(
-                r.bytes_raw(256), dtype=np.uint8
-            ).reshape(16, 16)
-            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.frombuffer(
-                r.bytes_raw(64), dtype=np.uint8
-            ).reshape(8, 8)
-            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.frombuffer(
-                r.bytes_raw(64), dtype=np.uint8
-            ).reshape(8, 8)
+    # I_PCM macroblocks always decode; entropy-coded macroblocks
+    # additionally require the in-loop deblocking filter to be signalled
+    # off (decode_i_slice_macroblocks enforces it — an I_PCM-only stream
+    # never trips it, and at its QPY 0 the filter is a no-op anyway)
+    st = decode_i_slice_macroblocks(
+        r, mb_w, mb_h, qp,
+        chroma_qp_offset=pps.get("chroma_qp_offset", 0),
+        deblocking_disabled=deblocking_disabled,
+    )
+    y, cb, cr = st.y, st.cb, st.cr
     h, wd = sps["height"], sps["width"]
     t, l = sps["crop_t"], sps["crop_l"]
     return (

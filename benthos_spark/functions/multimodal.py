@@ -196,8 +196,9 @@ def decode_video_frames(raw: bytes, codec: str, width: int, height: int, n_frame
     """Container-decode a video payload into (H, W, C) uint8 frames.
 
     Real containers in this sandbox: raw byte layouts, MJPEG-in-AVI
-    (functions/avi.py) and animated GIF (functions/gif.py). h264 still
-    needs ffmpeg/cv2 — the one gated video codec left."""
+    (functions/avi.py), animated GIF (functions/gif.py) and Annex-B
+    H.264 (functions/h264.py: I_PCM since round 4, CAVLC entropy-coded
+    intra streams since round 5; CABAC/inter/deblocking stay gated)."""
     if codec in RAW_CODECS:
         ch = RAW_CODECS[codec]
         frame_bytes = width * height * ch
@@ -215,7 +216,7 @@ def decode_video_frames(raw: bytes, codec: str, width: int, height: int, n_frame
         from benthos_spark.functions import gif as _gif
 
         return [fr[:, :, :3] for fr in _gif.decode_frames(raw)]
-    if codec == "h264":
+    if codec in ("h264", "h264_cavlc"):
         from benthos_spark.functions import h264 as _h264
 
         frames, _fps = _h264.decode(raw)
@@ -329,11 +330,17 @@ def videos_pdf(ids: np.ndarray, height: int = 24, width: int = 32, n_frames: int
     ``codec="mjpeg"`` wraps the SAME deterministic frames in an MJPEG
     RIFF-AVI container (functions/avi.py, our own T.81 codec per frame,
     quality 95); ``codec="h264"`` wraps them as an Annex-B H.264 I_PCM
-    stream (functions/h264.py) whose gray carriage is BIT-EXACT.
-    ``with_expected=True`` adds ``mean_lum`` computed from the frames
-    BEFORE encoding — for lossy MJPEG the gate checks the decoded mean
-    against it within a tolerance (JPEG is lossy by nature), for h264 it
-    must match exactly; frame counts must always match exactly."""
+    stream (functions/h264.py) whose gray carriage is BIT-EXACT;
+    ``codec="h264_cavlc"`` runs the COMPRESSING encoder (CAVLC
+    entropy-coded Intra_4x4/Intra_16x16, functions/h264_cavlc.py) over
+    the frames plus deterministic per-video noise (so residual coding is
+    genuinely exercised) — lossy, so its ``with_expected`` ground truth
+    is the decoder-exact reconstruction mean, computed at generation
+    time from the encoder's normative reconstruction loop.
+    ``with_expected=True`` adds ``mean_lum`` — for lossy MJPEG the gate
+    checks the decoded mean against it within a tolerance (JPEG is
+    lossy by nature), for both h264 variants it must match exactly;
+    frame counts must always match exactly."""
     from benthos_spark.functions import avi as _avi
     from benthos_spark.functions import h264 as _h264
 
@@ -344,10 +351,18 @@ def videos_pdf(ids: np.ndarray, height: int = 24, width: int = 32, n_frames: int
     exp: list[float] = []
     for i in ids:
         frames = [((base.astype(np.int64) + int(i) + f) % 256).astype(np.uint8) for f in range(n_frames)]
+        if codec == "h264_cavlc":
+            rng = np.random.default_rng(seed * 1000003 + int(i))
+            frames = [
+                np.clip(fr.astype(np.int64) + rng.integers(-25, 26, fr.shape), 0, 255).astype(np.uint8)
+                for fr in frames
+            ]
         if codec == "mjpeg":
             blob = _avi.encode(frames, fps=8.0, quality=95)
         elif codec == "h264":
             blob = _h264.encode(frames, fps=8.0)
+        elif codec == "h264_cavlc":
+            blob = _h264.encode_cavlc(frames, fps=8.0, qp=28)
         else:
             blob = b"".join(fr.tobytes() for fr in frames)
         rows["video_id"].append(f"vid-{int(i):010d}")
@@ -358,7 +373,11 @@ def videos_pdf(ids: np.ndarray, height: int = 24, width: int = 32, n_frames: int
         rows["fps"].append(8.0)
         rows["codec"].append(codec)
         if with_expected:
-            exp.append(float(np.mean([fr.mean() for fr in frames])))
+            if codec == "h264_cavlc":
+                dec, _fps = _h264.decode(blob)
+                exp.append(float(np.mean([fr.mean() for fr in dec])))
+            else:
+                exp.append(float(np.mean([fr.mean() for fr in frames])))
     out = pd.DataFrame(rows)
     out["width"] = out["width"].astype("int32")
     out["height"] = out["height"].astype("int32")

@@ -2653,6 +2653,64 @@ def video_h264_frame_sample(spark, sf_dir):
     )
 
 
+_VIDEOS_H264C_GATE = _gate.table_path("sf0.01", "videos_h264c")
+
+
+@register(
+    "video_h264_cavlc_frame_sample",
+    f"""
+    SELECT video_id,
+           n_frames::BIGINT AS n_frames_decoded,
+           TRUE AS lum_ok
+    FROM read_parquet('{_VIDEOS_H264C_GATE}')
+    """,
+)
+def video_h264_cavlc_frame_sample(spark, sf_dir):
+    """ENTROPY-CODED H.264 under the hash gate (round 5): the gate videos
+    as CAVLC Intra_4x4/Intra_16x16 Baseline streams with real residual
+    coding (functions/h264_cavlc.py — coeff_token/total_zeros/run_before
+    VLCs, intra prediction, dequant + inverse 4x4 transform per the
+    public Rec. H.264 clauses 8.3/8.5/9.2), decoded frame-by-frame
+    through the same frame-sampling UDTF as the I_PCM twin. The streams
+    are NOT I_PCM carriage — every macroblock is transform-coded — and
+    the stored ground truth is the decoder-exact reconstruction mean
+    computed at generation time from the encoder's normative
+    reconstruction loop, so the gate requires the Spark-side decode to
+    reproduce it to 1e-9: any VLC tree slip, nC context error,
+    prediction-mode or dequant mistake fails the hash. (The sandbox has
+    no third-party AVC decoder; encoder-recon == decoder-output is the
+    normative invariant a conformant decoder must satisfy, pinned here
+    end-to-end.) Reference parity: opaque-bytes payload processors
+    (/root/reference/internal/message/part.go:8-11)."""
+    from benthos_spark.functions import multimodal as mm
+
+    sf = _gate.gate_sf_name(sf_dir)
+    if sf is None:
+        raise ValueError("video_h264_cavlc_frame_sample runs at gate scales only")
+    _gate.ensure_gate_tables(sf)
+    tbl = spark.read.parquet(_gate.table_path(sf, "videos_h264c"))
+    vids = tbl.select("video_id", "bytes", "width", "height", "n_frames", "fps", "codec")
+    frames = vids.mapInPandas(mm.frame_sample_map_in_pandas(every_n=1), schema=mm.IMAGE_SCHEMA)
+    feats = frames.mapInPandas(
+        mm.image_features_map_in_pandas(["image_id"]),
+        schema="image_id string, " + mm.IMAGE_FEATURE_FIELDS,
+    )
+    per_video = (
+        feats.withColumn("video_id", F.split(F.col("image_id"), "#")[0])
+        .groupBy("video_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_decoded"),
+            F.avg("mean_lum").alias("dec_mean"),
+        )
+    )
+    expected = tbl.select("video_id", F.col("mean_lum").alias("exp_mean"))
+    return per_video.join(expected, "video_id").select(
+        "video_id",
+        "n_frames_decoded",
+        (F.abs(F.col("dec_mean") - F.col("exp_mean")) < F.lit(1e-9)).alias("lum_ok"),
+    )
+
+
 @register(
     "iceberg_roundtrip_orders",
     """
@@ -4209,7 +4267,10 @@ GATE_PRIORITY: list[str] = [
     "group_by_chains_orders",
     "bloblang_mapping_orders",
     "audio_decode_features",
-    "audio_fingerprint_dedup",
+    # audio_fingerprint_dedup cedes its anchor slot to the round-5 CAVLC
+    # decoder entry (fingerprint has r3+r4 driver rows and stays in the
+    # local gate; entropy-coded H.264 has never been driver-checked)
+    "video_h264_cavlc_frame_sample",
     "audio_diarization_rollup",
     "audio_augment_rollup",
     "wasm_uppercase_docs",

@@ -242,8 +242,11 @@ def test_reject_cabac_pps():
         h264._parse_pps(w.getvalue())
 
 
-def test_reject_non_ipcm_macroblock():
-    # hand-build a slice whose first MB is I_4x4 (mb_type 0)
+def test_reject_entropy_mb_when_deblocking_active():
+    # hand-build a slice whose first MB is I_4x4 (mb_type 0) inside an
+    # I_PCM-carriage PPS: deblocking is implicitly ON there, so the
+    # entropy-coded MB must refuse (round 5 decodes CAVLC MBs for real
+    # when the stream disables the unimplemented in-loop filter)
     blob = bytearray(h264.encode([np.zeros((16, 16), np.uint8)]))
     units = _split_annexb(bytes(blob))
     sps = h264._parse_sps(units[0][2])
@@ -258,7 +261,7 @@ def test_reject_non_ipcm_macroblock():
     w.se(0)
     w.ue(0)  # mb_type 0 = I_4x4
     w.rbsp_trailing()
-    with pytest.raises(H264Error, match="I_PCM"):
+    with pytest.raises(H264Error, match="deblocking"):
         h264._decode_slice(w.getvalue(), sps, pps, idr=True, ref_idc=3)
 
 
