@@ -1,6 +1,7 @@
 """From-scratch JavaScript interpreter (ES5.1 core + the ES6 pieces
 the reference's processor corpus uses: arrow functions, let/const,
-template literals, for-of, shorthand object literals).
+template literals, for-of, shorthand object literals, and — round 5 —
+Map/Set with SameValueZero semantics, for-of iteration and instanceof).
 
 The reference's `javascript` processor embeds the goja engine
 (internal/impl/javascript/processor.go:26, vm.go:24). This environment
@@ -973,6 +974,54 @@ def _js_regex_to_py(src: str) -> str:
     return src
 
 
+def _same_value_zero_key(v):
+    """Hashable key under SameValueZero (spec 7.2.10): NaN keys collide,
+    +0/-0 collide, primitives by value, everything else by identity (the
+    original value is retained in the entry, so id() stays stable)."""
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, (int, float)):
+        f = float(v)
+        if math.isnan(f):
+            return ("nan",)
+        return ("num", f + 0.0)
+    if isinstance(v, str):
+        return ("str", v)
+    if v is None:
+        return ("null",)
+    if v is UNDEF:
+        return ("undef",)
+    return ("ref", id(v))
+
+
+class JSMap:
+    """ES2015 Map (spec §23.1 subset): insertion-ordered, SameValueZero
+    keys; get/set/has/delete/clear/size/forEach/keys/values/entries and
+    for-of yield [key, value] pairs."""
+
+    __slots__ = ("entries",)
+
+    def __init__(self):
+        self.entries: dict = {}  # svz-key -> (orig_key, value)
+
+    def iter_pairs(self):
+        return [[k, v] for k, v in self.entries.values()]
+
+
+class JSSet:
+    """ES2015 Set (spec §23.2 subset): insertion-ordered, SameValueZero
+    membership; add/has/delete/clear/size/forEach and for-of yield the
+    values."""
+
+    __slots__ = ("entries",)
+
+    def __init__(self):
+        self.entries: dict = {}  # svz-key -> value
+
+    def iter_values(self):
+        return list(self.entries.values())
+
+
 def js_typeof(v) -> str:
     if v is UNDEF:
         return "undefined"
@@ -1049,6 +1098,10 @@ def js_to_string(v, interp=None) -> str:
         return f"function {v.name}() {{ [native code] }}"
     if isinstance(v, JSRegExp):
         return f"/{v.source}/{v.flags}"
+    if isinstance(v, JSMap):
+        return "[object Map]"
+    if isinstance(v, JSSet):
+        return "[object Set]"
     return str(v)
 
 
@@ -1547,6 +1600,10 @@ class Interpreter:
                 seq = list(obj)
             elif isinstance(obj, list):
                 seq = list(obj)
+            elif isinstance(obj, JSMap):
+                seq = obj.iter_pairs()
+            elif isinstance(obj, JSSet):
+                seq = obj.iter_values()
             elif isinstance(obj, dict):
                 raise JSThrow("TypeError: object is not iterable")
             else:
@@ -1795,6 +1852,10 @@ class Interpreter:
             return isinstance(a, (JSFunction, NativeFunction))
         if name == "RegExp":
             return isinstance(a, JSRegExp)
+        if name == "Map":
+            return isinstance(a, JSMap)
+        if name == "Set":
+            return isinstance(a, JSSet)
         if name in ("Error", "TypeError", "RangeError", "SyntaxError"):
             return isinstance(a, dict) and "message" in a and "name" in a
         return False
@@ -1959,10 +2020,37 @@ class Interpreter:
             return JSRegExp(js_to_string(src, self),
                             js_to_string(args[1], self) if len(args) > 1
                             else "")
-        if name == "Map" or name == "Set" or name == "Date":
+        if name == "Map":
+            m = JSMap()
+            if args and args[0] is not UNDEF and args[0] is not None:
+                if not isinstance(args[0], list):
+                    raise JSThrow("TypeError: Map constructor argument is not iterable")
+                for pair in args[0]:
+                    if not isinstance(pair, list) or len(pair) < 2:
+                        raise JSThrow("TypeError: Iterator value is not an entry object")
+                    m.entries[_same_value_zero_key(pair[0])] = (pair[0], pair[1])
+            return m
+        if name == "Set":
+            s = JSSet()
+            if args and args[0] is not UNDEF and args[0] is not None:
+                src = args[0]
+                vals = (
+                    src.iter_values() if isinstance(src, JSSet)
+                    else src.iter_pairs() if isinstance(src, JSMap)
+                    else list(src) if isinstance(src, (list, str))
+                    else None
+                )
+                if vals is None:
+                    raise JSThrow("TypeError: Set constructor argument is not iterable")
+                for v in vals:
+                    s.entries[_same_value_zero_key(v)] = v
+            return s
+        if name == "Date":
             raise JSThrow(
-                f"TypeError: {name} is not supported by this engine "
-                "(deterministic subset)")
+                "TypeError: Date is not supported by this engine — wall-clock "
+                "time would break exactly-once redelivery (re-running a batch "
+                "must reproduce bytes). Stamp event time upstream in the "
+                "pipeline (the message's event_ts column / metadata) instead")
         if isinstance(fn, JSFunction):
             obj: dict = {}
             r = self.call_function(fn, obj, args)
@@ -2022,6 +2110,14 @@ class Interpreter:
             if key == "global":
                 return "g" in obj.flags
             return _regex_proto(self, obj, key)
+        if isinstance(obj, JSMap):
+            if key == "size":
+                return float(len(obj.entries))
+            return _map_proto(self, obj, key)
+        if isinstance(obj, JSSet):
+            if key == "size":
+                return float(len(obj.entries))
+            return _set_proto(self, obj, key)
         if isinstance(obj, (JSFunction, NativeFunction)):
             if key == "name":
                 return obj.name
@@ -2112,6 +2208,78 @@ def _nf(name):
 def _cmp_default(a, b) -> int:
     sa, sb = js_to_string(a), js_to_string(b)
     return -1 if sa < sb else (1 if sa > sb else 0)
+
+
+def _map_proto(interp, m: JSMap, key: str):
+    if key == "get":
+        return NativeFunction("get", lambda i, t, a: t.entries.get(
+            _same_value_zero_key(a[0] if a else UNDEF), (None, UNDEF))[1])
+    if key == "set":
+        def _set(i, t, a):
+            k = a[0] if a else UNDEF
+            t.entries[_same_value_zero_key(k)] = (k, a[1] if len(a) > 1 else UNDEF)
+            return t
+        return NativeFunction("set", _set)
+    if key == "has":
+        return NativeFunction("has", lambda i, t, a: _same_value_zero_key(
+            a[0] if a else UNDEF) in t.entries)
+    if key == "delete":
+        return NativeFunction("delete", lambda i, t, a: t.entries.pop(
+            _same_value_zero_key(a[0] if a else UNDEF), _MISS) is not _MISS)
+    if key == "clear":
+        return NativeFunction("clear", lambda i, t, a: (t.entries.clear(), UNDEF)[1])
+    if key == "forEach":
+        def _foreach(i, t, a):
+            fn = a[0] if a else UNDEF
+            this_arg = a[1] if len(a) > 1 else UNDEF
+            for k, v in list(t.entries.values()):
+                i.call_function(fn, this_arg, [v, k, t])
+            return UNDEF
+        return NativeFunction("forEach", _foreach)
+    if key == "keys":
+        return NativeFunction("keys", lambda i, t, a: [k for k, _ in t.entries.values()])
+    if key == "values":
+        return NativeFunction("values", lambda i, t, a: [v for _, v in t.entries.values()])
+    if key == "entries":
+        return NativeFunction("entries", lambda i, t, a: t.iter_pairs())
+    if key == "toString":
+        return NativeFunction("toString", lambda i, t, a: "[object Map]")
+    return UNDEF
+
+
+def _set_proto(interp, s: JSSet, key: str):
+    if key == "add":
+        def _add(i, t, a):
+            v = a[0] if a else UNDEF
+            t.entries[_same_value_zero_key(v)] = v
+            return t
+        return NativeFunction("add", _add)
+    if key == "has":
+        return NativeFunction("has", lambda i, t, a: _same_value_zero_key(
+            a[0] if a else UNDEF) in t.entries)
+    if key == "delete":
+        return NativeFunction("delete", lambda i, t, a: t.entries.pop(
+            _same_value_zero_key(a[0] if a else UNDEF), _MISS) is not _MISS)
+    if key == "clear":
+        return NativeFunction("clear", lambda i, t, a: (t.entries.clear(), UNDEF)[1])
+    if key == "forEach":
+        def _foreach(i, t, a):
+            fn = a[0] if a else UNDEF
+            this_arg = a[1] if len(a) > 1 else UNDEF
+            for v in list(t.entries.values()):
+                i.call_function(fn, this_arg, [v, v, t])
+            return UNDEF
+        return NativeFunction("forEach", _foreach)
+    if key in ("keys", "values"):
+        return NativeFunction(key, lambda i, t, a: t.iter_values())
+    if key == "entries":
+        return NativeFunction("entries", lambda i, t, a: [[v, v] for v in t.iter_values()])
+    if key == "toString":
+        return NativeFunction("toString", lambda i, t, a: "[object Set]")
+    return UNDEF
+
+
+_MISS = object()  # sentinel for Map/Set delete
 
 
 def _array_proto(interp, arr: list, key: str):
@@ -2646,6 +2814,8 @@ def _json_stringify(interp, value, indent=None) -> Any:
             return "null"
         if v is UNDEF or isinstance(v, (JSFunction, NativeFunction)):
             return None
+        if isinstance(v, (JSMap, JSSet)):
+            return "{}"  # no enumerable own properties, like real JS
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, (int, float)):
@@ -2947,6 +3117,12 @@ def install_globals(interp: Interpreter) -> None:
     g.declare("Function", NativeFunction("Function", lambda i, t, a: (
         (_ for _ in ()).throw(JSThrow(
             "TypeError: Function constructor is not supported")))))
+    # Map/Set require `new` (spec 23.1.1/23.2.1: [[Call]] throws);
+    # _eval_new dispatches on the NativeFunction's name before calling it.
+    for _ctor in ("Map", "Set"):
+        g.declare(_ctor, NativeFunction(_ctor, (
+            lambda nm: lambda i, t, a: (_ for _ in ()).throw(JSThrow(
+                f"TypeError: Constructor {nm} requires 'new'")))(_ctor)))
     g.declare("parseInt", NativeFunction(
         "parseInt", lambda i, t, a: _parse_int(i, a)))
     g.declare("parseFloat", NativeFunction(
@@ -3016,6 +3192,10 @@ def _array_from(interp, a):
         out = list(src)
     elif isinstance(src, str):
         out = list(src)
+    elif isinstance(src, JSMap):
+        out = src.iter_pairs()
+    elif isinstance(src, JSSet):
+        out = src.iter_values()
     elif isinstance(src, dict) and "length" in src:
         n = int(js_to_number(src["length"]))
         out = [src.get(str(ix), UNDEF) for ix in range(n)]

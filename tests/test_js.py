@@ -168,8 +168,61 @@ def test_deterministic_math_random():
 
 
 def test_date_gated_with_clear_error():
+    # the gate message must point the user at the deterministic alternative
     with pytest.raises(J.JSThrow, match="Date is not supported"):
         ev("new Date()")
+    with pytest.raises(J.JSThrow, match="event_ts"):
+        ev("new Date()")
+
+
+@pytest.mark.parametrize("src,want", [
+    # -- Map (spec §23.1): insertion order, SameValueZero, chaining --
+    ("let m=new Map(); m.set('a',1).set('b',2); m.get('a')+m.size", 3.0),
+    ("let m=new Map([['x',1],['y',2]]); m.has('x') && !m.has('z')", True),
+    ("let m=new Map(); m.set(NaN,'n'); m.get(NaN)", "n"),          # SameValueZero
+    ("let m=new Map(); m.set(-0,'z'); m.get(0)", "z"),             # +0 === -0
+    ("let m=new Map([['a',1]]); m.delete('a') && m.size===0", True),
+    ("let m=new Map([['a',1],['b',2]]); let s=''; "
+     "for (const [k,v] of m) s+=k+v; s", "a1b2"),
+    ("let m=new Map([['a',1],['b',2]]); m.keys().join(',')", "a,b"),
+    ("let m=new Map([['a',1],['b',2]]); m.values().join(',')", "1,2"),
+    ("let m=new Map([['a',1]]); let out=[]; "
+     "m.forEach((v,k)=>out.push(k+'='+v)); out.join('')", "a=1"),
+    ("let m=new Map([['a',1]]); m.set('a',9); m.get('a')+m.size", 10.0),
+    ("new Map() instanceof Map", True),
+    ("typeof new Map()", "object"),
+    ("let m=new Map([['a',1]]); m.clear(); m.size", 0.0),
+    ("Array.from(new Map([['k',7]]))[0].join(':')", "k:7"),
+    # -- Set (spec §23.2) --
+    ("let s=new Set([1,2,2,3]); s.size", 3.0),
+    ("let s=new Set(); s.add(1).add(1).add(2); s.size", 2.0),
+    ("let s=new Set([NaN, NaN]); s.size", 1.0),                    # SameValueZero
+    ("let s=new Set([1,2,3]); s.delete(2) && !s.has(2)", True),
+    ("let s=new Set('aba'); s.size", 2.0),                         # string iterable
+    ("let s=new Set([3,1,2]); let o=''; for (const v of s) o+=v; o", "312"),
+    ("new Set() instanceof Set && !(new Set() instanceof Map)", True),
+    ("let s=new Set([1]); s.clear(); s.size", 0.0),
+    ("Array.from(new Set([5,5,6])).join(',')", "5,6"),
+    # dedupe idiom the reference corpus-style scripts actually use
+    ("let seen=new Set(); let out=[]; "
+     "for (const w of ['a','b','a','c','b']) { "
+     "  if (!seen.has(w)) { seen.add(w); out.push(w); } } out.join('')", "abc"),
+    # word-count idiom with Map
+    ("let c=new Map(); for (const w of ['x','y','x']) "
+     "c.set(w,(c.get(w)||0)+1); c.get('x')", 2.0),
+    ("JSON.stringify(new Map([['a',1]]))", "{}"),   # no enumerable own props
+    ("String(new Map())", "[object Map]"),
+    ("String(new Set())", "[object Set]"),
+])
+def test_map_set_semantics(src, want):
+    assert ev(src) == want
+
+
+def test_map_object_keys_by_identity():
+    # objects key by reference identity, not structure (SameValueZero)
+    assert ev("let k1={},k2={}; let m=new Map(); m.set(k1,'a'); m.set(k2,'b');"
+              "m.get(k1)+m.get(k2)+m.size") == "ab2"
+    assert ev("let m=new Map(); m.set({}, 1); m.get({})") is J.UNDEF
 
 
 def test_operation_budget_stops_runaway_loops():
