@@ -77,6 +77,33 @@ BATCH_QUERIES = [
     "wasm_uppercase_docs",
 ]
 
+# Entry classification for cross-round diffing (BENCH_r{N}.json `kinds`):
+#   query     — pure read-side plan over the sf parquet tables; the number
+#               is comparable round-over-round as a query latency.
+#   lifecycle — the callable BUILDS state first (writes an Iceberg table /
+#               runs a MERGE / boots Derby) and then scans it; the number
+#               measures table lifecycle (build + scan), NOT query latency.
+#   stream    — end-to-end streaming run (datagen + micro-batches + commit);
+#               read alongside clips_per_sec*, not as a query time.
+#   dsp       — batch DSP throughput over generated clips (decode-bound).
+_LIFECYCLE = {
+    "iceberg_spec_evolution_orders",  # creates a two-spec table per run
+    "cdc_merge_apply_orders",         # synthesizes changelog + COW MERGE
+    "sql_select_enrich_customers",    # boots an embedded Derby database
+}
+_STREAM = {"flagship_streaming_e2e", "flagship_iceberg_e2e"}
+_DSP = {"augment_chain_batch", "diarize_batch"}
+
+
+def kind_of(name: str) -> str:
+    if name in _LIFECYCLE:
+        return "lifecycle"
+    if name in _STREAM:
+        return "stream"
+    if name in _DSP:
+        return "dsp"
+    return "query"
+
 
 def run_flagship_streaming(spark, workdir: str) -> tuple[float, float, int]:
     """Clips parquet → vectorized decode → windowed agg → exactly-once sink.
@@ -302,6 +329,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "kinds": {name: kind_of(name) for name in timings},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "clips_per_sec": round(n_clips / exec_sec, 2),
                 "clips_per_sec_wall": round(n_clips / stream_sec, 2),

@@ -99,10 +99,19 @@ class BloblangMapping(Processor):
                         row = dict(new_doc) if isinstance(new_doc, dict) else {"value": new_doc}
                         out_rows.append(row)
                     else:
+                        # string/bytes roots become the raw message
+                        # content (executor.go:229 SetBytes); anything
+                        # else is structured → JSON
+                        if isinstance(new_doc, str):
+                            v = new_doc
+                        elif isinstance(new_doc, (bytes, bytearray)):
+                            v = bytes(new_doc).decode("utf-8", "replace")
+                        else:
+                            v = json.dumps(new_doc, ensure_ascii=False, default=str)
                         out_rows.append(
                             {
-                                "value": json.dumps(new_doc, ensure_ascii=False, default=str),
-                                META_COL: {k: str(v) for k, v in new_meta.items()},
+                                "value": v,
+                                META_COL: {k: str(v2) for k, v2 in new_meta.items()},
                             }
                         )
                 yield pd.DataFrame(out_rows) if out_rows else pd.DataFrame(

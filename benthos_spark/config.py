@@ -211,6 +211,8 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             spool_dir=conf["spool_dir"],
             max_buffer=conf.get("max_buffer", 1 << 20),
             streaming=conf.get("streaming", True),
+            sync_response=conf.get("sync_response", False),
+            sync_timeout_s=conf.get("sync_timeout_s", 30.0),
         )
     if name == "websocket":
         from benthos_spark.operators.wsio import WebsocketSource
@@ -983,12 +985,33 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             args_mapping=conf.get("args_mapping"),
             driver=conf.get("driver"),
         )
+    if name == "sync_response":
+        from benthos_spark.sinks.http_server import SyncResponseSink
+
+        return SyncResponseSink(
+            col=conf.get("col", "value"),
+            status=conf.get("status", 200),
+            max_rows=conf.get("max_rows", 10_000),
+        )
+    if name == "http_server":
+        from benthos_spark.sinks.http_server import HttpServerSink
+
+        return HttpServerSink(
+            address=conf.get("address", "127.0.0.1:0"),
+            path=conf.get("path", "/get"),
+            stream_path=conf.get("stream_path", "/get/stream"),
+            ws_path=conf.get("ws_path", "/get/ws"),
+            col=conf.get("col", "value"),
+            timeout_s=conf.get("timeout_s", 5.0),
+            max_queue=conf.get("max_queue", 1024),
+        )
     expanded = _try_template("output", name, conf, _output, resources)
     if expanded is not None:
         return expanded
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
-        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, websocket, resource"
+        "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
+        "websocket, sync_response, http_server, resource"
     )
 
 

@@ -242,3 +242,164 @@ def test_config_wiring(spark, tmp_path, echo_http):
     assert c.read(spark).collect()[0].value == "PING"
     snk = _output({"http_client": {"url": echo_http + "/echo"}})
     snk(df, 0)  # must not raise
+
+
+# -- sync request/reply (http_server input + sync_response output) ----------
+
+
+def test_sync_response_store_basics():
+    from benthos_spark.sources.listeners import SyncResponseStore
+
+    store = SyncResponseStore()
+    store.register("r1")
+    assert store.set_result("r1", [b"hi"]) is True
+    assert store.wait("r1", 1.0) == ([b"hi"], 200)
+    # unregistered id: dropped without penalty (the reference contract)
+    assert store.set_result("ghost", [b"x"]) is False
+    # wait with no result: None after timeout, entry cleaned up
+    store.register("r2")
+    assert store.wait("r2", 0.05) is None
+    assert store.set_result("r2", [b"late"]) is False
+
+
+def test_sync_response_sink_groups_parts_and_drops_unkeyed(spark):
+    from benthos_spark.sinks.http_server import SyncResponseSink
+    from benthos_spark.sources.listeners import SYNC_META_KEY, SyncResponseStore
+
+    store = SyncResponseStore()
+    store.register("a")
+    df = spark.createDataFrame(
+        [("p1", {SYNC_META_KEY: "a"}),
+         ("p2", {SYNC_META_KEY: "a"}),
+         ("orphan", {}),                       # no id: dropped silently
+         ("other", {SYNC_META_KEY: "nobody"})  # unregistered: dropped
+         ],
+        "value string, _meta map<string,string>")
+    SyncResponseSink(store=store)(df, 0)
+    parts, status = store.wait("a", 1.0)
+    assert sorted(parts) == [b"p1", b"p2"] and status == 200
+
+
+def test_sync_response_sink_row_guard(spark):
+    from benthos_spark.sinks.http_server import SyncResponseSink
+    from benthos_spark.sources.listeners import SyncResponseStore
+
+    df = spark.range(50).selectExpr(
+        "cast(id as string) as value",
+        "map('http_server_request_id', 'x') as _meta")
+    with pytest.raises(RuntimeError, match="connection-scale"):
+        SyncResponseSink(store=SyncResponseStore(), max_rows=10)(df, 0)
+
+
+def test_http_server_sync_timeout(tmp_path):
+    src = HttpServerSource(spool_dir=str(tmp_path / "sp"), sync_response=True,
+                           sync_timeout_s=0.3).start()
+    req = urllib.request.Request(
+        f"http://{src.address}/post", data=b"ping", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 408
+    src.stop()
+
+
+def test_http_server_sync_roundtrip_streaming(spark, tmp_path):
+    """Full request/reply: POST → spool → streaming pipeline (uppercase)
+    → sync_response sink → the POST's response body is the processed
+    payload (the reference's sync-responses guide example)."""
+    from pyspark.sql import functions as F
+
+    from benthos_spark.sinks.http_server import SyncResponseSink
+    from benthos_spark.sources.listeners import SyncResponseStore
+    from benthos_spark.streaming.pipeline import Pipeline
+
+    store = SyncResponseStore()
+    src = HttpServerSource(spool_dir=str(tmp_path / "sp"), sync_response=True,
+                           sync_timeout_s=60.0, store=store).start()
+    pipe = Pipeline(source=src,
+                    processors=[lambda df: df.withColumn("value", F.upper("value"))])
+    q = pipe.start(spark, SyncResponseSink(store=store),
+                   checkpoint=str(tmp_path / "ckpt"),
+                   processing_time="100 milliseconds")
+    try:
+        req = urllib.request.Request(
+            f"http://{src.address}/post", data=b"hello world", method="POST")
+        resp = urllib.request.urlopen(req, timeout=60)
+        assert resp.status == 200
+        assert resp.read() == b"HELLO WORLD"
+    finally:
+        q.stop()
+        src.stop()
+
+
+# -- http_server output ------------------------------------------------------
+
+
+def test_http_server_sink_get_pops_messages(spark):
+    from benthos_spark.sinks.http_server import HttpServerSink
+
+    sink = HttpServerSink(timeout_s=0.3).start()
+    df = spark.createDataFrame([("m1",), ("m2",)], "value string")
+    sink(df, 0)
+    url = f"http://{sink.address}/get"
+    got = {urllib.request.urlopen(url).read() for _ in range(2)}
+    assert got == {b"m1", b"m2"}
+    # empty queue → 408 after timeout (getHandler, output_http_server.go:308)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(url)
+    assert ei.value.code == 408
+    # POST is not an allowed verb → 405
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(urllib.request.Request(url, data=b"x", method="POST"))
+    assert ei.value.code == 405
+    sink.stop()
+
+
+def test_http_server_sink_stream_endpoint(spark):
+    from benthos_spark.sinks.http_server import HttpServerSink
+
+    sink = HttpServerSink(timeout_s=0.3).start()
+    sink(spark.createDataFrame([("s1",), ("s2",), ("s3",)], "value string"), 0)
+    body = urllib.request.urlopen(
+        f"http://{sink.address}/get/stream", timeout=10).read()
+    assert body == b"s1\ns2\ns3\n"
+    sink.stop()
+
+
+def test_http_server_sink_websocket_endpoint(spark):
+    from benthos_spark.functions.ws import WsClient
+    from benthos_spark.sinks.http_server import HttpServerSink
+
+    sink = HttpServerSink(timeout_s=0.5).start()
+    sink(spark.createDataFrame([("w1",), ("w2",)], "value string"), 0)
+    c = WsClient(f"ws://{sink.address}/get/ws", timeout_s=10).connect()
+    assert c.recv() == (1, b"w1")   # (OP_TEXT, payload)
+    assert c.recv() == (1, b"w2")
+    c.close()
+    sink.stop()
+
+
+def test_http_server_sink_backpressure_guard(spark):
+    from benthos_spark.sinks.http_server import HttpServerSink
+
+    sink = HttpServerSink(max_queue=2, put_timeout_s=0.2).start()
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "value string")
+    with pytest.raises(Exception, match="unread"):
+        sink(df, 0)
+    sink.stop()
+
+
+def test_sync_and_http_server_outputs_config_wired(spark, tmp_path):
+    from benthos_spark.config import _input, _output
+
+    snk = _output({"sync_response": {}})
+    from benthos_spark.sinks.http_server import SyncResponseSink
+
+    assert isinstance(snk, SyncResponseSink)
+    hs = _output({"http_server": {"timeout_s": 0.2}})
+    hs(spark.createDataFrame([("cfg",)], "value string"), 0)
+    assert urllib.request.urlopen(f"http://{hs.address}/get").read() == b"cfg"
+    hs.stop()
+    src = _input({"http_server": {"spool_dir": str(tmp_path / "sp"),
+                                  "sync_response": True, "sync_timeout_s": 0.2}})
+    assert src.sync_response is True
+    src.stop()
