@@ -79,6 +79,9 @@ AUDITED = [
     # document the single Arrow-batched Python stage + agg-only shuffle
     "wasm_uppercase_docs",
     "javascript_orders_score",
+    # round 5: entropy-coded H.264 — same designed shape as the I_PCM
+    # twin (one scan, two chained mapInPandas decode stages, keyed agg)
+    "video_h264_cavlc_frame_sample",
     # iceberg_*/cdc_* gate entries materialize state and return collected
     # rows (their returned frame is a LocalTableScan); their plan story
     # is told by test_partition_pruning_reaches_scan + the scan audit
@@ -179,7 +182,12 @@ def main() -> None:
            "and q20's heavy-supplier set. The q7/q9/q14/q18/q20/q22 rows "
            "below therefore show only AQE-chosen broadcasts at sf0.01 — "
            "zero `F.broadcast` calls remain on any of those inputs "
-           "(plans/tpch_ext.py).", ""]
+           "(plans/tpch_ext.py). Round 5 closed the last two stragglers in "
+           "catalog.py itself: q3's BUILDING-filtered customer (SF×150k "
+           "base) and q5's supplier (SF×10k) lost their hints — their rows' "
+           "remaining BroadcastExchanges are AQE/threshold choices over "
+           "sf0.01-sized inputs plus the SF-invariant nation⨝region dims, "
+           "and both flip to shuffle joins as the runtime sizes grow.", ""]
     summary = ["| query | scans | pushed | bcast | smj | shuffles | codegen | py |",
                "|---|---|---|---|---|---|---|---|"]
     details = []
