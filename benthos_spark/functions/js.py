@@ -1,7 +1,9 @@
 """From-scratch JavaScript interpreter (ES5.1 core + the ES6 pieces
 the reference's processor corpus uses: arrow functions, let/const,
 template literals, for-of, shorthand object literals, and — round 5 —
-Map/Set with SameValueZero semantics, for-of iteration and instanceof).
+Map/Set with SameValueZero semantics, plus classes: constructor /
+prototype + static methods, extends/super chains, class expressions,
+instanceof against class identity).
 
 The reference's `javascript` processor embeds the goja engine
 (internal/impl/javascript/processor.go:26, vm.go:24). This environment
@@ -12,7 +14,8 @@ evaluator over plain Python values (dict = object, list = array,
 float/int = Number with double semantics, str, None = null, UNDEF).
 
 Scope notes (honest gates, not stubs):
-- no `with`, no getters/setters, no generators/async, no Proxy/Symbol,
+- no `with`, no getters/setters (incl. in classes), no class fields,
+  no generators/async, no Proxy/Symbol,
 - regex literals support the Python-compatible common subset
   (translated flags g/i/m/s); named backrefs and lookbehind pass
   through to `re` and may raise a clear JSThrow,
@@ -69,6 +72,7 @@ _KEYWORDS = {
     "do", "break", "continue", "new", "delete", "typeof", "instanceof", "in",
     "of", "this", "null", "true", "false", "undefined", "throw", "try",
     "catch", "finally", "switch", "case", "default", "void",
+    "class", "extends", "super",
 }
 
 _PUNCT = [
@@ -383,6 +387,8 @@ class Parser:
                 return d
             if v == "function":
                 return self.function_decl()
+            if v == "class":
+                return self.class_decl()
             if v == "if":
                 return self.if_stmt()
             if v == "for":
@@ -517,6 +523,51 @@ class Parser:
         params = self.param_list()
         body = self.block()
         return ("funcdecl", name, params, body)
+
+    def class_decl(self, need_name: bool = True) -> tuple:
+        self.expect("class", "keyword")
+        name = None
+        if need_name or self.peek().kind == "ident":
+            name = self.ident_name()
+        parent = None
+        if self.eat("extends", "keyword"):
+            parent = self.call_member()
+        self.expect("{")
+        ctor, methods, statics = None, [], []
+        while not self.at("}"):
+            if self.eat(";"):
+                continue
+            static = False
+            if self.peek().kind == "ident" and self.peek().value == "static" \
+                    and not (self.peek(1).kind == "punct"
+                             and self.peek(1).value == "("):
+                self.next()
+                static = True
+            if self.peek().kind == "ident" and self.peek().value in ("get", "set") \
+                    and not (self.peek(1).kind == "punct"
+                             and self.peek(1).value == "("):
+                raise JSError(
+                    "class getters/setters are not supported by this engine "
+                    "(deterministic subset) — use a plain method")
+            if self.at("*"):
+                raise JSError(
+                    "generator methods are not supported by this engine "
+                    "(deterministic subset)")
+            mname = self.property_name()
+            if not self.at("("):
+                raise JSError(
+                    "class fields are not supported by this engine — "
+                    "assign in the constructor")
+            params = self.param_list()
+            body = self.block()
+            if mname == "constructor" and not static:
+                ctor = (params, body)
+            elif static:
+                statics.append((mname, params, body))
+            else:
+                methods.append((mname, params, body))
+        self.expect("}")
+        return ("classdecl", name, parent, ctor, methods, statics)
 
     def param_list(self) -> list:
         self.expect("(")
@@ -849,6 +900,12 @@ class Parser:
                 params = self.param_list()
                 body = self.block()
                 return ("funcexpr", name, params, body)
+            if v == "class":
+                d = self.class_decl(need_name=False)
+                return ("classexpr",) + d[1:]
+            if v == "super":
+                self.next()
+                return ("super",)
             if v in ("of", "in", "default"):  # contextual as identifier
                 self.next()
                 return ("id", v)
@@ -927,10 +984,10 @@ def parse_js(src: str) -> tuple:
 
 class JSFunction:
     __slots__ = ("name", "params", "body", "env", "is_arrow", "is_expr",
-                 "this_val")
+                 "this_val", "home")
 
     def __init__(self, name, params, body, env, is_arrow=False, is_expr=False,
-                 this_val=UNDEF):
+                 this_val=UNDEF, home=None):
         self.name = name or ""
         self.params = params
         self.body = body
@@ -938,6 +995,49 @@ class JSFunction:
         self.is_arrow = is_arrow
         self.is_expr = is_expr          # arrow with expression body
         self.this_val = this_val        # captured `this` for arrows
+        self.home = home                # defining JSClass (for `super`)
+
+
+class JSClass:
+    """ES2015 class (spec §14.5 subset: constructor, prototype + static
+    methods, extends/super; getters/setters and generator methods are
+    gated with clear errors). Instances are :class:`JSInstance` dicts —
+    own fields are enumerable data properties, methods live on the
+    class chain (non-enumerable, like a real prototype)."""
+
+    __slots__ = ("name", "parent", "ctor", "methods", "statics")
+
+    def __init__(self, name, parent, ctor, methods, statics):
+        self.name = name or ""
+        self.parent = parent            # JSClass | None
+        self.ctor = ctor                # JSFunction | None
+        self.methods = methods          # {name: JSFunction}
+        self.statics = statics          # {name: JSFunction}
+
+    def find_method(self, key):
+        c = self
+        while c is not None:
+            m = c.methods.get(key)
+            if m is not None:
+                return m
+            c = c.parent
+        return None
+
+    def find_static(self, key):
+        c = self
+        while c is not None:
+            m = c.statics.get(key)
+            if m is not None:
+                return m
+            c = c.parent
+        return None
+
+
+class JSInstance(dict):
+    """An object created by `new <class>`: a plain JS object (dict) plus
+    the class pointer for method lookup and instanceof."""
+
+    __slots__ = ("jsclass",)
 
 
 class NativeFunction:
@@ -1033,7 +1133,7 @@ def js_typeof(v) -> str:
         return "number"
     if isinstance(v, str):
         return "string"
-    if isinstance(v, (JSFunction, NativeFunction, _CallableNamespace)):
+    if isinstance(v, (JSFunction, NativeFunction, _CallableNamespace, JSClass)):
         return "function"
     return "object"
 
@@ -1102,6 +1202,8 @@ def js_to_string(v, interp=None) -> str:
         return "[object Map]"
     if isinstance(v, JSSet):
         return "[object Set]"
+    if isinstance(v, JSClass):
+        return f"class {v.name} {{ [native code] }}"
     return str(v)
 
 
@@ -1416,6 +1518,10 @@ class Interpreter:
             return fn.fn(self, this, args)
         if isinstance(fn, _CallableNamespace):
             return fn.fn(self, this, args)
+        if isinstance(fn, JSClass):
+            raise JSThrow(
+                f"TypeError: Class constructor {fn.name} cannot be invoked "
+                "without 'new'")
         if not isinstance(fn, JSFunction):
             raise JSThrow(f"TypeError: {js_to_display(fn)} is not a function")
         env = Env(fn.env)
@@ -1424,6 +1530,8 @@ class Interpreter:
             env.declare(fn.name, fn)
         this_val = fn.this_val if fn.is_arrow else this
         env.declare("this", this_val)
+        if fn.home is not None:
+            env.declare("__home__", fn.home)
         if not fn.is_arrow:
             env.declare("arguments", list(args))
         i = 0
@@ -1465,6 +1573,9 @@ class Interpreter:
             return UNDEF
         if t == "funcdecl":
             env.declare(s[1], JSFunction(s[1], s[2], s[3], env))
+            return UNDEF
+        if t == "classdecl":
+            env.declare(s[1], self._build_class(s, env), kind="let")
             return UNDEF
         if t == "block":
             benv = Env(env)
@@ -1738,6 +1849,10 @@ class Interpreter:
             return obj
         if t == "funcexpr":
             return JSFunction(e[1], e[2], e[3], env)
+        if t == "classexpr":
+            return self._build_class(e, env)
+        if t == "super":
+            raise JSThrow("SyntaxError: 'super' keyword unexpected here")
         if t == "arrow":
             this_val = env.lookup("this") if env.has("this") else UNDEF
             return JSFunction("", e[1], e[2], env, is_arrow=True,
@@ -1757,6 +1872,12 @@ class Interpreter:
         if t == "assign":
             return self._eval_assign(e, env)
         if t == "member":
+            if e[1] == ("super",):
+                home = self._super_home(env)
+                key = e[2][1] if e[2][0] == "lit" and not e[3] else \
+                    js_to_string(self.eval_expr(e[2], env), self)
+                m = home.parent.find_method(str(key))
+                return m if m is not None else UNDEF
             obj = self.eval_expr(e[1], env)
             key = e[2][1] if e[2][0] == "lit" and not e[3] else \
                 self.eval_expr(e[2], env)
@@ -1843,6 +1964,13 @@ class Interpreter:
         raise JSError(f"unknown binary op {op}")
 
     def _instanceof(self, a, b):
+        if isinstance(b, JSClass):
+            c = a.jsclass if isinstance(a, JSInstance) else None
+            while c is not None:
+                if c is b:
+                    return True
+                c = c.parent
+            return False
         name = getattr(b, "name", None)
         if name == "Array":
             return isinstance(a, list)
@@ -1985,7 +2113,24 @@ class Interpreter:
                     raise JSThrow("TypeError: spread of non-iterable")
             else:
                 args.append(self.eval_expr(a, env))
+        if callee == ("super",):
+            # super(...) — run the parent constructor chain on this
+            home = self._super_home(env)
+            this = env.lookup("this") if env.has("this") else UNDEF
+            self._construct_init(home.parent, this, args)
+            return UNDEF
         if callee[0] == "member":
+            if callee[1] == ("super",):
+                home = self._super_home(env)
+                key = callee[2][1] if callee[2][0] == "lit" and not callee[3] \
+                    else js_to_string(self.eval_expr(callee[2], env), self)
+                fn = home.parent.find_method(str(key))
+                if fn is None:
+                    raise JSThrow(
+                        f"TypeError: (intermediate value).{key} is not a "
+                        "function")
+                this = env.lookup("this") if env.has("this") else UNDEF
+                return self.call_function(fn, this, args)
             obj = self.eval_expr(callee[1], env)
             key = callee[2][1] if callee[2][0] == "lit" and not callee[3] \
                 else js_to_string(self.eval_expr(callee[2], env), self)
@@ -1998,10 +2143,52 @@ class Interpreter:
         fn = self.eval_expr(callee, env)
         return self.call_function(fn, UNDEF, args)
 
+    def _build_class(self, node, env) -> "JSClass":
+        _, name, parent_e, ctor_node, method_nodes, static_nodes = node
+        parent = None
+        if parent_e is not None:
+            parent = self.eval_expr(parent_e, env)
+            if not isinstance(parent, JSClass):
+                raise JSThrow(
+                    f"TypeError: Class extends value {js_to_display(parent)} "
+                    "is not a constructor")
+        cls = JSClass(name, parent, None, {}, {})
+        if ctor_node is not None:
+            cls.ctor = JSFunction("constructor", ctor_node[0], ctor_node[1],
+                                  env, home=cls)
+        for mname, params, body in method_nodes:
+            cls.methods[mname] = JSFunction(mname, params, body, env, home=cls)
+        for mname, params, body in static_nodes:
+            cls.statics[mname] = JSFunction(mname, params, body, env, home=cls)
+        return cls
+
+    def _construct_init(self, cls: "JSClass", this, args) -> None:
+        """Run the constructor chain onto `this` (spec: a missing
+        constructor is `constructor(...a){ super(...a) }`)."""
+        if cls.ctor is not None:
+            self.call_function(cls.ctor, this, args)
+        elif cls.parent is not None:
+            self._construct_init(cls.parent, this, args)
+
+    def _super_home(self, env) -> "JSClass":
+        if not env.has("__home__"):
+            raise JSThrow("SyntaxError: 'super' keyword unexpected here")
+        home = env.lookup("__home__")
+        if home.parent is None:
+            raise JSThrow(
+                f"SyntaxError: 'super' used in class {home.name!r} which "
+                "does not extend anything")
+        return home
+
     def _eval_new(self, e, env):
         _, callee_e, arg_es = e
         fn = self.eval_expr(callee_e, env)
         args = [self.eval_expr(a, env) for a in arg_es]
+        if isinstance(fn, JSClass):
+            inst = JSInstance()
+            inst.jsclass = fn
+            self._construct_init(fn, inst, args)
+            return inst
         name = getattr(fn, "name", "")
         if name in ("Error", "TypeError", "RangeError", "SyntaxError"):
             msg = js_to_string(args[0], self) if args else ""
@@ -2078,9 +2265,20 @@ class Interpreter:
                 return UNDEF
             key = js_number_to_string(key)
         key = js_to_string(key, self)
+        if isinstance(obj, JSClass):
+            if key == "name":
+                return obj.name
+            m = obj.find_static(key)
+            return m if m is not None else UNDEF
         if isinstance(obj, dict):
             if key in obj:
                 return obj[key]
+            if isinstance(obj, JSInstance):
+                if key == "constructor":
+                    return obj.jsclass
+                m = obj.jsclass.find_method(key)
+                if m is not None:
+                    return m
             return _object_proto(self, obj, key)
         if isinstance(obj, list):
             if key == "length":

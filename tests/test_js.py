@@ -577,3 +577,61 @@ def test_labeled_statements():
             "for (var b of [1,2,3]) { if (b===2) continue loop1; "
             "s+=''+a+b; } } s")
     assert ev(src2) == "112131"
+
+
+@pytest.mark.parametrize("src,want", [
+    # -- classes (spec §14.5 subset) --
+    ("class P { constructor(x){ this.x = x; } getX(){ return this.x; } } "
+     "new P(7).getX()", 7.0),
+    ("class P { constructor(x){ this.x = x; } } new P(3).x", 3.0),
+    ("class C { m(){ return 'base'; } } "
+     "class D extends C { } new D().m()", "base"),
+    ("class C { constructor(){ this.a = 1; } } "
+     "class D extends C { constructor(){ super(); this.b = 2; } } "
+     "let d = new D(); d.a + d.b", 3.0),
+    # implicit constructor forwards arguments through the chain
+    ("class C { constructor(x){ this.x = x; } } "
+     "class D extends C { } new D(9).x", 9.0),
+    ("class C { m(){ return 1; } } "
+     "class D extends C { m(){ return super.m() + 1; } } new D().m()", 2.0),
+    ("class A {} class B extends A {} let b = new B(); "
+     "(b instanceof B) && (b instanceof A) && !(new A() instanceof B)", True),
+    ("class A { static make(v){ return new A(v); } constructor(v){ this.v = v; } } "
+     "A.make(5).v", 5.0),
+    # statics inherit through the chain
+    ("class A { static who(){ return 'A'; } } class B extends A { } B.who()", "A"),
+    ("class A {} typeof A", "function"),
+    ("class A {} A.name", "A"),
+    ("class P { constructor(){ this.x = 1; this.y = 2; } m(){ return 0; } } "
+     "JSON.stringify(new P())", '{"x":1,"y":2}'),   # methods not enumerable
+    ("class P { constructor(){ this.x = 1; } } Object.keys(new P()).join('')", "x"),
+    ("let A = class { m(){ return 42; } }; new A().m()", 42.0),  # class expression
+    ("class A { constructor(){ this.v = 10; } scale(k){ return this.v * k; } } "
+     "[1,2,3].map(k => new A().scale(k)).join(',')", "10,20,30"),
+    # `this` in methods via arrow callbacks (lexical this)
+    ("class Acc { constructor(){ this.total = 0; } addAll(xs){ "
+     "xs.forEach(x => { this.total += x; }); return this.total; } } "
+     "new Acc().addAll([1,2,3])", 6.0),
+    ("class A { constructor(){ this.k = 'c'; } } new A().constructor === A", True),
+    ("class Shape { area(){ return 0; } describe(){ return 'area=' + this.area(); } } "
+     "class Sq extends Shape { constructor(s){ super(); this.s = s; } "
+     "area(){ return this.s * this.s; } } new Sq(4).describe()", "area=16"),
+])
+def test_class_semantics(src, want):
+    assert ev(src) == want
+
+
+def test_class_gates_and_errors():
+    # calling a class without `new` throws the spec TypeError
+    with pytest.raises(J.JSThrow, match="cannot be invoked without 'new'"):
+        ev("class A {} A()")
+    # extends a non-constructor
+    with pytest.raises(J.JSThrow, match="is not a constructor"):
+        ev("class A extends 5 {}")
+    # getters/setters and fields are gated with actionable messages
+    with pytest.raises(J.JSError, match="getters/setters"):
+        ev("class A { get x(){ return 1; } }")
+    with pytest.raises(J.JSError, match="class fields"):
+        ev("class A { x = 1; }")
+    with pytest.raises(J.JSThrow, match="super"):
+        ev("class A { m(){ return super.m(); } } new A().m()")
