@@ -1,9 +1,12 @@
 """From-scratch JavaScript interpreter (ES5.1 core + the ES6 pieces
 the reference's processor corpus uses: arrow functions, let/const,
 template literals, for-of, shorthand object literals, and — round 5 —
-Map/Set with SameValueZero semantics, plus classes: constructor /
-prototype + static methods, extends/super chains, class expressions,
-instanceof against class identity).
+Map/Set with SameValueZero semantics, classes (constructor / prototype
++ static methods, extends/super chains, class expressions, instanceof
+against class identity, get/set accessors, public instance + static
+fields, generator methods), object-literal get/set accessors, and
+generator functions (`function*`, `yield` / `yield*`, two-way `next(v)`
+/ `return(v)` / `throw(e)`).
 
 The reference's `javascript` processor embeds the goja engine
 (internal/impl/javascript/processor.go:26, vm.go:24). This environment
@@ -13,9 +16,17 @@ insertion, a recursive-descent/Pratt parser, and a tree-walking
 evaluator over plain Python values (dict = object, list = array,
 float/int = Number with double semantics, str, None = null, UNDEF).
 
+Generator execution model: a tree-walking evaluator cannot suspend
+mid-walk, so each live generator body runs on a dedicated daemon
+thread with strict lock-step handoff (two semaphores; exactly one of
+caller/body is ever runnable, so execution stays deterministic and the
+shared op budget stays race-free). An abandoned suspended generator is
+finalized via weakref: a `return` is injected so the body unwinds
+through its `finally` blocks and the thread exits — the thread holds
+only the shared _GenCore, never the wrapper, so collection works.
+
 Scope notes (honest gates, not stubs):
-- no `with`, no getters/setters (incl. in classes), no class fields,
-  no generators/async, no Proxy/Symbol,
+- no `with`, no async/await, no Proxy/Symbol,
 - regex literals support the Python-compatible common subset
   (translated flags g/i/m/s); named backrefs and lookbehind pass
   through to `re` and may raise a clear JSThrow,
@@ -30,6 +41,8 @@ from __future__ import annotations
 import json
 import math
 import re
+import threading
+import weakref
 from typing import Any, Callable, Optional
 
 
@@ -321,6 +334,10 @@ class Parser:
     def __init__(self, src: str):
         self.toks = tokenize(src)
         self.i = 0
+        # generator-context stack: `yield` is a contextual keyword —
+        # an expression only directly inside a generator body (nested
+        # plain functions and arrows push False, per spec §14.4)
+        self._gen = [False]
 
     # -- token helpers -----------------------------------------------------
 
@@ -519,10 +536,15 @@ class Parser:
 
     def function_decl(self) -> tuple:
         self.expect("function", "keyword")
+        is_gen = self.eat("*")
         name = self.ident_name()
         params = self.param_list()
-        body = self.block()
-        return ("funcdecl", name, params, body)
+        self._gen.append(is_gen)
+        try:
+            body = self.block()
+        finally:
+            self._gen.pop()
+        return ("funcdecl", name, params, body, is_gen)
 
     def class_decl(self, need_name: bool = True) -> tuple:
         self.expect("class", "keyword")
@@ -534,40 +556,63 @@ class Parser:
             parent = self.call_member()
         self.expect("{")
         ctor, methods, statics = None, [], []
+        extra = {"get": [], "set": [], "sget": [], "sset": [],
+                 "fields": [], "sfields": []}
         while not self.at("}"):
             if self.eat(";"):
                 continue
             static = False
             if self.peek().kind == "ident" and self.peek().value == "static" \
                     and not (self.peek(1).kind == "punct"
-                             and self.peek(1).value == "("):
+                             and self.peek(1).value in ("(", "=")):
                 self.next()
                 static = True
-            if self.peek().kind == "ident" and self.peek().value in ("get", "set") \
-                    and not (self.peek(1).kind == "punct"
-                             and self.peek(1).value == "("):
-                raise JSError(
-                    "class getters/setters are not supported by this engine "
-                    "(deterministic subset) — use a plain method")
-            if self.at("*"):
-                raise JSError(
-                    "generator methods are not supported by this engine "
-                    "(deterministic subset)")
+            accessor = None
+            # `get name(...)` / `set name(...)` — only when the token after
+            # the NAME is "(" (so methods/fields literally named get/set,
+            # `get() {}` and `get = 1`, still parse as members).
+            if self.peek().kind in ("ident", "keyword") \
+                    and self.peek().value in ("get", "set") \
+                    and self.peek(1).kind in ("ident", "keyword", "str", "num") \
+                    and self.peek(2).kind == "punct" \
+                    and self.peek(2).value == "(":
+                accessor = self.next().value
+            is_gen = bool(self.eat("*"))
+            if accessor and is_gen:
+                raise JSError("an accessor cannot be a generator")
             mname = self.property_name()
             if not self.at("("):
-                raise JSError(
-                    "class fields are not supported by this engine — "
-                    "assign in the constructor")
+                # public class field: `name = expr;` or bare `name;`
+                if accessor or is_gen:
+                    raise JSError(f"bad class member {mname!r}")
+                init = self.assignment() if self.eat("=") else None
+                self.eat(";")
+                extra["sfields" if static else "fields"].append((mname, init))
+                continue
             params = self.param_list()
-            body = self.block()
-            if mname == "constructor" and not static:
+            self._gen.append(is_gen)
+            try:
+                body = self.block()
+            finally:
+                self._gen.pop()
+            if accessor == "get":
+                if params:
+                    raise JSError(f"getter {mname!r} must take no arguments")
+                extra["sget" if static else "get"].append((mname, params, body))
+            elif accessor == "set":
+                if len(params) != 1:
+                    raise JSError(f"setter {mname!r} must take one argument")
+                extra["sset" if static else "set"].append((mname, params, body))
+            elif mname == "constructor" and not static:
+                if is_gen:
+                    raise JSError("constructor cannot be a generator")
                 ctor = (params, body)
             elif static:
-                statics.append((mname, params, body))
+                statics.append((mname, params, body, is_gen))
             else:
-                methods.append((mname, params, body))
+                methods.append((mname, params, body, is_gen))
         self.expect("}")
-        return ("classdecl", name, parent, ctor, methods, statics)
+        return ("classdecl", name, parent, ctor, methods, statics, extra)
 
     def param_list(self) -> list:
         self.expect("(")
@@ -688,6 +733,19 @@ class Parser:
                    "<<=", ">>=", ">>>=", "**=", "&&=", "||=", "??="}
 
     def assignment(self, no_in=False) -> tuple:
+        t = self.peek()
+        if self._gen[-1] and t.kind == "ident" and t.value == "yield":
+            self.next()
+            delegate = self.eat("*")
+            nxt = self.peek()
+            # a bare `yield` ends at a newline (restricted production)
+            # or before any token that cannot start an operand
+            if not delegate and (
+                    nxt.kind == "eof" or nxt.nl_before
+                    or (nxt.kind == "punct"
+                        and nxt.value in (")", "]", "}", ",", ";", ":"))):
+                return ("yield", None, False)
+            return ("yield", self.assignment(no_in=no_in), delegate)
         arrow = self.try_arrow()
         if arrow is not None:
             return arrow
@@ -729,9 +787,13 @@ class Parser:
         return None
 
     def arrow_body(self, params) -> tuple:
-        if self.at("{"):
-            return ("arrow", params, self.block(), False)
-        return ("arrow", params, self.assignment(), True)
+        self._gen.append(False)  # yield is not legal inside an arrow
+        try:
+            if self.at("{"):
+                return ("arrow", params, self.block(), False)
+            return ("arrow", params, self.assignment(), True)
+        finally:
+            self._gen.pop()
 
     def conditional(self, no_in=False) -> tuple:
         cond = self.binary(0, no_in=no_in)
@@ -894,12 +956,17 @@ class Parser:
                 return ("this",)
             if v == "function":
                 self.next()
+                is_gen = self.eat("*")
                 name = None
                 if self.peek().kind == "ident":
                     name = self.next().value
                 params = self.param_list()
-                body = self.block()
-                return ("funcexpr", name, params, body)
+                self._gen.append(is_gen)
+                try:
+                    body = self.block()
+                finally:
+                    self._gen.pop()
+                return ("funcexpr", name, params, body, is_gen)
             if v == "class":
                 d = self.class_decl(need_name=False)
                 return ("classexpr",) + d[1:]
@@ -941,6 +1008,34 @@ class Parser:
         while not self.at("}"):
             if self.eat("..."):
                 props.append(("spread", self.assignment()))
+            elif self.peek().kind in ("ident", "keyword") \
+                    and self.peek().value in ("get", "set") \
+                    and self.peek(1).kind in ("ident", "keyword", "str", "num") \
+                    and self.peek(2).kind == "punct" \
+                    and self.peek(2).value == "(":
+                kind = self.next().value
+                t = self.next()
+                pname = (js_number_to_string(t.value) if t.kind == "num"
+                         else str(t.value))
+                params = self.param_list()
+                body = self.block()
+                if kind == "get" and params:
+                    raise JSError(f"getter {pname!r} must take no arguments")
+                if kind == "set" and len(params) != 1:
+                    raise JSError(f"setter {pname!r} must take one argument")
+                props.append(("accessor", kind, pname, params, body))
+            elif self.at("*"):
+                # generator method shorthand: { *name(params){ ... } }
+                self.next()
+                gname = self.property_name()
+                params = self.param_list()
+                self._gen.append(True)
+                try:
+                    body = self.block()
+                finally:
+                    self._gen.pop()
+                props.append(("kv", ("lit", gname),
+                              ("funcexpr", gname, params, body, True)))
             else:
                 computed = False
                 t = self.peek()
@@ -960,8 +1055,13 @@ class Parser:
                 if self.at("(") and not computed:
                     # method shorthand
                     params = self.param_list()
-                    body = self.block()
-                    props.append(("kv", key, ("funcexpr", key[1], params, body)))
+                    self._gen.append(False)
+                    try:
+                        body = self.block()
+                    finally:
+                        self._gen.pop()
+                    props.append(("kv", key,
+                                  ("funcexpr", key[1], params, body, False)))
                 elif self.eat(":"):
                     props.append(("kv", key, self.assignment()))
                 else:
@@ -984,10 +1084,10 @@ def parse_js(src: str) -> tuple:
 
 class JSFunction:
     __slots__ = ("name", "params", "body", "env", "is_arrow", "is_expr",
-                 "this_val", "home")
+                 "this_val", "home", "is_generator")
 
     def __init__(self, name, params, body, env, is_arrow=False, is_expr=False,
-                 this_val=UNDEF, home=None):
+                 this_val=UNDEF, home=None, is_generator=False):
         self.name = name or ""
         self.params = params
         self.body = body
@@ -996,16 +1096,20 @@ class JSFunction:
         self.is_expr = is_expr          # arrow with expression body
         self.this_val = this_val        # captured `this` for arrows
         self.home = home                # defining JSClass (for `super`)
+        self.is_generator = is_generator
 
 
 class JSClass:
-    """ES2015 class (spec §14.5 subset: constructor, prototype + static
-    methods, extends/super; getters/setters and generator methods are
-    gated with clear errors). Instances are :class:`JSInstance` dicts —
-    own fields are enumerable data properties, methods live on the
-    class chain (non-enumerable, like a real prototype)."""
+    """ES2015 class (spec §14.5-14.6 subset: constructor, prototype +
+    static methods, extends/super, get/set accessors (instance and
+    static), public fields, generator methods). Instances are
+    :class:`JSInstance` dicts — own fields are enumerable data
+    properties, methods/accessors live on the class chain
+    (non-enumerable, like a real prototype)."""
 
-    __slots__ = ("name", "parent", "ctor", "methods", "statics")
+    __slots__ = ("name", "parent", "ctor", "methods", "statics",
+                 "getters", "setters", "sgetters", "ssetters",
+                 "fields", "props", "env")
 
     def __init__(self, name, parent, ctor, methods, statics):
         self.name = name or ""
@@ -1013,24 +1117,40 @@ class JSClass:
         self.ctor = ctor                # JSFunction | None
         self.methods = methods          # {name: JSFunction}
         self.statics = statics          # {name: JSFunction}
+        self.getters = {}               # {name: JSFunction} (instance get)
+        self.setters = {}               # {name: JSFunction} (instance set)
+        self.sgetters = {}              # {name: JSFunction} (static get)
+        self.ssetters = {}              # {name: JSFunction} (static set)
+        self.fields = []                # [(name, init_expr|None)]
+        self.props = {}                 # static data properties (C.x = 1)
+        self.env = None                 # defining env (field initializers)
+
+    def _find(self, attr, key):
+        c = self
+        while c is not None:
+            m = getattr(c, attr).get(key)
+            if m is not None:
+                return m
+            c = c.parent
+        return None
 
     def find_method(self, key):
-        c = self
-        while c is not None:
-            m = c.methods.get(key)
-            if m is not None:
-                return m
-            c = c.parent
-        return None
+        return self._find("methods", key)
 
     def find_static(self, key):
-        c = self
-        while c is not None:
-            m = c.statics.get(key)
-            if m is not None:
-                return m
-            c = c.parent
-        return None
+        return self._find("statics", key)
+
+    def find_getter(self, key):
+        return self._find("getters", key)
+
+    def find_setter(self, key):
+        return self._find("setters", key)
+
+    def find_static_getter(self, key):
+        return self._find("sgetters", key)
+
+    def find_static_setter(self, key):
+        return self._find("ssetters", key)
 
 
 class JSInstance(dict):
@@ -1038,6 +1158,244 @@ class JSInstance(dict):
     the class pointer for method lookup and instanceof."""
 
     __slots__ = ("jsclass",)
+
+
+class JSAccessorObject(dict):
+    """An object-literal object that carries get/set accessor
+    properties (spec §12.2.6). Accessors behave as enumerable own
+    properties: reads invoke the getter, writes invoke the setter (a
+    getter-only write is a sloppy-mode no-op), and keys()/items()/`in`
+    include them — so for-in, Object.keys, JSON.stringify and
+    js_export all see getter values with no special-casing. The
+    C-level dict fast paths (dict(obj), dict.update(obj)) bypass these
+    overrides, so object spread and Object.assign copy explicitly via
+    .items()."""
+
+    __slots__ = ("getters", "setters", "interp", "order")
+
+    def __init__(self, interp):
+        super().__init__()
+        self.getters = {}
+        self.setters = {}
+        self.interp = interp
+        self.order = []   # first-definition key order (spec: redefining
+        #                   a property keeps its original position)
+
+    def _track(self, key):
+        if key not in self.order:
+            self.order.append(key)
+
+    def define(self, key, value):
+        """Literal-construction semantics: a later data property
+        replaces any accessor of the same name."""
+        self.getters.pop(key, None)
+        self.setters.pop(key, None)
+        self._track(key)
+        dict.__setitem__(self, key, value)
+
+    def define_accessor(self, kind, key, fn):
+        dict.pop(self, key, None)
+        self._track(key)
+        (self.getters if kind == "get" else self.setters)[key] = fn
+
+    def __contains__(self, key):
+        return (dict.__contains__(self, key) or key in self.getters
+                or key in self.setters)
+
+    def __getitem__(self, key):
+        g = self.getters.get(key)
+        if g is not None:
+            return self.interp.call_function(g, self, [])
+        if dict.__contains__(self, key):
+            return dict.__getitem__(self, key)
+        if key in self.setters:
+            return UNDEF
+        raise KeyError(key)
+
+    def get(self, key, default=None):
+        return self[key] if key in self else default
+
+    def __setitem__(self, key, value):
+        s = self.setters.get(key)
+        if s is not None:
+            self.interp.call_function(s, self, [value])
+            return
+        if key in self.getters:
+            return  # getter-only property: sloppy-mode silent no-op
+        self._track(key)
+        dict.__setitem__(self, key, value)
+
+    def __delitem__(self, key):
+        had = key in self
+        self.getters.pop(key, None)
+        self.setters.pop(key, None)
+        if key in self.order:
+            self.order.remove(key)
+        if dict.__contains__(self, key):
+            dict.__delitem__(self, key)
+        elif not had:
+            raise KeyError(key)
+
+    def keys(self):
+        # definition order; untracked keys (C-level inserts that
+        # bypassed __setitem__, e.g. dict.update) appended at the end
+        out = [k for k in self.order
+               if dict.__contains__(self, k) or k in self.getters
+               or k in self.setters]
+        out.extend(k for k in dict.keys(self) if k not in self.order)
+        return out
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def values(self):
+        return [self[k] for k in self.keys()]
+
+    def items(self):
+        return [(k, self[k]) for k in self.keys()]
+
+
+class _GenReturn(Exception):
+    """Raised inside a generator body when the caller injects
+    `gen.return(v)` — unwinds through `finally` blocks like a return."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
+class _GenCore:
+    """State shared between a JSGenerator wrapper and its body thread.
+    The body thread references ONLY this core (never the wrapper), so
+    abandoning a suspended generator lets the wrapper be collected:
+    its weakref.finalize injects a return, the body unwinds through
+    its finally blocks, and the thread exits. The two semaphores
+    enforce strict lock-step handoff — exactly one of caller/body is
+    runnable at any instant, so evaluation order (and the shared op
+    budget) stays deterministic."""
+
+    __slots__ = ("to_body", "to_caller", "inbox", "outbox", "state")
+
+    def __init__(self):
+        self.to_body = threading.Semaphore(0)
+        self.to_caller = threading.Semaphore(0)
+        self.inbox = None        # ("next"|"throw"|"return", value)
+        self.outbox = None       # ("yield"|"return"|"error", value)
+        self.state = "start"     # start | running | suspended | done
+
+    def do_yield(self, value):
+        """Body side of a `yield`: publish the value, sleep until the
+        caller resumes, then surface whatever was injected."""
+        self.outbox = ("yield", value)
+        self.to_caller.release()
+        self.to_body.acquire()
+        kind, v = self.inbox
+        if kind == "throw":
+            raise v if isinstance(v, BaseException) else JSThrow(v)
+        if kind == "return":
+            raise _GenReturn(v)
+        return v
+
+
+def _abandon_gen_core(core: _GenCore) -> None:
+    """weakref.finalize hook: unblock an abandoned suspended body so
+    its thread unwinds (running finally blocks) and exits."""
+    if core.state == "suspended":
+        core.state = "done"
+        core.inbox = ("return", UNDEF)
+        core.to_body.release()
+
+
+def _generator_body(interp, fn, env, core: _GenCore) -> None:
+    try:
+        v = interp._run_function_body(fn, env)
+        core.outbox = ("return", v)
+    except _GenReturn as r:
+        core.outbox = ("return", r.value)
+    except BaseException as e:  # JSThrow / JSError / op budget
+        core.outbox = ("error", e)
+    core.to_caller.release()
+
+
+class JSGenerator:
+    """Generator object (spec §27.5 subset: next/return/throw, iterable
+    via for-of / spread / Array.from / yield*). See the module
+    docstring for the thread-handoff execution model."""
+
+    def __init__(self, interp, fn, env):
+        self.interp = interp
+        self.fn = fn
+        self.env = env
+        self.core = _GenCore()
+        env.declare("__gen__", self.core)
+        self._finalizer = weakref.finalize(self, _abandon_gen_core, self.core)
+
+    def resume(self, kind: str, value):
+        core = self.core
+        if core.state == "running":
+            raise JSThrow("TypeError: Generator is already running")
+        if core.state == "done":
+            if kind == "next":
+                return {"value": UNDEF, "done": True}
+            if kind == "return":
+                return {"value": value, "done": True}
+            raise value if isinstance(value, BaseException) else JSThrow(value)
+        if core.state == "start":
+            if kind == "return":
+                core.state = "done"
+                return {"value": value, "done": True}
+            if kind == "throw":
+                core.state = "done"
+                raise value if isinstance(value, BaseException) \
+                    else JSThrow(value)
+            # first next(): the sent value is discarded (spec), the
+            # body starts executing now
+            core.state = "running"
+            threading.Thread(
+                target=_generator_body, name="js-generator",
+                args=(self.interp, self.fn, self.env, core),
+                daemon=True).start()
+        else:  # suspended
+            core.state = "running"
+            core.inbox = (kind, value)
+            core.to_body.release()
+        core.to_caller.acquire()
+        out, v = core.outbox
+        if out == "yield":
+            core.state = "suspended"
+            return {"value": v, "done": False}
+        core.state = "done"
+        if out == "return":
+            return {"value": v, "done": True}
+        raise v
+
+    def py_iter(self):
+        while True:
+            r = self.resume("next", UNDEF)
+            if r["done"]:
+                return
+            yield r["value"]
+
+    def __iter__(self):
+        return self.py_iter()
+
+
+def js_iter_values(v, interp=None):
+    """Iterator-protocol values of a JS iterable (for-of / spread /
+    Array.from / yield* share this). Lists/strings are snapshotted;
+    a generator is consumed lazily (it may be infinite)."""
+    if isinstance(v, list):
+        return list(v)
+    if isinstance(v, str):
+        return list(v)
+    if isinstance(v, JSMap):
+        return v.iter_pairs()
+    if isinstance(v, JSSet):
+        return v.iter_values()
+    if isinstance(v, JSGenerator):
+        return v.py_iter()
+    raise JSThrow(f"TypeError: {js_to_display(v)} is not iterable")
 
 
 class NativeFunction:
@@ -1202,6 +1560,8 @@ def js_to_string(v, interp=None) -> str:
         return "[object Map]"
     if isinstance(v, JSSet):
         return "[object Set]"
+    if isinstance(v, JSGenerator):
+        return "[object Generator]"
     if isinstance(v, JSClass):
         return f"class {v.name} {{ [native code] }}"
     return str(v)
@@ -1427,7 +1787,8 @@ def _hoist(body: list, env: Env, interp) -> None:
                     if name not in env.vars:
                         env.declare(name, UNDEF)
         elif t == "funcdecl":
-            env.declare(s[1], JSFunction(s[1], s[2], s[3], env))
+            env.declare(s[1], JSFunction(s[1], s[2], s[3], env,
+                                         is_generator=s[4]))
         elif t == "if":
             walk_stmt(s[2])
             if s[3]:
@@ -1545,6 +1906,13 @@ class Interpreter:
                     v = self.eval_expr(default, env)
                 env.declare(name, v)
                 i += 1
+        if fn.is_generator:
+            # arguments are bound eagerly (above, incl. defaults), the
+            # body is deferred until the first next() — spec §25.4
+            return JSGenerator(self, fn, env)
+        return self._run_function_body(fn, env)
+
+    def _run_function_body(self, fn, env):
         if fn.is_expr:
             return self.eval_expr(fn.body, env)
         _hoist(fn.body[1], env, self)
@@ -1572,7 +1940,8 @@ class Interpreter:
                                    const=(kind == "const"))
             return UNDEF
         if t == "funcdecl":
-            env.declare(s[1], JSFunction(s[1], s[2], s[3], env))
+            env.declare(s[1], JSFunction(s[1], s[2], s[3], env,
+                                         is_generator=s[4]))
             return UNDEF
         if t == "classdecl":
             env.declare(s[1], self._build_class(s, env), kind="let")
@@ -1715,6 +2084,8 @@ class Interpreter:
                 seq = obj.iter_pairs()
             elif isinstance(obj, JSSet):
                 seq = obj.iter_values()
+            elif isinstance(obj, JSGenerator):
+                seq = obj.py_iter()   # lazy — the source may be infinite
             elif isinstance(obj, dict):
                 raise JSThrow("TypeError: object is not iterable")
             else:
@@ -1827,28 +2198,54 @@ class Interpreter:
                     v = self.eval_expr(el[1], env)
                     if isinstance(v, list):
                         out.extend(v)
-                    elif isinstance(v, str):
-                        out.extend(list(v))
+                    elif isinstance(v, (str, JSMap, JSSet, JSGenerator)):
+                        out.extend(js_iter_values(v, self))
                     else:
                         raise JSThrow("TypeError: spread of non-iterable")
                 else:
                     out.append(self.eval_expr(el, env))
             return out
         if t == "object":
-            obj: dict = {}
+            has_accessors = any(p[0] == "accessor" for p in e[1])
+            obj: dict = JSAccessorObject(self) if has_accessors else {}
             for p in e[1]:
                 if p[0] == "spread":
                     v = self.eval_expr(p[1], env)
                     if isinstance(v, dict):
-                        obj.update(v)
+                        # .items() so source getters are read (spread
+                        # copies VALUES; accessors don't transfer) and
+                        # define-semantics on the target
+                        for k, val in list(v.items()):
+                            if has_accessors:
+                                obj.define(k, val)
+                            else:
+                                obj[k] = val
+                    continue
+                if p[0] == "accessor":
+                    _, kind, pname, params, body = p
+                    obj.define_accessor(
+                        kind, pname,
+                        JSFunction(f"{kind} {pname}", params, body, env))
                     continue
                 _, key_e, val_e = p
                 key = key_e[1] if key_e[0] == "lit" else js_to_string(
                     self.eval_expr(key_e, env), self)
-                obj[js_to_string(key, self)] = self.eval_expr(val_e, env)
+                val = self.eval_expr(val_e, env)
+                if has_accessors:
+                    obj.define(js_to_string(key, self), val)
+                else:
+                    obj[js_to_string(key, self)] = val
             return obj
         if t == "funcexpr":
-            return JSFunction(e[1], e[2], e[3], env)
+            return JSFunction(e[1], e[2], e[3], env, is_generator=e[4])
+        if t == "yield":
+            if not env.has("__gen__"):
+                raise JSThrow("SyntaxError: yield outside a generator")
+            core = env.lookup("__gen__")
+            if e[2]:
+                return self._yield_star(e[1], env, core)
+            v = self.eval_expr(e[1], env) if e[1] is not None else UNDEF
+            return core.do_yield(v)
         if t == "classexpr":
             return self._build_class(e, env)
         if t == "super":
@@ -1877,6 +2274,11 @@ class Interpreter:
                 key = e[2][1] if e[2][0] == "lit" and not e[3] else \
                     js_to_string(self.eval_expr(e[2], env), self)
                 m = home.parent.find_method(str(key))
+                if m is None:
+                    g = home.parent.find_getter(str(key))
+                    if g is not None:
+                        this = env.lookup("this") if env.has("this") else UNDEF
+                        return self.call_function(g, this, [])
                 return m if m is not None else UNDEF
             obj = self.eval_expr(e[1], env)
             key = e[2][1] if e[2][0] == "lit" and not e[3] else \
@@ -2002,7 +2404,12 @@ class Interpreter:
             key = target[2][1] if target[2][0] == "lit" and not target[3] \
                 else self.eval_expr(target[2], env)
             if isinstance(obj, dict):
-                obj.pop(js_to_string(key, self), None)
+                # `del` (not dict.pop) so JSAccessorObject.__delitem__
+                # also clears accessor slots
+                try:
+                    del obj[js_to_string(key, self)]
+                except KeyError:
+                    pass
                 return True
             if isinstance(obj, list):
                 n = js_to_number(key)
@@ -2107,17 +2514,21 @@ class Interpreter:
                 v = self.eval_expr(a[1], env)
                 if isinstance(v, list):
                     args.extend(v)
-                elif isinstance(v, str):
-                    args.extend(list(v))
+                elif isinstance(v, (str, JSMap, JSSet, JSGenerator)):
+                    args.extend(js_iter_values(v, self))
                 else:
                     raise JSThrow("TypeError: spread of non-iterable")
             else:
                 args.append(self.eval_expr(a, env))
         if callee == ("super",):
-            # super(...) — run the parent constructor chain on this
+            # super(...) — run the parent constructor chain on this,
+            # then this class's field initializers (spec: fields of a
+            # derived class initialize when super() returns)
             home = self._super_home(env)
             this = env.lookup("this") if env.has("this") else UNDEF
             self._construct_init(home.parent, this, args)
+            if isinstance(this, (JSInstance, dict)):
+                self._init_fields(home, this)
             return UNDEF
         if callee[0] == "member":
             if callee[1] == ("super",):
@@ -2143,8 +2554,36 @@ class Interpreter:
         fn = self.eval_expr(callee, env)
         return self.call_function(fn, UNDEF, args)
 
+    def _yield_star(self, inner_e, env, core):
+        """`yield* expr` — delegate to an inner iterable. For a
+        generator, two-way traffic is forwarded (sent values, throw(),
+        return()) and the delegation's value is the inner generator's
+        return value (spec §27.5.3.7); for plain iterables each value
+        is yielded and the delegation evaluates to undefined."""
+        inner = self.eval_expr(inner_e, env)
+        if isinstance(inner, JSGenerator):
+            sent = UNDEF
+            res = inner.resume("next", sent)
+            while True:
+                if res["done"]:
+                    return res["value"]
+                try:
+                    sent = core.do_yield(res["value"])
+                except _GenReturn as r:
+                    inner.resume("return", r.value)
+                    raise
+                except JSThrow as exc:
+                    # forward to the inner generator; if it doesn't
+                    # catch, resume() re-raises out of this body
+                    res = inner.resume("throw", exc)
+                    continue
+                res = inner.resume("next", sent)
+        for v in js_iter_values(inner, self):
+            core.do_yield(v)
+        return UNDEF
+
     def _build_class(self, node, env) -> "JSClass":
-        _, name, parent_e, ctor_node, method_nodes, static_nodes = node
+        _, name, parent_e, ctor_node, method_nodes, static_nodes, extra = node
         parent = None
         if parent_e is not None:
             parent = self.eval_expr(parent_e, env)
@@ -2153,22 +2592,62 @@ class Interpreter:
                     f"TypeError: Class extends value {js_to_display(parent)} "
                     "is not a constructor")
         cls = JSClass(name, parent, None, {}, {})
+        # inner scope carrying the class binding itself (spec: the
+        # class name is in scope inside the class body — static field
+        # initializers and class-expression methods can reference it)
+        cenv = Env(env)
+        if name:
+            cenv.declare(name, cls, kind="const")
+        cls.env = cenv
         if ctor_node is not None:
             cls.ctor = JSFunction("constructor", ctor_node[0], ctor_node[1],
-                                  env, home=cls)
-        for mname, params, body in method_nodes:
-            cls.methods[mname] = JSFunction(mname, params, body, env, home=cls)
-        for mname, params, body in static_nodes:
-            cls.statics[mname] = JSFunction(mname, params, body, env, home=cls)
+                                  cenv, home=cls)
+        for mname, params, body, is_gen in method_nodes:
+            cls.methods[mname] = JSFunction(mname, params, body, cenv,
+                                            home=cls, is_generator=is_gen)
+        for mname, params, body, is_gen in static_nodes:
+            cls.statics[mname] = JSFunction(mname, params, body, cenv,
+                                            home=cls, is_generator=is_gen)
+        for slot, key in (("getters", "get"), ("setters", "set"),
+                          ("sgetters", "sget"), ("ssetters", "sset")):
+            for mname, params, body in extra[key]:
+                getattr(cls, slot)[mname] = JSFunction(
+                    mname, params, body, cenv, home=cls)
+        cls.fields = list(extra["fields"])
+        for fname, init_e in extra["sfields"]:
+            fenv = Env(cenv)
+            fenv.declare("this", cls)
+            fenv.declare("__home__", cls)
+            cls.props[fname] = (self.eval_expr(init_e, fenv)
+                                if init_e is not None else UNDEF)
         return cls
+
+    def _init_fields(self, cls: "JSClass", this) -> None:
+        """Evaluate class field initializers onto `this` (spec: at the
+        top of a base-class constructor / right after super() returns
+        in a derived one; `this` is the instance)."""
+        for fname, init_e in cls.fields:
+            fenv = Env(cls.env)
+            fenv.declare("this", this)
+            fenv.declare("__home__", cls)
+            this[fname] = (self.eval_expr(init_e, fenv)
+                           if init_e is not None else UNDEF)
 
     def _construct_init(self, cls: "JSClass", this, args) -> None:
         """Run the constructor chain onto `this` (spec: a missing
-        constructor is `constructor(...a){ super(...a) }`)."""
+        constructor is `constructor(...a){ super(...a) }`). Field
+        initialization: for a class with its own ctor and a parent,
+        the explicit super() call inside the ctor triggers
+        _init_fields (see _eval_call); otherwise fields run here,
+        parent-first."""
         if cls.ctor is not None:
+            if cls.parent is None:
+                self._init_fields(cls, this)
             self.call_function(cls.ctor, this, args)
-        elif cls.parent is not None:
-            self._construct_init(cls.parent, this, args)
+        else:
+            if cls.parent is not None:
+                self._construct_init(cls.parent, this, args)
+            self._init_fields(cls, this)
 
     def _super_home(self, env) -> "JSClass":
         if not env.has("__home__"):
@@ -2210,9 +2689,12 @@ class Interpreter:
         if name == "Map":
             m = JSMap()
             if args and args[0] is not UNDEF and args[0] is not None:
-                if not isinstance(args[0], list):
+                src = args[0]
+                if isinstance(src, (JSMap, JSGenerator)):
+                    src = list(js_iter_values(src, self))
+                if not isinstance(src, list):
                     raise JSThrow("TypeError: Map constructor argument is not iterable")
-                for pair in args[0]:
+                for pair in src:
                     if not isinstance(pair, list) or len(pair) < 2:
                         raise JSThrow("TypeError: Iterator value is not an entry object")
                     m.entries[_same_value_zero_key(pair[0])] = (pair[0], pair[1])
@@ -2225,6 +2707,7 @@ class Interpreter:
                     src.iter_values() if isinstance(src, JSSet)
                     else src.iter_pairs() if isinstance(src, JSMap)
                     else list(src) if isinstance(src, (list, str))
+                    else list(src.py_iter()) if isinstance(src, JSGenerator)
                     else None
                 )
                 if vals is None:
@@ -2239,6 +2722,10 @@ class Interpreter:
                 "must reproduce bytes). Stamp event time upstream in the "
                 "pipeline (the message's event_ts column / metadata) instead")
         if isinstance(fn, JSFunction):
+            if fn.is_generator:
+                raise JSThrow(
+                    f"TypeError: {fn.name or 'anonymous'} is not a "
+                    "constructor (generator functions cannot be new'd)")
             obj: dict = {}
             r = self.call_function(fn, obj, args)
             return r if isinstance(r, (dict, list)) else obj
@@ -2265,17 +2752,41 @@ class Interpreter:
                 return UNDEF
             key = js_number_to_string(key)
         key = js_to_string(key, self)
+        if isinstance(obj, JSGenerator):
+            if key == "next":
+                return NativeFunction("next", lambda i, t, a: obj.resume(
+                    "next", a[0] if a else UNDEF))
+            if key == "return":
+                return NativeFunction("return", lambda i, t, a: obj.resume(
+                    "return", a[0] if a else UNDEF))
+            if key == "throw":
+                return NativeFunction("throw", lambda i, t, a: obj.resume(
+                    "throw", a[0] if a else UNDEF))
+            return UNDEF
         if isinstance(obj, JSClass):
             if key == "name":
                 return obj.name
+            g = obj.find_static_getter(key)
+            if g is not None:
+                return self.call_function(g, obj, [])
             m = obj.find_static(key)
-            return m if m is not None else UNDEF
+            if m is not None:
+                return m
+            c = obj
+            while c is not None:
+                if key in c.props:
+                    return c.props[key]
+                c = c.parent
+            return UNDEF
         if isinstance(obj, dict):
             if key in obj:
                 return obj[key]
             if isinstance(obj, JSInstance):
                 if key == "constructor":
                     return obj.jsclass
+                g = obj.jsclass.find_getter(key)
+                if g is not None:
+                    return self.call_function(g, obj, [])
                 m = obj.jsclass.find_method(key)
                 if m is not None:
                     return m
@@ -2339,6 +2850,25 @@ class Interpreter:
         return UNDEF
 
     def set_property(self, obj, key, value):
+        if isinstance(obj, JSClass):
+            k = js_to_string(key, self)
+            s = obj.find_static_setter(k)
+            if s is not None:
+                self.call_function(s, obj, [value])
+            elif obj.find_static_getter(k) is None:
+                obj.props[k] = value
+            return  # static getter-only: sloppy-mode no-op
+        if isinstance(obj, JSInstance):
+            k = js_to_string(key, self)
+            if not dict.__contains__(obj, k):
+                s = obj.jsclass.find_setter(k)
+                if s is not None:
+                    self.call_function(s, obj, [value])
+                    return
+                if obj.jsclass.find_getter(k) is not None:
+                    return  # getter-only accessor: sloppy-mode no-op
+            dict.__setitem__(obj, k, value)
+            return
         if isinstance(obj, dict):
             obj[js_to_string(key, self)] = value
             return
@@ -3012,7 +3542,7 @@ def _json_stringify(interp, value, indent=None) -> Any:
             return "null"
         if v is UNDEF or isinstance(v, (JSFunction, NativeFunction)):
             return None
-        if isinstance(v, (JSMap, JSSet)):
+        if isinstance(v, (JSMap, JSSet, JSGenerator)):
             return "{}"  # no enumerable own properties, like real JS
         if isinstance(v, bool):
             return "true" if v else "false"
@@ -3106,7 +3636,10 @@ def install_globals(interp: Interpreter) -> None:
         tgt = a[0]
         for src in a[1:]:
             if isinstance(src, dict):
-                tgt.update(src)
+                # explicit loop: reads source getters, triggers target
+                # setters (dict.update's C path would bypass both)
+                for k, v in list(src.items()):
+                    tgt[k] = v
         return tgt
 
     def _freeze(i, t, a):
@@ -3394,6 +3927,8 @@ def _array_from(interp, a):
         out = src.iter_pairs()
     elif isinstance(src, JSSet):
         out = src.iter_values()
+    elif isinstance(src, JSGenerator):
+        out = list(src.py_iter())
     elif isinstance(src, dict) and "length" in src:
         n = int(js_to_number(src["length"]))
         out = [src.get(str(ix), UNDEF) for ix in range(n)]
@@ -3497,7 +4032,7 @@ def js_export(v):
     if isinstance(v, dict):
         return {str(k): js_export(val) for k, val in v.items()
                 if not isinstance(val, (JSFunction, NativeFunction))}
-    if isinstance(v, (JSFunction, NativeFunction)):
+    if isinstance(v, (JSFunction, NativeFunction, JSGenerator)):
         return None
     if isinstance(v, JSRegExp):
         return f"/{v.source}/{v.flags}"

@@ -628,10 +628,168 @@ def test_class_gates_and_errors():
     # extends a non-constructor
     with pytest.raises(J.JSThrow, match="is not a constructor"):
         ev("class A extends 5 {}")
-    # getters/setters and fields are gated with actionable messages
-    with pytest.raises(J.JSError, match="getters/setters"):
-        ev("class A { get x(){ return 1; } }")
-    with pytest.raises(J.JSError, match="class fields"):
-        ev("class A { x = 1; }")
     with pytest.raises(J.JSThrow, match="super"):
         ev("class A { m(){ return super.m(); } } new A().m()")
+
+
+@pytest.mark.parametrize("src,want", [
+    # --- instance accessors ---
+    ("class A { constructor(){ this._v = 3; } get v(){ return this._v * 2; } } "
+     "new A().v", 6.0),
+    ("class A { constructor(){ this._v = 0; } get v(){ return this._v; } "
+     "set v(x){ this._v = x + 1; } } let a = new A(); a.v = 10; a.v", 11.0),
+    # getter-only write is a sloppy-mode no-op
+    ("class A { get v(){ return 7; } } let a = new A(); a.v = 99; a.v", 7.0),
+    # own data property shadows the accessor pair
+    ("class A { get v(){ return 1; } set v(x){} } let a = new A(); "
+     "Object.keys(a).length", 0.0),
+    # accessors inherit through extends, super.getter works
+    ("class A { get v(){ return 5; } } class B extends A { "
+     "m(){ return super.v + 1; } } new B().m()", 6.0),
+    ("class A { get v(){ return 5; } } class B extends A {} new B().v", 5.0),
+    # --- static accessors + static data props ---
+    ("class A { static get tag(){ return 'T'; } } A.tag", "T"),
+    ("class A { static set conf(x){ A._c = x * 2; } } A.conf = 5; A._c", 10.0),
+    ("class A { static x = 41; } A.x + 1", 42.0),
+    ("class A { static x = 2; static y = A.x * 3; } A.y", 6.0),
+    # statics inherit; assignment lands on the class written to
+    ("class A { static x = 1; } class B extends A {} B.x", 1.0),
+    # --- public instance fields ---
+    ("class A { x = 1; y; } let a = new A(); "
+     "JSON.stringify([a.x, a.y === undefined])", "[1,true]"),
+    # field init sees `this` and ctor runs after fields in a base class
+    ("class A { x = 10; constructor(){ this.y = this.x + 1; } } new A().y", 11.0),
+    # derived-class fields initialize when super() returns
+    ("class A { constructor(){ this.log = 'A'; } } "
+     "class B extends A { z = this.log + 'B'; } new B().z", "AB"),
+    # implicit ctor still initializes fields, parent-first
+    ("class A { a = 1; } class B extends A { b = 2; } "
+     "let o = new B(); o.a + o.b", 3.0),
+    # fields named get/set and methods named get/set still parse
+    ("class A { get = 1; set(x){ return x + this.get; } } new A().set(1)", 2.0),
+    # --- generator methods parse into callable generators ---
+    ("class A { *seq(n){ for (let i = 0; i < n; i++) yield i; } } "
+     "[...new A().seq(3)].join(',')", "0,1,2"),
+    ("class A { static *pair(){ yield 'a'; yield 'b'; } } "
+     "[...A.pair()].join('')", "ab"),
+])
+def test_class_accessors_fields(src, want):
+    assert ev(src) == want
+
+
+@pytest.mark.parametrize("src,want", [
+    # object-literal accessors
+    ("let o = { _v: 2, get v(){ return this._v * 10; } }; o.v", 20.0),
+    ("let o = { _v: 0, set v(x){ this._v = x - 1; } }; o.v = 5; o._v", 4.0),
+    ("let o = { get v(){ return 1; } }; o.v = 9; o.v", 1.0),
+    # accessors are enumerable own properties: keys/JSON/for-in see them
+    ("let o = { a: 1, get b(){ return 2; } }; Object.keys(o).join(',')", "a,b"),
+    ("JSON.stringify({ a: 1, get b(){ return this.a + 1; } })",
+     '{"a":1,"b":2}'),
+    ("let s = ''; for (let k in { get x(){ return 0; }, y: 1 }) s += k; s",
+     "xy"),
+    # spread copies VALUES (the getter is read once; accessor not carried)
+    ("let n = 0; let src = { get v(){ n++; return n; } }; "
+     "let c = { ...src }; c.v + c.v * 10 + n * 100", 111.0),
+    # Object.assign triggers target setters
+    ("let hits = []; let t = { set v(x){ hits.push(x); } }; "
+     "Object.assign(t, { v: 7 }); hits.join(',')", "7"),
+    # later data property replaces an earlier accessor
+    ("let o = { get v(){ return 1; }, v: 2 }; o.v", 2.0),
+    # delete removes accessors
+    ("let o = { get v(){ return 1; } }; delete o.v; o.v === undefined", True),
+])
+def test_object_literal_accessors(src, want):
+    assert ev(src) == want
+
+
+@pytest.mark.parametrize("src,want", [
+    # basic protocol: {value, done} records, exhaustion stays done
+    ("function* g(){ yield 1; yield 2; return 9; } let it = g(); "
+     "JSON.stringify([it.next(), it.next(), it.next(), it.next()])",
+     '[{"value":1,"done":false},{"value":2,"done":false},'
+     '{"value":9,"done":true},{"done":true}]'),
+    # lazy: an infinite generator only runs as far as it is pulled
+    ("function* g(){ for (let i = 0;; i++) yield i * 2; } "
+     "let it = g(); it.next(); it.next(); it.next().value", 4.0),
+    # two-way traffic: next(v) becomes the value of the paused yield
+    ("function* g(){ let x = yield 'a'; let y = yield x + 1; return y * 2; } "
+     "let it = g(); "
+     "[it.next().value, it.next(10).value, it.next(3).value].join(',')",
+     "a,11,6"),
+    # yield* delegates and evaluates to the inner return value
+    ("function* inner(){ yield 1; yield 2; return 'R'; } "
+     "function* outer(){ let r = yield* inner(); yield r; } "
+     "[...outer()].join(',')", "1,2,R"),
+    ("function* g(){ yield* [1,2]; yield* 'ab'; } [...g()].join('')", "12ab"),
+    # return(v) runs finally blocks before completing
+    ("var log = []; function* g(){ try { yield 1; } finally "
+     "{ log.push('f'); } } let it = g(); it.next(); "
+     "let r = it.return(7); log[0] + r.value + r.done", "f7true"),
+    # throw(e) is catchable inside the body
+    ("function* g(){ try { yield 1; } catch (e) { yield 'caught:' + e; } } "
+     "let it = g(); it.next(); it.throw('boom').value", "caught:boom"),
+    # iteration protocol consumers
+    ("function* g(n){ while (n--) yield n; } Array.from(g(3)).join(',')",
+     "2,1,0"),
+    ("function* g(){ yield [1,'a']; yield [2,'b']; } new Map(g()).get(2)",
+     "b"),
+    ("function* g(){ yield 1; yield 1; yield 2; } new Set(g()).size", 2.0),
+    ("let s = 0; function* g(){ yield 1; yield 2; yield 3; } "
+     "for (const v of g()) s += v; s", 6.0),
+    ("function* g(){ yield 1; yield 5; } Math.max(...g(), 0)", 5.0),
+    # generator function expressions and hoisted declarations
+    ("let g = function*(){ yield 'x'; }; g().next().value", "x"),
+    ("let r = [...h()].join(''); function* h(){ yield 'h'; yield 'i'; } r",
+     "hi"),
+    # typeof / JSON behavior matches real JS
+    ("function* g(){} typeof g", "function"),
+    ("function* g(){ yield 1; } JSON.stringify(g())", "{}"),
+    # `yield` stays a plain identifier outside generator bodies
+    ("let yield = 5; yield + 1", 6.0),
+    # ASI: newline after yield ends the operand (restricted production)
+    ("function* g(){ yield\n1; } JSON.stringify(g().next())",
+     '{"done":false}'),
+])
+def test_generators(src, want):
+    assert ev(src) == want
+
+
+def test_generator_errors():
+    # reentrant next() while the body is running
+    with pytest.raises(J.JSThrow, match="already running"):
+        ev("var it; function* g(){ yield it.next(); } it = g(); it.next()")
+    # new on a generator function
+    with pytest.raises(J.JSThrow, match="not a constructor"):
+        ev("function* g(){} new g()")
+    # uncaught throw() propagates to the caller
+    with pytest.raises(J.JSThrow, match="boom"):
+        ev("function* g(){ yield 1; } let it = g(); it.next(); "
+           "it.throw('boom')")
+    # an exception inside the body surfaces on next()
+    with pytest.raises(J.JSThrow, match="kaput"):
+        ev("function* g(){ yield 1; throw 'kaput'; } "
+           "let it = g(); it.next(); it.next()")
+    # yield inside a nested plain function / arrow is not a yield expr
+    with pytest.raises(J.JSThrow, match="yield is not defined"):
+        ev("function* g(){ let f = function(){ return yield; }; "
+           "yield f(); } g().next()")
+
+
+def test_generator_threads_do_not_leak():
+    import gc
+    import threading
+    import time
+
+    base = threading.active_count()
+    i = J.Interpreter()
+    # 20 abandoned suspended generators: finalizers must inject a
+    # return so each body thread unwinds and exits
+    i.run("function* g(){ try { for (;;) yield 1; } finally {} } "
+          "for (let k = 0; k < 20; k++) { let it = g(); it.next(); }")
+    del i
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > base and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == base
