@@ -494,7 +494,9 @@ class Parser:
         return ("vardecl", kind, decls)
 
     def binding_target(self):
-        """identifier, or array/object destructuring pattern."""
+        """identifier, or (recursively nested) array/object
+        destructuring pattern. Array elements and object aliases are
+        themselves binding targets, so `let [[a], {b: [c]}] = v` works."""
         if self.at("["):
             self.next()
             elems = []
@@ -503,9 +505,9 @@ class Parser:
                     elems.append(None)
                     continue
                 rest = self.eat("...")
-                name = self.ident_name()
+                tgt = self.binding_target()
                 default = self.assignment() if self.eat("=") else None
-                elems.append(("rest" if rest else "elem", name, default))
+                elems.append(("rest" if rest else "elem", tgt, default))
                 if not self.at("]"):
                     self.expect(",")
             self.expect("]")
@@ -515,9 +517,9 @@ class Parser:
             props = []
             while not self.at("}"):
                 key = self.ident_name()
-                alias = key
+                alias = ("id", key)
                 if self.eat(":"):
-                    alias = self.ident_name()
+                    alias = self.binding_target()
                 default = self.assignment() if self.eat("=") else None
                 props.append((key, alias, default))
                 if not self.at("}"):
@@ -619,7 +621,10 @@ class Parser:
         params = []
         while not self.at(")"):
             rest = self.eat("...")
-            name = self.ident_name()
+            if self.at("[") or self.at("{"):
+                name = self.binding_target()  # destructured parameter
+            else:
+                name = self.ident_name()
             default = self.assignment() if self.eat("=") else None
             params.append(("rest" if rest else "param", name, default))
             if not self.at(")"):
@@ -1833,10 +1838,13 @@ def _pattern_names(target) -> list:
         out = []
         for e in target[1]:
             if e is not None:
-                out.append(e[1])
+                out.extend(_pattern_names(e[1]))
         return out
     if t == "opat":
-        return [alias for _, alias, _ in target[1]]
+        out = []
+        for _, alias, _ in target[1]:
+            out.extend(_pattern_names(alias))
+        return out
     return []
 
 
@@ -1898,14 +1906,17 @@ class Interpreter:
         i = 0
         for kind, name, default in fn.params:
             if kind == "rest":
-                env.declare(name, list(args[i:]))
+                v = list(args[i:])
                 i = len(args)
             else:
                 v = args[i] if i < len(args) else UNDEF
                 if v is UNDEF and default is not None:
                     v = self.eval_expr(default, env)
-                env.declare(name, v)
                 i += 1
+            if isinstance(name, tuple):   # destructured parameter
+                self._bind_pattern(name, v, env, declare="var")
+            else:
+                env.declare(name, v)
         if fn.is_generator:
             # arguments are bound eagerly (above, incl. defaults), the
             # body is deferred until the first next() — spec §25.4
@@ -2138,23 +2149,36 @@ class Interpreter:
                 env.assign(target[1], value)
             return
         if t == "apat":
-            src = value if isinstance(value, list) else (
-                list(value) if isinstance(value, str) else None)
-            if src is None:
+            if isinstance(value, list):
+                src = value
+            elif isinstance(value, (str, JSMap, JSSet)):
+                src = list(js_iter_values(value, self))
+            elif isinstance(value, JSGenerator):
+                if any(e is not None and e[0] == "rest" for e in target[1]):
+                    src = list(value.py_iter())
+                else:
+                    # pull only as many values as the pattern binds —
+                    # the generator may be infinite
+                    src, it = [], value.py_iter()
+                    for _ in range(len(target[1])):
+                        try:
+                            src.append(next(it))
+                        except StopIteration:
+                            break
+            else:
                 raise JSThrow("TypeError: cannot destructure non-array")
             for i, e in enumerate(target[1]):
                 if e is None:
                     continue
-                kind, name, default = e
+                kind, tgt, default = e
                 if kind == "rest":
-                    self._bind_pattern(("id", name), src[i:], env,
+                    self._bind_pattern(tgt, src[i:], env,
                                        declare=declare, const=const)
                     break
                 v = src[i] if i < len(src) else UNDEF
                 if v is UNDEF and default is not None:
                     v = self.eval_expr(default, env)
-                self._bind_pattern(("id", name), v, env, declare=declare,
-                                   const=const)
+                self._bind_pattern(tgt, v, env, declare=declare, const=const)
             return
         if t == "opat":
             if not isinstance(value, dict):
@@ -2163,7 +2187,7 @@ class Interpreter:
                 v = value.get(key, UNDEF)
                 if v is UNDEF and default is not None:
                     v = self.eval_expr(default, env)
-                self._bind_pattern(("id", alias), v, env, declare=declare,
+                self._bind_pattern(alias, v, env, declare=declare,
                                    const=const)
             return
         raise JSError(f"bad binding target {t}")
@@ -2906,7 +2930,11 @@ def _expr_to_pattern(e):
         elems = []
         for el in e[1]:
             if el[0] == "id":
-                elems.append(("elem", el[1], None))
+                elems.append(("elem", el, None))
+            elif el[0] in ("array", "object"):
+                elems.append(("elem", _expr_to_pattern(el), None))
+            elif el[0] == "spread" and el[1][0] == "id":
+                elems.append(("rest", el[1], None))
             elif el[0] == "lit" and el[1] is UNDEF:
                 elems.append(None)
             else:
@@ -2915,9 +2943,10 @@ def _expr_to_pattern(e):
     if e[0] == "object":
         props = []
         for p in e[1]:
-            if p[0] != "kv" or p[1][0] != "lit" or p[2][0] != "id":
+            if p[0] != "kv" or p[1][0] != "lit" or \
+                    p[2][0] not in ("id", "array", "object"):
                 raise JSThrow("SyntaxError: unsupported destructuring")
-            props.append((p[1][1], p[2][1], None))
+            props.append((p[1][1], _expr_to_pattern(p[2]), None))
         return ("opat", props)
     raise JSThrow("SyntaxError: unsupported destructuring target")
 

@@ -793,3 +793,38 @@ def test_generator_threads_do_not_leak():
     while threading.active_count() > base and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() == base
+
+
+@pytest.mark.parametrize("src,want", [
+    # nested binding patterns (declarations)
+    ("let [[a], [b, c]] = [[1], [2, 3]]; a + b + c", 6.0),
+    ("let {p: {q}} = {p: {q: 'deep'}}; q", "deep"),
+    ("let {xs: [x0, , x2]} = {xs: [1, 2, 3]}; x0 + x2", 4.0),
+    ("let [{n}, {n: m}] = [{n: 1}, {n: 2}]; n + m", 3.0),
+    ("let [[k, v]] = new Map([['a', 1]]); k + v", "a1"),
+    # destructuring from iterables: generator pulls only what it binds
+    ("function* g(){ yield 1; yield 2; yield 3; } let [a, b] = g(); "
+     "a * 10 + b", 12.0),
+    ("function* g(){ for (;;) yield 7; } let [x] = g(); x", 7.0),
+    ("function* g(){ yield 1; yield 2; yield 3; } let [a, ...r] = g(); "
+     "a + r.length", 3.0),
+    ("let [p] = new Set([5, 5, 6]); p", 5.0),
+    # nested destructuring assignment (no declaration)
+    ("let a, b; [[a], {x: b}] = [[7], {x: 8}]; a + b", 15.0),
+    ("let h, t; [h, ...t] = [1, 2, 3]; h + t.length", 3.0),
+    # destructured parameters (functions and arrows)
+    ("function f({a, b = 10}){ return a + b; } f({a: 1})", 11.0),
+    ("function f([x, y]){ return x * y; } f([3, 4])", 12.0),
+    ("let g = ({v}) => v + 1; g({v: 41})", 42.0),
+    ("function f({p: {q}}, [r]){ return q + r; } f({p: {q: 'x'}}, ['y'])",
+     "xy"),
+    ("function f(...[a, b]){ return a + b; } f(1, 2)", 3.0),
+    # var hoisting reaches names inside nested patterns
+    ("var seen = typeof inner; var [[inner]] = [[5]]; seen + inner",
+     "undefined5"),
+    # for-of with a nested binding
+    ("let s = 0; for (const [a, [b]] of [[1, [2]], [3, [4]]]) s += a * b; s",
+     14.0),
+])
+def test_nested_destructuring(src, want):
+    assert ev(src) == want
