@@ -6,7 +6,8 @@ Map/Set with SameValueZero semantics, classes (constructor / prototype
 against class identity, get/set accessors, public instance + static
 fields, generator methods), object-literal get/set accessors, and
 generator functions (`function*`, `yield` / `yield*`, two-way `next(v)`
-/ `return(v)` / `throw(e)`).
+/ `return(v)` / `throw(e)`), and recursive destructuring — nested
+array/object patterns in declarations, assignments, and parameters.
 
 The reference's `javascript` processor embeds the goja engine
 (internal/impl/javascript/processor.go:26, vm.go:24). This environment
