@@ -97,9 +97,11 @@ _PUNCT = [
     "|", "^", "!", "~", "?", ":", "=", ".",
 ]
 
-_NUM_RE = re.compile(
-    r"0[xX][0-9a-fA-F]+|0[oO][0-7]+|0[bB][01]+|"
-    r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+_NUM_RE = re.compile(  # ES2021 numeric separators: _ only between digits
+    r"0[xX][0-9a-fA-F](?:_?[0-9a-fA-F])*|0[oO][0-7](?:_?[0-7])*|"
+    r"0[bB][01](?:_?[01])*|"
+    r"(?:\d(?:_?\d)*\.?(?:\d(?:_?\d)*)?|\.\d(?:_?\d)*)"
+    r"(?:[eE][+-]?\d(?:_?\d)*)?"
 )
 _IDENT_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
@@ -290,7 +292,7 @@ def tokenize(src: str) -> list:
             continue
         m = _NUM_RE.match(src, i)
         if m and (c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit())):
-            text = m.group(0)
+            text = m.group(0).replace("_", "")
             if text[:2].lower() == "0x":
                 val = float(int(text, 16))
             elif text[:2].lower() == "0o":
@@ -1385,6 +1387,36 @@ class JSGenerator:
 
     def __iter__(self):
         return self.py_iter()
+
+
+class JSNativeIterator(JSGenerator):
+    """Built-in iterator object (Array.prototype.keys/values/entries):
+    a pre-materialized sequence exposed through the same next()/
+    return()/throw() + for-of/spread protocol as JSGenerator, with no
+    body thread."""
+
+    def __init__(self, values):
+        self._vals = list(values)
+        self._i = 0
+
+    def resume(self, kind: str, value):
+        if kind == "return":
+            self._i = len(self._vals)
+            return {"value": value, "done": True}
+        if kind == "throw":
+            self._i = len(self._vals)
+            raise value if isinstance(value, BaseException) else JSThrow(value)
+        if self._i >= len(self._vals):
+            return {"value": UNDEF, "done": True}
+        v = self._vals[self._i]
+        self._i += 1
+        return {"value": v, "done": False}
+
+    def py_iter(self):
+        while self._i < len(self._vals):
+            v = self._vals[self._i]
+            self._i += 1
+            yield v
 
 
 def js_iter_values(v, interp=None):
@@ -3213,6 +3245,18 @@ def _array_proto(interp, arr: list, key: str):
                 return out
             return go(t, depth)
         return NativeFunction("flat", _flat)
+    if key == "flatMap":
+        def _flatmap(i, t, a):
+            f = a[0]
+            out = []
+            for ix, v in enumerate(t):
+                r = i.call_function(f, UNDEF, [v, float(ix), t])
+                if isinstance(r, list):
+                    out.extend(r)
+                else:
+                    out.append(r)
+            return out
+        return NativeFunction("flatMap", _flatmap)
     if key == "at":
         def _at(i, t, a):
             ix = int(js_to_number(a[0])) if a and a[0] is not UNDEF else 0
@@ -3244,10 +3288,14 @@ def _array_proto(interp, arr: list, key: str):
     if key == "toString":
         return NativeFunction("toString",
                               lambda i, t, a: js_to_string(t, i))
-    if key == "keys" or key == "values" or key == "entries":
-        raise JSThrow(
-            f"TypeError: Array.prototype.{key} iterators are not supported "
-            "by this engine (use for-of / Object.keys)")
+    if key == "keys":
+        return NativeFunction("keys", lambda i, t, a: JSNativeIterator(
+            float(ix) for ix in range(len(t))))
+    if key == "values":
+        return NativeFunction("values", lambda i, t, a: JSNativeIterator(t))
+    if key == "entries":
+        return NativeFunction("entries", lambda i, t, a: JSNativeIterator(
+            [float(ix), v] for ix, v in enumerate(t)))
     return UNDEF
 
 
@@ -3682,7 +3730,8 @@ def install_globals(interp: Interpreter) -> None:
         "assign": NativeFunction("assign", _assign),
         "freeze": NativeFunction("freeze", _freeze),
         "fromEntries": NativeFunction("fromEntries", lambda i, t, a: {
-            js_to_string(kv[0], i): kv[1] for kv in (a[0] if a else [])}),
+            js_to_string(kv[0], i): kv[1]
+            for kv in js_iter_values(a[0] if a else [])}),
         "getOwnPropertyNames": NativeFunction("getOwnPropertyNames", _keys),
         "create": NativeFunction("create", lambda i, t, a: {}),
     }
@@ -3830,6 +3879,9 @@ def install_globals(interp: Interpreter) -> None:
             "fromCharCode": NativeFunction("fromCharCode", lambda i, t, a:
                                            "".join(chr(int(js_to_number(x)))
                                                    for x in a)),
+            "fromCodePoint": NativeFunction("fromCodePoint", lambda i, t, a:
+                                            "".join(chr(int(js_to_number(x)))
+                                                    for x in a)),
         }))
     g.declare("Number", _CallableNamespace(
         "Number",

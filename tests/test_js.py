@@ -218,6 +218,43 @@ def test_map_set_semantics(src, want):
     assert ev(src) == want
 
 
+@pytest.mark.parametrize("src,want", [
+    # Array.prototype.keys/values/entries return real iterators:
+    # for-of, spread, and manual next() all work (goja parity)
+    ("[...['a','b'].keys()].join(',')", "0,1"),
+    ("[...['a','b'].values()].join(',')", "a,b"),
+    ("let o=''; for (const [i,v] of ['x','y'].entries()) o+=i+v; o", "0x1y"),
+    ("let it=[7,8].values(); it.next().value + it.next().value", 15.0),
+    ("let it=[7,8].values(); it.next(); it.next(); it.next().done", True),
+    # return() closes the iterator early
+    ("let it=[1,2,3].values(); it.next(); it.return(9); it.next().done",
+     True),
+    # flatMap
+    ("[1,2,3].flatMap(x => [x, x*10]).join(',')", "1,10,2,20,3,30"),
+    ("[1,2].flatMap(x => x*2).join(',')", "2,4"),   # non-array results kept
+    ("['a b','c'].flatMap(s => s.split(' ')).length", 3.0),
+    # Object.fromEntries over Map / iterator / array-of-pairs
+    ("Object.fromEntries(new Map([['a',1],['b',2]])).b", 2.0),
+    ("Object.fromEntries([['x',1]]).x", 1.0),
+    ("Object.fromEntries(['ab','cd'].entries())['0']", "ab"),
+    # round-trip idiom: Map -> object -> JSON
+    ("JSON.stringify(Object.fromEntries(new Map([['k','v']])))",
+     '{"k":"v"}'),
+    # String.fromCodePoint (incl. astral plane)
+    ("String.fromCodePoint(72, 105)", "Hi"),
+    ("String.fromCodePoint(0x1F600).length", 1.0),  # python str: 1 char
+    # ES2021 numeric separators in all literal forms
+    ("1_000_000 + 1", 1000001.0),
+    ("0xFF_FF", 65535.0),
+    ("0b1010_1010", 170.0),
+    ("0o7_7", 63.0),
+    ("1_0.5_5", 10.55),
+    ("1e1_0 === 1e10", True),
+])
+def test_es_builtin_extensions(src, want):
+    assert ev(src) == want
+
+
 def test_map_object_keys_by_identity():
     # objects key by reference identity, not structure (SameValueZero)
     assert ev("let k1={},k2={}; let m=new Map(); m.set(k1,'a'); m.set(k2,'b');"
