@@ -47,6 +47,7 @@ class _Env:
     this_type: Optional[T.DataType] = None
     maps: dict = field(default_factory=dict)
     assigned: dict = field(default_factory=dict)  # root path[0] -> Column
+    flags: dict = field(default_factory=dict)  # shared compile-wide markers
 
     def child(self, **kw) -> "_Env":
         d = dict(
@@ -57,6 +58,7 @@ class _Env:
             this_type=self.this_type,
             maps=self.maps,
             assigned=self.assigned,
+            flags=self.flags,
         )
         d.update(kw)
         return _Env(**d)
@@ -71,9 +73,14 @@ class CompiledMapping:
     row_filter: Optional[Column]  # None = keep all; else keep-predicate
     meta: list  # list[(key, Column)]
     identity_root: bool  # root = this appeared (keep input columns)
+    reads_meta: bool = False  # expressions reference @key / tracing_*()
 
     def apply(self, df: DataFrame, mutate: bool) -> DataFrame:
         out = df
+        if self.reads_meta:
+            from benthos_spark.operators.processors import ensure_meta_col
+
+            out = ensure_meta_col(out)
         if self.meta:
             from benthos_spark.operators.processors import ensure_meta_col, META_COL
 
@@ -177,7 +184,10 @@ def compile_mapping(ast: A.MappingAST, schema: Optional[T.StructType] = None) ->
         assignments.append((tuple(str(p) for p in stmt.path), c))
         if len(stmt.path) == 1:
             env.assigned[str(stmt.path[0])] = c
-    return CompiledMapping(assignments, drops, row_filter, meta, identity_root)
+    return CompiledMapping(
+        assignments, drops, row_filter, meta, identity_root,
+        reads_meta=bool(env.flags.get("reads_meta")),
+    )
 
 
 def _compile_root_filter(expr: A.Node, env: _Env) -> Optional[Column]:
@@ -282,6 +292,7 @@ def _c_var(node: A.VarRef, env: _Env):
 def _c_meta(node: A.MetaRef, env: _Env):
     from benthos_spark.operators.processors import META_COL
 
+    env.flags["reads_meta"] = True
     if node.key is None:
         return F.col(META_COL)
     return F.col(META_COL)[node.key]
@@ -442,6 +453,17 @@ def _c_func(node: A.FuncCall, env: _Env):
         import os
 
         return F.lit(os.environ.get(_lit_val(args[0])))
+    if name == "tracing_span":
+        # TextMap of the message's span — {traceparent: ...} or null when
+        # untraced (query/functions.go:232; streaming/tracing.py injects
+        # the header)
+        tp = _c_meta(A.MetaRef("traceparent"), env)
+        return F.when(tp.isNotNull(), F.struct(tp.alias("traceparent")))
+    if name == "tracing_id":
+        # the 32-hex trace id; ZEROED when the message has no span
+        # (query/functions.go:252-262)
+        tp = _c_meta(A.MetaRef("traceparent"), env)
+        return F.coalesce(F.substring(tp, 4, 32), F.lit("0" * 32))
     raise UnsupportedBloblang(f"function {name}")
 
 

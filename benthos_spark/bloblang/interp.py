@@ -709,6 +709,12 @@ def _call_function(name, args, named, scope: Scope):
         if not args:
             return dict(scope.meta)
         return scope.meta.get(_as_string(args[0]))
+    if name == "tracing_span":
+        tp = scope.meta.get("traceparent")
+        return {"traceparent": tp} if tp else None
+    if name == "tracing_id":
+        tp = scope.meta.get("traceparent")
+        return tp.split("-")[1] if tp and len(tp.split("-")) == 4 else "0" * 32
     if name == "var":
         return scope.vars.get(_as_string(args[0]))
     if name == "error":

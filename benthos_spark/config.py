@@ -1064,7 +1064,35 @@ def compile_config(conf: str | dict) -> tuple[Pipeline, Callable]:
         if rebatch is not None:
             procs = [rebatch] + procs
     sink = _output(conf["output"], resources)
+    if conf.get("tracer"):
+        _tracer(conf["tracer"])  # compile-time lint; wiring is run_config's
     return Pipeline(source=source, processors=procs), sink
+
+
+def _tracer(spec: dict):
+    """Top-level `tracer:` section → span exporter. The reference ships
+    none/jaeger/open_telemetry_collector/gcp_cloudtrace providers
+    (internal/impl/pure/tracer_none.go:15, jaeger/tracer_jaeger.go:26,
+    otlp/tracer_otlp.go:46, gcp/tracer_cloudtrace.go:23); network
+    backends are gated here — `file_collector` is the local OTLP-agent
+    analog (streaming/tracing.py)."""
+    from benthos_spark.streaming import tracing as T
+
+    (name, conf), = spec.items()
+    conf = conf or {}
+    if name == "none":
+        return T.NoneTracer()
+    if name == "file_collector":
+        if not conf.get("path"):
+            raise ConfigError("tracer file_collector needs `path`")
+        return T.FileCollector(conf["path"])
+    if name in ("jaeger", "open_telemetry_collector", "gcp_cloudtrace"):
+        raise ConfigError(
+            f"tracer {name!r} needs an external collector endpoint, which this "
+            "environment cannot reach; use `file_collector: {path: ...}` — the "
+            "same span records as executor-local JSONL spool files"
+        )
+    raise ConfigError(f"unknown tracer {name!r}")
 
 
 def run_config(
@@ -1075,6 +1103,16 @@ def run_config(
     if isinstance(conf, str):
         conf = yaml.safe_load(replace_env_variables(conf))
     pipe, sink = compile_config(conf)
+    # top-level `tracer:` section — span propagation + export, no event
+    # capture (the reference's tracer config sets the OTel provider;
+    # event capture is the RunObserved/test surface: tracing.traced)
+    tconf = conf.get("tracer") if isinstance(conf, dict) else None
+    if tconf:
+        from benthos_spark.streaming.tracing import NoneTracer, traced
+
+        tracer = _tracer(tconf)
+        if not isinstance(tracer, NoneTracer):
+            pipe, sink, _ = traced(pipe, spark, sink=sink, tracer=tracer, events=False)
     # top-level `metrics:` section (reference config metrics exporters;
     # here: the per-batch JSONL listener, streaming/metrics.py)
     mconf = conf.get("metrics") if isinstance(conf, dict) else None
@@ -1082,8 +1120,11 @@ def run_config(
         path = mconf.get("json_file", {}).get("path") if isinstance(mconf, dict) else None
         if path:
             start_kwargs["metrics_path"] = path
-    if isinstance(pipe.source, S.BatchedSource) and not trigger_once:
-        start_kwargs = {**pipe.source.policy.start_kwargs(), **start_kwargs}
+    # look through the tracing wrapper for the policy check (the traced
+    # source delegates attributes but not isinstance)
+    inner_source = getattr(pipe.source, "wrapped", pipe.source)
+    if isinstance(inner_source, S.BatchedSource) and not trigger_once:
+        start_kwargs = {**inner_source.policy.start_kwargs(), **start_kwargs}
     if pipe.source.streaming:
         return pipe.start(spark, sink, checkpoint=checkpoint, trigger_once=trigger_once,
                           **start_kwargs)

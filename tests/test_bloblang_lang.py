@@ -828,3 +828,36 @@ def test_mmdb_hypothesis_roundtrip(tmp_path):
         assert got == rec
 
     check()
+
+
+# -- tracing functions (query/functions.go:232 tracing_span, :252 tracing_id) --
+
+_TP = "00-4bf92f3577b34da6a3ce929d0e0e4736-00f067aa0ba902b7-01"
+
+
+def test_tracing_functions_interp():
+    ex = Executor("root.tid = tracing_id()\nroot.span = tracing_span()")
+    out, _ = ex.map_part({}, {"traceparent": _TP})
+    assert out == {
+        "tid": "4bf92f3577b34da6a3ce929d0e0e4736",
+        "span": {"traceparent": _TP},
+    }
+    out, _ = ex.map_part({}, {})
+    assert out == {"tid": "0" * 32, "span": None}
+
+
+def test_tracing_functions_column_tier(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "value string").withColumn(
+        "_meta", F.create_map(F.lit("traceparent"), F.lit(_TP))
+    )
+    # the reference doc example: propagate the span into a header object
+    proc = BloblangMutation(
+        "root.tid = tracing_id()\nroot.headers.traceparent = tracing_span().traceparent"
+    )
+    row = proc(df).collect()[0]
+    assert row["tid"] == "4bf92f3577b34da6a3ce929d0e0e4736"
+    assert row["headers"]["traceparent"] == _TP
+    # untraced messages: zeroed id (functions.go:254 "zeroed if no span")
+    bare = spark.createDataFrame([("x",)], "value string")
+    row = BloblangMutation("root.tid = tracing_id()")(bare).collect()[0]
+    assert row["tid"] == "0" * 32
