@@ -75,6 +75,9 @@ BATCH_QUERIES = [
     # interpreted escape hatches; benched to keep their cost visible
     "javascript_orders_score",
     "wasm_uppercase_docs",
+    # round-5: span propagation — pure sha2/concat projections, a canary
+    # for observability overhead staying JVM-side
+    "tracing_spans_orders",
 ]
 
 # Entry classification for cross-round diffing (BENCH_r{N}.json `kinds`):

@@ -4226,6 +4226,67 @@ def pii_scrub_docs(spark, sf_dir):
     )
 
 
+@register(
+    "tracing_spans_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             o_orderkey::VARCHAR || '|' || o_orderstatus AS value
+      FROM orders
+      WHERE o_orderkey % 13 = 0
+    ), t AS (
+      SELECT o_orderkey, value,
+             lower(substr(sha256(value), 1, 32)) AS trace_id
+      FROM base
+    ), s1 AS (
+      SELECT o_orderkey, trace_id,
+             lower(substr(sha256(
+               '00-' || trace_id || '-0000000000000001-01' || 'input'
+             ), 1, 16)) AS span1
+      FROM t
+    ), s2 AS (
+      SELECT o_orderkey, trace_id, span1,
+             lower(substr(sha256(
+               '00-' || trace_id || '-' || span1 || '-01' || 'mapping_proc'
+             ), 1, 16)) AS span2
+      FROM s1
+    )
+    SELECT o_orderkey AS okey, trace_id, span2 AS span_id,
+           span1 AS parent_span
+    FROM s2
+    """,
+)
+def tracing_spans_orders(spark, sf_dir):
+    """OTel-style span propagation under the hash gate: the engine's
+    deterministic trace model (streaming/tracing.py — trace id =
+    sha256(content), the redelivery-safe analog of otel.go's random
+    ids; child span id = sha256(parent traceparent + component label),
+    internal/tracing/otel.go:120 PartsWithChildSpans) replayed
+    end-to-end. Each order becomes a single-string message, rides two
+    traced components (input → mapping), and the Bloblang
+    ``tracing_id()`` function (query/functions.go:252) extracts the
+    trace id column-side. Everything is JVM Column expressions —
+    sha2/concat/substring projections, no Python, no shuffle; the
+    oracle rebuilds the identical span tree from DuckDB's sha256."""
+    from benthos_spark.bloblang import BloblangMutation
+    from benthos_spark.operators.processors import META_COL
+    from benthos_spark.streaming.tracing import PARENT_SPAN_KEY, TraceParent
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    msgs = o.select(
+        F.concat_ws("|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus"))
+        .alias("value")
+    )
+    spanned = TraceParent("mapping_proc")(TraceParent("input")(msgs))
+    mapped = BloblangMutation("root.trace_id = tracing_id()")(spanned)
+    return mapped.select(
+        F.split(F.col("value"), "\\|").getItem(0).cast("long").alias("okey"),
+        "trace_id",
+        F.substring(F.col(META_COL).getItem("traceparent"), 37, 16).alias("span_id"),
+        F.col(META_COL).getItem(PARENT_SPAN_KEY).alias("parent_span"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering. The correctness driver checks the FIRST ~50
 # entries of the dict returned by ``__spark_entry__.queries()`` — dict
@@ -4284,6 +4345,11 @@ GATE_PRIORITY: list[str] = [
     "dedupe_documents",
     "minhash_lsh_neardup",
     "embedding_ann_ivf_topk",
+    # round-5 addition: the tracing family is brand-new this round and
+    # has never been checked anywhere — it takes audio_tempo_rollup's
+    # rotation slot (5 other never-driver-checked audio rollups remain
+    # in-window; tempo stays hash-checked in the local gate)
+    "tracing_spans_orders",
     # --- round-5 rotation: every never-driver-checked entry (22) ---
     "q8_market_share",
     "q10_returned_items",
@@ -4300,7 +4366,6 @@ GATE_PRIORITY: list[str] = [
     "image_png_decode_rollup",
     "video_mjpeg_frame_sample",
     "video_h264_frame_sample",
-    "audio_tempo_rollup",
     "audio_quality_rollup",       # recast r5: hugeint oracle -> BIGINT
     "audio_cmvn_stats",
     "speaking_rate_clips",
