@@ -82,6 +82,10 @@ AUDITED = [
     # round 5: entropy-coded H.264 — same designed shape as the I_PCM
     # twin (one scan, two chained mapInPandas decode stages, keyed agg)
     "video_h264_cavlc_frame_sample",
+    # round 5: span propagation — must be a pure JVM projection chain
+    # (one pushed scan, 0 shuffles, 0 py); observability stays on the
+    # fast path
+    "tracing_spans_orders",
     # iceberg_*/cdc_* gate entries materialize state and return collected
     # rows (their returned frame is a LocalTableScan); their plan story
     # is told by test_partition_pruning_reaches_scan + the scan audit
