@@ -100,13 +100,21 @@ def _cache_resource(item: dict):
         c = C.TTLCache(ttl_s=conf.get("default_ttl", 60.0))
     elif kind == "file":
         c = C.FileCache(directory=conf["directory"])
+    elif kind == "redis":
+        from benthos_spark.operators.redis import RedisCache
+
+        c = RedisCache(
+            url=conf["url"],
+            prefix=conf.get("prefix", ""),
+            default_ttl_ms=conf.get("default_ttl_ms"),
+        )
     else:
         expanded = _try_template(
             "cache", kind, conf, lambda spec, _res: _cache_resource({"label": "t", **spec}), None
         )
         if expanded is not None:
             return expanded
-        raise ConfigError(f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file")
+        raise ConfigError(f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis")
     for k, v in (conf.get("init_values") or {}).items():
         c.set(k, v)
     return c
@@ -236,6 +244,34 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             polls=conf.get("polls", 1),
             timeout_s=conf.get("timeout_s", 10.0),
         )
+    if name == "redis_list":
+        from benthos_spark.operators.redis import RedisListSource
+
+        return RedisListSource(
+            url=conf["url"],
+            key=conf["key"],
+            command=conf.get("command", "blpop"),
+            spool_dir=conf.get("spool_dir", ""),
+            streaming=conf.get("streaming", False),
+        )
+    if name == "redis_pubsub":
+        from benthos_spark.operators.redis import RedisPubSubSource
+
+        return RedisPubSubSource(
+            url=conf["url"],
+            channels=conf.get("channels", []),
+            use_patterns=conf.get("use_patterns", False),
+            spool_dir=conf["spool_dir"],
+        )
+    if name == "redis_streams":
+        from benthos_spark.operators.redis import RedisStreamsSource
+
+        return RedisStreamsSource(
+            url=conf["url"],
+            streams=conf.get("streams", []),
+            body_key=conf.get("body_key", "body"),
+            streaming=conf.get("streaming", True),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelectSource
 
@@ -310,7 +346,8 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
         return expanded
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
-        "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, resource"
+        "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
+        "redis_list, redis_pubsub, redis_streams, resource"
     )
 
 
@@ -799,6 +836,18 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             successful_on=tuple(conf.get("successful_on", ())),
             col=conf.get("col", "value"),
         )
+    if name == "redis":
+        from benthos_spark.operators.redis import RedisProcessor
+
+        return RedisProcessor(
+            url=conf["url"],
+            operator=conf.get("operator"),
+            key_col=conf.get("key_col", "key"),
+            value_col=conf.get("value_col", "value"),
+            command=conf.get("command"),
+            args_cols=conf.get("args_cols", []),
+            result_col=conf.get("result_col", "redis_result"),
+        )
     if name == "sql_select":
         from benthos_spark.operators.sql import SqlSelect
 
@@ -838,7 +887,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
     raise ConfigError(
         f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
-        "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, "
+        "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, redis, "
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
         "pitch_measure, quality_measure, quality_gate, vad_segment, diarize, "
         "align_transcript, awk, "
@@ -895,6 +944,43 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             table_path=conf["table"] if "table" in conf else conf["path"],
             pk_cols=tuple(conf["pk"]),
             order_col=conf.get("order_col", "lsn"),
+        )
+    if name == "redis_list":
+        from benthos_spark.operators.redis import RedisListSink
+
+        return RedisListSink(
+            url=conf["url"],
+            key=conf.get("key", ""),
+            command=conf.get("command", "rpush"),
+            col=conf.get("col", "value"),
+            key_col=conf.get("key_col"),
+        )
+    if name == "redis_pubsub":
+        from benthos_spark.operators.redis import RedisPubSubSink
+
+        return RedisPubSubSink(
+            url=conf["url"],
+            channel=conf.get("channel", ""),
+            col=conf.get("col", "value"),
+            channel_col=conf.get("channel_col"),
+        )
+    if name == "redis_streams":
+        from benthos_spark.operators.redis import RedisStreamsSink
+
+        return RedisStreamsSink(
+            url=conf["url"],
+            stream=conf["stream"],
+            col=conf.get("col", "value"),
+            body_key=conf.get("body_key", "body"),
+            meta_cols=conf.get("metadata_cols", []),
+        )
+    if name == "redis_hash":
+        from benthos_spark.operators.redis import RedisHashSink
+
+        return RedisHashSink(
+            url=conf["url"],
+            key_col=conf["key_col"],
+            field_cols=conf["fields"],
         )
     if name == "merge_apply":
         from benthos_spark.operators.cdc import MergeApplySink
@@ -1011,7 +1097,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
-        "websocket, sync_response, http_server, resource"
+        "websocket, sync_response, http_server, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
 
