@@ -244,6 +244,15 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             polls=conf.get("polls", 1),
             timeout_s=conf.get("timeout_s", 10.0),
         )
+    if name == "kafka":
+        from benthos_spark.operators.kafka import KafkaSource
+
+        return KafkaSource(
+            address=conf.get("address") or (conf.get("addresses") or [""])[0],
+            topics=conf.get("topics", []),
+            starting_offsets="earliest" if conf.get("start_from_oldest", True) else "latest",
+            streaming=conf.get("streaming", True),
+        )
     if name == "redis_list":
         from benthos_spark.operators.redis import RedisListSource
 
@@ -347,7 +356,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "redis_list, redis_pubsub, redis_streams, resource"
+        "kafka, redis_list, redis_pubsub, redis_streams, resource"
     )
 
 
@@ -945,6 +954,17 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             pk_cols=tuple(conf["pk"]),
             order_col=conf.get("order_col", "lsn"),
         )
+    if name == "kafka":
+        from benthos_spark.operators.kafka import KafkaSink
+
+        return KafkaSink(
+            address=conf.get("address") or (conf.get("addresses") or [""])[0],
+            topic=conf["topic"],
+            col=conf.get("col", "value"),
+            key_col=conf.get("key_col"),
+            headers_col=conf.get("headers_col"),
+            batch_records=conf.get("batch_records", 256),
+        )
     if name == "redis_list":
         from benthos_spark.operators.redis import RedisListSink
 
@@ -1097,7 +1117,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
-        "websocket, sync_response, http_server, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
+        "websocket, sync_response, http_server, kafka, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
 
