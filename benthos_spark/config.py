@@ -244,6 +244,25 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             polls=conf.get("polls", 1),
             timeout_s=conf.get("timeout_s", 10.0),
         )
+    if name == "nats":
+        from benthos_spark.operators.natsio import NatsSource
+
+        return NatsSource(
+            url=conf.get("url") or (conf.get("urls") or [""])[0],
+            subject=conf["subject"],
+            queue=conf.get("queue"),
+            spool_dir=conf["spool_dir"],
+        )
+    if name == "mqtt":
+        from benthos_spark.operators.mqttio import MqttSource
+
+        return MqttSource(
+            url=conf.get("url") or (conf.get("urls") or [""])[0],
+            topic=conf["topic"] if "topic" in conf else (conf.get("topics") or [""])[0],
+            qos=conf.get("qos", 1),
+            client_id=conf.get("client_id", "benthos-spark-in"),
+            spool_dir=conf["spool_dir"],
+        )
     if name == "kafka":
         from benthos_spark.operators.kafka import KafkaSource
 
@@ -356,7 +375,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, redis_list, redis_pubsub, redis_streams, resource"
+        "kafka, nats, mqtt, redis_list, redis_pubsub, redis_streams, resource"
     )
 
 
@@ -954,6 +973,26 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             pk_cols=tuple(conf["pk"]),
             order_col=conf.get("order_col", "lsn"),
         )
+    if name == "nats":
+        from benthos_spark.operators.natsio import NatsSink
+
+        return NatsSink(
+            url=conf.get("url") or (conf.get("urls") or [""])[0],
+            subject=conf.get("subject", ""),
+            col=conf.get("col", "value"),
+            subject_col=conf.get("subject_col"),
+        )
+    if name == "mqtt":
+        from benthos_spark.operators.mqttio import MqttSink
+
+        return MqttSink(
+            url=conf.get("url") or (conf.get("urls") or [""])[0],
+            topic=conf.get("topic", ""),
+            col=conf.get("col", "value"),
+            topic_col=conf.get("topic_col"),
+            qos=conf.get("qos", 1),
+            retained=conf.get("retained", False),
+        )
     if name == "kafka":
         from benthos_spark.operators.kafka import KafkaSink
 
@@ -1117,7 +1156,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
-        "websocket, sync_response, http_server, kafka, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
+        "websocket, sync_response, http_server, kafka, nats, mqtt, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
 
