@@ -244,6 +244,19 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             polls=conf.get("polls", 1),
             timeout_s=conf.get("timeout_s", 10.0),
         )
+    if name == "aws_s3":
+        from benthos_spark.operators.s3 import S3Source
+
+        return S3Source(
+            endpoint=conf["endpoint"],
+            bucket=conf["bucket"],
+            prefix=conf.get("prefix", ""),
+            codec=conf.get("codec", "all-bytes"),
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"),
+            streaming=conf.get("streaming", False),
+        )
     if name == "nats":
         from benthos_spark.operators.natsio import NatsSource
 
@@ -375,7 +388,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, redis_list, redis_pubsub, redis_streams, resource"
+        "kafka, nats, mqtt, aws_s3, redis_list, redis_pubsub, redis_streams, resource"
     )
 
 
@@ -973,6 +986,20 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             pk_cols=tuple(conf["pk"]),
             order_col=conf.get("order_col", "lsn"),
         )
+    if name == "aws_s3":
+        from benthos_spark.operators.s3 import S3Sink
+
+        return S3Sink(
+            endpoint=conf["endpoint"],
+            bucket=conf["bucket"],
+            col=conf.get("col", "value"),
+            path_col=conf.get("path_col"),
+            path_prefix=conf.get("path", "out/"),
+            content_type=conf.get("content_type", "application/octet-stream"),
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"),
+        )
     if name == "nats":
         from benthos_spark.operators.natsio import NatsSink
 
@@ -1156,7 +1183,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
-        "websocket, sync_response, http_server, kafka, nats, mqtt, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
+        "websocket, sync_response, http_server, kafka, nats, mqtt, aws_s3, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
 
