@@ -257,6 +257,18 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             region=conf.get("region", "us-east-1"),
             streaming=conf.get("streaming", False),
         )
+    if name == "amqp_0_9":
+        from benthos_spark.operators.amqp09 import Amqp09Source
+
+        return Amqp09Source(
+            url=conf.get("url") or (conf.get("urls") or [""])[0],
+            queue=conf["queue"],
+            declare=bool(conf.get("queue_declare", {}).get("enabled", False)),
+            bindings=[(b["exchange"], b.get("key", "")) for b in
+                      conf.get("bindings_declare", [])],
+            spool_dir=conf.get("spool_dir", ""),
+            streaming=conf.get("streaming", True),
+        )
     if name == "nats":
         from benthos_spark.operators.natsio import NatsSource
 
@@ -388,7 +400,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, aws_s3, redis_list, redis_pubsub, redis_streams, resource"
+        "kafka, nats, mqtt, amqp_0_9, aws_s3, redis_list, redis_pubsub, redis_streams, resource"
     )
 
 
@@ -1000,6 +1012,17 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             secret_key=conf.get("secret_key", "test"),
             region=conf.get("region", "us-east-1"),
         )
+    if name == "amqp_0_9":
+        from benthos_spark.operators.amqp09 import Amqp09Sink
+
+        return Amqp09Sink(
+            url=conf.get("url") or (conf.get("urls") or [""])[0],
+            exchange=conf.get("exchange", ""),
+            key=conf.get("key", ""),
+            col=conf.get("col", "value"),
+            key_col=conf.get("key_col"),
+            declare_queue=conf.get("declare_queue"),
+        )
     if name == "nats":
         from benthos_spark.operators.natsio import NatsSink
 
@@ -1183,7 +1206,8 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
-        "websocket, sync_response, http_server, kafka, nats, mqtt, aws_s3, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
+        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, aws_s3, redis_list, redis_pubsub, "
+        "redis_streams, redis_hash, resource"
     )
 
 
