@@ -257,6 +257,24 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             region=conf.get("region", "us-east-1"),
             streaming=conf.get("streaming", False),
         )
+    if name == "nsq":
+        from benthos_spark.operators.queueio import NsqSource
+
+        return NsqSource(
+            address=conf.get("address") or conf.get("nsqd_tcp_address", ""),
+            topic=conf["topic"],
+            channel=conf.get("channel", "benthos_spark"),
+            spool_dir=conf["spool_dir"],
+        )
+    if name == "beanstalkd":
+        from benthos_spark.operators.queueio import BeanstalkdSource
+
+        return BeanstalkdSource(
+            address=conf["address"],
+            tube=conf.get("tube", "default"),
+            spool_dir=conf.get("spool_dir", ""),
+            streaming=conf.get("streaming", False),
+        )
     if name == "amqp_0_9":
         from benthos_spark.operators.amqp09 import Amqp09Source
 
@@ -400,7 +418,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, aws_s3, redis_list, redis_pubsub, redis_streams, resource"
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, redis_list, redis_pubsub, redis_streams, resource"
     )
 
 
@@ -1012,6 +1030,22 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             secret_key=conf.get("secret_key", "test"),
             region=conf.get("region", "us-east-1"),
         )
+    if name == "nsq":
+        from benthos_spark.operators.queueio import NsqSink
+
+        return NsqSink(
+            address=conf.get("address") or conf.get("nsqd_tcp_address", ""),
+            topic=conf["topic"],
+            col=conf.get("col", "value"),
+        )
+    if name == "beanstalkd":
+        from benthos_spark.operators.queueio import BeanstalkdSink
+
+        return BeanstalkdSink(
+            address=conf["address"],
+            tube=conf.get("tube", "default"),
+            col=conf.get("col", "value"),
+        )
     if name == "amqp_0_9":
         from benthos_spark.operators.amqp09 import Amqp09Sink
 
@@ -1206,8 +1240,8 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
-        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, aws_s3, redis_list, redis_pubsub, "
-        "redis_streams, redis_hash, resource"
+        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, "
+        "redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
 
