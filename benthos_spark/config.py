@@ -1030,6 +1030,19 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             secret_key=conf.get("secret_key", "test"),
             region=conf.get("region", "us-east-1"),
         )
+    if name == "elasticsearch":
+        from benthos_spark.operators.elastic import ElasticsearchSink
+
+        return ElasticsearchSink(
+            url=(conf.get("urls") or [conf.get("url", "")])[0]
+            if "urls" in conf else conf["url"],
+            index=conf["index"],
+            col=conf.get("col", "value"),
+            id_col=conf.get("id_col"),
+            index_col=conf.get("index_col"),
+            action=conf.get("action", "index"),
+            bulk_size=conf.get("bulk_size", 500),
+        )
     if name == "nsq":
         from benthos_spark.operators.queueio import NsqSink
 
@@ -1240,7 +1253,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
-        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, "
+        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, elasticsearch, "
         "redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
