@@ -78,6 +78,10 @@ BATCH_QUERIES = [
     # round-5: span propagation — pure sha2/concat projections, a canary
     # for observability overhead staying JVM-side
     "tracing_spans_orders",
+    # round-5 late wave: the kafka wire roundtrip — produce + fetch of
+    # the sampled orders through the loopback broker (lifecycle kind:
+    # measures the connector data plane, not a query plan)
+    "kafka_roundtrip_orders",
 ]
 
 # Entry classification for cross-round diffing (BENCH_r{N}.json `kinds`):
@@ -93,6 +97,7 @@ _LIFECYCLE = {
     "iceberg_spec_evolution_orders",  # creates a two-spec table per run
     "cdc_merge_apply_orders",         # synthesizes changelog + COW MERGE
     "sql_select_enrich_customers",    # boots an embedded Derby database
+    "kafka_roundtrip_orders",         # boots a broker, produce + fetch
 }
 _STREAM = {"flagship_streaming_e2e", "flagship_iceberg_e2e"}
 _DSP = {"augment_chain_batch", "diarize_batch"}

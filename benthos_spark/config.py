@@ -257,6 +257,17 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             region=conf.get("region", "us-east-1"),
             streaming=conf.get("streaming", False),
         )
+    if name == "gcp_pubsub":
+        from benthos_spark.operators.gcp_pubsub import PubSubSource
+
+        return PubSubSource(
+            endpoint=conf["endpoint"],
+            project=conf["project"],
+            subscription=conf["subscription"],
+            spool_dir=conf.get("spool_dir", ""),
+            streaming=conf.get("streaming", False),
+            token=conf.get("token"),
+        )
     if name == "nsq":
         from benthos_spark.operators.queueio import NsqSource
 
@@ -418,7 +429,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, redis_list, redis_pubsub, redis_streams, resource"
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, redis_list, redis_pubsub, redis_streams, resource"
     )
 
 
@@ -1030,6 +1041,18 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             secret_key=conf.get("secret_key", "test"),
             region=conf.get("region", "us-east-1"),
         )
+    if name == "gcp_pubsub":
+        from benthos_spark.operators.gcp_pubsub import PubSubSink
+
+        return PubSubSink(
+            endpoint=conf["endpoint"],
+            project=conf["project"],
+            topic=conf["topic"],
+            col=conf.get("col", "value"),
+            attr_cols=conf.get("attr_cols", []),
+            publish_batch=conf.get("publish_batch", 100),
+            token=conf.get("token"),
+        )
     if name == "elasticsearch":
         from benthos_spark.operators.elastic import ElasticsearchSink
 
@@ -1253,8 +1276,8 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
-        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, elasticsearch, "
-        "redis_list, redis_pubsub, redis_streams, redis_hash, resource"
+        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, "
+        "elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
 

@@ -86,6 +86,12 @@ AUDITED = [
     # (one pushed scan, 0 shuffles, 0 py); observability stays on the
     # fast path
     "tracing_spans_orders",
+    # round-5 late wave: the kafka roundtrip — the write side is
+    # foreachPartition produce (no plan), the read side must show one
+    # data-source scan (one Spark partition per Kafka partition) into a
+    # single keyed agg; the localCheckpoint boundary appears as an
+    # ExistingRDD root (the broker is stopped before return by design)
+    "kafka_roundtrip_orders",
     # iceberg_*/cdc_* gate entries materialize state and return collected
     # rows (their returned frame is a LocalTableScan); their plan story
     # is told by test_partition_pruning_reaches_scan + the scan audit
