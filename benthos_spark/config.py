@@ -257,6 +257,17 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             region=conf.get("region", "us-east-1"),
             streaming=conf.get("streaming", False),
         )
+    if name == "mongodb":
+        from benthos_spark.operators.mongo import MongoSource
+
+        return MongoSource(
+            url=conf["url"],
+            database=conf.get("database", "test"),
+            collection=conf["collection"],
+            filter=conf.get("query"),
+            split_key=conf.get("split_key"),
+            splits=conf.get("splits", []),
+        )
     if name == "gcp_pubsub":
         from benthos_spark.operators.gcp_pubsub import PubSubSource
 
@@ -429,7 +440,8 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, redis_list, redis_pubsub, redis_streams, resource"
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, mongodb, "
+        "redis_list, redis_pubsub, redis_streams, resource"
     )
 
 
@@ -918,6 +930,17 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             successful_on=tuple(conf.get("successful_on", ())),
             col=conf.get("col", "value"),
         )
+    if name == "mongodb":
+        from benthos_spark.operators.mongo import MongoFindOne
+
+        return MongoFindOne(
+            url=conf["url"],
+            database=conf.get("database", "test"),
+            collection=conf["collection"],
+            key_field=conf.get("key_field", "_id"),
+            key_col=conf.get("key_col", "key"),
+            result_col=conf.get("result_col", "mongo_doc"),
+        )
     if name == "redis":
         from benthos_spark.operators.redis import RedisProcessor
 
@@ -969,7 +992,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
     raise ConfigError(
         f"unknown processor {name!r}; known: mapping, mutation, filter, switch, dedupe, "
         "bounds_check, grok, parse_log, json_schema, archive, unarchive, split, try, catch, "
-        "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, redis, "
+        "compress, decompress, window_agg, session_window_agg, sql_select, jq, jmespath, redis, mongodb, "
         "loudness_gate, loudness_measure, loudness_normalize, vad_measure, vad_gate, "
         "pitch_measure, quality_measure, quality_gate, vad_segment, diarize, "
         "align_transcript, awk, "
@@ -1040,6 +1063,17 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             access_key=conf.get("access_key", "test"),
             secret_key=conf.get("secret_key", "test"),
             region=conf.get("region", "us-east-1"),
+        )
+    if name == "mongodb":
+        from benthos_spark.operators.mongo import MongoSink
+
+        return MongoSink(
+            url=conf["url"],
+            database=conf.get("database", "test"),
+            collection=conf["collection"],
+            col=conf.get("col", "value"),
+            operation=conf.get("operation", "insert"),
+            key_col=conf.get("key_col"),
         )
     if name == "gcp_pubsub":
         from benthos_spark.operators.gcp_pubsub import PubSubSink
@@ -1277,7 +1311,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, "
-        "elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
+        "mongodb, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
 
