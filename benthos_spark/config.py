@@ -257,6 +257,17 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             region=conf.get("region", "us-east-1"),
             streaming=conf.get("streaming", False),
         )
+    if name == "azure_blob_storage":
+        from benthos_spark.operators.azure_blob import AzureBlobSource
+
+        return AzureBlobSource(
+            endpoint=conf["endpoint"],
+            container=conf["container"],
+            prefix=conf.get("prefix", ""),
+            codec=conf.get("codec", "all-bytes"),
+            account=conf.get("storage_account", "devstoreaccount1"),
+            key_b64=conf.get("storage_access_key", ""),
+        )
     if name == "mongodb":
         from benthos_spark.operators.mongo import MongoSource
 
@@ -331,8 +342,11 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     if name == "kafka":
         from benthos_spark.operators.kafka import KafkaSource
 
+        address = conf.get("address") or (conf.get("addresses") or [""])[0]
+        if not address or not conf.get("topics"):
+            raise ConfigError("kafka input needs address (or addresses) and topics")
         return KafkaSource(
-            address=conf.get("address") or (conf.get("addresses") or [""])[0],
+            address=address,
             topics=conf.get("topics", []),
             starting_offsets="earliest" if conf.get("start_from_oldest", True) else "latest",
             streaming=conf.get("streaming", True),
@@ -440,7 +454,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, mongodb, "
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, azure_blob_storage, mongodb, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1064,6 +1078,18 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             secret_key=conf.get("secret_key", "test"),
             region=conf.get("region", "us-east-1"),
         )
+    if name == "azure_blob_storage":
+        from benthos_spark.operators.azure_blob import AzureBlobSink
+
+        return AzureBlobSink(
+            endpoint=conf["endpoint"],
+            container=conf["container"],
+            col=conf.get("col", "value"),
+            path_col=conf.get("path_col"),
+            path_prefix=conf.get("path", "out/"),
+            account=conf.get("storage_account", "devstoreaccount1"),
+            key_b64=conf.get("storage_access_key", ""),
+        )
     if name == "mongodb":
         from benthos_spark.operators.mongo import MongoSink
 
@@ -1311,7 +1337,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, "
-        "mongodb, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
+        "azure_blob_storage, mongodb, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
 

@@ -10,7 +10,7 @@ def test_list_registry_complete_and_live():
     reg = component_registry()
     assert len(reg["inputs"]) >= 15
     assert len(reg["outputs"]) >= 15
-    assert reg["caches"] == ["file", "lru", "memory", "ttlru"]
+    assert reg["caches"] == ["file", "lru", "memory", "redis", "ttlru"]
     for name in reg["processors"]:
         try:
             _proc({name: {}}, None)
