@@ -108,13 +108,23 @@ def _cache_resource(item: dict):
             prefix=conf.get("prefix", ""),
             default_ttl_ms=conf.get("default_ttl_ms"),
         )
+    elif kind == "memcached":
+        from benthos_spark.operators.memcached import MemcachedCache
+
+        c = MemcachedCache(
+            addresses=conf["addresses"],
+            prefix=conf.get("prefix", ""),
+            default_ttl_s=conf.get("default_ttl", 0),
+        )
     else:
         expanded = _try_template(
             "cache", kind, conf, lambda spec, _res: _cache_resource({"label": "t", **spec}), None
         )
         if expanded is not None:
             return expanded
-        raise ConfigError(f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis")
+        raise ConfigError(
+            f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis, memcached"
+        )
     for k, v in (conf.get("init_values") or {}).items():
         c.set(k, v)
     return c
