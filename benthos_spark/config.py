@@ -1030,7 +1030,32 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
 # -- outputs ----------------------------------------------------------------
 
 
+class _ProcessedSink:
+    """Output-level `processors` (the reference's output.WithPipeline,
+    produced e.g. by template expansions that attach a processor chain to
+    an output node, splunk template_output.yaml:93): run the chain on
+    each micro-batch's DataFrame before the inner sink sees it."""
+
+    def __init__(self, inner: Callable, processors: list):
+        self.inner = inner
+        self.processors = processors
+
+    def __getattr__(self, item):
+        # sinks expose start/stop/address-style surface; delegate it
+        return getattr(self.inner, item)
+
+    def __call__(self, df, batch_id) -> None:
+        from benthos_spark.operators.processors import compose
+
+        self.inner(compose(df, self.processors), batch_id)
+
+
 def _output(spec: dict, resources: Resources | None = None) -> Callable:
+    if "processors" in spec and len(spec) > 1:
+        spec = dict(spec)
+        procs = [_proc(p, resources) for p in spec.pop("processors") or []]
+        sink = _output(spec, resources)
+        return _ProcessedSink(sink, procs) if procs else sink
     (name, conf), = spec.items()
     conf = conf or {}
     if name == "resource":
