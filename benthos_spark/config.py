@@ -1481,6 +1481,28 @@ def run_config(
         path = mconf.get("json_file", {}).get("path") if isinstance(mconf, dict) else None
         if path:
             start_kwargs["metrics_path"] = path
+    if isinstance(mconf, dict) and ("statsd" in mconf or "influxdb" in mconf):
+        # push exporters (internal/impl/statsd/metrics_statsd.go,
+        # internal/impl/influxdb/metrics_influxdb.go)
+        from benthos_spark.streaming import exporters as E
+
+        push = []
+        if "statsd" in mconf:
+            sconf = mconf["statsd"] or {}
+            push.append(E.StatsdExporter(
+                address=sconf["address"],
+                prefix=sconf.get("prefix", "benthos"),
+                tag_format=sconf.get("tag_format", "none"),
+            ))
+        if "influxdb" in mconf:
+            iconf = mconf["influxdb"] or {}
+            push.append(E.InfluxDBExporter(
+                url=iconf["url"],
+                db=iconf["db"],
+                prefix=iconf.get("prefix", "benthos."),
+                tags=iconf.get("tags"),
+            ))
+        E.attach_push(spark, *push)
     # look through the tracing wrapper for the policy check (the traced
     # source delegates attributes but not isinstance)
     inner_source = getattr(pipe.source, "wrapped", pipe.source)
