@@ -278,6 +278,13 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "cassandra":
+        from benthos_spark.operators.cassandra import CassandraSource
+
+        return CassandraSource(
+            addresses=conf.get("addresses") or [conf.get("address", "")],
+            query=conf["query"],
+        )
     if name == "mongodb":
         from benthos_spark.operators.mongo import MongoSource
 
@@ -464,7 +471,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, azure_blob_storage, mongodb, "
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, azure_blob_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1125,6 +1132,16 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "cassandra":
+        from benthos_spark.operators.cassandra import CassandraSink
+
+        return CassandraSink(
+            addresses=conf.get("addresses") or [conf.get("address", "")],
+            query=conf["query"],
+            args_mapping=conf.get("args_mapping"),
+            col=conf.get("col", "value"),
+            max_retries=conf.get("max_retries", 3),
+        )
     if name == "mongodb":
         from benthos_spark.operators.mongo import MongoSink
 
@@ -1372,7 +1389,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, "
-        "azure_blob_storage, mongodb, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
+        "azure_blob_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
 
