@@ -116,6 +116,29 @@ def _cache_resource(item: dict):
             prefix=conf.get("prefix", ""),
             default_ttl_s=conf.get("default_ttl", 0),
         )
+    elif kind == "aws_dynamodb":
+        from benthos_spark.operators.awsio import DynamoDBCache
+
+        c = DynamoDBCache(
+            endpoint=conf["endpoint"],
+            table=conf["table"],
+            hash_key=conf.get("hash_key", "key"),
+            data_key=conf.get("data_key", "value"),
+            consistent_read=conf.get("consistent_read", True),
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"),
+        )
+    elif kind == "aws_s3":
+        from benthos_spark.operators.awsio import S3Cache
+
+        c = S3Cache(
+            endpoint=conf["endpoint"],
+            bucket=conf["bucket"],
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"),
+        )
     else:
         expanded = _try_template(
             "cache", kind, conf, lambda spec, _res: _cache_resource({"label": "t", **spec}), None
@@ -123,7 +146,7 @@ def _cache_resource(item: dict):
         if expanded is not None:
             return expanded
         raise ConfigError(
-            f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis, memcached"
+            f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis, memcached, aws_dynamodb, aws_s3"
         )
     for k, v in (conf.get("init_values") or {}).items():
         c.set(k, v)
@@ -253,6 +276,34 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             codec=conf.get("codec", "all-bytes"),
             polls=conf.get("polls", 1),
             timeout_s=conf.get("timeout_s", 10.0),
+        )
+    if name == "aws_sqs":
+        from benthos_spark.operators.awsio import SqsSource
+
+        return SqsSource(
+            endpoint=conf["endpoint"],
+            url=conf["url"],
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"),
+            wait_time_seconds=conf.get("wait_time_seconds", 0),
+            delete_message=conf.get("delete_message", True),
+            reset_visibility=conf.get("reset_visibility", True),
+            max_number_of_messages=conf.get("max_number_of_messages", 10),
+            spool_dir=conf.get("spool_dir", ""),
+            streaming=conf.get("streaming", False),
+        )
+    if name == "aws_kinesis":
+        from benthos_spark.operators.awsio import KinesisSource
+
+        return KinesisSource(
+            endpoint=conf["endpoint"],
+            stream=conf["stream"],
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"),
+            max_records_per_batch=conf.get("max_records_per_batch", 10000),
+            streaming=conf.get("streaming", False),
         )
     if name == "aws_s3":
         from benthos_spark.operators.s3 import S3Source
@@ -471,7 +522,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, azure_blob_storage, mongodb, cassandra, "
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, gcp_pubsub, azure_blob_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1017,6 +1068,32 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             avro_raw_json=conf.get("avro_raw_json", False),
             refresh_period=_duration_s(conf.get("refresh_period", "10m")),
         )
+    if name == "aws_lambda":
+        from benthos_spark.operators.awsio import LambdaProcessor
+
+        return LambdaProcessor(
+            endpoint=conf["endpoint"],
+            function=conf["function"],
+            col=conf.get("col", "value"),
+            result_col=conf.get("result_col"),
+            parallel=conf.get("parallel", False),
+            retries=conf.get("retries", 3),
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"),
+        )
+    if name == "aws_dynamodb_partiql":
+        from benthos_spark.operators.awsio import DynamoDBPartiQLProcessor
+
+        return DynamoDBPartiQLProcessor(
+            endpoint=conf["endpoint"],
+            query=conf["query"],
+            args_cols=conf.get("args_cols", []),
+            col=conf.get("col", "value"),
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"),
+        )
     expanded = _try_template("processor", name, conf, _proc, resources)
     if expanded is not None:
         return expanded
@@ -1030,7 +1107,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
         "subprocess, command, http, wasm, javascript, xml, sleep, sequence_match, funnel_match, absence_match, "
-        "schema_registry_encode, schema_registry_decode"
+        "schema_registry_encode, schema_registry_decode, aws_lambda, aws_dynamodb_partiql"
     )
 
 
@@ -1106,6 +1183,53 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             pk_cols=tuple(conf["pk"]),
             order_col=conf.get("order_col", "lsn"),
         )
+    if name == "aws_sqs":
+        from benthos_spark.operators.awsio import SqsSink
+
+        return SqsSink(
+            endpoint=conf["endpoint"], url=conf["url"],
+            col=conf.get("col", "value"),
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"))
+    if name == "aws_sns":
+        from benthos_spark.operators.awsio import SnsSink
+
+        return SnsSink(
+            endpoint=conf["endpoint"], topic_arn=conf["topic_arn"],
+            col=conf.get("col", "value"),
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"))
+    if name == "aws_kinesis":
+        from benthos_spark.operators.awsio import KinesisSink
+
+        return KinesisSink(
+            endpoint=conf["endpoint"], stream=conf["stream"],
+            col=conf.get("col", "value"),
+            partition_key_col=conf.get("partition_key_col"),
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"))
+    if name == "aws_kinesis_firehose":
+        from benthos_spark.operators.awsio import KinesisFirehoseSink
+
+        return KinesisFirehoseSink(
+            endpoint=conf["endpoint"], stream=conf["stream"],
+            col=conf.get("col", "value"),
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"))
+    if name == "aws_dynamodb":
+        from benthos_spark.operators.awsio import DynamoDBSink
+
+        return DynamoDBSink(
+            endpoint=conf["endpoint"], table=conf["table"],
+            string_columns=conf.get("string_columns"),
+            json_map_columns=conf.get("json_map_columns"),
+            access_key=conf.get("access_key", "test"),
+            secret_key=conf.get("secret_key", "test"),
+            region=conf.get("region", "us-east-1"))
     if name == "aws_s3":
         from benthos_spark.operators.s3 import S3Sink
 
@@ -1388,7 +1512,8 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
-        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, gcp_pubsub, "
+        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
+        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, gcp_pubsub, "
         "azure_blob_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
@@ -1498,12 +1623,25 @@ def run_config(
         path = mconf.get("json_file", {}).get("path") if isinstance(mconf, dict) else None
         if path:
             start_kwargs["metrics_path"] = path
-    if isinstance(mconf, dict) and ("statsd" in mconf or "influxdb" in mconf):
+    if isinstance(mconf, dict) and ("statsd" in mconf or "influxdb" in mconf
+                                    or "aws_cloudwatch" in mconf):
         # push exporters (internal/impl/statsd/metrics_statsd.go,
-        # internal/impl/influxdb/metrics_influxdb.go)
+        # internal/impl/influxdb/metrics_influxdb.go,
+        # internal/impl/aws/metrics_cloudwatch.go)
         from benthos_spark.streaming import exporters as E
 
         push = []
+        if "aws_cloudwatch" in mconf:
+            from benthos_spark.operators.awsio import CloudWatchExporter
+
+            cconf = mconf["aws_cloudwatch"] or {}
+            push.append(CloudWatchExporter(
+                endpoint=cconf["endpoint"],
+                namespace=cconf.get("namespace", "Benthos"),
+                access_key=cconf.get("access_key", "test"),
+                secret_key=cconf.get("secret_key", "test"),
+                region=cconf.get("region", "us-east-1"),
+            ))
         if "statsd" in mconf:
             sconf = mconf["statsd"] or {}
             push.append(E.StatsdExporter(

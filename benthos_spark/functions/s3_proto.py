@@ -63,10 +63,13 @@ def _canonical_query(query: str) -> str:
 def sign_request(method: str, url: str, headers: dict[str, str],
                  payload: bytes, access_key: str, secret_key: str,
                  region: str = "us-east-1",
-                 now: Optional[datetime.datetime] = None) -> dict[str, str]:
+                 now: Optional[datetime.datetime] = None,
+                 service: str = "s3") -> dict[str, str]:
     """Return headers + the SigV4 ``Authorization`` header for the
     request. Adds x-amz-date, x-amz-content-sha256 and host (S3 requires
-    the signed payload hash header)."""
+    the signed payload hash header). ``service`` parameterizes the
+    credential scope so the sqs/sns/kinesis/dynamodb/lambda/monitoring
+    clients (functions/aws_proto.py) share this one signer."""
     parsed = urllib.parse.urlparse(url)
     now = now or datetime.datetime.now(datetime.timezone.utc)
     amz_date = now.strftime("%Y%m%dT%H%M%SZ")
@@ -86,11 +89,11 @@ def sign_request(method: str, url: str, headers: dict[str, str],
     canonical = "\n".join([
         method.upper(), canonical_uri, _canonical_query(parsed.query),
         canonical_headers, ";".join(signed_names), payload_hash])
-    scope = f"{date}/{region}/s3/aws4_request"
+    scope = f"{date}/{region}/{service}/aws4_request"
     string_to_sign = "\n".join([
         "AWS4-HMAC-SHA256", amz_date, scope,
         hashlib.sha256(canonical.encode()).hexdigest()])
-    sig = hmac.new(signing_key(secret_key, date, region),
+    sig = hmac.new(signing_key(secret_key, date, region, service),
                    string_to_sign.encode(), hashlib.sha256).hexdigest()
     all_headers["Authorization"] = (
         f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
