@@ -329,6 +329,31 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "azure_queue_storage":
+        from benthos_spark.operators.azure_qt import AzureQueueSource
+
+        return AzureQueueSource(
+            endpoint=conf["endpoint"],
+            queue_name=conf["queue_name"],
+            account=conf.get("storage_account", "devstoreaccount1"),
+            key_b64=conf.get("storage_access_key", ""),
+            dequeue_visibility_timeout_s=conf.get("dequeue_visibility_timeout", 30),
+            track_properties=conf.get("track_properties", False),
+            spool_dir=conf.get("spool_dir", ""),
+            streaming=conf.get("streaming", False),
+        )
+    if name == "azure_table_storage":
+        from benthos_spark.operators.azure_qt import AzureTableSource
+
+        return AzureTableSource(
+            endpoint=conf["endpoint"],
+            table_name=conf["table_name"],
+            filter=conf.get("filter"),
+            select=conf.get("select"),
+            page_size=conf.get("page_size"),
+            account=conf.get("storage_account", "devstoreaccount1"),
+            key_b64=conf.get("storage_access_key", ""),
+        )
     if name == "cassandra":
         from benthos_spark.operators.cassandra import CassandraSource
 
@@ -522,7 +547,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, gcp_pubsub, azure_blob_storage, mongodb, cassandra, "
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, gcp_pubsub, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1256,6 +1281,30 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "azure_queue_storage":
+        from benthos_spark.operators.azure_qt import AzureQueueSink
+
+        return AzureQueueSink(
+            endpoint=conf["endpoint"],
+            queue_name=conf["queue_name"],
+            col=conf.get("col", "value"),
+            account=conf.get("storage_account", "devstoreaccount1"),
+            key_b64=conf.get("storage_access_key", ""),
+        )
+    if name == "azure_table_storage":
+        from benthos_spark.operators.azure_qt import AzureTableSink
+
+        return AzureTableSink(
+            endpoint=conf["endpoint"],
+            table_name=conf["table_name"],
+            partition_key_col=conf["partition_key_col"],
+            row_key_col=conf["row_key_col"],
+            properties=conf.get("properties"),
+            json_col=conf.get("json_col"),
+            insert_type=conf.get("insert_type", "INSERT"),
+            account=conf.get("storage_account", "devstoreaccount1"),
+            key_b64=conf.get("storage_access_key", ""),
+        )
     if name == "cassandra":
         from benthos_spark.operators.cassandra import CassandraSink
 
@@ -1514,7 +1563,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
         "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, gcp_pubsub, "
-        "azure_blob_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
+        "azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
 
