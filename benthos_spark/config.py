@@ -139,6 +139,14 @@ def _cache_resource(item: dict):
             secret_key=conf.get("secret_key", "test"),
             region=conf.get("region", "us-east-1"),
         )
+    elif kind == "gcp_cloud_storage":
+        from benthos_spark.operators.gcp_storage import GcsCache
+
+        c = GcsCache(
+            endpoint=conf["endpoint"],
+            bucket=conf["bucket"],
+            token=conf.get("token"),
+        )
     else:
         expanded = _try_template(
             "cache", kind, conf, lambda spec, _res: _cache_resource({"label": "t", **spec}), None
@@ -146,7 +154,7 @@ def _cache_resource(item: dict):
         if expanded is not None:
             return expanded
         raise ConfigError(
-            f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis, memcached, aws_dynamodb, aws_s3"
+            f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis, memcached, aws_dynamodb, aws_s3, gcp_cloud_storage"
         )
     for k, v in (conf.get("init_values") or {}).items():
         c.set(k, v)
@@ -328,6 +336,30 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             codec=conf.get("codec", "all-bytes"),
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
+        )
+    if name == "gcp_cloud_storage":
+        from benthos_spark.operators.gcp_storage import GcsSource
+
+        return GcsSource(
+            endpoint=conf["endpoint"],
+            bucket=conf["bucket"],
+            prefix=conf.get("prefix", ""),
+            codec=conf.get("codec", "all-bytes"),
+            delete_objects=conf.get("delete_objects", False),
+            token=conf.get("token"),
+        )
+    if name == "gcp_bigquery_select":
+        from benthos_spark.operators.gcp_storage import BigQuerySelectSource
+
+        return BigQuerySelectSource(
+            endpoint=conf["endpoint"],
+            project=conf["project"],
+            table=conf["table"],
+            columns=conf.get("columns", ["*"]),
+            where=conf.get("where"),
+            args=conf.get("args", []),
+            suffix=conf.get("suffix"),
+            token=conf.get("token"),
         )
     if name == "azure_queue_storage":
         from benthos_spark.operators.azure_qt import AzureQueueSource
@@ -547,7 +579,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, gcp_pubsub, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1107,6 +1139,19 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             secret_key=conf.get("secret_key", "test"),
             region=conf.get("region", "us-east-1"),
         )
+    if name == "gcp_bigquery_select":
+        from benthos_spark.operators.gcp_storage import BigQuerySelectProcessor
+
+        return BigQuerySelectProcessor(
+            endpoint=conf["endpoint"],
+            project=conf["project"],
+            table=conf["table"],
+            columns=conf.get("columns", ["*"]),
+            where=conf.get("where"),
+            args_cols=conf.get("args_cols", []),
+            col=conf.get("col", "value"),
+            token=conf.get("token"),
+        )
     if name == "aws_dynamodb_partiql":
         from benthos_spark.operators.awsio import DynamoDBPartiQLProcessor
 
@@ -1132,7 +1177,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
         "subprocess, command, http, wasm, javascript, xml, sleep, sequence_match, funnel_match, absence_match, "
-        "schema_registry_encode, schema_registry_decode, aws_lambda, aws_dynamodb_partiql"
+        "schema_registry_encode, schema_registry_decode, aws_lambda, aws_dynamodb_partiql, gcp_bigquery_select"
     )
 
 
@@ -1280,6 +1325,30 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             path_prefix=conf.get("path", "out/"),
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
+        )
+    if name == "gcp_cloud_storage":
+        from benthos_spark.operators.gcp_storage import GcsSink
+
+        return GcsSink(
+            endpoint=conf["endpoint"],
+            bucket=conf["bucket"],
+            col=conf.get("col", "value"),
+            path_col=conf.get("path_col"),
+            path_prefix=conf.get("path", "out/"),
+            collision_mode=conf.get("collision_mode", "overwrite"),
+            token=conf.get("token"),
+        )
+    if name == "gcp_bigquery":
+        from benthos_spark.operators.gcp_storage import BigQuerySink
+
+        return BigQuerySink(
+            endpoint=conf["endpoint"],
+            project=conf["project"],
+            dataset=conf["dataset"],
+            table=conf["table"],
+            json_col=conf.get("col", "value"),
+            batch_rows=conf.get("batch_rows", 500),
+            token=conf.get("token"),
         )
     if name == "azure_queue_storage":
         from benthos_spark.operators.azure_qt import AzureQueueSink
@@ -1562,7 +1631,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
-        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, gcp_pubsub, "
+        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
         "azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
