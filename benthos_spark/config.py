@@ -337,6 +337,28 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "zmq4":
+        from benthos_spark.operators.zmqio import ZmqSource
+
+        return ZmqSource(
+            urls=conf["urls"],
+            socket_type=conf.get("socket_type", "PULL"),
+            bind=conf.get("bind", True),
+            sub_filters=conf.get("sub_filters", [""]),
+            spool_dir=conf["spool_dir"],
+            streaming=conf.get("streaming", False),
+        )
+    if name == "nanomsg":
+        from benthos_spark.operators.zmqio import NanomsgSource
+
+        return NanomsgSource(
+            urls=conf["urls"],
+            socket_type=conf.get("socket_type", "PULL"),
+            bind=conf.get("bind", True),
+            sub_filters=conf.get("sub_filters", [""]),
+            spool_dir=conf["spool_dir"],
+            streaming=conf.get("streaming", False),
+        )
     if name == "gcp_cloud_storage":
         from benthos_spark.operators.gcp_storage import GcsSource
 
@@ -579,7 +601,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1326,6 +1348,24 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "zmq4":
+        from benthos_spark.operators.zmqio import ZmqSink
+
+        return ZmqSink(
+            urls=conf["urls"],
+            socket_type=conf.get("socket_type", "PUSH"),
+            bind=conf.get("bind", False),
+            col=conf.get("col", "value"),
+        )
+    if name == "nanomsg":
+        from benthos_spark.operators.zmqio import NanomsgSink
+
+        return NanomsgSink(
+            urls=conf["urls"],
+            socket_type=conf.get("socket_type", "PUSH"),
+            bind=conf.get("bind", False),
+            col=conf.get("col", "value"),
+        )
     if name == "gcp_cloud_storage":
         from benthos_spark.operators.gcp_storage import GcsSink
 
@@ -1631,7 +1671,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
-        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
+        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
         "azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
