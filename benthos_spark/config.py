@@ -337,6 +337,19 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "pulsar":
+        from benthos_spark.operators.pulsario import PulsarSource
+
+        return PulsarSource(
+            url=conf["url"],
+            topic=(conf.get("topics") or [conf.get("topic", "")])[0],
+            subscription_name=conf["subscription_name"],
+            subscription_type=conf.get("subscription_type", "shared"),
+            subscription_initial_position=conf.get(
+                "subscription_initial_position", "earliest"),
+            spool_dir=conf.get("spool_dir", ""),
+            streaming=conf.get("streaming", False),
+        )
     if name == "zmq4":
         from benthos_spark.operators.zmqio import ZmqSource
 
@@ -601,7 +614,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1348,6 +1361,15 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "pulsar":
+        from benthos_spark.operators.pulsario import PulsarSink
+
+        return PulsarSink(
+            url=conf["url"],
+            topic=conf["topic"],
+            col=conf.get("col", "value"),
+            key_col=conf.get("key_col"),
+        )
     if name == "zmq4":
         from benthos_spark.operators.zmqio import ZmqSink
 
@@ -1671,7 +1693,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
-        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
+        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, pulsar, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
         "azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 

@@ -157,7 +157,7 @@ def parse_proto(src: str, fs: Optional[FileSet] = None, import_loader=None) -> F
             if t == "repeated":
                 repeated = True
                 idx += 1
-            elif t == "optional":
+            elif t in ("optional", "required"):  # proto2 labels
                 idx += 1
             idx = parse_field(msg, fqn, idx, repeated)
         return idx + 1

@@ -102,7 +102,7 @@ def test_unknown_component_lint():
              "output": {"drop": {}}}
         )
     with pytest.raises(ConfigError, match="unknown input"):
-        compile_config({"input": {"pulsar": {}}, "output": {"drop": {}}})
+        compile_config({"input": {"solace": {}}, "output": {"drop": {}}})
     # kafka exists since round 5 — an empty block now fails its own
     # required-field lint rather than the unknown-component one
     with pytest.raises(ConfigError, match="kafka input needs"):
@@ -395,7 +395,7 @@ def test_cli_lint_and_echo(tmp_path, capsys):
     good = tmp_path / "good.yaml"
     good.write_text("input: {generate: {count: 1}}\noutput: {drop: {}}\n")
     bad = tmp_path / "bad.yaml"
-    bad.write_text("input: {pulsar: {}}\noutput: {drop: {}}\n")
+    bad.write_text("input: {solace: {}}\noutput: {drop: {}}\n")
     assert run_lint([str(good)]) == 0
     assert run_lint([str(bad)]) == 1
     assert run_echo(str(good)) == 0
