@@ -147,6 +147,16 @@ def _cache_resource(item: dict):
             bucket=conf["bucket"],
             token=conf.get("token"),
         )
+    elif kind == "couchbase":
+        from benthos_spark.operators.couchbase import CouchbaseCache
+
+        c = CouchbaseCache(
+            url=conf["url"],
+            bucket=conf.get("bucket", "default"),
+            username=conf.get("username", ""),
+            password=conf.get("password", ""),
+            default_ttl_s=conf.get("default_ttl", 0),
+        )
     else:
         expanded = _try_template(
             "cache", kind, conf, lambda spec, _res: _cache_resource({"label": "t", **spec}), None
@@ -154,7 +164,7 @@ def _cache_resource(item: dict):
         if expanded is not None:
             return expanded
         raise ConfigError(
-            f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis, memcached, aws_dynamodb, aws_s3, gcp_cloud_storage"
+            f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis, memcached, aws_dynamodb, aws_s3, gcp_cloud_storage, couchbase"
         )
     for k, v in (conf.get("init_values") or {}).items():
         c.set(k, v)
@@ -1174,6 +1184,19 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             secret_key=conf.get("secret_key", "test"),
             region=conf.get("region", "us-east-1"),
         )
+    if name == "couchbase":
+        from benthos_spark.operators.couchbase import CouchbaseProcessor
+
+        return CouchbaseProcessor(
+            url=conf["url"],
+            bucket=conf.get("bucket", "default"),
+            username=conf.get("username", ""),
+            password=conf.get("password", ""),
+            operation=conf.get("operation", "get"),
+            id_col=conf.get("id_col", "key"),
+            content_col=conf.get("content_col"),
+            col=conf.get("col", "value"),
+        )
     if name == "gcp_bigquery_select":
         from benthos_spark.operators.gcp_storage import BigQuerySelectProcessor
 
@@ -1212,7 +1235,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
         "subprocess, command, http, wasm, javascript, xml, sleep, sequence_match, funnel_match, absence_match, "
-        "schema_registry_encode, schema_registry_decode, aws_lambda, aws_dynamodb_partiql, gcp_bigquery_select"
+        "schema_registry_encode, schema_registry_decode, aws_lambda, aws_dynamodb_partiql, gcp_bigquery_select, couchbase"
     )
 
 

@@ -10,7 +10,7 @@ def test_list_registry_complete_and_live():
     reg = component_registry()
     assert len(reg["inputs"]) >= 15
     assert len(reg["outputs"]) >= 15
-    assert reg["caches"] == ["aws_dynamodb", "aws_s3", "file",
+    assert reg["caches"] == ["aws_dynamodb", "aws_s3", "couchbase", "file",
                              "gcp_cloud_storage", "lru",
                              "memcached", "memory", "redis", "ttlru"]
     for name in reg["processors"]:
