@@ -147,6 +147,15 @@ def _cache_resource(item: dict):
             bucket=conf["bucket"],
             token=conf.get("token"),
         )
+    elif kind == "ristretto":
+        from benthos_spark.operators.ristretto import RistrettoCache
+
+        c = RistrettoCache(
+            max_cost=conf.get("max_cost", 1 << 20),
+            default_ttl_s=conf.get("default_ttl"),
+            get_retries=conf.get("get_retries", 0),
+            retry_period_s=conf.get("retry_period", 0.05),
+        )
     elif kind == "couchbase":
         from benthos_spark.operators.couchbase import CouchbaseCache
 
@@ -164,7 +173,7 @@ def _cache_resource(item: dict):
         if expanded is not None:
             return expanded
         raise ConfigError(
-            f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis, memcached, aws_dynamodb, aws_s3, gcp_cloud_storage, couchbase"
+            f"unknown cache resource {kind!r}; known: memory, lru, ttlru, file, redis, memcached, aws_dynamodb, aws_s3, gcp_cloud_storage, couchbase, ristretto"
         )
     for k, v in (conf.get("init_values") or {}).items():
         c.set(k, v)
@@ -346,6 +355,17 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             codec=conf.get("codec", "all-bytes"),
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
+        )
+    if name == "discord":
+        from benthos_spark.operators.notify import DiscordSource
+
+        return DiscordSource(
+            endpoint=conf["endpoint"],
+            channel_id=conf["channel_id"],
+            bot_token=conf["bot_token"],
+            poll_period_s=conf.get("poll_period", 0.2),
+            spool_dir=conf.get("spool_dir", ""),
+            streaming=conf.get("streaming", False),
         )
     if name == "pulsar":
         from benthos_spark.operators.pulsario import PulsarSource
@@ -624,7 +644,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, discord, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1184,6 +1204,18 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
             secret_key=conf.get("secret_key", "test"),
             region=conf.get("region", "us-east-1"),
         )
+    if name == "sentry_capture":
+        from benthos_spark.operators.notify import SentryCaptureProcessor
+
+        return SentryCaptureProcessor(
+            dsn=conf["dsn"],
+            message_col=conf.get("message_col", "value"),
+            level=conf.get("level", "INFO").lower(),
+            environment=conf.get("environment", ""),
+            release=conf.get("release", ""),
+            sampling_rate=conf.get("sampling_rate", 1.0),
+            tags_cols=conf.get("tags_cols"),
+        )
     if name == "couchbase":
         from benthos_spark.operators.couchbase import CouchbaseProcessor
 
@@ -1235,7 +1267,7 @@ def _proc(spec: dict | str, resources: Resources | None = None) -> P.Processor:
         "speed_perturb, tempo_perturb, gain_perturb, noise_mix, reverb, fbank_augment, "
         "augment, speaking_rate, cmvn, "
         "subprocess, command, http, wasm, javascript, xml, sleep, sequence_match, funnel_match, absence_match, "
-        "schema_registry_encode, schema_registry_decode, aws_lambda, aws_dynamodb_partiql, gcp_bigquery_select, couchbase"
+        "schema_registry_encode, schema_registry_decode, aws_lambda, aws_dynamodb_partiql, gcp_bigquery_select, couchbase, sentry_capture"
     )
 
 
@@ -1383,6 +1415,28 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             path_prefix=conf.get("path", "out/"),
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
+        )
+    if name == "discord":
+        from benthos_spark.operators.notify import DiscordSink
+
+        return DiscordSink(
+            endpoint=conf["endpoint"],
+            channel_id=conf["channel_id"],
+            bot_token=conf["bot_token"],
+            col=conf.get("col", "value"),
+        )
+    if name == "pusher":
+        from benthos_spark.operators.notify import PusherSink
+
+        return PusherSink(
+            endpoint=conf["endpoint"],
+            app_id=conf["appId"] if "appId" in conf else conf["app_id"],
+            key=conf["key"],
+            secret=conf["secret"],
+            event=conf["event"],
+            channel=conf.get("channel", ""),
+            channel_col=conf.get("channel_col"),
+            col=conf.get("col", "value"),
         )
     if name == "pulsar":
         from benthos_spark.operators.pulsario import PulsarSink
@@ -1716,7 +1770,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
-        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, pulsar, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
+        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, pulsar, discord, pusher, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
         "azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 

@@ -10,9 +10,10 @@ def test_list_registry_complete_and_live():
     reg = component_registry()
     assert len(reg["inputs"]) >= 15
     assert len(reg["outputs"]) >= 15
-    assert reg["caches"] == ["aws_dynamodb", "aws_s3", "couchbase", "file",
-                             "gcp_cloud_storage", "lru",
-                             "memcached", "memory", "redis", "ttlru"]
+    assert reg["caches"] == sorted(reg["caches"])
+    assert {"memory", "lru", "ttlru", "file", "redis", "memcached",
+            "aws_dynamodb", "aws_s3", "gcp_cloud_storage", "couchbase",
+            "ristretto"} <= set(reg["caches"])
     for name in reg["processors"]:
         try:
             _proc({name: {}}, None)
