@@ -212,7 +212,35 @@ def _try_template(ttype: str, name: str, conf, dispatch, resources):
         _TPL_DEPTH -= 1
 
 
+class _ProcessedSource(S.Source):
+    """Input-level `processors` (the reference's input.WithPipeline —
+    a processor chain attached to the input node itself): run the chain
+    on every DataFrame the source produces, before the pipeline's own
+    processors."""
+
+    def __init__(self, inner: S.Source, processors: list):
+        self.inner = inner
+        self.processors = processors
+
+    @property
+    def streaming(self) -> bool:  # delegate, the inner source decides
+        return self.inner.streaming
+
+    def __getattr__(self, item):
+        return getattr(self.inner, item)
+
+    def read(self, spark):
+        from benthos_spark.operators.processors import compose
+
+        return compose(self.inner.read(spark), self.processors)
+
+
 def _input(spec: dict, resources: Resources | None = None) -> S.Source:
+    if "processors" in spec and len(spec) > 1:
+        spec = dict(spec)
+        procs = [_proc(p, resources) for p in spec.pop("processors") or []]
+        src = _input(spec, resources)
+        return _ProcessedSource(src, procs) if procs else src
     (name, conf), = spec.items()
     conf = conf or {}
     if name == "resource":
@@ -355,6 +383,25 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             codec=conf.get("codec", "all-bytes"),
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
+        )
+    if name == "twitter_search":
+        from benthos_spark.operators.twitter import TwitterSearchSource
+
+        label = conf["cache"]
+        if resources is None or label not in resources.caches:
+            raise ConfigError(f"unknown cache resource {label!r}")
+        return TwitterSearchSource(
+            api_url=conf.get("api_url", "https://api.twitter.com"),
+            query=conf["query"],
+            tweet_fields=conf.get("tweet_fields", []),
+            backfill_period_s=_duration_s(conf.get("backfill_period", "5m")),
+            cache=resources.caches[label],
+            cache_key=conf.get("cache_key", "last_tweet_id"),
+            api_key=conf["api_key"],
+            api_secret=conf["api_secret"],
+            poll_period_s=_duration_s(conf.get("poll_period", "1m")),
+            spool_dir=conf.get("spool_dir", ""),
+            streaming=conf.get("streaming", False),
         )
     if name == "discord":
         from benthos_spark.operators.notify import DiscordSource
@@ -644,7 +691,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, discord, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, discord, twitter_search, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
