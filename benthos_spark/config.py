@@ -384,6 +384,14 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "hdfs":
+        from benthos_spark.operators.hdfs import HdfsSource
+
+        return HdfsSource(
+            hosts=conf["hosts"],
+            user=conf.get("user", "hadoop"),
+            directory=conf["directory"],
+        )
     if name == "twitter_search":
         from benthos_spark.operators.twitter import TwitterSearchSource
 
@@ -691,7 +699,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, discord, twitter_search, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
+        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, discord, twitter_search, hdfs, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1463,6 +1471,16 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "hdfs":
+        from benthos_spark.operators.hdfs import HdfsSink
+
+        return HdfsSink(
+            hosts=conf["hosts"],
+            directory=conf["directory"],
+            col=conf.get("col", "value"),
+            path_col=conf.get("path_col"),
+            user=conf.get("user", "hadoop"),
+        )
     if name == "discord":
         from benthos_spark.operators.notify import DiscordSink
 
@@ -1817,7 +1835,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
-        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, pulsar, discord, pusher, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
+        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, pulsar, discord, pusher, hdfs, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
         "azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
