@@ -1471,6 +1471,22 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "snowflake_put":
+        from benthos_spark.operators.snowflake import SnowflakePutSink
+
+        return SnowflakePutSink(
+            endpoint=conf["endpoint"],
+            account=conf["account"],
+            user=conf["user"],
+            private_key_pem=conf.get("private_key"),
+            private_key=conf.get("private_key_obj"),
+            stage=conf.get("stage", "@%BENTHOS_TBL"),
+            path=conf.get("path", "out"),
+            snowpipe=conf.get("snowpipe"),
+            compression=conf.get("compression", "AUTO"),
+            batch_rows=conf.get("batch_rows", 1000),
+            col=conf.get("col", "value"),
+        )
     if name == "hdfs":
         from benthos_spark.operators.hdfs import HdfsSink
 
@@ -1835,7 +1851,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
-        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, pulsar, discord, pusher, hdfs, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
+        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, pulsar, discord, pusher, hdfs, snowflake_put, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
         "azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
