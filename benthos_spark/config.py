@@ -1927,11 +1927,25 @@ def _tracer(spec: dict):
         if not conf.get("path"):
             raise ConfigError("tracer file_collector needs `path`")
         return T.FileCollector(conf["path"])
-    if name in ("jaeger", "open_telemetry_collector", "gcp_cloudtrace"):
+    if name in ("jaeger", "open_telemetry_collector"):
+        # jaeger >=1.35 ingests OTLP natively (its published surface);
+        # one OTLP/HTTP exporter serves both tracer names
+        from benthos_spark.functions.otlp import OtlpHttpExporter
+
+        endpoint = (conf.get("http", {}).get("address")
+                    or conf.get("collector_url") or conf.get("endpoint"))
+        if not endpoint:
+            raise ConfigError(f"tracer {name!r} needs an endpoint "
+                              "(http.address / collector_url / endpoint)")
+        return OtlpHttpExporter(
+            endpoint=endpoint,
+            service_name=conf.get("service_name", "benthos"),
+        )
+    if name == "gcp_cloudtrace":
         raise ConfigError(
-            f"tracer {name!r} needs an external collector endpoint, which this "
-            "environment cannot reach; use `file_collector: {path: ...}` — the "
-            "same span records as executor-local JSONL spool files"
+            "tracer 'gcp_cloudtrace' needs Google-managed OAuth this "
+            "environment cannot mint; use `open_telemetry_collector` (OTLP) "
+            "or `file_collector: {path: ...}`"
         )
     raise ConfigError(f"unknown tracer {name!r}")
 

@@ -242,9 +242,15 @@ def test_tracer_config_dispatch(tmp_path):
     assert isinstance(_tracer({"none": {}}), NoneTracer)
     fc = _tracer({"file_collector": {"path": str(tmp_path / "sp")}})
     assert isinstance(fc, FileCollector)
-    for name in ("jaeger", "open_telemetry_collector", "gcp_cloudtrace"):
-        with pytest.raises(ConfigError, match="file_collector"):
-            _tracer({name: {"collector_url": "http://localhost:4318"}})
+    from benthos_spark.functions.otlp import OtlpHttpExporter
+
+    for name in ("jaeger", "open_telemetry_collector"):
+        t = _tracer({name: {"collector_url": "http://localhost:4318"}})
+        assert isinstance(t, OtlpHttpExporter)
+        with pytest.raises(ConfigError, match="endpoint"):
+            _tracer({name: {}})
+    with pytest.raises(ConfigError, match="file_collector"):
+        _tracer({"gcp_cloudtrace": {}})
     with pytest.raises(ConfigError, match="unknown tracer"):
         _tracer({"zipkin": {}})
     with pytest.raises(ConfigError, match="path"):
@@ -260,7 +266,7 @@ input:
 output:
   drop: {}
 tracer:
-  jaeger: {collector_url: "http://localhost:14268"}
+  gcp_cloudtrace: {}
 """
     with pytest.raises(ConfigError, match="file_collector"):
         compile_config(conf)
