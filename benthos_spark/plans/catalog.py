@@ -4353,6 +4353,71 @@ def kafka_roundtrip_orders(spark, sf_dir):
         broker.stop()
 
 
+@register(
+    "kinesis_roundtrip_orders",
+    """
+    SELECT CAST(o_orderkey % 10 AS BIGINT) AS grp,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_orderkey % 17 = 0
+    GROUP BY 1
+    ORDER BY grp
+    """,
+)
+def kinesis_roundtrip_orders(spark, sf_dir):
+    """`aws_kinesis` output → input round trip under the hash gate,
+    through the from-scratch SigV4 + Kinesis JSON protocol
+    (operators/awsio.py, functions/aws_proto.py — the reference's
+    aws-sdk connectors, internal/impl/aws/input_kinesis.go /
+    output_kinesis.go). Orders sampled by key modulo become JSON
+    records with pre-computed integer cents (the IEEE-stable money
+    idiom), partition-keyed by ``okey`` so the published
+    md5-of-partition-key routing spreads them across 4 shards. The
+    sink PutRecords in <=500 batches per Spark partition; the batch
+    source plans ONE SPARK PARTITION PER SHARD and drains
+    TRIM_HORIZON→tip on executors — the scale shape for a real stream.
+    The hash passes only if SigV4 signing (server-verified by
+    recomputation), shard routing, sequence ordering and the
+    data/base64 envelope all hold. Roundtrip is identity, so the
+    DuckDB oracle computes straight from parquet."""
+    from benthos_spark.functions.aws_proto import MiniAwsServer
+    from benthos_spark.operators.awsio import (KinesisClient, KinesisSink,
+                                               KinesisSource)
+
+    server = MiniAwsServer().start()
+    try:
+        KinesisClient(server.endpoint, "test", "test").create_stream("orders", 4)
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+        msgs = o.select(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                    .cast("long").alias("cents"),
+                )
+            ).alias("value"),
+            F.col("o_orderkey").cast("string").alias("pk"),
+        )
+        KinesisSink(server.endpoint, "orders", partition_key_col="pk")(msgs, 0)
+        back = KinesisSource(endpoint=server.endpoint, stream="orders",
+                             streaming=False).read(spark)
+        parsed = back.select(
+            F.get_json_object(F.col("value").cast("string"), "$.okey")
+            .cast("long").alias("okey"),
+            F.get_json_object(F.col("value").cast("string"), "$.cents")
+            .cast("long").alias("cents"),
+        )
+        agg = (
+            parsed.groupBy((F.col("okey") % 10).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        )
+        return agg.localCheckpoint(eager=True).orderBy("grp")
+    finally:
+        server.stop()
+
+
 # =====================================================================
 # Driver-gate ordering. The correctness driver checks the FIRST ~50
 # entries of the dict returned by ``__spark_entry__.queries()`` — dict
