@@ -384,6 +384,16 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "amqp_1":
+        from benthos_spark.operators.amqp1 import Amqp1Source
+
+        return Amqp1Source(
+            url=conf["url"],
+            source_address=conf["source_address"],
+            credit=conf.get("credit", 200),
+            spool_dir=conf.get("spool_dir", ""),
+            streaming=conf.get("streaming", False),
+        )
     if name == "hdfs":
         from benthos_spark.operators.hdfs import HdfsSource
 
@@ -699,7 +709,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, discord, twitter_search, hdfs, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
+        "kafka, nats, mqtt, amqp_0_9, amqp_1, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, discord, twitter_search, hdfs, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1471,6 +1481,14 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "amqp_1":
+        from benthos_spark.operators.amqp1 import Amqp1Sink
+
+        return Amqp1Sink(
+            url=conf["url"],
+            target_address=conf["target_address"],
+            col=conf.get("col", "value"),
+        )
     if name == "snowflake_put":
         from benthos_spark.operators.snowflake import SnowflakePutSink
 
@@ -1850,7 +1868,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
     raise ConfigError(
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
-        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
+        "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, amqp_1, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
         "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, pulsar, discord, pusher, hdfs, snowflake_put, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
         "azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
