@@ -384,6 +384,18 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "sftp":
+        from benthos_spark.operators.sftpio import SftpSource
+
+        creds = conf.get("credentials") or {}
+        return SftpSource(
+            address=conf["address"],
+            username=creds.get("username", conf.get("username", "")),
+            password=creds.get("password", conf.get("password", "")),
+            paths=conf["paths"],
+            codec=conf.get("codec", "all-bytes"),
+            delete_on_finish=conf.get("delete_on_finish", False),
+        )
     if name == "amqp_1":
         from benthos_spark.operators.amqp1 import Amqp1Source
 
@@ -709,7 +721,7 @@ def _input(spec: dict, resources: Resources | None = None) -> S.Source:
     raise ConfigError(
         f"unknown input {name!r}; known: parquet, csv, file, generate, batched, changelog, iceberg, "
         "dynamic, sql_select, sql_raw, subprocess, stdin, socket, socket_server, http_server, http_client, websocket, "
-        "kafka, nats, mqtt, amqp_0_9, amqp_1, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, discord, twitter_search, hdfs, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
+        "kafka, nats, mqtt, amqp_0_9, amqp_1, nsq, beanstalkd, aws_s3, aws_sqs, aws_kinesis, pulsar, discord, twitter_search, hdfs, sftp, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery_select, azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, "
         "redis_list, redis_pubsub, redis_streams, resource"
     )
 
@@ -1481,6 +1493,18 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
             account=conf.get("storage_account", "devstoreaccount1"),
             key_b64=conf.get("storage_access_key", ""),
         )
+    if name == "sftp":
+        from benthos_spark.operators.sftpio import SftpSink
+
+        creds = conf.get("credentials") or {}
+        return SftpSink(
+            address=conf["address"],
+            username=creds.get("username", conf.get("username", "")),
+            password=creds.get("password", conf.get("password", "")),
+            directory=conf["directory"] if "directory" in conf else conf["path"],
+            col=conf.get("col", "value"),
+            path_col=conf.get("path_col"),
+        )
     if name == "amqp_1":
         from benthos_spark.operators.amqp1 import Amqp1Sink
 
@@ -1869,7 +1893,7 @@ def _output(spec: dict, resources: Resources | None = None) -> Callable:
         f"unknown output {name!r}; known: exactly_once, iceberg, iceberg_merge_apply, merge_apply, dynamic, drop, fan_out, switch, "
         "fallback, round_robin, dlq_split, retry, reject, inproc, sql_insert, cache, subprocess, stdout, file, socket, http_client, "
         "websocket, sync_response, http_server, kafka, nats, mqtt, amqp_0_9, amqp_1, nsq, beanstalkd, aws_s3, aws_sqs, aws_sns, "
-        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, pulsar, discord, pusher, hdfs, snowflake_put, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
+        "aws_kinesis, aws_kinesis_firehose, aws_dynamodb, pulsar, discord, pusher, hdfs, sftp, snowflake_put, zmq4, nanomsg, gcp_pubsub, gcp_cloud_storage, gcp_bigquery, "
         "azure_blob_storage, azure_queue_storage, azure_table_storage, mongodb, cassandra, elasticsearch, redis_list, redis_pubsub, redis_streams, redis_hash, resource"
     )
 
