@@ -82,6 +82,9 @@ BATCH_QUERIES = [
     # the sampled orders through the loopback broker (lifecycle kind:
     # measures the connector data plane, not a query plan)
     "kafka_roundtrip_orders",
+    # final session: the kinesis wire roundtrip — PutRecords + per-shard
+    # drain through the SigV4 loopback (lifecycle kind, like kafka's)
+    "kinesis_roundtrip_orders",
 ]
 
 # Entry classification for cross-round diffing (BENCH_r{N}.json `kinds`):
@@ -98,6 +101,7 @@ _LIFECYCLE = {
     "cdc_merge_apply_orders",         # synthesizes changelog + COW MERGE
     "sql_select_enrich_customers",    # boots an embedded Derby database
     "kafka_roundtrip_orders",         # boots a broker, produce + fetch
+    "kinesis_roundtrip_orders",       # boots the AWS mini server
 }
 _STREAM = {"flagship_streaming_e2e", "flagship_iceberg_e2e"}
 _DSP = {"augment_chain_batch", "diarize_batch"}
