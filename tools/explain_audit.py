@@ -92,6 +92,9 @@ AUDITED = [
     # single keyed agg; the localCheckpoint boundary appears as an
     # ExistingRDD root (the broker is stopped before return by design)
     "kafka_roundtrip_orders",
+    # final session: same shape through the Kinesis SigV4 path — one
+    # data-source scan (one Spark partition per shard) into one keyed agg
+    "kinesis_roundtrip_orders",
     # iceberg_*/cdc_* gate entries materialize state and return collected
     # rows (their returned frame is a LocalTableScan); their plan story
     # is told by test_partition_pruning_reaches_scan + the scan audit
