@@ -4418,6 +4418,129 @@ def kinesis_roundtrip_orders(spark, sf_dir):
         server.stop()
 
 
+@register(
+    "pulsar_roundtrip_orders",
+    """
+    SELECT CAST(o_orderkey % 10 AS BIGINT) AS grp,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_orderkey % 23 = 0
+    GROUP BY 1
+    ORDER BY grp
+    """,
+)
+def pulsar_roundtrip_orders(spark, sf_dir):
+    """`pulsar` output → input round trip under the hash gate, through
+    the from-scratch binary protocol (operators/pulsario.py,
+    functions/pulsar_proto.py — the reference's Go-client connectors,
+    internal/impl/pulsar/input.go / output.go). Orders become JSON
+    messages with pre-computed integer cents; the sink runs one
+    PRODUCER link per Spark partition with receipt-awaited SENDs
+    (protobuf commands + 0x0E01/CRC32C payload framing), and the input
+    drains a shared subscription with SUBSCRIBE/FLOW, ACKING each
+    message — so the hash passes only if the command encode/decode,
+    payload CRC, metadata envelope and the broker's
+    cursor-and-unacked-set semantics all hold end-to-end. The
+    subscription consumer is the reference's own shape (a queue
+    consumer, not an offset reader); roundtrip is identity, so the
+    DuckDB oracle computes straight from parquet."""
+    from benthos_spark.functions.pulsar_proto import MiniPulsarBroker
+    from benthos_spark.operators.pulsario import PulsarSink, PulsarSource
+
+    broker = MiniPulsarBroker().start()
+    try:
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0)
+        msgs = o.select(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                    .cast("long").alias("cents"),
+                )
+            ).alias("value"),
+        )
+        PulsarSink(broker.url, "orders")(msgs, 0)
+        back = PulsarSource(url=broker.url, topic="orders",
+                            subscription_name="gate").read(spark)
+        parsed = back.select(
+            F.get_json_object("value", "$.okey").cast("long").alias("okey"),
+            F.get_json_object("value", "$.cents").cast("long").alias("cents"),
+        )
+        agg = (
+            parsed.groupBy((F.col("okey") % 10).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        )
+        return agg.localCheckpoint(eager=True).orderBy("grp")
+    finally:
+        broker.stop()
+
+
+@register(
+    "sftp_roundtrip_orders",
+    """
+    SELECT CAST(o_orderkey % 10 AS BIGINT) AS grp,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_orderkey % 89 = 0
+    GROUP BY 1
+    ORDER BY grp
+    """,
+)
+def sftp_roundtrip_orders(spark, sf_dir):
+    """`sftp` output → input round trip under the hash gate, through
+    the from-scratch SSH-2 + SFTP v3 stack (operators/sftpio.py,
+    functions/ssh_proto.py — the reference's pkg/sftp connectors,
+    internal/impl/sftp/input.go / output.go). A sparse orders sample
+    (one file per message, the reference's contract — so the modulus
+    keeps it wire-bound rather than handshake-bound) rides NDJSON
+    bodies through a REAL encrypted transport per Spark partition:
+    group14 kex, rsa-sha2-256 host-key verification, aes128-ctr
+    packets, per-packet HMAC — then back through
+    executor-distributed reads. The hash passes only if the whole
+    cryptographic transport and the SFTP packet layer are
+    byte-faithful both ways. Roundtrip is identity, so the DuckDB
+    oracle computes straight from parquet."""
+    from benthos_spark.functions.ssh_proto import MiniSftpServer
+    from benthos_spark.operators.sftpio import SftpSink, SftpSource
+
+    server = MiniSftpServer().start()
+    try:
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 89 == 0)
+        msgs = o.select(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                    .cast("long").alias("cents"),
+                )
+            ).alias("value"),
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(".json"))
+            .alias("path"),
+        ).repartition(4)
+        SftpSink(server.address, server.username, server.password,
+                 directory="/orders", path_col="path")(msgs, 0)
+        back = SftpSource(address=server.address, username=server.username,
+                          password=server.password,
+                          paths=["/orders"]).read(spark)
+        parsed = back.select(
+            F.get_json_object(F.col("value").cast("string"), "$.okey")
+            .cast("long").alias("okey"),
+            F.get_json_object(F.col("value").cast("string"), "$.cents")
+            .cast("long").alias("cents"),
+        )
+        agg = (
+            parsed.groupBy((F.col("okey") % 10).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        )
+        return agg.localCheckpoint(eager=True).orderBy("grp")
+    finally:
+        server.stop()
+
+
 # =====================================================================
 # Driver-gate ordering. The correctness driver checks the FIRST ~50
 # entries of the dict returned by ``__spark_entry__.queries()`` — dict
