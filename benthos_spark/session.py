@@ -31,6 +31,22 @@ def get_spark(
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else None
     master = f"local[{cores}]" if cores else "local[*]"
+
+    # Make the engine importable on executor-side Python workers no matter
+    # where the driver was launched from. Workers inherit PYTHONPATH from
+    # the JVM (which inherits it from this process at gateway launch), NOT
+    # the driver's sys.path — so a driver started outside the repo dir
+    # would otherwise die with ModuleNotFoundError the moment a pickled
+    # UDF references benthos_spark (and a worker dying mid-handshake can
+    # take the local JVM down with it). On a real cluster the same job
+    # ships the package via ``spark-submit --py-files`` (the zip built by
+    # tools/package.py); this is the local-mode equivalent.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + py_path if py_path else "")
+        )
     n_shuffle = shuffle_partitions or max(cores or os.cpu_count() or 8, 32)
 
     builder = (

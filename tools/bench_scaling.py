@@ -44,6 +44,7 @@ from benthos_spark.streaming.pipeline import run_to_completion
 from tests.test_flagship_streaming import _flagship_pipeline
 
 cores, src, workdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+passes = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 # Uniform heap across levels (same config, only parallelism varies).
 # 16g suffices at every level now that the parquet columnar reader batch
 # is sized for ~100KB binary rows (session.py columnarReaderBatchSize).
@@ -54,24 +55,39 @@ spark = get_spark(
     extra_conf={{"spark.driver.memory": "16g"}},
 )
 spark.sparkContext.setLogLevel("ERROR")
-sink = ExactlyOnceParquetSink(os.path.join(workdir, "out"))
-t0 = time.time()
-q = _flagship_pipeline(src).start(
-    spark, sink, checkpoint=os.path.join(workdir, "ckpt"), trigger_once=True
-)
-run_to_completion(q, timeout_s=3600)
-sec = time.time() - t0
-# Steady-state metric: execution time of the micro-batches that actually
-# carried rows (from StreamingQueryProgress), excluding stream startup,
-# final no-data flush batches, and session setup — the per-level constant
-# that would amortize away on a long-running cluster job.
-exec_ms = sum(
-    p.durationMs["triggerExecution"] for p in q.recentProgress if p.numInputRows > 0
-)
-rows = sink.committed_rows()
+# With passes > 1 the SAME JVM replays the identical bounded stream into
+# a fresh checkpoint + sink each time; the LAST pass is the steady-state
+# number. On this sandbox's hypervisor-paged memory (see BENCH.md
+# "first-touch paging wall"), pass 0 pays host page-in for every fresh
+# heap/Arrow/python buffer page at ~0.25-0.35 GB/s AGGREGATE regardless
+# of core count, which anti-scales the cold run; a long-running cluster
+# job (the north metric's shape) runs at pass-1+ behavior.
+all_passes = []
+for p_i in range(passes):
+    sink = ExactlyOnceParquetSink(os.path.join(workdir, f"out{{p_i}}"))
+    t0 = time.time()
+    q = _flagship_pipeline(src).start(
+        spark, sink, checkpoint=os.path.join(workdir, f"ckpt{{p_i}}"), trigger_once=True
+    )
+    run_to_completion(q, timeout_s=3600)
+    sec = time.time() - t0
+    # Steady-state metric: execution time of the micro-batches that
+    # actually carried rows (from StreamingQueryProgress), excluding
+    # stream startup, final no-data flush batches, and session setup —
+    # the per-level constant that would amortize away on a long-running
+    # cluster job.
+    exec_ms = sum(
+        p.durationMs["triggerExecution"] for p in q.recentProgress if p.numInputRows > 0
+    )
+    rows = sink.committed_rows()
+    all_passes.append({{"stream_sec": round(sec, 3),
+                        "exec_sec": round(exec_ms / 1000.0, 3), "rows": rows}})
 spark.stop()
-print("RESULT " + json.dumps({{"cores": cores, "stream_sec": round(sec, 3),
-                               "exec_sec": round(exec_ms / 1000.0, 3), "rows": rows}}))
+last = all_passes[-1]
+print("RESULT " + json.dumps({{"cores": cores, "stream_sec": last["stream_sec"],
+                               "exec_sec": last["exec_sec"], "rows": last["rows"],
+                               "cold_exec_sec": all_passes[0]["exec_sec"],
+                               "passes": all_passes}}))
 """
 
 
@@ -88,6 +104,7 @@ from tests.test_flagship_streaming import _flagship_pipeline
 
 cores, src, workdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 n_clips = int(sys.argv[4])
+passes = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 spark = get_spark(
     app=f"scaling-ice-{{cores}}",
     cores=cores,
@@ -95,38 +112,47 @@ spark = get_spark(
     extra_conf={{"spark.driver.memory": "16g"}},
 )
 spark.sparkContext.setLogLevel("ERROR")
-pipe = Pipeline(
-    source=IcebergSource(src, streaming=True),
-    processors=_flagship_pipeline(src).processors,
-)
-sink = ExactlyOnceIcebergSink(os.path.join(workdir, "dst"))
-t0 = time.time()
-# python data sources skip the availableNow no-data flush batch —
-# processing-time trigger + metadata-probe polling (see iceberg/source.py)
-q = pipe.start(spark, sink, checkpoint=os.path.join(workdir, "ckpt"),
-               processing_time="200 milliseconds")
-total, seen = 0, -1
-deadline = time.time() + 3600
-dst = os.path.join(workdir, "dst")
-while total < n_clips and time.time() < deadline:
-    time.sleep(0.25)
-    if not IcebergTable.exists(dst):
-        continue
-    t = IcebergTable.load(dst)
-    if t.version == seen:
-        continue
-    seen = t.version
-    got = sink.read_committed(spark).filter(F.col("codec") != "_sentinel")
-    total = got.agg(F.sum("n_clips")).collect()[0][0] or 0
-sec = time.time() - t0
-q.stop()
-exec_ms = sum(
-    p.durationMs["triggerExecution"] for p in q.recentProgress if p.numInputRows > 0
-)
-assert total == n_clips, (total, n_clips)
+# passes > 1: same JVM replays the stream into a fresh sink table +
+# checkpoint; last pass = steady state (see the parquet worker's note).
+all_passes = []
+for p_i in range(passes):
+    pipe = Pipeline(
+        source=IcebergSource(src, streaming=True),
+        processors=_flagship_pipeline(src).processors,
+    )
+    dst = os.path.join(workdir, f"dst{{p_i}}")
+    sink = ExactlyOnceIcebergSink(dst)
+    t0 = time.time()
+    # python data sources skip the availableNow no-data flush batch —
+    # processing-time trigger + metadata-probe polling (see iceberg/source.py)
+    q = pipe.start(spark, sink, checkpoint=os.path.join(workdir, f"ckpt{{p_i}}"),
+                   processing_time="200 milliseconds")
+    total, seen = 0, -1
+    deadline = time.time() + 3600
+    while total < n_clips and time.time() < deadline:
+        time.sleep(0.25)
+        if not IcebergTable.exists(dst):
+            continue
+        t = IcebergTable.load(dst)
+        if t.version == seen:
+            continue
+        seen = t.version
+        got = sink.read_committed(spark).filter(F.col("codec") != "_sentinel")
+        total = got.agg(F.sum("n_clips")).collect()[0][0] or 0
+    sec = time.time() - t0
+    q.stop()
+    exec_ms = sum(
+        p.durationMs["triggerExecution"] for p in q.recentProgress if p.numInputRows > 0
+    )
+    assert total == n_clips, (total, n_clips)
+    all_passes.append({{"stream_sec": round(sec, 3),
+                        "exec_sec": round(exec_ms / 1000.0, 3), "rows": int(total)}})
 spark.stop()
-print("RESULT " + json.dumps({{"cores": cores, "stream_sec": round(sec, 3),
-                               "exec_sec": round(exec_ms / 1000.0, 3), "rows": int(total)}}))
+last = all_passes[-1]
+print("RESULT " + json.dumps({{"cores": cores, "stream_sec": last["stream_sec"],
+                               "exec_sec": last["exec_sec"], "rows": last["rows"],
+                               "cold_exec_sec": all_passes[0]["exec_sec"],
+                               "passes": all_passes}}))
 """
 
 
@@ -165,7 +191,9 @@ def generate_iceberg_input(n_clips: int, src: str) -> None:
     subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
 
 
-def run_level(cores: int, src: str, iceberg_clips: int | None = None) -> dict:
+def run_level(
+    cores: int, src: str, iceberg_clips: int | None = None, passes: int = 1
+) -> dict:
     """Run one parallelism level, CPU-pinned with ``taskset`` so the level
     is a true machine-size emulation: ``local[N]`` alone bounds task
     SLOTS, not CPUs — every mapInPandas task runs a JVM thread plus a
@@ -176,11 +204,12 @@ def run_level(cores: int, src: str, iceberg_clips: int | None = None) -> dict:
     if iceberg_clips is not None:
         cmd = pin + [
             sys.executable, "-c", ICEBERG_WORKER.format(repo=REPO),
-            str(cores), src, workdir, str(iceberg_clips),
+            str(cores), src, workdir, str(iceberg_clips), str(passes),
         ]
     else:
         cmd = pin + [
-            sys.executable, "-c", WORKER.format(repo=REPO), str(cores), src, workdir
+            sys.executable, "-c", WORKER.format(repo=REPO),
+            str(cores), src, workdir, str(passes),
         ]
     try:
         out = subprocess.run(
@@ -255,6 +284,16 @@ def main() -> None:
     ap.add_argument("--src", default=None, help="reuse a pre-generated clips dir")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
+        "--passes",
+        type=int,
+        default=1,
+        help="pipeline passes per JVM; with 2+, the LAST pass is the "
+        "steady-state number (warm heap/allocator/python workers) and the "
+        "first pass is recorded as cold_exec_sec. Use 2 on hosts with "
+        "hypervisor-paged memory (see BENCH.md: the first-touch paging "
+        "wall serializes cold runs at ~0.3 GB/s regardless of cores).",
+    )
+    ap.add_argument(
         "--iceberg",
         action="store_true",
         help="run the Iceberg-ends flagship (IcebergSource -> decode -> "
@@ -280,7 +319,7 @@ def main() -> None:
         for rep in range(args.repeats):
             for cores in levels:
                 try:
-                    r = run_level(cores, src, iceberg_clips)
+                    r = run_level(cores, src, iceberg_clips, passes=args.passes)
                 except (subprocess.CalledProcessError, RuntimeError) as e:
                     print(f"# local[{cores}] rep{rep} FAILED: {e}", file=sys.stderr)
                     continue
@@ -297,6 +336,8 @@ def main() -> None:
             # wall-clock throughput kept alongside for transparency.
             r["clips_per_sec"] = round(args.clips / r["exec_sec"], 2)
             r["clips_per_sec_wall"] = round(args.clips / r["stream_sec"], 2)
+            if "cold_exec_sec" in r and args.passes > 1:
+                r["cold_clips_per_sec"] = round(args.clips / r["cold_exec_sec"], 2)
             results.append(r)
             print(
                 f"# BEST local[{cores}]: exec {r['exec_sec']}s ({r['clips_per_sec']} clips/s), "
@@ -337,6 +378,7 @@ def main() -> None:
         "value": pairs[0]["efficiency"],
         "unit": f"(T{pairs[0]['to']}/T{pairs[0]['from']})/{pairs[0]['ratio']:g}",
         "n_clips": args.clips,
+        "passes": args.passes,
         "levels": results,
         "pairs": pairs,
         "host_ceiling": ceiling,
@@ -354,11 +396,32 @@ def update_bench_md_iceberg(summary: dict) -> None:
     """Appends/replaces a SUBSECTION under the main scaling section —
     the Iceberg-ends flagship (the BASELINE metric's literal shape)."""
     path = os.path.join(REPO, "BENCH.md")
-    rows = "\n".join(
-        f"| local[{r['cores']}] | {r['exec_sec']} | {r['clips_per_sec']} | "
-        f"{r['stream_sec']} | {r['clips_per_sec_wall']} |"
-        for r in summary["levels"]
-    )
+    steady = summary.get("passes", 1) > 1
+    if steady:
+        rows = "\n".join(
+            f"| local[{r['cores']}] | {r['exec_sec']} | {r['clips_per_sec']} | "
+            f"{r.get('cold_exec_sec', '-')} | {r['stream_sec']} | {r['clips_per_sec_wall']} |"
+            for r in summary["levels"]
+        )
+        level_hdr = (
+            "| parallelism | exec steady (s) | clips/sec (steady) | exec cold (s) | "
+            "wall (s) | clips/sec (wall) |\n|---|---|---|---|---|---|"
+        )
+        steady_note = (
+            f"\nRun with `--passes {summary['passes']}` — last-pass steady state "
+            "(see the parquet section's first-touch paging-wall note):\n"
+        )
+    else:
+        rows = "\n".join(
+            f"| local[{r['cores']}] | {r['exec_sec']} | {r['clips_per_sec']} | "
+            f"{r['stream_sec']} | {r['clips_per_sec_wall']} |"
+            for r in summary["levels"]
+        )
+        level_hdr = (
+            "| parallelism | exec (s) | clips/sec (exec) | wall (s) | clips/sec (wall) |"
+            "\n|---|---|---|---|---|"
+        )
+        steady_note = ""
     pair_rows = "\n".join(
         f"| {p['from']} -> {p['to']} (x{p['ratio']:g}) | {p['efficiency']} | {p['efficiency_wall']} |"
         for p in summary["pairs"]
@@ -371,9 +434,8 @@ sequence-number offsets) through the identical decode + window chain
 INTO the exactly-once Iceberg sink, {summary['n_clips']} clips, fresh
 pinned JVM per level (`python tools/bench_scaling.py --iceberg
 --update-md`):
-
-| parallelism | exec (s) | clips/sec (exec) | wall (s) | clips/sec (wall) |
-|---|---|---|---|---|
+{steady_note}
+{level_hdr}
 {rows}
 
 | pair | efficiency (exec) | efficiency (wall) |
@@ -402,11 +464,19 @@ exactly like the JVM scan.
 
 def update_bench_md(summary: dict) -> None:
     path = os.path.join(REPO, "BENCH.md")
-    rows = "\n".join(
-        f"| local[{r['cores']}] | {r['exec_sec']} | {r['clips_per_sec']} | "
-        f"{r['stream_sec']} | {r['clips_per_sec_wall']} |"
-        for r in summary["levels"]
-    )
+    steady = summary.get("passes", 1) > 1
+    if steady:
+        rows = "\n".join(
+            f"| local[{r['cores']}] | {r['exec_sec']} | {r['clips_per_sec']} | "
+            f"{r.get('cold_exec_sec', '-')} | {r['stream_sec']} | {r['clips_per_sec_wall']} |"
+            for r in summary["levels"]
+        )
+    else:
+        rows = "\n".join(
+            f"| local[{r['cores']}] | {r['exec_sec']} | {r['clips_per_sec']} | "
+            f"{r['stream_sec']} | {r['clips_per_sec_wall']} |"
+            for r in summary["levels"]
+        )
     pair_rows = "\n".join(
         f"| {p['from']} -> {p['to']} (x{p['ratio']:g}) | {p['efficiency']} | {p['efficiency_wall']} | "
         f"{p.get('host_ceiling_efficiency', '-')} | {p.get('software_efficiency', '-')} |"
@@ -439,6 +509,26 @@ overhead as parallelism grows — on a real cluster, where each executor
 brings its OWN memory bandwidth, the hardware ceiling term disappears
 and the job-level efficiency tracks the software term.
 """
+    passes = summary.get("passes", 1)
+    steady_note = ""
+    level_hdr = "| parallelism | exec (s) | clips/sec (exec) | wall (s) | clips/sec (wall) |\n|---|---|---|---|---|"
+    if steady:
+        steady_note = f"""
+Run with `--passes {passes}`: each JVM replays the identical bounded
+stream {passes}x (fresh checkpoint + sink per pass) and the table below
+reports the LAST pass — steady state on warm heap/allocator/python
+workers. This matters on THIS host because its memory is
+hypervisor-paged: first-touch of any fresh page is serviced at
+~0.25-0.35 GB/s AGGREGATE regardless of core count (measured, see "the
+first-touch paging wall" below), so a cold single-pass run is paced by
+host page-in, not by the engine — the cold pass 0 exec is reported
+alongside. A long-running cluster job — the north metric's literal
+shape, a continuous stream — runs at steady-state behavior.
+"""
+        level_hdr = (
+            "| parallelism | exec steady (s) | clips/sec (steady) | exec cold (s) | "
+            "wall (s) | clips/sec (wall) |\n|---|---|---|---|---|---|"
+        )
     section = f"""## Scaling efficiency (north rule: N -> 4N >= 0.8)
 
 Identical flagship job (clips parquet stream -> vectorized decode ->
@@ -448,13 +538,12 @@ watermarked tumbling-window agg -> exactly-once sink), same
 of the data-carrying micro-batches from StreamingQueryProgress (steady
 state); "wall" additionally includes the ~10s fixed stream-startup cost
 that is constant per level and amortizes away on a long-running job:
-
+{steady_note}
 Levels are CPU-pinned with `taskset` (local[N] alone bounds task slots,
 not cores — each mapInPandas task runs a JVM thread plus a Python
 worker, so unpinned local[2] consumes ~4+ cores):
 
-| parallelism | exec (s) | clips/sec (exec) | wall (s) | clips/sec (wall) |
-|---|---|---|---|---|
+{level_hdr}
 {rows}
 
 | pair | efficiency (exec) | efficiency (wall) | host ceiling eff | software eff |
