@@ -248,10 +248,13 @@ def main() -> None:
 
     canary = host_canary_sec()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # default to 8 pinned cores: the measured scaling sweet spot of this
-    # VM (BENCH.md: 32 pinned procs have LESS aggregate throughput than
-    # 8 — the host anti-scales past ~8 cores). $SPARK_GRAFT_CPUS still
-    # overrides for scaling sweeps.
+    # default to 8 pinned cores: the measured cold-run sweet spot of this
+    # VM. Root-caused in round 5 (BENCH.md "first-touch paging wall"):
+    # the host services first-touch of fresh pages at ~0.3 GB/s aggregate
+    # regardless of core count, so cold 32-way runs queue behind host
+    # page-in while warm steady state scales to 32 cores. A single-JVM
+    # bench run is mostly cold. $SPARK_GRAFT_CPUS still overrides for
+    # scaling sweeps.
     cores_env = os.environ.get("SPARK_GRAFT_CPUS")
     spark = get_spark(app="benthos-spark-bench", cores=int(cores_env) if cores_env else 8)
     spark.sparkContext.setLogLevel("ERROR")
