@@ -572,9 +572,21 @@ class JmespathProcessor:
                     df.sparkSession.conf.set(
                         "spark.sql.mapKeyDedupPolicy", "LAST_WIN"
                     )
-                v = F.parse_json(F.col(self.col).cast("string"))
+                # Stage the parsed VARIANT as its own projection so the
+                # program references an ATTRIBUTE, not an inline
+                # parse_json(...) expression: compiled programs mention
+                # the document many times (filters, projections, spec
+                # functions), and inlining would re-parse the full JSON
+                # once per occurrence. CollapseProject (Spark >= 3.3)
+                # keeps the stage because parse_json is non-cheap and
+                # multiply referenced — measured 2.3x on
+                # jmespath_orders_digest (5.3s -> 2.3s warm at sf0.1).
                 out_col = self.out_col or self.col
-                out = df.withColumn(out_col, compiled.apply(v))
+                tmp = f"_jp_parsed_{abs(hash(self.query)) % 10**6}"
+                staged = df.withColumn(
+                    tmp, F.parse_json(F.col(self.col).cast("string"))
+                )
+                out = staged.withColumn(out_col, compiled.apply(F.col(tmp))).drop(tmp)
                 return out.drop(self.col) if out_col != self.col else out
         return self._interpret(df)
 

@@ -1122,11 +1122,19 @@ class JqProcessor:
         return self._interpret(df)
 
     def _apply_compiled(self, df: DataFrame, compiled) -> DataFrame:
-        v = F.parse_json(F.col(self.col).cast("string"))
+        # Stage the parsed VARIANT as its own projection so the compiled
+        # program references an ATTRIBUTE rather than an inline
+        # parse_json(...) tree — programs mention the document many
+        # times and inlining would re-parse the JSON per occurrence
+        # (CollapseProject keeps the stage: parse_json is non-cheap and
+        # multiply referenced; same fix as JmespathProcessor).
+        tmp = f"_jq_parsed_{abs(hash(self.query)) % 10**6}"
+        staged = df.withColumn(tmp, F.parse_json(F.col(self.col).cast("string")))
+        v = F.col(tmp)
         keep, rendered = compiled.apply(v)
-        out = df if keep is None else df.filter(keep)
+        out = staged if keep is None else staged.filter(keep)
         out_col = self.out_col or self.col
-        out = out.withColumn(out_col, rendered)
+        out = out.withColumn(out_col, rendered).drop(tmp)
         # the interpreter path replaces the input column
         return out.drop(self.col) if out_col != self.col else out
 
